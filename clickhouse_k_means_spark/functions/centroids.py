@@ -1,0 +1,64 @@
+"""Nearest-centroid assignment as a pure Column expression.
+
+The reference's core assignment operator is
+``arraySort((j, C) -> L2Distance(C, Y), jC.1, jC.2)[1]``
+(k-means.sql:38, OptimalK.sql:12-13): argmin over the k current
+centroids, per row, with the model injected as two parallel arrays
+from a scalar subquery (k-means.sql:36).
+
+Spark mapping: the model is a driver-held list of (j, C) pairs folded
+into array literals — Catalyst constant-folds them into the generated
+code, so assignment is a single ``array_min`` over a k-element struct
+array: O(k) per row (the reference's arraySort is O(k log k)), zero
+joins, zero shuffles, stays in whole-stage codegen.
+
+Tie-break: struct comparison falls through distance → j, so equidistant
+centroids resolve to the LOWEST j (documented deviation Q3 — the
+reference's tie order is groupArray order, nondeterministic in
+principle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from clickhouse_k_means_spark.functions.distance import _as_vec, sq_l2_distance
+
+
+def centroid_arrays(model: Sequence[tuple[int, Sequence[float]]]) -> tuple[Column, Column]:
+    """Fold a driver-held model [(j, C), ...] into (js, Cs) array literals.
+
+    Mirrors the reference's ``(groupArray(j), groupArray(C))`` scalar
+    subquery (k-means.sql:36) — but evaluated once in the driver, which
+    is strictly cheaper than once per query.
+    """
+    js = F.array(*[F.lit(int(j)) for j, _ in model])
+    cs = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for _, c in model])
+    return js, cs
+
+
+def nearest_centroid_struct(y, model: Sequence[tuple[int, Sequence[float]]]) -> Column:
+    """struct(dist double, j int) of the nearest centroid for vector ``y``.
+
+    ``array_min`` over struct(dist, j) — struct ordering gives argmin by
+    distance with ties → lowest j (quirk Q3).
+    """
+    y = _as_vec(y)
+    candidates = F.array(
+        *[
+            F.struct(
+                F.sqrt(sq_l2_distance(y, c)).alias("dist"),
+                F.lit(int(j)).alias("j"),
+            )
+            for j, c in model
+        ]
+    )
+    return F.array_min(candidates)
+
+
+def nearest_centroid(y, model: Sequence[tuple[int, Sequence[float]]]) -> Column:
+    """Assigned centroid id j (int) — reference k-means.sql:38."""
+    return nearest_centroid_struct(y, model)["j"]

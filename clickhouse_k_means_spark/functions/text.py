@@ -1,0 +1,134 @@
+"""Text-analysis expressions for the LLM-pipeline surface.
+
+All pure Column expressions (split/regexp/transform — JVM-side), so
+language-ID / quality-scoring / tokenization over a 100 TB ``documents``
+table is a single codegen'd scan with no Python in the loop. Each
+function has an exact ANSI-SQL twin used in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + hardcoded so the oracle SQL can embed
+# the identical lists.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans"],
+    "es": ["el", "la", "y", "de", "un", "una", "es", "que", "por", "para"],
+    "de": ["der", "die", "das", "und", "von", "ein", "eine", "ist", "zu", "mit"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"],
+}
+
+_WORD_RE = r"[^a-z0-9]+"
+# BPE-ish tokenizer: words, numbers, or single punctuation marks.
+BPE_ISH_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(c: Column | str) -> Column:
+    """lowercase, collapse non-alphanumerics to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(c)), _WORD_RE, " "))
+
+
+def tokens(c: Column | str) -> Column:
+    """array<string> of normalized whitespace tokens (empty-safe)."""
+    t = normalize_text(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, " "))
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count over normalized text."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Count of BPE-ish tokens: letter runs, digit runs, single punct."""
+    return F.size(F.regexp_extract_all(_c(c), F.lit(BPE_ISH_RE)))
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """array<string> of n-word shingles (space-joined) over tokens.
+
+    Built with ``transform(sequence(...))`` over the token array —
+    arity-generic, no explode needed at signature time.
+    """
+    tok = tokens(c)
+    return F.when(F.size(tok) < n, F.array(F.concat_ws(" ", tok))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - n),
+            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+        )
+    )
+
+
+def char_ngrams(c: Column | str, n: int = 5) -> Column:
+    """array<string> of character n-grams over normalized text."""
+    t = normalize_text(c)
+    return F.when(F.length(t) <= n, F.array(t)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - n + 1),
+            lambda i: F.substring(t, 1, n).alias("_")
+            if False
+            else t.substr(i, F.lit(n)),
+        )
+    )
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """punctuation chars / total chars (0 for empty text)."""
+    raw = _c(c)
+    n = F.length(raw)
+    punct = n - F.length(F.regexp_replace(raw, r"[^\w\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n.cast("double"))
+
+
+def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
+    """fraction of tokens that are stopwords of ``lang``."""
+    tok = tokens(c)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(tok, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(tok) == 0, F.lit(0.0)).otherwise(
+        hits / F.size(tok).cast("double")
+    )
+
+
+def stopword_hits(c: Column | str, lang: str) -> Column:
+    """count of tokens in ``lang``'s stopword list (language-ID signal)."""
+    tok = tokens(c)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tok, lambda t: F.array_contains(sw, t)))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Heuristic quality in [0,1]: length band + low punctuation +
+    reasonable stopword ratio + mean token length band.
+
+    Mirrors the usual pretraining-data quality filters (C4/Gopher-style
+    length & symbol rules) as a deterministic arithmetic expression.
+    """
+    raw = _c(c)
+    ntok = token_count(raw)
+    mean_tok_len = F.when(ntok == 0, F.lit(0.0)).otherwise(
+        F.length(normalize_text(raw)).cast("double") / ntok
+    )
+    len_ok = F.when((ntok >= 10) & (ntok <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(raw) <= 0.2, 1.0).otherwise(0.0)
+    sw_ok = F.when(stopword_ratio(raw, "en") >= 0.01, 1.0).otherwise(0.0)
+    tok_len_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1.0).otherwise(0.0)
+    return (len_ok + punct_ok + sw_ok + tok_len_ok) / 4.0
+
+
+def rolling_fingerprint(c: Column | str, window: int = 8) -> Column:
+    """Document fingerprint: min 60-bit hash over rolling ``window``-token
+    shingles (a winnowing-style content fingerprint) — robust to small
+    edits, portable to the SQL oracle."""
+    from clickhouse_k_means_spark.functions.hashing import hash64
+
+    sh = word_shingles(c, n=window)
+    return F.array_min(F.transform(sh, lambda s: hash64(s)))

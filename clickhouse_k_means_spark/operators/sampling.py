@@ -1,0 +1,92 @@
+"""Weighted sampling via cumulative-sum inverse-CDF — the k-means++
+D² sampling step.
+
+Reference (k-means.sql:21-33): per-point weight ``d`` (min squared-ish
+distance to existing centroids), a grand total ``sum(d) over ()``, a
+running cumulative ``sum(d) over (rows unbounded preceding..current)``,
+ONE uniform draw U per query (scalar subquery, quirk Q2), then
+``where total*U < cum order by cum limit 1``.
+
+Spark mapping and scale notes:
+- The reference's window has no ORDER BY (ClickHouse block order); we
+  impose ``orderBy(key)`` for reproducibility (SURVEY W2). Any fixed
+  order is a valid inverse-CDF permutation.
+- A global running sum is single-partition in the naive form. That is
+  fine for the k-row-bounded uses here (the filter+limit(1) collapses
+  to a TakeOrdered over a tiny filtered set), but ``cumulative_weights``
+  is still written to keep the scan parallel: the window only carries
+  (key, d) pairs, and the subsequent ``limit 1`` never materializes the
+  full cumulated set on one node thanks to Spark's takeOrdered.
+  For a true 100 TB global cumsum use ``partitioned_cumsum`` below
+  (two-pass: per-partition partials + broadcast offsets).
+- U is drawn in the DRIVER (``random.Random(seed)``) and injected as a
+  literal — per-row ``F.rand()`` would be a different algorithm (Q2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cumulative_weights(
+    df: DataFrame, weight: str | Column, order: str | Column
+) -> DataFrame:
+    """Add ``total`` (grand sum of weights) and ``cum`` (running sum in
+    ``order``) columns — reference k-means.sql:21-22 (W1/W2)."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    o = F.col(order) if isinstance(order, str) else order
+    running = Window.orderBy(o).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    everything = Window.partitionBy()
+    return df.withColumn("cum", F.sum(w).over(running)).withColumn(
+        "total", F.sum(w).over(everything)
+    )
+
+
+def weighted_pick(
+    df: DataFrame, weight: str | Column, order: str | Column, u: float
+) -> DataFrame:
+    """One-row DataFrame: the inverse-CDF sample at threshold ``u``.
+
+    Reference k-means.sql:31-33: ``where total * U < cum order by cum
+    limit 1``. ``u`` MUST be a driver-drawn scalar (quirk Q2).
+    """
+    cw = cumulative_weights(df, weight, order)
+    return cw.filter(F.col("total") * F.lit(float(u)) < F.col("cum")).orderBy("cum").limit(1)
+
+
+def partitioned_cumsum(
+    df: DataFrame, weight: str, order: str, num_parts: int | None = None
+) -> DataFrame:
+    """Scale-path global running sum: range-partition by ``order``, cumsum
+    within partitions, add broadcast per-partition offsets.
+
+    Avoids the single-task global window; used when the cumulated set
+    itself is the output (not just a limit-1 probe).
+    """
+    parted = df.repartitionByRange(*( [num_parts] if num_parts else [] ), F.col(order))
+    pid = F.spark_partition_id()
+    with_pid = parted.withColumn("__pid", pid)
+    win = Window.partitionBy("__pid").orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = with_pid.withColumn("__local_cum", F.sum(weight).over(win))
+    totals = (
+        local.groupBy("__pid")
+        .agg(F.sum(weight).alias("__part_sum"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__part_sum").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    return (
+        local.join(F.broadcast(totals), "__pid")
+        .withColumn("cum", F.col("__local_cum") + F.col("__offset"))
+        .drop("__pid", "__local_cum", "__offset")
+    )

@@ -1,0 +1,122 @@
+"""Model-selection diagnostics — elbow + simplified silhouette.
+
+Reference (OptimalK.sql):
+- Elbow (lines 3-8): sum over all points of the distance to the nearest
+  centroid of the final model. NOTE: plain L2 distance, not squared —
+  total within-cluster *distance*, not WCSS (quirk Q6). ``elbow``
+  reproduces that exactly; ``squared=True`` gives standard inertia.
+- Silhouette (lines 10-21): a GLOBAL simplified variant (quirk Q7):
+  ai = mean distance over ALL same-cluster pairs, bi = mean over ALL
+  cross-cluster pairs, si = (bi-ai)/max(ai,bi) — one number for the
+  whole clustering, not the per-point Rousseeuw silhouette. O(n²) via
+  self cross join with ``a.i != b.i``.
+
+Scale notes: elbow is one codegen'd scan (model folded into literals).
+The exact silhouette is quadratic by definition — fine at fixture
+scale; ``silhouette_sampled`` bounds the pair count by hash-sampling
+rows before the cross join (deterministic, seedable), the honest
+scale path. MLlib's ``ClusteringEvaluator`` (squared-euclidean
+per-point silhouette) is exposed as a cross-check — a DIFFERENT
+definition, reported separately, never compared to the parity number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_k_means_spark.functions.centroids import nearest_centroid_struct
+from clickhouse_k_means_spark.functions.distance import l2_distance
+
+Model = list[tuple[int, list[float]]]
+
+
+def elbow(yh: DataFrame, model: Model, squared: bool = False) -> float:
+    """Σ min-distance to the model (OptimalK.sql:3-8; Q6 exact parity)."""
+    s = nearest_centroid_struct("Y", model)
+    d = s["dist"] * s["dist"] if squared else s["dist"]
+    return yh.agg(F.sum(d).alias("elbow")).collect()[0][0]
+
+
+def _pairs(yh: DataFrame, model: Model) -> DataFrame:
+    a = yh.select(F.col("i").alias("ia"), F.col("Y").alias("Ya"))
+    b = yh.select(F.col("i").alias("ib"), F.col("Y").alias("Yb"))
+    ja = nearest_centroid_struct("Ya", model)["j"]
+    jb = nearest_centroid_struct("Yb", model)["j"]
+    return (
+        a.crossJoin(b)
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            ja.alias("ja"),
+            jb.alias("jb"),
+            l2_distance("Ya", "Yb").alias("distance"),
+        )
+    )
+
+
+def silhouette_global(yh: DataFrame, model: Model) -> dict[str, float]:
+    """Exact reference formula (OptimalK.sql:10-21): returns ai, bi, si."""
+    row = (
+        _pairs(yh, model)
+        .agg(
+            F.avg(F.when(F.col("ja") == F.col("jb"), F.col("distance"))).alias("ai"),
+            F.avg(F.when(F.col("ja") != F.col("jb"), F.col("distance"))).alias("bi"),
+        )
+        .collect()[0]
+    )
+    ai, bi = float(row["ai"]), float(row["bi"])
+    si = (bi - ai) / (bi if bi > ai else ai)
+    return {"ai": ai, "bi": bi, "si": si}
+
+
+def silhouette_sampled(
+    yh: DataFrame, model: Model, max_rows: int = 2000, seed: int = 42
+) -> dict[str, float]:
+    """Same formula over a deterministic hash-sample of ≤ max_rows rows —
+    the O(n²) pair count becomes O(max_rows²) regardless of input size."""
+    n = yh.count()
+    if n > max_rows:
+        frac = max_rows / n
+        yh = yh.sample(withReplacement=False, fraction=frac, seed=seed)
+    return silhouette_global(yh, model)
+
+
+def mllib_silhouette(yh: DataFrame, assignments: DataFrame) -> float:
+    """MLlib ClusteringEvaluator (per-point squared-euclidean silhouette)
+    — cross-check metric, a different definition from the reference's."""
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    pred = yh.join(assignments.select("i", "j"), "i").select(
+        array_to_vector(F.col("Y").cast("array<double>")).alias("features"),
+        F.col("j").cast("double").alias("prediction"),
+    )
+    return ClusteringEvaluator(
+        featuresCol="features", predictionCol="prediction"
+    ).evaluate(pred)
+
+
+def optimal_k_scan(
+    yh: DataFrame,
+    ks: range | list[int],
+    seed: int = 42,
+    use_mllib: bool = True,
+    silhouette_rows: int = 1000,
+) -> list[dict]:
+    """Fit per k and report elbow + sampled silhouette — the OptimalK.sql
+    workflow as one call. MLlib path by default (fast); reference path
+    with use_mllib=False."""
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine, mllib_kmeans
+
+    out = []
+    yh = yh.cache()
+    for k in ks:
+        if use_mllib:
+            _, model = mllib_kmeans(yh, k=k, seed=seed)
+        else:
+            model = KMeansEngine(k=k, seed=seed).fit(yh).model
+        row = {"k": k, "elbow": elbow(yh, model)}
+        row.update(silhouette_sampled(yh, model, max_rows=silhouette_rows, seed=seed))
+        out.append(row)
+    yh.unpersist()
+    return out

@@ -1,0 +1,40 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+same code runs unchanged — every knob here (AQE, shuffle partitions,
+Arrow) is cluster-appropriate, only ``master``/memory come from the
+environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "clickhouse-k-means-spark") -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Scale notes: AQE is on so runtime stats re-plan joins (auto
+    broadcast, skew-join splitting, partition coalescing); shuffle
+    partitions default to local core count here, but on a 1000-executor
+    cluster AQE coalescing makes the initial number non-critical.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    if not os.environ.get("SPARK_GRAFT_MASTER_SET"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,101 @@
+"""Dataset adapters — the ``YH`` contract and fixture readers.
+
+The reference's only input interface is the view
+``YH: select i, (x, y) as Y from sourceData`` (k-means.sql:7;
+README.md:34-36): any table, exposed as (row key ``i``, coordinate
+vector ``Y`` of any arity). ``from_table`` is that contract as a
+function; every algorithm in ``plans/`` consumes its output.
+
+Scale notes: the projection is column-pruned at the parquet scan
+(only key + feature columns are read; verify with
+``df.explain`` → ``ReadSchema``), and the produced plan is a pure
+narrow map — no shuffle, partitioning of the source is preserved.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (TESTDATA.md layout)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def from_table(
+    df: DataFrame, key: str | Column, features: Sequence[str | Column]
+) -> DataFrame:
+    """Normalize any table to the ``(i: long, Y: array<double>)`` contract.
+
+    Reference: view ``YH`` (k-means.sql:7). Arity-generic (README.md:36);
+    nulls in features are rejected upstream by the caller if present —
+    k-means over nulls is undefined in the reference too.
+    """
+    if not features:
+        raise ValueError("from_table: need at least one feature column (Y arity >= 1)")
+    k = F.col(key) if isinstance(key, str) else key
+    fs = [F.col(f) if isinstance(f, str) else f for f in features]
+    return df.select(
+        k.cast("long").alias("i"),
+        F.array(*[f.cast("double") for f in fs]).alias("Y"),
+    )
+
+
+def load_yh(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "lineitem",
+    key: str | Column | None = None,
+    features: Sequence[str] | None = None,
+) -> DataFrame:
+    """Fixture → (i, Y), with the FIXTURES.md F6 defaults per table.
+
+    NOTE: the synthetic lineitem fixture has duplicate
+    (l_orderkey, l_linenumber) pairs by construction, so the F6 default
+    key is a best-effort row tag, not unique. Clustering doesn't need
+    uniqueness; delivery joins (README.md:47) do — callers doing
+    join-back on non-unique keys get row multiplication, same as any
+    SQL join on a non-key.
+    """
+    defaults: dict[str, tuple[Column | str, list[str]]] = {
+        "lineitem": (
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")),
+            ["l_quantity", "l_extendedprice", "l_discount"],
+        ),
+        "customer": ("c_custkey", ["c_acctbal", "c_nationkey"]),
+        "events": ("event_id", ["value"]),
+        "embeddings": ("vec_id", []),  # handled below (array column)
+    }
+    df = load_table(spark, sf_dir, table)
+    if table == "embeddings" and features is None:
+        return df.select(
+            F.col("vec_id").cast("long").alias("i"),
+            F.col("embedding").cast("array<double>").alias("Y"),
+        )
+    if key is None or features is None:
+        dkey, dfeat = defaults[table]
+        key = key if key is not None else dkey
+        features = features if features is not None else dfeat
+    return from_table(df, key, features)

@@ -1,0 +1,129 @@
+"""Golden end-to-end + property tests for the k-means driver (SURVEY §5.2/5.4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_k_means_spark.plans.kmeans import KMeansEngine, mllib_kmeans
+from clickhouse_k_means_spark.plans.optimal_k import (
+    elbow,
+    silhouette_global,
+    silhouette_sampled,
+)
+from clickhouse_k_means_spark.sources.dataset import from_table, load_yh
+from clickhouse_k_means_spark.sources.generator import golden_points
+
+
+SEPARATED_ANCHORS = [(0.0, 0.0), (65.0, 0.0), (0.0, 110.0), (65.0, 110.0)]
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    # explicit far-apart anchors → blobs are separable by construction
+    # (random anchors can overlap, exactly like the reference's data gen)
+    return golden_points(spark, seed=7, anchors=SEPARATED_ANCHORS).cache()
+
+
+def test_golden_shape(golden):
+    assert golden.count() == 2004
+    assert golden.select("true_cluster").distinct().count() == 4
+
+
+def test_fit_converges_and_recovers_clusters(spark, golden):
+    yh = from_table(golden, "i", ["x", "y"])
+    eng = KMeansEngine(k=4, seed=42, max_iter=60, squared_weights=True)
+    res = eng.fit_best(yh, n_init=3)
+    assert res.converged, f"movements={res.movements}"
+    assert len(res.model) == 4
+    # history invariants (FIXTURES.md F3): step 0 has k rows; steps increase
+    steps = sorted({s for s, _, _ in res.history})
+    assert steps == list(range(0, res.n_iter + 1))
+    assert sum(1 for s, _, _ in res.history if s == 0) == 4
+    # movement decreases to < 0.01 (toUInt32(sum*100)==0)
+    assert res.movements[-1] < 0.01
+
+    # cluster recovery: each true cluster maps to exactly one predicted j
+    assigned = eng.assign(yh, res.model).join(golden.select("i", "true_cluster"), "i")
+    # well-separated blobs: dominant j per true cluster ≥ 95%
+    dom = (
+        assigned.groupBy("true_cluster", "j")
+        .count()
+        .groupBy("true_cluster")
+        .agg((F.max("count") / F.sum("count")).alias("purity"))
+        .collect()
+    )
+    assert all(r["purity"] >= 0.95 for r in dom), dom
+
+
+def test_k1_centroid_is_mean(spark):
+    df = spark.createDataFrame(
+        [(i, float(i), float(2 * i)) for i in range(10)], "i long, x double, y double"
+    )
+    yh = from_table(df, "i", ["x", "y"])
+    res = KMeansEngine(k=1, seed=1, max_iter=5).fit(yh)
+    (j, c) = res.model[0]
+    assert abs(c[0] - 4.5) < 1e-9 and abs(c[1] - 9.0) < 1e-9
+
+
+def test_k_equals_n_zero_inertia(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 0.0), (3, 0.0, 10.0)], "i long, x double, y double"
+    )
+    yh = from_table(df, "i", ["x", "y"])
+    res = KMeansEngine(k=3, seed=3, max_iter=10).fit(yh)
+    assert elbow(yh, res.model) < 1e-9
+
+
+def test_history_df_schema(spark, golden):
+    yh = from_table(golden, "i", ["x", "y"])
+    res = KMeansEngine(k=2, seed=5, max_iter=30).fit(yh)
+    hdf = res.history_df(spark)
+    assert hdf.schema.simpleString() == "struct<step:bigint,j:int,C:array<double>>"
+    assert hdf.count() == len(res.history)
+
+
+def test_translation_invariance(spark):
+    pts = [(i, float(i % 5), float(i % 3)) for i in range(30)]
+    df = spark.createDataFrame(pts, "i long, x double, y double")
+    yh1 = from_table(df, "i", ["x", "y"])
+    yh2 = from_table(
+        df.select("i", (F.col("x") + 100).alias("x"), (F.col("y") + 100).alias("y")),
+        "i",
+        ["x", "y"],
+    )
+    e1 = KMeansEngine(k=2, seed=9, max_iter=30)
+    e2 = KMeansEngine(k=2, seed=9, max_iter=30)
+    a1 = {r["i"]: r["j"] for r in e1.assign(yh1, e1.fit(yh1).model).collect()}
+    a2 = {r["i"]: r["j"] for r in e2.assign(yh2, e2.fit(yh2).model).collect()}
+    assert a1 == a2
+
+
+def test_mllib_fast_path_comparable_inertia(spark, golden):
+    yh = from_table(golden, "i", ["x", "y"])
+    ref = KMeansEngine(k=4, seed=42, max_iter=60).fit(yh)
+    _, centers = mllib_kmeans(yh, k=4, seed=42)
+    e_ref = elbow(yh, ref.model, squared=True)
+    e_ml = elbow(yh, centers, squared=True)
+    assert e_ref <= 1.1 * e_ml or e_ml <= 1.1 * e_ref
+
+
+def test_silhouette_global_and_sampled(spark):
+    # two tight, far-apart blobs → si near 1
+    rows = [(i, 0.0 + (i % 3) * 0.1, 0.0) for i in range(30)] + [
+        (100 + i, 100.0 + (i % 3) * 0.1, 100.0) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "i long, x double, y double")
+    yh = from_table(df, "i", ["x", "y"])
+    model = [(1, [0.1, 0.0]), (2, [100.1, 100.0])]
+    s = silhouette_global(yh, model)
+    assert s["si"] > 0.99
+    s2 = silhouette_sampled(yh, model, max_rows=40, seed=1)
+    assert s2["si"] > 0.95
+
+
+def test_fit_on_lineitem_fixture(spark, sf_dir):
+    yh = load_yh(spark, sf_dir, "lineitem")
+    res = KMeansEngine(k=3, seed=42, max_iter=25).fit(yh)
+    assert len(res.model) == 3
+    assert res.n_iter >= 1
