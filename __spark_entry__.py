@@ -1,38 +1,893 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full k-means++/Lloyd fit over lineitem
+features at sf0.001, per-cluster summary.
+``queries()`` — one callable per implemented operator from SURVEY.md
+§2 plus the LLM-pipeline surface (dedup / similarity / text analysis).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+query. Float hazards are handled by construction: big aggregates are
+integerized per-row before summing (order-independent exact BIGINT
+sums), per-row doubles use identical left-to-right fold order in both
+engines, and rounded outputs use HALF_UP which both engines share for
+positive values.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_k_means_spark.functions.centroids import nearest_centroid_struct
+from clickhouse_k_means_spark.functions.distance import cosine_similarity, l2_distance
+from clickhouse_k_means_spark.functions.hashing import hamming64, simhash_doc
+from clickhouse_k_means_spark.functions.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    lang_id,
+    normalize_text,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from clickhouse_k_means_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from clickhouse_k_means_spark.operators.limit_by import limit_by
+from clickhouse_k_means_spark.sources.dataset import from_table, load_table, load_yh
+
+# ---------------------------------------------------------------------------
+# Shared constants
+# ---------------------------------------------------------------------------
+
+# Fixed 4-centroid model over (l_quantity, l_extendedprice, l_discount) —
+# the "current model" injected as literals, mirroring the reference's
+# scalar-subquery model arrays (k-means.sql:36).
+MODEL = [
+    (1, [10.0, 20000.0, 0.02]),
+    (2, [25.0, 45000.0, 0.05]),
+    (3, [40.0, 75000.0, 0.08]),
+    (4, [15.0, 95000.0, 0.03]),
+]
+FEATURES = ["l_quantity", "l_extendedprice", "l_discount"]
+U_PICK = 0.372949  # driver-drawn k-means++ threshold (quirk Q2 literal)
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+# ---------------------------------------------------------------------------
+# Oracle SQL fragment builders (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+
+def _dist_sql(cols: list[str], c: list[float]) -> str:
+    """sqrt of left-fold sum of squares — matches the Spark
+    ``aggregate(zip_with(...))`` fold order bit-for-bit."""
+    terms = " + ".join(f"({col} - {v}) * ({col} - {v})" for col, v in zip(cols, c))
+    return f"sqrt({terms})"
+
+
+def _argmin_j_sql(dcols: list[str]) -> str:
+    """CASE chain: lowest j wins ties (quirk Q3, matches struct min)."""
+    n = len(dcols)
+    branches = []
+    for i in range(n - 1):
+        conds = " and ".join(f"{dcols[i]} <= {d}" for d in dcols[i + 1 :])
+        branches.append(f"when {conds} then {i + 1}")
+    return "case " + " ".join(branches) + f" else {n} end"
+
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"case when {_NORM} = '' then []::VARCHAR[] else string_split({_NORM}, ' ') end"
+
+
+def _shingles_sql(tok_expr: str, n: int) -> str:
+    return (
+        f"case when len({tok_expr}) < {n} then [array_to_string({tok_expr}, ' ')] "
+        f"else list_transform(range(1, len({tok_expr}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({tok_expr}, i, i + {n - 1}), ' ')) end"
+    )
+
+
+def _hash64_sql(expr: str, salt: int | None = None) -> str:
+    inner = f"'{salt}#' || {expr}" if salt is not None else expr
+    return f"('0x' || substr(md5({inner}), 1, 15))::BIGINT"
+
+
+def _lineitem_dists() -> tuple[str, str]:
+    """(CTE sql, dist column names) for per-row distances to MODEL."""
+    dcols = [f"d{j}" for j, _ in MODEL]
+    exprs = ", ".join(
+        f"{_dist_sql(FEATURES, c)} as d{j}" for j, c in MODEL
+    )
+    cte = (
+        "select l_orderkey * 10 + l_linenumber as i, l_quantity, "
+        f"l_extendedprice, l_discount, {exprs} from lineitem"
+    )
+    return cte, dcols
+
+
+def _dot64_sql(a: str, b: str) -> str:
+    """Explicit 64-term left-fold dot product (embedding arity)."""
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, 65))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+
+def _yh_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_yh(spark, sf_dir, "lineitem")
+
+
+def q_yh_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/P2/P3: the (i, Y) adapter contract, exploded back to scalars."""
+    yh = _yh_lineitem(spark, sf_dir)
+    return yh.select(
+        "i",
+        F.col("Y")[0].alias("y0"),
+        F.col("Y")[1].alias("y1"),
+        F.col("Y")[2].alias("y2"),
+    )
+
+
+def q_nearest_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F4/J1: per-row nearest centroid of the literal MODEL."""
+    yh = _yh_lineitem(spark, sf_dir)
+    s = nearest_centroid_struct("Y", MODEL)
+    return yh.select(
+        "i", s["j"].alias("j"), F.round(s["dist"], 4).alias("dist")
+    )
+
+
+def q_lloyd_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 (one Lloyd step): per-cluster counts + exact integerized
+    per-dimension sums (sums in cents/bp so the check is order-free)."""
+    yh = _yh_lineitem(spark, sf_dir)
+    s = nearest_centroid_struct("Y", MODEL)
+    return (
+        yh.select(s["j"].alias("j"), "Y")
+        .groupBy("j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("Y")[0] * 100).cast("bigint")).alias("sum_qty_c"),
+            F.sum(F.round(F.col("Y")[1] * 100).cast("bigint")).alias("sum_price_c"),
+            F.sum(F.round(F.col("Y")[2] * 10000).cast("bigint")).alias("sum_disc_bp"),
+        )
+    )
+
+
+def q_kmeanspp_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2/T4/Q2: the k-means++ weighted pick at a fixed threshold.
+
+    Distinct candidate points (GROUP BY Y, O7), weight = min distance
+    to MODEL integerized to exact BIGINT, cumulative-sum inverse-CDF
+    at U_PICK over a total (y0,y1,y2) order.
+    """
+    yh = _yh_lineitem(spark, sf_dir)
+    s = nearest_centroid_struct("Y", MODEL)
+    weighted = (
+        yh.select("Y")
+        .distinct()
+        .select(
+            F.col("Y")[0].alias("y0"),
+            F.col("Y")[1].alias("y1"),
+            F.col("Y")[2].alias("y2"),
+            s["dist"].alias("rawd"),
+            F.round(s["dist"] * 1000).cast("bigint").alias("dmm"),
+        )
+        .filter(F.col("rawd") > 0)  # exclude exact-centroid points (J4)
+    )
+    running = Window.orderBy("y0", "y1", "y2").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cw = weighted.withColumn("cum", F.sum("dmm").over(running)).withColumn(
+        "total", F.sum("dmm").over(Window.partitionBy())
+    )
+    return (
+        cw.filter(F.col("total") * F.lit(U_PICK) < F.col("cum"))
+        .orderBy("cum", "y0", "y1", "y2")
+        .limit(1)
+        .select("y0", "y1", "y2")
+    )
+
+
+def q_limit_by_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (`LIMIT 1 BY`): latest shipment per order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    latest = limit_by(
+        li,
+        1,
+        "l_orderkey",
+        [
+            F.col("l_shipdate").desc(),
+            F.col("l_linenumber").desc(),
+            F.col("l_partkey").desc(),
+            F.col("l_suppkey").desc(),
+        ],
+    )
+    return latest.select(
+        "l_orderkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        "l_linenumber",
+        "l_partkey",
+    )
+
+
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T4: global top-10 by price (TakeOrdered plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(),
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+        )
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+    )
+
+
+def q_offset_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 (`LIMIT 40,1`): offset-based single-row pick under total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+        )
+        .offset(40)
+        .limit(1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+    )
+
+
+def q_elbow_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/Q6: total nearest-centroid distance (integerized, exact)."""
+    yh = _yh_lineitem(spark, sf_dir)
+    s = nearest_centroid_struct("Y", MODEL)
+    return yh.agg(
+        F.sum(F.round(s["dist"] * 1000).cast("bigint")).alias("elbow_mm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_silhouette_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3/A9/Q7: simplified-silhouette numerators over an O(n²)
+    self cross join of a deterministic subset (orderkey % 100 == 0)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.pmod(F.col("l_orderkey"), F.lit(100)) == 0
+    )
+    yh = from_table(
+        li, (F.col("l_orderkey") * 10 + F.col("l_linenumber")), FEATURES
+    )
+    s = nearest_centroid_struct("Y", MODEL)
+    pts = yh.select("i", "Y", s["j"].alias("j"))
+    a = pts.select(
+        F.col("i").alias("ia"), F.col("Y").alias("Ya"), F.col("j").alias("ja")
+    )
+    b = pts.select(
+        F.col("i").alias("ib"), F.col("Y").alias("Yb"), F.col("j").alias("jb")
+    )
+    dmm = F.round(l2_distance("Ya", "Yb") * 1000).cast("bigint")
+    pairs = a.crossJoin(b).filter(F.col("ia") != F.col("ib"))
+    same = F.col("ja") == F.col("jb")
+    return pairs.agg(
+        F.sum(F.when(same, dmm)).alias("same_mm"),
+        F.count(F.when(same, F.lit(1))).alias("same_n"),
+        F.sum(F.when(~same, dmm)).alias("cross_mm"),
+        F.count(F.when(~same, F.lit(1))).alias("cross_n"),
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A8/P1: TPC-H Q1-shaped pricing summary (integerized sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("sum_qty_c"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "sum_price_c"
+            ),
+            F.sum(disc_price_c).alias("sum_disc_price_c"),
+        )
+    )
+
+
+def q_join_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: broadcast equi-join orders→customer + segment rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "sum_total_c"
+            ),
+        )
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: per-customer running order count + totals."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .over(w)
+        .alias("running_total_c"),
+    )
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: manual pivot (when/otherwise) of event counts per user."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"{t}_n")
+        for t in EVENT_TYPES
+    ]
+    return ev.groupBy("user_id").agg(
+        *aggs,
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON surface: extract props.k from the events table."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time bucketing (the batch twin of a tumbling window)."""
+    ev = load_table(spark, sf_dir, "events")
+    # ts arrives as raw nanos (bigint, see session.py); integer div
+    # keeps full precision (double division would lose ns bits).
+    epoch = F.expr("ts div 1000000000")
+    bucket = (epoch - F.pmod(epoch, F.lit(300))).alias("bucket_s")
+    return ev.groupBy(bucket, "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
+    )
+
+
+# ---- dedup family ----
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_dedup(docs)
+    return out.select("doc_id", "text_hash", F.col("keep").cast("int").alias("keep"))
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, n_hashes=8, shingle_n=3)
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    return lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4)
+
+
+def _bounded_pairs(docs: DataFrame) -> DataFrame:
+    """Deterministic bounded pair set: same source, doc_id < 100, a < b."""
+    d = docs.filter(F.col("doc_id") < 100).select("doc_id", "source")
+    a = d.select(F.col("doc_id").alias("a"), F.col("source").alias("src"))
+    b = d.select(F.col("doc_id").alias("b"), F.col("source").alias("src"))
+    return a.join(b, "src").filter(F.col("a") < F.col("b")).select("a", "b")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _bounded_pairs(docs)
+    out = jaccard_pairs(docs, pairs, shingle_n=3)
+    return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_doc(tokens("text")).alias("simhash"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", simhash_doc(tokens("text")).alias("simhash"))
+    pairs = _bounded_pairs(docs)
+    a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .select(
+            "a", "b", hamming64(F.col("ha"), F.col("hb")).cast("int").alias("hamming")
+        )
+    )
+
+
+# ---- similarity search ----
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 5.
+
+    Ranking on the ROUNDED similarity (then neighbor id) so the order
+    is reproducible across engines at double precision.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q"), F.col("e").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("n"), F.col("e").alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q", "n", F.round(cosine_similarity("qv", "cv"), 4).alias("sim")
+    )
+    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("n").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q", "n", "rank", "sim")
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs among vec_id < 200."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
+    sim = F.round(cosine_similarity("ea", "eb"), 4)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.8)
+    )
+
+
+# ---- text analysis ----
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = lang_id("text")
+    return docs.select(
+        "doc_id", s["lang"].alias("pred_lang"), s["hits"].alias("hits")
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        F.round(punct_ratio("text"), 4).alias("punct_r"),
+        F.round(stopword_ratio("text", "en"), 4).alias("sw_r"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_n"),
+        bpe_ish_token_count("text").alias("bpe_n"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text", window=8).alias("fp"))
+
+
+# ---- non-SQL-expressible (rows-only checks) ----
+
+
+def q_kmeans_fit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-means++/Lloyd fit (iterative — no single SQL oracle);
+    returns the WCR-parity history table."""
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+
+    yh = load_yh(spark, sf_dir, "lineitem")
+    res = KMeansEngine(k=4, seed=42, max_iter=30).fit(yh)
+    return res.history_df(spark)
+
+
+def q_mllib_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib fast path (k-means|| init): per-cluster sizes."""
+    from clickhouse_k_means_spark.plans.kmeans import mllib_kmeans
+
+    yh = load_yh(spark, sf_dir, "lineitem")
+    assigned, _ = mllib_kmeans(yh, k=4, seed=42, max_iter=20)
+    return assigned.groupBy("j").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via SRP-LSH buckets (scale path; approximate by
+    design → rows-only check)."""
+    from clickhouse_k_means_spark.operators.similarity import srp_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    return srp_bucketed_topk(
+        q, c, k=10, n_bits=8, seed=42, query_key="vec_id", corpus_key="vec_id"
+    )
+
+
+def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window counts over the events
+    table replayed as a file stream (availableNow)."""
+    from clickhouse_k_means_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    agg = windowed_event_counts(stream, window="5 minutes")
+    return run_available_now(spark, agg, name="q_streaming_windows")
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: k-means++/Lloyd fit on sf0.001 lineitem features,
+    per-cluster summary (driver checks rows ≥ 0, stable schema)."""
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+
+    sf_dir = "/root/testdata/sf0.001"
+    yh = load_yh(spark, sf_dir, "lineitem")
+    res = KMeansEngine(k=4, seed=42, max_iter=25).fit(yh)
+    assigned = KMeansEngine(k=4).assign(yh, res.model)
+    return (
+        assigned.groupBy("j")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("dist"), 2).alias("avg_dist"))
+        .orderBy("j")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "yh_contract": q_yh_contract,
+        "nearest_assign": q_nearest_assign,
+        "lloyd_recompute": q_lloyd_recompute,
+        "kmeanspp_pick": q_kmeanspp_pick,
+        "limit_by_latest": q_limit_by_latest,
+        "topk_global": q_topk_global,
+        "offset_pick": q_offset_pick,
+        "elbow_total": q_elbow_total,
+        "silhouette_sums": q_silhouette_sums,
+        "tpch_q1": q_tpch_q1,
+        "join_agg_segment": q_join_agg_segment,
+        "window_running": q_window_running,
+        "pivot_events": q_pivot_events,
+        "json_extract": q_json_extract,
+        "time_buckets": q_time_buckets,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sigs": q_minhash_sigs,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash_docs": q_simhash_docs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "embed_neardup": q_embed_neardup,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "kmeans_fit_history": q_kmeans_fit_history,
+        "mllib_kmeans": q_mllib_kmeans,
+        "srp_ann": q_srp_ann,
+        "streaming_windows": q_streaming_windows,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    d_cte, dcols = _lineitem_dists()
+    least = f"least({', '.join(dcols)})"
+    argmin = _argmin_j_sql(dcols)
+    toks3 = _shingles_sql("tk", 3)
+    toks8 = _shingles_sql("tk", 8)
+    minhash_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> {_hash64_sql('s', i)})) as s{i}"
+        for i in range(8)
+    )
+    sig_cte = (
+        f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
+        f"shc as (select doc_id, {toks3} as sh from tkc), "
+        f"sig as (select doc_id, {minhash_cols} from shc)"
+    )
+    bands = [
+        f"md5(s{2 * b}::VARCHAR || ',' || s{2 * b + 1}::VARCHAR)" for b in range(4)
+    ]
+    band_union = " union all ".join(
+        f"select a.doc_id as a, b.doc_id as b from sig a join sig b "
+        f"on {bands[b].replace('s', 'a.s')} = {bands[b].replace('s', 'b.s')} "
+        f"and a.doc_id < b.doc_id"
+        for b in range(4)
+    )
+    simhash_sums = ", ".join(
+        f"sum(((hv >> {b}) & 1) * 2 - 1) as b{b}" for b in range(60)
+    )
+    simhash_pack = " + ".join(
+        f"case when b{b} > 0 then (1::BIGINT << {b}) else 0::BIGINT end"
+        for b in range(60)
+    )
+    simhash_cte = (
+        f"with norm as (select doc_id, {_TOKS} as tk from documents), "
+        f"tok as (select doc_id, unnest(tk) as t from norm), "
+        f"hv_t as (select doc_id, {_hash64_sql('t')} as hv from tok), "
+        f"bits as (select doc_id, {simhash_sums} from hv_t group by doc_id), "
+        f"packed as (select doc_id, ({simhash_pack})::BIGINT as simhash from bits)"
+    )
+    lang_hits = " union all ".join(
+        "select doc_id, '{0}' as lang, len(list_filter(tk, t -> list_contains("
+        "[{1}], t)))::INT as hits from tkc".format(
+            lang, ", ".join(f"'{w}'" for w in ws)
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+    )
+    pair_cte = (
+        "pairs as (select a.doc_id as a, b.doc_id as b from documents a "
+        "join documents b on a.source = b.source and a.doc_id < b.doc_id "
+        "where a.doc_id < 100 and b.doc_id < 100)"
+    )
+    emb_cte = "with e as (select vec_id, embedding::DOUBLE[] as v from embeddings)"
+    cos = (
+        f"(({_dot64_sql('qa.v', 'qb.v')}) / "
+        f"(sqrt({_dot64_sql('qa.v', 'qa.v')}) * sqrt({_dot64_sql('qb.v', 'qb.v')})))"
+    )
+    return {
+        "yh_contract": (
+            "select l_orderkey * 10 + l_linenumber as i, l_quantity::DOUBLE as y0, "
+            "l_extendedprice::DOUBLE as y1, l_discount::DOUBLE as y2 from lineitem"
+        ),
+        "nearest_assign": (
+            f"with d as ({d_cte}) select i, ({argmin})::INT as j, "
+            f"round({least}, 4)::DOUBLE as dist from d"
+        ),
+        "lloyd_recompute": (
+            f"with d as ({d_cte}) select ({argmin})::INT as j, count(*)::BIGINT as n, "
+            "sum(round(l_quantity * 100)::BIGINT)::BIGINT as sum_qty_c, "
+            "sum(round(l_extendedprice * 100)::BIGINT)::BIGINT as sum_price_c, "
+            "sum(round(l_discount * 10000)::BIGINT)::BIGINT as sum_disc_bp "
+            "from d group by 1"
+        ),
+        "kmeanspp_pick": (
+            "with pts as (select distinct l_quantity::DOUBLE as y0, "
+            "l_extendedprice::DOUBLE as y1, l_discount::DOUBLE as y2 from lineitem), "
+            f"wts as (select y0, y1, y2, {_dist_min_sql()} from pts), "
+            "pos as (select * from wts where rawd > 0), "
+            "cw as (select y0, y1, y2, sum(dmm) over (order by y0, y1, y2 "
+            "rows between unbounded preceding and current row) as cum, "
+            "sum(dmm) over () as total from pos) "
+            f"select y0, y1, y2 from cw where total * {U_PICK} < cum "
+            "order by cum, y0, y1, y2 limit 1"
+        ),
+        "limit_by_latest": (
+            "select l_orderkey, strftime(l_shipdate, '%Y-%m-%d') as ship_day, "
+            "l_linenumber, l_partkey from lineitem qualify row_number() over ("
+            "partition by l_orderkey order by l_shipdate desc, l_linenumber desc, "
+            "l_partkey desc, l_suppkey desc) = 1"
+        ),
+        "topk_global": (
+            "select l_orderkey, l_linenumber, l_partkey, l_extendedprice "
+            "from lineitem order by l_extendedprice desc, l_orderkey, "
+            "l_linenumber, l_partkey, l_suppkey limit 10"
+        ),
+        "offset_pick": (
+            "select l_orderkey, l_linenumber, l_partkey, l_extendedprice "
+            "from lineitem order by l_orderkey, l_linenumber, l_partkey, "
+            "l_suppkey, l_extendedprice limit 1 offset 40"
+        ),
+        "elbow_total": (
+            f"with d as ({d_cte}) select "
+            f"sum(round({least} * 1000)::BIGINT)::BIGINT as elbow_mm, "
+            "count(*)::BIGINT as n from d"
+        ),
+        "silhouette_sums": (
+            f"with base as (select l_orderkey * 10 + l_linenumber as i, "
+            f"l_quantity as y0, l_extendedprice as y1, l_discount as y2, "
+            f"({_argmin_j_sql_cols()})::INT as j from ("
+            f"select *, {_dists_cols_sql()} from lineitem where l_orderkey % 100 = 0)), "
+            "pp as (select a.j as aj, b.j as bj, "
+            "round(sqrt((a.y0 - b.y0) * (a.y0 - b.y0) + (a.y1 - b.y1) * "
+            "(a.y1 - b.y1) + (a.y2 - b.y2) * (a.y2 - b.y2)) * 1000)::BIGINT as dmm "
+            "from base a join base b on a.i != b.i) "
+            "select sum(case when aj = bj then dmm end)::BIGINT as same_mm, "
+            "count(case when aj = bj then 1 end)::BIGINT as same_n, "
+            "sum(case when aj != bj then dmm end)::BIGINT as cross_mm, "
+            "count(case when aj != bj then 1 end)::BIGINT as cross_n from pp"
+        ),
+        "tpch_q1": (
+            "select l_returnflag, l_linestatus, count(*)::BIGINT as n, "
+            "sum(round(l_quantity * 100)::BIGINT)::BIGINT as sum_qty_c, "
+            "sum(round(l_extendedprice * 100)::BIGINT)::BIGINT as sum_price_c, "
+            "sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT "
+            "as sum_disc_price_c from lineitem group by 1, 2"
+        ),
+        "join_agg_segment": (
+            "select c_mktsegment, count(*)::BIGINT as n, "
+            "sum(round(o_totalprice * 100)::BIGINT)::BIGINT as sum_total_c "
+            "from orders join customer on o_custkey = c_custkey group by 1"
+        ),
+        "window_running": (
+            "select o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') as "
+            "order_day, count(*) over w::BIGINT as running_n, "
+            "sum(round(o_totalprice * 100)::BIGINT) over w::BIGINT as running_total_c "
+            "from orders where o_custkey < 50 window w as (partition by o_custkey "
+            "order by o_orderdate, o_orderkey rows between unbounded preceding and "
+            "current row)"
+        ),
+        "pivot_events": (
+            "select user_id, "
+            + ", ".join(
+                f"sum(case when event_type = '{t}' then 1 else 0 end)::BIGINT as {t}_n"
+                for t in EVENT_TYPES
+            )
+            + ", sum(round(value * 100)::BIGINT)::BIGINT as value_c "
+            "from events group by user_id"
+        ),
+        "json_extract": (
+            "select event_id, json_extract_string(props, '$.k')::BIGINT as k "
+            "from events"
+        ),
+        "time_buckets": (
+            "with b as (select epoch_ns(ts) // 1000000000 as es, event_type, value "
+            "from events) select es - es % 300 as bucket_s, event_type, "
+            "count(*)::BIGINT as n, sum(round(value * 100)::BIGINT)::BIGINT as "
+            "value_c from b group by 1, 2"
+        ),
+        "dedup_exact": (
+            "select doc_id, md5(text) as text_hash, (case when row_number() over ("
+            "partition by md5(text) order by doc_id) = 1 then 1 else 0 end)::INT "
+            "as keep from documents"
+        ),
+        "minhash_sigs": f"{sig_cte} select * from sig",
+        "lsh_pairs": (
+            f"{sig_cte} select distinct a, b from ({band_union})"
+        ),
+        "jaccard_pairs": (
+            f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
+            f"shc as (select doc_id, list_distinct({toks3}) as sh from tkc), "
+            f"{pair_cte} "
+            "select a, b, round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+            "len(list_distinct(list_concat(sa.sh, sb.sh))), 4) as jaccard "
+            "from pairs join shc sa on pairs.a = sa.doc_id "
+            "join shc sb on pairs.b = sb.doc_id"
+        ),
+        "simhash_docs": (
+            f"{simhash_cte} select d.doc_id, coalesce(p.simhash, 0)::BIGINT as "
+            "simhash from documents d left join packed p on d.doc_id = p.doc_id"
+        ),
+        "simhash_pairs": (
+            f"{simhash_cte}, sh as (select d.doc_id, coalesce(p.simhash, 0)::BIGINT "
+            "as simhash from documents d left join packed p on d.doc_id = p.doc_id), "
+            f"{pair_cte} "
+            "select a, b, bit_count(xor(sa.simhash, sb.simhash))::INT as hamming "
+            "from pairs join sh sa on pairs.a = sa.doc_id "
+            "join sh sb on pairs.b = sb.doc_id"
+        ),
+        "ann_topk": (
+            f"{emb_cte} select qa.vec_id as q, qb.vec_id as n, "
+            "row_number() over (partition by qa.vec_id order by "
+            f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
+            f"round({cos}, 4) as sim "
+            "from e qa, e qb where qa.vec_id < 5 and qb.vec_id >= 5 "
+            "qualify row_number() over (partition by qa.vec_id order by "
+            f"round({cos}, 4) desc, qb.vec_id asc) <= 10"
+        ),
+        "embed_neardup": (
+            f"{emb_cte} select qa.vec_id as a, qb.vec_id as b, "
+            f"round({cos}, 4) as sim from e qa, e qb "
+            "where qa.vec_id < 200 and qb.vec_id < 200 and qa.vec_id < qb.vec_id "
+            f"and round({cos}, 4) >= 0.8"
+        ),
+        "lang_id": (
+            f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
+            f"hits as ({lang_hits}) "
+            "select doc_id, lang as pred_lang, hits from hits "
+            "qualify row_number() over (partition by doc_id order by hits desc, "
+            "lang asc) = 1"
+        ),
+        "quality_scores": _quality_sql(),
+        "token_counts": (
+            f"select doc_id, (case when {_NORM} = '' then 0 else "
+            f"len(string_split({_NORM}, ' ')) end)::INT as ws_n, "
+            "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::INT "
+            "as bpe_n from documents"
+        ),
+        "doc_fingerprint": (
+            f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
+            f"shc as (select doc_id, {toks8} as sh from tkc) "
+            f"select doc_id, list_min(list_transform(sh, s -> {_hash64_sql('s')})) "
+            "as fp from shc"
+        ),
+    }
+
+
+def _dist_min_sql() -> str:
+    """rawd + dmm (integerized weight) columns over y0/y1/y2 points."""
+    cols = ["y0", "y1", "y2"]
+    dists = [f"({_dist_sql(cols, c)})" for _, c in MODEL]
+    least = f"least({', '.join(dists)})"
+    return f"{least} as rawd, round({least} * 1000)::BIGINT as dmm"
+
+
+def _dists_cols_sql() -> str:
+    dcols = ", ".join(
+        f"{_dist_sql(FEATURES, c)} as d{j}" for j, c in MODEL
+    )
+    return dcols
+
+
+def _argmin_j_sql_cols() -> str:
+    return _argmin_j_sql([f"d{j}" for j, _ in MODEL])
+
+
+def _quality_sql() -> str:
+    sw = STOPWORDS["en"]
+    sw_list = "[" + ", ".join(f"'{w}'" for w in sw) + "]"
+    return f"""
+with base as (
+  select doc_id, text, {_NORM} as nt, {_TOKS} as tk from documents
+), m as (
+  select doc_id, text, nt,
+    (case when nt = '' then 0 else len(tk) end)::INT as n_tok,
+    (case when length(text) = 0 then 0.0 else
+      (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+      / length(text)::DOUBLE end) as praw,
+    (case when nt = '' then 0.0 else
+      len(list_filter(tk, t -> list_contains({sw_list}, t)))
+      / len(tk)::DOUBLE end) as sraw
+  from base
+)
+select doc_id, n_tok, round(praw, 4) as punct_r, round(sraw, 4) as sw_r,
+  ((case when n_tok >= 10 and n_tok <= 100000 then 1.0 else 0.0 end)
+   + (case when praw <= 0.2 then 1.0 else 0.0 end)
+   + (case when sraw >= 0.01 then 1.0 else 0.0 end)
+   + (case when n_tok > 0 and length(nt)::DOUBLE / n_tok >= 2.0
+          and length(nt)::DOUBLE / n_tok <= 12.0 then 1.0 else 0.0 end)
+  ) / 4.0 as quality
+from m
+"""

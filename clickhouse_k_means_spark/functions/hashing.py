@@ -42,12 +42,17 @@ def minhash_expr(shingles: Column | str, n_hashes: int = 16) -> Column:
     Returns ``array<bigint>`` of length ``n_hashes``.
     """
     sh = F.col(shingles) if isinstance(shingles, str) else shingles
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: hash64(s, salt=i)))
-            for i in range(n_hashes)
-        ]
-    )
+    return F.array(*[F.array_min(F.transform(sh, _salted(i))) for i in range(n_hashes)])
+
+
+def _salted(salt: int):
+    """Unary hashing lambda for Spark HOFs.
+
+    MUST stay unary: a two-arg lambda makes ``transform`` pass the
+    array index as the second argument, silently overriding a
+    default-arg salt capture.
+    """
+    return lambda s: hash64(s, salt=salt)
 
 
 def simhash(token_col: Column | str, bits: int = 64) -> Column:
@@ -91,3 +96,40 @@ def simhash_from_counts(bit_sums: Column) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two packed bigint hashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_doc(token_col: Column, bits: int = 60) -> Column:
+    """Packed 60-bit document SimHash from a token array column.
+
+    One fused expression, no explode/shuffle: fold the token array into
+    per-bit ±1 sums (``aggregate`` with an array accumulator), then set
+    bit b iff its sum is positive. Token multiplicity counts (standard
+    SimHash weights by occurrence).
+    """
+    n = min(bits, 60)
+    zeros = F.array(*[F.lit(0).cast("bigint") for _ in range(n)])
+
+    def _step(acc: Column, tok: Column) -> Column:
+        h = F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+        contrib = F.array(
+            *[
+                (F.shiftright(h, b).bitwiseAND(F.lit(1).cast("bigint")) * 2 - 1)
+                for b in range(n)
+            ]
+        )
+        return F.zip_with(acc, contrib, lambda a, c: a + c)
+
+    sums = F.aggregate(token_col, zeros, _step)
+    # 2^i via pow: exact in doubles for i <= 59, so the bigint cast is
+    # exact (shiftleft only takes a literal shift amount).
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda s, i: F.when(
+                s > 0, F.pow(F.lit(2.0), i.cast("double")).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )

@@ -49,7 +49,7 @@ def token_count(c: Column | str) -> Column:
 
 def bpe_ish_token_count(c: Column | str) -> Column:
     """Count of BPE-ish tokens: letter runs, digit runs, single punct."""
-    return F.size(F.regexp_extract_all(_c(c), F.lit(BPE_ISH_RE)))
+    return F.size(F.regexp_extract_all(_c(c), F.lit(BPE_ISH_RE), F.lit(0)))
 
 
 def word_shingles(c: Column | str, n: int = 3) -> Column:
@@ -122,6 +122,34 @@ def quality_score(c: Column | str) -> Column:
     sw_ok = F.when(stopword_ratio(raw, "en") >= 0.01, 1.0).otherwise(0.0)
     tok_len_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1.0).otherwise(0.0)
     return (len_ok + punct_ok + sw_ok + tok_len_ok) / 4.0
+
+
+def lang_id(c: Column | str) -> Column:
+    """Predicted language code by max stopword hits across STOPWORDS.
+
+    Tie-break: highest hits, then alphabetically-first language (so a
+    zero-hit document deterministically predicts 'de'). Implemented as
+    ``array_min`` over struct(-hits, lang) — single expression, no
+    joins, portable to an unpivot + row_number SQL oracle.
+    """
+    def _in_list(ws: list[str]):
+        # unary on purpose: a two-arg lambda would receive the array
+        # index as its second argument from F.filter
+        arr = F.array(*[F.lit(w) for w in ws])
+        return lambda t: F.array_contains(arr, t)
+
+    tok = tokens(c)
+    candidates = F.array(
+        *[
+            F.struct(
+                (-F.size(F.filter(tok, _in_list(ws)))).alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ws in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_min(candidates)
+    return F.struct(best["lang"].alias("lang"), (-best["neg_hits"]).alias("hits"))
 
 
 def rolling_fingerprint(c: Column | str, window: int = 8) -> Column:

@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (``array<double>``).
+
+Two paths, same distance core (functions/distance.py) as the k-means
+engine — the reference's L2Distance workhorse generalized to cosine:
+
+- ``brute_force_topk``: every query × every corpus row, then per-query
+  top-k. The queries side is broadcast (a handful to thousands of
+  rows); the corpus side streams — so at 100 TB this is ONE scan of
+  the corpus with no shuffle of the big side, and per-partition heaps
+  (WindowGroupLimit / TakeOrdered) keep only k rows per query per
+  partition before the final merge. The exact baseline.
+- ``srp_bucketed_topk``: the scale path — Signed Random Projection
+  LSH. Each vector gets a ``n_bits``-bit bucket from the signs of dot
+  products with seeded fixed hyperplanes (driver-generated literals,
+  so the bucketing is deterministic and needs no stored model).
+  Queries probe their own bucket (plus optional multi-probe neighbor
+  buckets at Hamming distance 1); candidates shrink ~2^n_bits-fold
+  before exact re-ranking.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_k_means_spark.functions.distance import (
+    cosine_similarity,
+    dot,
+    l2_distance,
+)
+from clickhouse_k_means_spark.operators.topk import top_k_by_group
+
+
+def _sim_col(metric: str, a: str, b: str) -> tuple[Column, bool]:
+    """(similarity/distance column, descending?) for a metric name."""
+    if metric == "cosine":
+        return cosine_similarity(a, b), True
+    if metric == "dot":
+        return dot(a, b), True
+    if metric == "l2":
+        return l2_distance(a, b), False
+    raise ValueError(f"unknown metric {metric!r} (want cosine|dot|l2)")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    query_key: str = "q",
+    corpus_key: str = "n",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (q, n, score, rank).
+
+    Ranking order is (score, corpus_key) — fully deterministic.
+    """
+    q = queries.select(F.col(query_key).alias("q"), F.col(vec).alias("qv"))
+    c = corpus.select(F.col(corpus_key).alias("n"), F.col(vec).alias("cv"))
+    score, desc = _sim_col(metric, "qv", "cv")
+    scored = c.crossJoin(F.broadcast(q)).select("q", "n", score.alias("score"))
+    order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("n").asc()]
+    ranked = top_k_by_group(scored, k, "q", order)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(*order)
+    return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def srp_hyperplanes(dim: int, n_bits: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic seeded hyperplanes for sign-random-projection."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def srp_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Packed sign-bit bucket id (bigint) of a vector under ``planes``."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    bits = [
+        F.when(dot(v, p) >= 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for b, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def srp_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 42,
+    multi_probe: bool = True,
+    query_key: str = "q",
+    corpus_key: str = "n",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via SRP-LSH buckets.
+
+    Corpus rows are bucketed once (narrow pass); each query probes its
+    bucket and, with ``multi_probe``, all buckets at Hamming distance 1
+    (n_bits+1 probes — standard recall boost). The join shuffles on the
+    bucket id; candidates then get exact cosine re-ranking. Recall is
+    approximate by design; callers needing exact results use
+    ``brute_force_topk``.
+    """
+    head = queries.select(vec).first()
+    dim = len(head[0])
+    planes = srp_hyperplanes(dim, n_bits=n_bits, seed=seed)
+    c = corpus.select(
+        F.col(corpus_key).alias("n"),
+        F.col(vec).alias("cv"),
+        srp_bucket(vec, planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(query_key).alias("q"),
+        F.col(vec).alias("qv"),
+        srp_bucket(vec, planes).alias("bucket0"),
+    )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket0"),
+            *[F.col("bucket0").bitwiseXOR(F.lit(1 << b).cast("bigint")) for b in range(n_bits)],
+        )
+        q = qb.select("q", "qv", F.explode(probes).alias("bucket"))
+    else:
+        q = qb.select("q", "qv", F.col("bucket0").alias("bucket"))
+    cand = c.join(F.broadcast(q), "bucket").select(
+        "q", "n", cosine_similarity("qv", "cv").alias("score")
+    )
+    order = [F.col("score").desc(), F.col("n").asc()]
+    ranked = top_k_by_group(cand.dropDuplicates(["q", "n"]), k, "q", order)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(*order)
+    return ranked.withColumn("rank", F.row_number().over(w))

@@ -30,6 +30,10 @@ def get_spark(app_name: str = "clickhouse-k-means-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores ts as TIMESTAMP(NANOS) which Spark's
+        # reader rejects; read as raw nanos (bigint) and convert with
+        # timestamp_micros(ts div 1000) where a timestamp is needed.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )

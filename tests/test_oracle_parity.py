@@ -1,0 +1,89 @@
+"""Driver-style oracle parity: run every ``queries()`` entry on Spark
+and its ``oracle_sql()`` twin on DuckDB over the same parquet fixtures,
+then compare row count, column set, and exact values (order-insensitive)
+— the same gate CORRECTNESS_r{N}.json applies at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from clickhouse_k_means_spark.sources.dataset import TABLES
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+SQL_KEYS = sorted(ORACLES)
+ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLES))
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf[sorted(pdf.columns)].copy()
+    for c in out.columns:
+        if out[c].dtype == object:
+            out[c] = out[c].astype(str)
+        elif str(out[c].dtype).startswith(("int", "uint", "Int")):
+            out[c] = out[c].astype("int64")
+        elif str(out[c].dtype).startswith("float"):
+            out[c] = out[c].astype("float64")
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("key", SQL_KEYS)
+def test_oracle_parity(key, spark, sf_dir):
+    assert key in QUERIES, f"oracle_sql has {key} but queries() does not"
+    got = _canon(QUERIES[key](spark, sf_dir).toPandas())
+    con = _duck(sf_dir)
+    want = _canon(con.execute(ORACLES[key]).df())
+    con.close()
+    assert list(got.columns) == list(want.columns), (
+        f"{key}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{key}: rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        if got[c].dtype == "float64":
+            ga, wa = got[c].to_numpy(), want[c].to_numpy()
+            both_nan = pd.isna(ga) & pd.isna(wa)
+            close = [
+                bool(bn) or (gv == wv or math.isclose(gv, wv, rel_tol=0, abs_tol=0))
+                for gv, wv, bn in zip(ga, wa, both_nan)
+            ]
+            bad = [i for i, ok in enumerate(close) if not ok]
+            assert not bad, (
+                f"{key}.{c}: {len(bad)} mismatches, first at row {bad[0]}: "
+                f"{ga[bad[0]]!r} != {wa[bad[0]]!r}"
+            )
+        else:
+            same = got[c].eq(want[c]) | (got[c].isna() & want[c].isna())
+            bad = got.index[~same].tolist()
+            assert not bad, (
+                f"{key}.{c}: {len(bad)} mismatches, first at row {bad[0]}: "
+                f"{got[c][bad[0]]!r} != {want[c][bad[0]]!r}"
+            )
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
+def test_rows_only_queries_run(key, spark, sf_dir):
+    df = QUERIES[key](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert {f.name for f in df.schema} == {"j", "n", "avg_dist"}
