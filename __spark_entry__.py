@@ -414,13 +414,17 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_k_means_spark.operators.dedup import simhash_table
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash_doc(tokens("text")).alias("simhash"))
+    return simhash_table(docs)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_k_means_spark.operators.dedup import simhash_table
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", simhash_doc(tokens("text")).alias("simhash"))
+    sh = simhash_table(docs)
     pairs = _bounded_pairs(docs)
     a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
     b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
@@ -628,14 +632,23 @@ def oracle_sql() -> dict[str, str]:
     argmin = _argmin_j_sql(dcols)
     toks3 = _shingles_sql("tk", 3)
     toks8 = _shingles_sql("tk", 8)
+    from clickhouse_k_means_spark.functions.hashing import (
+        MINHASH_P,
+        _minhash_params,
+    )
+
+    params = _minhash_params(8)
     minhash_cols = ", ".join(
-        f"list_min(list_transform(sh, s -> {_hash64_sql('s', i)})) as s{i}"
-        for i in range(8)
+        f"list_min(list_transform(hs, h -> ({a}::BIGINT * h + {b}) % {MINHASH_P})) "
+        f"as s{i}"
+        for i, (a, b) in enumerate(params)
     )
     sig_cte = (
         f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
         f"shc as (select doc_id, {toks3} as sh from tkc), "
-        f"sig as (select doc_id, {minhash_cols} from shc)"
+        f"hsc as (select doc_id, list_transform(sh, s -> "
+        f"{_hash64_sql('s')} % {MINHASH_P}) as hs from shc), "
+        f"sig as (select doc_id, {minhash_cols} from hsc)"
     )
     bands = [
         f"md5(s{2 * b}::VARCHAR || ',' || s{2 * b + 1}::VARCHAR)" for b in range(4)

@@ -1,0 +1,109 @@
+"""Headline benchmark — one JSON line of per-query wall times.
+
+Runs the engine's flagship operations at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``:
+
+- kmeans_fit      full k-means++ init + Lloyd loop on lineitem features
+- lloyd_step      one assign + per-cluster recompute pass
+- elbow           total nearest-centroid distance (model as literals)
+- tpch_q1         pricing-summary aggregation
+- minhash_lsh     MinHash signatures + LSH candidate pairs over documents
+- simhash         packed 60-bit SimHash per document
+- ann_topk        brute-force cosine top-10, 5 queries × corpus
+- text_quality    tokenize/quality/language-ID scan of documents
+- silhouette      sampled simplified silhouette (reference formula)
+
+Materialization uses the noop sink (full execution, no driver
+collection cost) unless the operation is inherently driver-side
+(the fit loop). Prints ONE JSON line per the driver contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+
+
+def _materialize(df: DataFrame) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from clickhouse_k_means_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    import __spark_entry__ as entry
+
+    from clickhouse_k_means_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+    from clickhouse_k_means_spark.plans.optimal_k import silhouette_sampled
+    from clickhouse_k_means_spark.sources.dataset import load_table, load_yh
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # warm up the JVM + parquet footers so query 1 isn't charged for init
+    load_table(spark, sf_dir, "lineitem").count()
+
+    yh = load_yh(spark, sf_dir, "lineitem")
+
+    def bench_fit() -> None:
+        res = KMeansEngine(k=4, seed=42, max_iter=15).fit(yh)
+        assert len(res.model) == 4
+
+    timed("kmeans_fit", bench_fit)
+    timed("lloyd_step", lambda: _materialize(entry.q_lloyd_recompute(spark, sf_dir)))
+    timed("elbow", lambda: _materialize(entry.q_elbow_total(spark, sf_dir)))
+    timed("tpch_q1", lambda: _materialize(entry.q_tpch_q1(spark, sf_dir)))
+
+    def bench_minhash() -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        sigs = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+        _materialize(lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4))
+
+    timed("minhash_lsh", bench_minhash)
+    timed("simhash", lambda: _materialize(entry.q_simhash_docs(spark, sf_dir)))
+    timed("ann_topk", lambda: _materialize(entry.q_ann_topk(spark, sf_dir)))
+
+    def bench_text() -> None:
+        _materialize(entry.q_quality_scores(spark, sf_dir))
+        _materialize(entry.q_lang_id(spark, sf_dir))
+
+    timed("text_quality", bench_text)
+
+    def bench_silhouette() -> None:
+        model = entry.MODEL
+        silhouette_sampled(yh, model, max_rows=2000, seed=42)
+
+    timed("silhouette", bench_silhouette)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

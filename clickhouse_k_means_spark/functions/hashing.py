@@ -34,25 +34,45 @@ def hash64(c: Column | str, salt: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
-def minhash_expr(shingles: Column | str, n_hashes: int = 16) -> Column:
-    """MinHash signature: array of ``n_hashes`` 60-bit mins over a
-    shingle array — one pass per element via ``transform`` + a driver
-    loop over the hash seeds, all constant-folded.
+# Universal-hashing parameters for MinHash permutations: one md5 per
+# shingle gives a base value h in [0, MINHASH_P); permutation i is
+# (A_i * h + B_i) mod P. P is prime and < 2^30, so A*h < 2^60 never
+# overflows a BIGINT under ANSI arithmetic — exactly reproducible in
+# the DuckDB oracle. Constants are fixed (seeded once, frozen here).
+MINHASH_P = 1_000_000_007
 
-    Returns ``array<bigint>`` of length ``n_hashes``.
+
+def _minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    import random as _random
+
+    rng = _random.Random(0xC0FFEE)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(n_hashes)
+    ]
+
+
+def minhash_expr(shingles: Column | str, n_hashes: int = 16) -> Column:
+    """MinHash signature: ``array<bigint>`` of length ``n_hashes``.
+
+    Two fused passes, both structurally single-evaluation: (1) one md5
+    base hash per shingle (``transform`` materializes the bigint array,
+    so the expensive digest is computed exactly once per element), (2)
+    an ``aggregate`` fold carrying the running elementwise min of the
+    ``n_hashes`` cheap affine permutations.
     """
     sh = F.col(shingles) if isinstance(shingles, str) else shingles
-    return F.array(*[F.array_min(F.transform(sh, _salted(i))) for i in range(n_hashes)])
+    params = _minhash_params(n_hashes)
+    base = F.transform(sh, lambda s: hash64(s) % MINHASH_P)
+    init = F.array(*[F.lit(MINHASH_P).cast("bigint") for _ in range(n_hashes)])
 
+    def _step(acc: Column, h: Column) -> Column:
+        perms = F.array(
+            *[(F.lit(a).cast("bigint") * h + F.lit(b)) % MINHASH_P for a, b in params]
+        )
+        return F.zip_with(acc, perms, lambda m, v: F.least(m, v))
 
-def _salted(salt: int):
-    """Unary hashing lambda for Spark HOFs.
-
-    MUST stay unary: a two-arg lambda makes ``transform`` pass the
-    array index as the second argument, silently overriding a
-    default-arg salt capture.
-    """
-    return lambda s: hash64(s, salt=salt)
+    return F.aggregate(base, init, _step)
 
 
 def simhash(token_col: Column | str, bits: int = 64) -> Column:
@@ -101,35 +121,48 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_doc(token_col: Column, bits: int = 60) -> Column:
     """Packed 60-bit document SimHash from a token array column.
 
-    One fused expression, no explode/shuffle: fold the token array into
-    per-bit ±1 sums (``aggregate`` with an array accumulator), then set
-    bit b iff its sum is positive. Token multiplicity counts (standard
-    SimHash weights by occurrence).
+    One fused fold, no explode/shuffle. Per-bit set-counts are packed
+    3-per-BIGINT (21-bit counters — safe to ~2M tokens per document),
+    so the hot loop is pure integer arithmetic on scalars instead of a
+    60-wide array zip. Bit b of the result is set iff
+    count_b·2 > n_tokens, identical to the ±1-sum formulation
+    (ties → 0). Token multiplicity counts (standard SimHash weights by
+    occurrence).
     """
     n = min(bits, 60)
-    zeros = F.array(*[F.lit(0).cast("bigint") for _ in range(n)])
+    per = 3  # counters per accumulator
+    width = 21  # bits per counter; 3 × 21 = 63 fits a signed BIGINT
+    n_acc = (n + per - 1) // per
+    zeros = F.struct(
+        *[F.lit(0).cast("bigint").alias(f"a{k}") for k in range(n_acc)]
+    )
+    one = F.lit(1).cast("bigint")
 
     def _step(acc: Column, tok: Column) -> Column:
         h = F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
-        contrib = F.array(
-            *[
-                (F.shiftright(h, b).bitwiseAND(F.lit(1).cast("bigint")) * 2 - 1)
-                for b in range(n)
-            ]
-        )
-        return F.zip_with(acc, contrib, lambda a, c: a + c)
+        fields = []
+        for k in range(n_acc):
+            add = None
+            for t in range(min(per, n - per * k)):
+                b = per * k + t
+                term = (F.shiftright(h, b).bitwiseAND(one)) * F.lit(1 << (width * t))
+                add = term if add is None else add + term
+            fields.append((acc[f"a{k}"] + add).alias(f"a{k}"))
+        return F.struct(*fields)
 
-    sums = F.aggregate(token_col, zeros, _step)
-    # 2^i via pow: exact in doubles for i <= 59, so the bigint cast is
-    # exact (shiftleft only takes a literal shift amount).
-    return F.aggregate(
-        F.zip_with(
-            sums,
-            F.sequence(F.lit(0), F.lit(n - 1)),
-            lambda s, i: F.when(
-                s > 0, F.pow(F.lit(2.0), i.cast("double")).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint")),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    ntok = F.size(token_col).cast("bigint")
+
+    def _finish(acc: Column) -> Column:
+        out = None
+        for b in range(n):
+            k, t = b // per, b % per
+            cnt = F.shiftright(acc[f"a{k}"], width * t).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            term = F.when(cnt * 2 > ntok, F.lit(1 << b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            out = term if out is None else out + term
+        return out
+
+    return F.aggregate(token_col, zeros, _step, _finish)

@@ -100,15 +100,28 @@ class KMeansEngine:
         # offset within the first ~100 storage-order rows (k-means.sh:9,
         # quirk Q4 — a bias, not a spec); we draw uniformly over all
         # rows via a seeded TakeOrdered, documented deviation.
+        # value-based seeded order (xxhash64 of the key), NOT F.rand:
+        # rand depends on partition layout, so repartitioning would
+        # change the pick; hashing the key is partition-independent.
         first = (
-            yh.orderBy(F.rand(rng.randrange(2**31)).asc(), F.col("i").asc())
+            yh.orderBy(
+                F.xxhash64(F.lit(rng.randrange(2**31)), F.col("i")).asc(),
+                F.col("i").asc(),
+            )
             .select("Y")
             .limit(1)
             .collect()[0][0]
         )
         model: Model = [(1, list(first))]
-        for j in range(2, self.k + 1):
-            model.append((j, self._next_centroid(yh, model, rng)))
+        # the DISTINCT candidate set (GROUP BY Y, reference O7) is
+        # model-independent — dedup once, reuse across all ++ rounds
+        # (the reference re-deduplicates per round, k-means.sql:28)
+        cand = yh.select("Y").distinct().cache()
+        try:
+            for j in range(2, self.k + 1):
+                model.append((j, self._next_centroid(cand, model, rng)))
+        finally:
+            cand.unpersist()
         return model
 
     def _next_centroid(self, yh: DataFrame, model: Model, rng: random.Random) -> list[float]:
@@ -119,6 +132,9 @@ class KMeansEngine:
         inverse-CDF pick at one driver-drawn threshold U (quirk Q2).
         The reference's window has no ORDER BY (block order); we order
         by the point vector for reproducibility (W2 note).
+
+        ``yh`` here is the cached distinct candidate set from
+        ``init_centroids`` (a ``(Y)`` DataFrame).
         """
         taken = F.array(
             *[F.array(*[F.lit(float(x)) for x in c]) for _, c in model]
@@ -127,7 +143,6 @@ class KMeansEngine:
         d = nearest["dist"] * nearest["dist"] if self.squared_weights else nearest["dist"]
         weighted = (
             yh.select("Y")
-            .distinct()
             .filter(~F.array_contains(taken, F.col("Y")))
             .select("Y", d.alias("d"))
         )
@@ -180,6 +195,12 @@ class KMeansEngine:
     def fit(self, yh: DataFrame) -> KMeansResult:
         if self.k < 1:
             raise ValueError(f"k must be >= 1, got {self.k}")
+        # spread narrow sources to full parallelism before caching: a
+        # single-file scan yields few partitions, and every Lloyd
+        # iteration would inherit that narrow parallelism from cache.
+        sc = yh.sparkSession.sparkContext
+        if yh.rdd.getNumPartitions() < sc.defaultParallelism:
+            yh = yh.repartition(sc.defaultParallelism)
         yh = yh.select("i", "Y").cache()
         try:
             head = yh.select("Y").first()

@@ -39,18 +39,22 @@ def elbow(yh: DataFrame, model: Model, squared: bool = False) -> float:
 
 
 def _pairs(yh: DataFrame, model: Model) -> DataFrame:
-    a = yh.select(F.col("i").alias("ia"), F.col("Y").alias("Ya"))
-    b = yh.select(F.col("i").alias("ib"), F.col("Y").alias("Yb"))
-    ja = nearest_centroid_struct("Ya", model)["j"]
-    jb = nearest_centroid_struct("Yb", model)["j"]
+    # assign each point ONCE before the cross join (n assignment
+    # evaluations, not n² — the join then only computes the pair
+    # distance per row)
+    pts = yh.select(
+        "i", "Y", nearest_centroid_struct("Y", model)["j"].alias("j")
+    )
+    a = pts.select(
+        F.col("i").alias("ia"), F.col("Y").alias("Ya"), F.col("j").alias("ja")
+    )
+    b = pts.select(
+        F.col("i").alias("ib"), F.col("Y").alias("Yb"), F.col("j").alias("jb")
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("ia") != F.col("ib"))
-        .select(
-            ja.alias("ja"),
-            jb.alias("jb"),
-            l2_distance("Ya", "Yb").alias("distance"),
-        )
+        .select("ja", "jb", l2_distance("Ya", "Yb").alias("distance"))
     )
 
 
@@ -75,10 +79,19 @@ def silhouette_sampled(
     """Same formula over a deterministic hash-sample of ≤ max_rows rows —
     the O(n²) pair count becomes O(max_rows²) regardless of input size."""
     n = yh.count()
-    if n > max_rows:
-        frac = max_rows / n
-        yh = yh.sample(withReplacement=False, fraction=frac, seed=seed)
-    return silhouette_global(yh, model)
+    if n <= max_rows:
+        return silhouette_global(yh, model)
+    frac = max_rows / n
+    samp = yh.sample(withReplacement=False, fraction=frac, seed=seed)
+    # materialize + spread the sample: the cross join references it on
+    # BOTH sides, which would otherwise rescan (and re-sample) the full
+    # input twice at the source's (possibly single-file) parallelism
+    sc = yh.sparkSession.sparkContext
+    samp = samp.repartition(sc.defaultParallelism).cache()
+    try:
+        return silhouette_global(samp, model)
+    finally:
+        samp.unpersist()
 
 
 def mllib_silhouette(yh: DataFrame, assignments: DataFrame) -> float:
