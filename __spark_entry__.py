@@ -555,6 +555,30 @@ def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through Arrow-batched
+    mapInPandas (decode is a deterministic fake — no codecs in this
+    container; the Spark plumbing is real)."""
+    from clickhouse_k_means_spark.operators.multimodal import (
+        extract_features,
+        synth_multimodal,
+    )
+
+    mm = synth_multimodal(spark, n=200, payload_bytes=128)
+    return extract_features(mm, dim=8)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video → sampled frames (row-multiplying mapInPandas stage)."""
+    from clickhouse_k_means_spark.operators.multimodal import (
+        sample_frames,
+        synth_multimodal,
+    )
+
+    mm = synth_multimodal(spark, n=200, payload_bytes=128)
+    return sample_frames(mm, every_n=4, n_frames=3).select("id", "frame_idx")
+
+
 def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window counts over the events
     table replayed as a file stream (availableNow)."""
@@ -622,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_fit_history": q_kmeans_fit_history,
         "mllib_kmeans": q_mllib_kmeans,
         "srp_ann": q_srp_ann,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "streaming_windows": q_streaming_windows,
     }
 

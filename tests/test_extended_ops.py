@@ -1,0 +1,212 @@
+"""Unit tests for the extended (LLM-pipeline) operator surface:
+dedup, similarity search, multimodal plumbing, streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---- dedup ----
+
+
+def test_exact_dedup_keeps_first(spark):
+    from clickhouse_k_means_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in exact_dedup(df).collect()}
+    assert rows[1]["keep"] == 1 and rows[2]["keep"] == 0 and rows[3]["keep"] == 1
+    assert rows[1]["text_hash"] == rows[2]["text_hash"] != rows[3]["text_hash"]
+
+
+def test_minhash_identical_docs_collide_in_lsh(spark):
+    from clickhouse_k_means_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df, n_hashes=8)
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_table_matches_expression_form(spark):
+    from clickhouse_k_means_spark.functions.hashing import simhash_doc
+    from clickhouse_k_means_spark.functions.text import tokens
+    from clickhouse_k_means_spark.operators.dedup import simhash_table
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon"), (3, "")],
+        "doc_id long, text string",
+    )
+    via_table = {r["doc_id"]: r["simhash"] for r in simhash_table(df).collect()}
+    via_expr = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", simhash_doc(tokens("text")).alias("sh")).collect()
+    }
+    assert via_table == via_expr
+    assert via_table[3] == 0  # empty doc → simhash 0
+
+
+def test_jaccard_pairs_exact_value(spark):
+    from clickhouse_k_means_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    got = jaccard_pairs(df, pairs, shingle_n=3).collect()[0]
+    # shingles(1) = {a b c, b c d}; shingles(2) = {a b c, b c e}
+    # intersection 1, union 3
+    assert got["jaccard"] == pytest.approx(1 / 3)
+
+
+# ---- similarity ----
+
+
+def test_brute_force_topk_exact_order(spark):
+    from clickhouse_k_means_spark.operators.similarity import brute_force_topk
+
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "q long, embedding array<double>")
+    c = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        "n long, embedding array<double>",
+    )
+    rows = brute_force_topk(q, c, k=3).orderBy("rank").collect()
+    assert [r["n"] for r in rows] == [1, 2, 3]
+    assert rows[0]["score"] == pytest.approx(1.0)
+
+
+def test_srp_bucketed_topk_finds_exact_duplicate(spark):
+    from clickhouse_k_means_spark.operators.similarity import srp_bucketed_topk
+
+    vec = [0.5, -0.25, 0.125, 1.0]
+    q = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<double>")
+    rows = [(i, [x + i * 0.01 for x in vec]) for i in range(1, 50)]
+    c = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = srp_bucketed_topk(
+        q, c, k=5, n_bits=4, seed=7, query_key="vec_id", corpus_key="vec_id"
+    ).collect()
+    # near-identical vectors share the SRP bucket → rank 1 is the +0.01 copy
+    assert got and got[0]["n"] == 1
+
+
+# ---- multimodal ----
+
+
+def test_multimodal_schema_and_determinism(spark):
+    from clickhouse_k_means_spark.operators.multimodal import (
+        extract_features,
+        synth_multimodal,
+    )
+
+    df = synth_multimodal(spark, n=30, payload_bytes=64)
+    assert df.schema.simpleString() == (
+        "struct<id:bigint,modality:string,payload:binary,meta:map<string,string>>"
+    )
+    f1 = extract_features(df, dim=6).orderBy("id").collect()
+    f2 = extract_features(df, dim=6).orderBy("id").collect()
+    assert [r["features"] for r in f1] == [r["features"] for r in f2]
+    assert all(len(r["features"]) == 6 for r in f1)
+    assert all(-1.0 <= x <= 1.0 for r in f1 for x in r["features"])
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from clickhouse_k_means_spark.operators.multimodal import decode_payload
+
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"bytes", "image")
+    assert len(decode_payload(b"bytes", "image", deterministic_fake=True)) == 16
+
+
+def test_frame_sampling_multiplies_video_rows(spark):
+    from clickhouse_k_means_spark.operators.multimodal import (
+        sample_frames,
+        synth_multimodal,
+    )
+
+    df = synth_multimodal(spark, n=30)
+    n_video = df.filter(F.col("modality") == "video").count()
+    frames = sample_frames(df, every_n=4, n_frames=3)
+    assert frames.count() == n_video * 3
+    assert {r["frame_idx"] for r in frames.select("frame_idx").distinct().collect()} == {
+        0,
+        4,
+        8,
+    }
+
+
+def test_resize_meta_preserves_aspect(spark):
+    from clickhouse_k_means_spark.operators.multimodal import (
+        resize_meta,
+        synth_multimodal,
+    )
+
+    out = resize_meta(synth_multimodal(spark, n=20), max_side=100).collect()
+    for r in out:
+        assert max(r["resized_w"], r["resized_h"]) <= 100
+        assert r["resized_w"] >= 1 and r["resized_h"] >= 1
+
+
+# ---- streaming ----
+
+
+def test_streaming_windows_match_batch_buckets(spark, sf_dir):
+    import __spark_entry__ as entry
+    from clickhouse_k_means_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    agg = windowed_event_counts(stream_events(spark, sf_dir), window="5 minutes")
+    got = run_available_now(spark, agg, name="t_stream_win")
+    batch = entry.q_time_buckets(spark, sf_dir)
+    g = {(r["bucket_s"], r["event_type"]): (r["n"], r["value_c"]) for r in got.collect()}
+    b = {
+        (r["bucket_s"], r["event_type"]): (r["n"], r["value_c"])
+        for r in batch.collect()
+    }
+    assert g == b
+
+
+def test_streaming_assign_stateless(spark, sf_dir):
+    from clickhouse_k_means_spark.streaming.windows import (
+        stream_events,
+        streaming_assign,
+    )
+
+    model = [(1, [5.0]), (2, [15.0])]
+    stream = stream_events(spark, sf_dir)
+    assigned = streaming_assign(stream, model)
+    assert assigned.isStreaming
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            assigned.writeStream.format("memory")
+            .queryName("t_stream_assign")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    rows = spark.table("t_stream_assign")
+    total = rows.count()
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert rows.filter(~F.col("j").isin(1, 2)).count() == 0
