@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhouse_k_means_spark.functions.centroids import nearest_centroid_struct
-from clickhouse_k_means_spark.functions.distance import cosine_similarity, l2_distance
+from clickhouse_k_means_spark.functions.distance import (
+    cosine_fixed,
+    l2_fixed,
+)
 from clickhouse_k_means_spark.functions.hashing import hamming64, simhash_doc
 from clickhouse_k_means_spark.functions.text import (
     STOPWORDS,
@@ -59,6 +62,7 @@ MODEL = [
 FEATURES = ["l_quantity", "l_extendedprice", "l_discount"]
 U_PICK = 0.372949  # driver-drawn k-means++ threshold (quirk Q2 literal)
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+EMB_DIM = 64  # embeddings fixture arity (TESTDATA.md)
 
 # ---------------------------------------------------------------------------
 # Oracle SQL fragment builders (DuckDB dialect)
@@ -276,7 +280,7 @@ def q_silhouette_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = pts.select(
         F.col("i").alias("ib"), F.col("Y").alias("Yb"), F.col("j").alias("jb")
     )
-    dmm = F.round(l2_distance("Ya", "Yb") * 1000).cast("bigint")
+    dmm = F.round(l2_fixed("Ya", "Yb", len(FEATURES)) * 1000).cast("bigint")
     pairs = a.crossJoin(b).filter(F.col("ia") != F.col("ib"))
     same = F.col("ja") == F.col("jb")
     return pairs.agg(
@@ -456,7 +460,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("n"), F.col("e").alias("cv")
     )
     scored = c.crossJoin(F.broadcast(q)).select(
-        "q", "n", F.round(cosine_similarity("qv", "cv"), 4).alias("sim")
+        "q", "n", F.round(cosine_fixed("qv", "cv", EMB_DIM), 4).alias("sim")
     )
     w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("n").asc())
     return (
@@ -473,7 +477,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = emb.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
-    sim = F.round(cosine_similarity("ea", "eb"), 4)
+    sim = F.round(cosine_fixed("ea", "eb", EMB_DIM), 4)
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))

@@ -45,18 +45,24 @@ def nearest_centroid_struct(y, model: Sequence[tuple[int, Sequence[float]]]) -> 
 
     ``array_min`` over struct(dist, j) — struct ordering gives argmin by
     distance with ties → lowest j (quirk Q3).
+
+    Distances are UNROLLED arithmetic (the model is a literal, so the
+    arity is known): higher-order functions would run interpreted and
+    kill whole-stage codegen for every assignment/elbow/Lloyd scan.
+    The fold order matches the HOF form bit-for-bit.
     """
     y = _as_vec(y)
-    candidates = F.array(
-        *[
-            F.struct(
-                F.sqrt(sq_l2_distance(y, c)).alias("dist"),
-                F.lit(int(j)).alias("j"),
-            )
-            for j, c in model
-        ]
-    )
-    return F.array_min(candidates)
+    candidates = []
+    for j, c in model:
+        sq: Column | None = None
+        for d, v in enumerate(c):
+            t = y[d] - F.lit(float(v))
+            term = t * t
+            sq = term if sq is None else sq + term
+        candidates.append(
+            F.struct(F.sqrt(sq).alias("dist"), F.lit(int(j)).alias("j"))
+        )
+    return F.array_min(F.array(*candidates))
 
 
 def nearest_centroid(y, model: Sequence[tuple[int, Sequence[float]]]) -> Column:

@@ -71,3 +71,48 @@ def cosine_similarity(a, b) -> Column:
     """Cosine similarity; NULL-safe-ish (0-norm vectors yield NULL)."""
     a, b = _as_vec(a), _as_vec(b)
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ---- fixed-arity (unrolled) variants -------------------------------------
+#
+# Spark's higher-order functions (aggregate/zip_with/transform) run
+# INTERPRETED per element and break whole-stage codegen for the whole
+# stage. When the vector arity is known at plan-build time (it always
+# is: the reference resolves it at parse time too, SURVEY §1.3), the
+# same left-fold unrolls into plain arithmetic that codegens. The fold
+# order matches the HOF form term-for-term (0 + d0 == d0 in IEEE), so
+# results are bit-identical and DuckDB oracles stay valid.
+
+
+def sq_l2_fixed(a, b, dim: int) -> Column:
+    """Unrolled squared L2 distance for a known arity."""
+    a, b = _as_vec(a), _as_vec(b)
+    out: Column | None = None
+    for d in range(dim):
+        t = a[d] - b[d]
+        term = t * t
+        out = term if out is None else out + term
+    return out
+
+
+def l2_fixed(a, b, dim: int) -> Column:
+    """Unrolled Euclidean distance for a known arity."""
+    return F.sqrt(sq_l2_fixed(a, b, dim))
+
+
+def dot_fixed(a, b, dim: int) -> Column:
+    """Unrolled dot product for a known arity."""
+    a, b = _as_vec(a), _as_vec(b)
+    out: Column | None = None
+    for d in range(dim):
+        term = a[d] * b[d]
+        out = term if out is None else out + term
+    return out
+
+
+def cosine_fixed(a, b, dim: int) -> Column:
+    """Unrolled cosine similarity for a known arity."""
+    a, b = _as_vec(a), _as_vec(b)
+    return dot_fixed(a, b, dim) / (
+        F.sqrt(dot_fixed(a, a, dim)) * F.sqrt(dot_fixed(b, b, dim))
+    )

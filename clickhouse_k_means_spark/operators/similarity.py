@@ -26,21 +26,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from clickhouse_k_means_spark.functions.distance import (
+    cosine_fixed,
     cosine_similarity,
     dot,
+    dot_fixed,
     l2_distance,
+    l2_fixed,
 )
 from clickhouse_k_means_spark.operators.topk import top_k_by_group
 
 
-def _sim_col(metric: str, a: str, b: str) -> tuple[Column, bool]:
-    """(similarity/distance column, descending?) for a metric name."""
+def _sim_col(metric: str, a: str, b: str, dim: int | None = None) -> tuple[Column, bool]:
+    """(similarity/distance column, descending?) for a metric name.
+
+    With a known ``dim`` the expression unrolls to codegen-friendly
+    arithmetic (HOF folds run interpreted — see functions/distance.py).
+    """
     if metric == "cosine":
-        return cosine_similarity(a, b), True
+        return (cosine_fixed(a, b, dim) if dim else cosine_similarity(a, b)), True
     if metric == "dot":
-        return dot(a, b), True
+        return (dot_fixed(a, b, dim) if dim else dot(a, b)), True
     if metric == "l2":
-        return l2_distance(a, b), False
+        return (l2_fixed(a, b, dim) if dim else l2_distance(a, b)), False
     raise ValueError(f"unknown metric {metric!r} (want cosine|dot|l2)")
 
 
@@ -52,14 +59,20 @@ def brute_force_topk(
     query_key: str = "q",
     corpus_key: str = "n",
     vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (q, n, score, rank).
 
     Ranking order is (score, corpus_key) — fully deterministic.
+    ``dim`` (inferred from the first query row when omitted) unrolls
+    the distance into codegen'd arithmetic.
     """
+    if dim is None:
+        head = queries.select(vec).first()
+        dim = len(head[0]) if head else None
     q = queries.select(F.col(query_key).alias("q"), F.col(vec).alias("qv"))
     c = corpus.select(F.col(corpus_key).alias("n"), F.col(vec).alias("cv"))
-    score, desc = _sim_col(metric, "qv", "cv")
+    score, desc = _sim_col(metric, "qv", "cv", dim)
     scored = c.crossJoin(F.broadcast(q)).select("q", "n", score.alias("score"))
     order = [F.col("score").desc() if desc else F.col("score").asc(), F.col("n").asc()]
     ranked = top_k_by_group(scored, k, "q", order)
@@ -78,8 +91,11 @@ def srp_hyperplanes(dim: int, n_bits: int = 8, seed: int = 42) -> list[list[floa
 def srp_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     """Packed sign-bit bucket id (bigint) of a vector under ``planes``."""
     v = F.col(vec) if isinstance(vec, str) else vec
+    dim = len(planes[0])
     bits = [
-        F.when(dot(v, p) >= 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        F.when(dot_fixed(v, p, dim) >= 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         for b, p in enumerate(planes)
     ]
     out = bits[0]
@@ -130,7 +146,7 @@ def srp_bucketed_topk(
     else:
         q = qb.select("q", "qv", F.col("bucket0").alias("bucket"))
     cand = c.join(F.broadcast(q), "bucket").select(
-        "q", "n", cosine_similarity("qv", "cv").alias("score")
+        "q", "n", cosine_fixed("qv", "cv", dim).alias("score")
     )
     order = [F.col("score").desc(), F.col("n").asc()]
     ranked = top_k_by_group(cand.dropDuplicates(["q", "n"]), k, "q", order)

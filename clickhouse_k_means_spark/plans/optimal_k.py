@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from clickhouse_k_means_spark.functions.centroids import nearest_centroid_struct
-from clickhouse_k_means_spark.functions.distance import l2_distance
+from clickhouse_k_means_spark.functions.distance import l2_distance, l2_fixed
 
 Model = list[tuple[int, list[float]]]
 
@@ -51,10 +51,11 @@ def _pairs(yh: DataFrame, model: Model) -> DataFrame:
     b = pts.select(
         F.col("i").alias("ib"), F.col("Y").alias("Yb"), F.col("j").alias("jb")
     )
+    dim = len(model[0][1])  # unrolled distance keeps the n² stage codegen'd
     return (
         a.crossJoin(b)
         .filter(F.col("ia") != F.col("ib"))
-        .select("ja", "jb", l2_distance("Ya", "Yb").alias("distance"))
+        .select("ja", "jb", l2_fixed("Ya", "Yb", dim).alias("distance"))
     )
 
 
