@@ -382,6 +382,56 @@ def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/S6: the engine's SQL surface — temp views + an uncorrelated
+    scalar subquery (evaluated once, like ClickHouse's)."""
+    from clickhouse_k_means_spark.sources.dataset import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "select o_orderkey, o_custkey, "
+        "cast(round(o_totalprice * 100) as bigint) as total_c "
+        "from orders where o_totalprice = (select max(o_totalprice) from orders)"
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (`NOT IN` exclusion as a left-anti join): lineitems whose part
+    is not a large part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40).select(
+        "p_partkey"
+    )
+    return (
+        li.join(big, li.l_partkey == big.p_partkey, "left_anti")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "sum_price_c"
+            ),
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations: INTERSECT / EXCEPT / UNION ALL in one query
+    — building-segment customers split by whether they have a big order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    buyers = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    both = seg.intersect(buyers).select("custkey", F.lit("both").alias("tag"))
+    seg_only = seg.exceptAll(buyers).select(
+        "custkey", F.lit("seg_only").alias("tag")
+    )
+    return both.unionByName(seg_only)
+
+
 # ---- dedup family ----
 
 
@@ -635,6 +685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "json_extract": q_json_extract,
         "time_buckets": q_time_buckets,
+        "sql_scalar_subquery": q_sql_scalar_subquery,
+        "anti_join": q_anti_join,
+        "set_ops": q_set_ops,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
@@ -820,6 +873,28 @@ def oracle_sql() -> dict[str, str]:
             "from events) select es - es % 300 as bucket_s, event_type, "
             "count(*)::BIGINT as n, sum(round(value * 100)::BIGINT)::BIGINT as "
             "value_c from b group by 1, 2"
+        ),
+        "sql_scalar_subquery": (
+            "select o_orderkey, o_custkey, round(o_totalprice * 100)::BIGINT as "
+            "total_c from orders where o_totalprice = "
+            "(select max(o_totalprice) from orders)"
+        ),
+        "anti_join": (
+            "select l_returnflag, count(*)::BIGINT as n, "
+            "sum(round(l_extendedprice * 100)::BIGINT)::BIGINT as sum_price_c "
+            "from lineitem where l_partkey not in "
+            "(select p_partkey from part where p_size > 40) group by 1"
+        ),
+        "set_ops": (
+            "with seg as (select c_custkey as custkey from customer "
+            "where c_mktsegment = 'BUILDING'), "
+            "buyers as (select distinct o_custkey as custkey from orders "
+            "where o_totalprice > 150000) "
+            "select custkey, 'both' as tag from seg intersect "
+            "select custkey, 'both' as tag from buyers "
+            "union all "
+            "select custkey, 'seg_only' as tag from "
+            "(select custkey from seg except all select custkey from buyers)"
         ),
         "dedup_exact": (
             "select doc_id, md5(text) as text_hash, (case when row_number() over ("
