@@ -124,14 +124,28 @@ class KMeansEngine:
             cand.unpersist()
         return model
 
+    # weight quantization for the ++ sampling: 2^20 steps per distance
+    # unit — exact BIGINT cumulative sums (order-free, deterministic)
+    _W_SCALE = 1 << 20
+    _N_BUCKETS = 64
+
     def _next_centroid(self, yh: DataFrame, model: Model, rng: random.Random) -> list[float]:
         """One k-means++ round (``centroidsInit``, k-means.sql:16-33).
 
         Per DISTINCT point not already a centroid (k-means.sql:27-28):
         weight d = min distance to the current model; cumulative-sum
         inverse-CDF pick at one driver-drawn threshold U (quirk Q2).
-        The reference's window has no ORDER BY (block order); we order
-        by the point vector for reproducibility (W2 note).
+        The reference's window has no ORDER BY (block order); any fixed
+        order is a valid inverse-CDF permutation (W2 note) — we use
+        (hash-bucket of Y, Y).
+
+        Scale design: NO global single-task cumsum. Two phases —
+        (1) per-bucket weight sums (ordinary parallel aggregation, one
+        small row per bucket to the driver), (2) the driver locates the
+        bucket whose cumulative range contains the threshold, and only
+        THAT bucket's rows (≈ n/_N_BUCKETS) get a windowed cumsum.
+        Weights are quantized to exact BIGINTs so every sum is
+        order-independent and the pick is bit-deterministic.
 
         ``yh`` here is the cached distinct candidate set from
         ``init_centroids`` (a ``(Y)`` DataFrame).
@@ -141,16 +155,22 @@ class KMeansEngine:
         )
         nearest = nearest_centroid_struct("Y", model)
         d = nearest["dist"] * nearest["dist"] if self.squared_weights else nearest["dist"]
+        bucket = F.pmod(F.xxhash64(F.lit(7), F.col("Y")), F.lit(self._N_BUCKETS))
         weighted = (
             yh.select("Y")
             .filter(~F.array_contains(taken, F.col("Y")))
-            .select("Y", d.alias("d"))
+            .select(
+                "Y",
+                F.round(d * self._W_SCALE).cast("bigint").alias("d"),
+                bucket.alias("b"),
+            )
         )
         u = rng.random()
-        # total is tiny to compute (one agg); doing it as a separate
-        # driver scalar keeps the cumsum window's input narrow.
-        total = weighted.agg(F.sum("d")).collect()[0][0]
-        if total is None:
+        sums = {
+            r["b"]: r["s"]
+            for r in weighted.groupBy("b").agg(F.sum("d").alias("s")).collect()
+        }
+        if not sums:
             # no candidate points left: k exceeds the number of DISTINCT
             # points (the reference would silently insert nothing here —
             # k-means.sql:27-28 empty result; we fail loudly instead).
@@ -158,22 +178,34 @@ class KMeansEngine:
                 f"k-means++ round {len(model) + 1}: no candidate points left — "
                 f"k={self.k} exceeds the number of distinct points"
             )
+        total = sum(sums.values())
+        if total == 0:
+            # all weights quantized to zero (degenerate duplicates near
+            # the centroids): arbitrary deterministic candidate
+            pick = weighted.orderBy("Y").select("Y").limit(1).collect()
+            return list(pick[0][0])
+        threshold = total * u
+        offset = 0
+        target_bucket, bucket_offset = None, 0
+        for b in sorted(sums):
+            if offset + sums[b] > threshold:
+                target_bucket, bucket_offset = b, offset
+                break
+            offset += sums[b]
         from pyspark.sql import Window
 
-        running = (
-            Window.orderBy(F.col("Y").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        running = Window.orderBy(F.col("Y").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
         )
         pick = (
-            weighted.withColumn("cum", F.sum("d").over(running))
-            .filter(F.lit(float(total)) * F.lit(float(u)) < F.col("cum"))
-            .orderBy("cum")
+            weighted.filter(F.col("b") == int(target_bucket))
+            .withColumn("cum", F.sum("d").over(running) + F.lit(int(bucket_offset)))
+            .filter(F.col("cum") > F.lit(float(threshold)))
+            .orderBy("cum", "Y")
             .select("Y")
             .limit(1)
             .collect()
         )
-        if not pick:  # U ~ 1.0 edge (or all-zero weights): max-cum row
-            pick = weighted.orderBy(F.col("d").desc()).select("Y").limit(1).collect()
         return list(pick[0][0])
 
     # ---- Lloyd iterations (k-means.sh:16-33, k-means.sql:35-46) ----
