@@ -382,6 +382,32 @@ def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latest_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (`groupArray(2)` bounded collect): the last two order totals
+    per customer as columns, via sorted collect + slice (the engine's
+    deterministic replacement for ClickHouse's read-order groupArray)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 60)
+    pair = F.slice(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.unix_timestamp("o_orderdate")).alias("neg_ts"),
+                    (-F.col("o_orderkey")).alias("neg_key"),
+                    F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_c"),
+                )
+            )
+        ),
+        1,
+        2,
+    )
+    g = orders.groupBy("o_custkey").agg(pair.alias("p"))
+    return g.select(
+        "o_custkey",
+        F.col("p")[0]["total_c"].alias("latest_c"),
+        F.when(F.size("p") > 1, F.col("p")[1]["total_c"]).alias("second_c"),
+    )
+
+
 def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/S6: the engine's SQL surface — temp views + an uncorrelated
     scalar subquery (evaluated once, like ClickHouse's)."""
@@ -685,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "json_extract": q_json_extract,
         "time_buckets": q_time_buckets,
+        "latest_two": q_latest_two,
         "sql_scalar_subquery": q_sql_scalar_subquery,
         "anti_join": q_anti_join,
         "set_ops": q_set_ops,
@@ -873,6 +900,15 @@ def oracle_sql() -> dict[str, str]:
             "from events) select es - es % 300 as bucket_s, event_type, "
             "count(*)::BIGINT as n, sum(round(value * 100)::BIGINT)::BIGINT as "
             "value_c from b group by 1, 2"
+        ),
+        "latest_two": (
+            "select o_custkey, "
+            "max(case when rn = 1 then total_c end)::BIGINT as latest_c, "
+            "max(case when rn = 2 then total_c end)::BIGINT as second_c "
+            "from (select o_custkey, round(o_totalprice * 100)::BIGINT as total_c, "
+            "row_number() over (partition by o_custkey order by o_orderdate desc, "
+            "o_orderkey desc) as rn from orders where o_custkey < 60) "
+            "where rn <= 2 group by o_custkey"
         ),
         "sql_scalar_subquery": (
             "select o_orderkey, o_custkey, round(o_totalprice * 100)::BIGINT as "

@@ -183,6 +183,46 @@ def test_streaming_windows_match_batch_buckets(spark, sf_dir):
     assert g == b
 
 
+def test_streaming_sliding_windows_overlap(spark, sf_dir):
+    from clickhouse_k_means_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    agg = windowed_event_counts(
+        stream_events(spark, sf_dir), window="10 minutes", slide="5 minutes"
+    )
+    got = run_available_now(spark, agg, name="t_stream_slide")
+    rows = got.collect()
+    assert rows
+    # sliding windows: every event lands in 2 windows → per-type total
+    # count doubles the batch count
+    total = sum(r["n"] for r in rows)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == 2 * n_events
+    # starts step by the slide, not the window
+    starts = sorted({r["bucket_s"] for r in rows})
+    assert all((b - a) % 300 == 0 for a, b in zip(starts, starts[1:]))
+
+
+def test_engine_fit_64dim_embeddings(spark, sf_dir):
+    """Dimension-generic path: the reference-parity engine (not just
+    MLlib) clustering 64-d vectors end-to-end."""
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+    from clickhouse_k_means_spark.sources.dataset import load_yh
+
+    yh = load_yh(spark, sf_dir, "embeddings")
+    res = KMeansEngine(k=4, seed=42, max_iter=25).fit(yh)
+    assert len(res.model) == 4
+    assert all(len(c) == 64 for _, c in res.model)
+    assigned = KMeansEngine(k=4).assign(yh, res.model)
+    sizes = {r["j"]: r["n"] for r in assigned.groupBy("j").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(sizes.values()) == yh.count()
+    assert len(sizes) == 4  # labeled fixture has 4 real clusters
+
+
 def test_streaming_assign_stateless(spark, sf_dir):
     from clickhouse_k_means_spark.streaming.windows import (
         stream_events,

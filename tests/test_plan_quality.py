@@ -1,0 +1,67 @@
+"""Physical-plan guards — the optimizations SURVEY §4 relies on must
+survive refactors: column pruning at the scan, filter pushdown,
+broadcast joins for small dims, rank-filter → WindowGroupLimit,
+top-k → TakeOrdered, and codegen'd (non-HOF) distance projections."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entry
+
+
+def _plan(df) -> str:
+    """Full formatted explain (toString() truncates long fields)."""
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_yh_contract_prunes_columns(spark, sf_dir):
+    plan = _plan(entry.q_yh_contract(spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    }, f"scan reads {cols}"
+
+
+def test_window_running_pushes_filter_to_scan(spark, sf_dir):
+    plan = _plan(entry.q_window_running(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,50)]" in plan
+
+
+def test_join_agg_uses_broadcast_not_sortmerge(spark, sf_dir):
+    plan = _plan(entry.q_join_agg_segment(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_limit_by_gets_window_group_limit(spark, sf_dir):
+    assert "WindowGroupLimit" in _plan(entry.q_limit_by_latest(spark, sf_dir))
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(entry.q_topk_global(spark, sf_dir))
+
+
+def test_assignment_is_codegen_not_hof(spark, sf_dir):
+    """The distance projection must be unrolled arithmetic inside a
+    codegen'd Project — no interpreted higher-order functions."""
+    plan = _plan(entry.q_nearest_assign(spark, sf_dir))
+    assert "codegen id" in plan, "assignment stage fell out of whole-stage codegen"
+    for hof in ("aggregate(", "zip_with(", "transform("):
+        assert hof not in plan, f"interpreted HOF {hof} in assignment plan"
+
+
+def test_tpch_q1_single_exchange_partial_agg(spark, sf_dir):
+    plan = _plan(entry.q_tpch_q1(spark, sf_dir))
+    tree = plan.split("\n\n")[0]  # operator tree (details repeat names)
+    assert tree.count("Exchange") == 1  # one shuffle: partial → final agg
+    assert tree.count("HashAggregate") == 2  # partial + final
