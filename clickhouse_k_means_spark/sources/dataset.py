@@ -34,7 +34,14 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table (TESTDATA.md layout)."""
+    """Read one fixture table (TESTDATA.md layout).
+
+    Sets ``nanosAsLong`` defensively (runtime-settable SQL conf): the
+    events fixture stores TIMESTAMP(NANOS), which Spark's reader
+    rejects otherwise — and callers (e.g. the verification driver) may
+    hand us a session built without our `session.get_spark` defaults.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -34,6 +34,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream carries a real event-time column for watermarking.
     """
     # the file-stream source wants a directory; glob-filter the fixture
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
