@@ -635,6 +635,43 @@ def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse k-means quantizer + nprobe cell search
+    (approximate by design → rows-only check)."""
+    from clickhouse_k_means_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    return ivf_topk(
+        q, c, k=10, nlist=8, nprobe=2, query_key="vec_id", corpus_key="vec_id"
+    )
+
+
+def q_streaming_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini-batch streaming k-means over the events stream; returns the
+    final model (driver-held state, foreachBatch updates)."""
+    import tempfile
+
+    from clickhouse_k_means_spark.streaming.kmeans_stream import StreamingKMeans
+    from clickhouse_k_means_spark.streaming.windows import stream_events
+
+    skm = StreamingKMeans([(1, [3.0]), (2, [9.0]), (3, [15.0])], decay=0.9)
+    stream = stream_events(spark, sf_dir).select(
+        F.array(F.col("value").cast("double")).alias("Y")
+    )
+    with tempfile.TemporaryDirectory(prefix="ckms_skm_") as ckpt:
+        query = skm.attach(stream, checkpoint=ckpt, query_name="q_streaming_kmeans")
+        query.awaitTermination()
+        query.stop()
+    return spark.createDataFrame(
+        [(j, float(c[0]), float(skm.counts[j])) for j, c in skm.model],
+        "j int, c0 double, weight double",
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through Arrow-batched
     mapInPandas (decode is a deterministic fake — no codecs in this
@@ -730,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_fit_history": q_kmeans_fit_history,
         "mllib_kmeans": q_mllib_kmeans,
         "srp_ann": q_srp_ann,
+        "ivf_ann": q_ivf_ann,
+        "streaming_kmeans": q_streaming_kmeans,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "streaming_windows": q_streaming_windows,

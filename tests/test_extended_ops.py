@@ -104,6 +104,53 @@ def test_srp_bucketed_topk_finds_exact_duplicate(spark):
     assert got and got[0]["n"] == 1
 
 
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from clickhouse_k_means_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    exact = brute_force_topk(q, c, k=5, query_key="vec_id", corpus_key="vec_id")
+    approx = ivf_topk(
+        q, c, k=5, nlist=4, nprobe=2, query_key="vec_id", corpus_key="vec_id"
+    )
+    e = {(r["q"], r["n"]) for r in exact.collect()}
+    a = {(r["q"], r["n"]) for r in approx.collect()}
+    # labeled 4-cluster fixture with nlist=4, nprobe=2 → recall is high
+    assert len(a & e) / len(e) >= 0.6
+
+
+def test_streaming_kmeans_updates_model(spark, sf_dir):
+    import tempfile
+
+    from clickhouse_k_means_spark.streaming.kmeans_stream import StreamingKMeans
+    from clickhouse_k_means_spark.streaming.windows import stream_events
+
+    init = [(1, [5.0]), (2, [15.0])]
+    skm = StreamingKMeans(init, decay=0.9)
+    stream = stream_events(spark, sf_dir).select(
+        F.array(F.col("value").cast("double")).alias("Y")
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        query = skm.attach(stream, checkpoint=ckpt)
+        query.awaitTermination()
+        query.stop()
+    assert skm.n_batches >= 1
+    assert sum(skm.counts.values()) > 0
+    assert skm.model != init  # centroids moved toward the data
+    # update math sanity: decay=1 on a single batch = plain means
+    skm2 = StreamingKMeans([(1, [0.0])], decay=1.0)
+    batch = spark.createDataFrame([([2.0],), ([4.0],)], "Y array<double>")
+    skm2.update(batch)
+    assert skm2.model[0][1][0] == 3.0 and skm2.counts[1] == 2.0
+
+
 # ---- multimodal ----
 
 
