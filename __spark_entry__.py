@@ -458,6 +458,45 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(seg_only)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of streaming session
+    windows): lag/cumsum session ids + per-session rollup."""
+    from clickhouse_k_means_spark.streaming.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap_seconds=1800)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each view event matched to the
+    user's latest prior-or-simultaneous purchase. Oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    from clickhouse_k_means_spark.operators.asof import as_of_join
+    from clickhouse_k_means_spark.operators.limit_by import limit_by
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    right0 = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.round(F.col("value") * 100).cast("bigint").alias("purchase_value_c"),
+    )
+    # dedupe (user, ts) so the as-of match is deterministic
+    right = limit_by(right0, 1, ["user_id", "ts"], [F.col("purchase_id").desc()])
+    out = as_of_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=["purchase_id", "purchase_value_c"],
+    )
+    return out.select("user_id", "view_id", "purchase_id", "purchase_value_c")
+
+
 # ---- dedup family ----
 
 
@@ -752,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_scalar_subquery": q_sql_scalar_subquery,
         "anti_join": q_anti_join,
         "set_ops": q_set_ops,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
@@ -970,6 +1011,30 @@ def oracle_sql() -> dict[str, str]:
             "union all "
             "select custkey, 'seg_only' as tag from "
             "(select custkey from seg except all select custkey from buyers)"
+        ),
+        "sessionize": (
+            "with e as (select user_id, epoch_ns(ts) // 1000000000 as s, ts "
+            "from events), "
+            "t as (select user_id, s, ts, case when lag(s) over w is null or "
+            "s - lag(s) over w > 1800 then 1 else 0 end as ns from e "
+            "window w as (partition by user_id order by ts)), "
+            "g as (select user_id, ts, s, sum(ns) over (partition by user_id "
+            "order by ts rows between unbounded preceding and current row) as sid "
+            "from t) "
+            "select user_id, sid::BIGINT as session_id, count(*)::BIGINT as "
+            "n_events, min(s)::BIGINT as start_s, max(s)::BIGINT as end_s "
+            "from g group by 1, 2"
+        ),
+        "asof_join": (
+            "with l as (select user_id, ts, event_id as view_id from events "
+            "where event_type = 'view'), "
+            "r0 as (select user_id, ts, event_id as purchase_id, "
+            "round(value * 100)::BIGINT as purchase_value_c from events "
+            "where event_type = 'purchase'), "
+            "r as (select * from r0 qualify row_number() over ("
+            "partition by user_id, ts order by purchase_id desc) = 1) "
+            "select l.user_id, l.view_id, r.purchase_id, r.purchase_value_c "
+            "from l asof left join r on l.user_id = r.user_id and l.ts >= r.ts"
         ),
         "dedup_exact": (
             "select doc_id, md5(text) as text_hash, (case when row_number() over ("

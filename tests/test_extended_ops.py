@@ -104,6 +104,45 @@ def test_srp_bucketed_topk_finds_exact_duplicate(spark):
     assert got and got[0]["n"] == 1
 
 
+def test_asof_join_backward_and_forward(spark):
+    from clickhouse_k_means_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 150), (2, 99, 990)], "k long, t long, v long"
+    )
+    back = {
+        r["tag"]: r["v"]
+        for r in as_of_join(
+            left, right, key="k", left_ts="t", right_ts="t", right_vals=["v"]
+        ).collect()
+    }
+    # t=10 matches v@10 (inclusive), t=20 matches v@15, t=5 no match,
+    # k=2 t=10 is before its only right row
+    assert back == {"a": 100, "b": 150, "c": None, "d": None}
+    fwd = {
+        r["tag"]: r["v"]
+        for r in as_of_join(
+            left, right, key="k", left_ts="t", right_ts="t",
+            right_vals=["v"], direction="forward",
+        ).collect()
+    }
+    assert fwd == {"a": 100, "b": None, "c": 100, "d": 990}
+
+
+def test_asof_join_rejects_colliding_columns(spark):
+    import pytest as _pytest
+
+    from clickhouse_k_means_spark.operators.asof import as_of_join
+
+    df = spark.createDataFrame([(1, 1, 1)], "k long, t long, v long")
+    with _pytest.raises(ValueError):
+        as_of_join(df, df, key="k", left_ts="t", right_ts="t", right_vals=["v"])
+
+
 def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     from clickhouse_k_means_spark.operators.similarity import (
         brute_force_topk,
@@ -268,6 +307,60 @@ def test_engine_fit_64dim_embeddings(spark, sf_dir):
         F.count(F.lit(1)).alias("n")).collect()}
     assert sum(sizes.values()) == yh.count()
     assert len(sizes) == 4  # labeled fixture has 4 real clusters
+
+
+def test_streaming_session_windows_conserve_events(spark, sf_dir):
+    from clickhouse_k_means_spark.streaming.sessions import session_window_counts
+    from clickhouse_k_means_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+    )
+
+    agg = session_window_counts(stream_events(spark, sf_dir), gap="30 minutes")
+    got = run_available_now(spark, agg, name="t_sess_win")
+    total = got.agg(F.sum("n_events")).collect()[0][0]
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    bad = got.filter(F.col("end_s") <= F.col("start_s")).count()
+    assert bad == 0
+
+
+def test_stateful_user_counts_match_batch(spark, sf_dir):
+    import tempfile
+
+    from clickhouse_k_means_spark.streaming.sessions import stateful_user_counts
+    from clickhouse_k_means_spark.streaming.windows import stream_events
+
+    out = stateful_user_counts(stream_events(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_stateful_counts")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    # last emitted row per user == the batch per-user totals
+    from clickhouse_k_means_spark.operators.limit_by import limit_by
+
+    emitted = spark.table("t_stateful_counts")
+    final = {
+        r["user_id"]: (r["n"], r["value_c"])
+        for r in limit_by(emitted, 1, "user_id", [F.col("n").desc()]).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["value_c"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
+        )
+        .collect()
+    }
+    assert final == batch
 
 
 def test_streaming_assign_stateless(spark, sf_dir):
