@@ -12,6 +12,8 @@ Runs the engine's flagship operations at ``$SPARK_GRAFT_SF_DIR``
 - ann_topk        brute-force cosine top-10, 5 queries × corpus
 - text_quality    tokenize/quality/language-ID scan of documents
 - silhouette      sampled simplified silhouette (reference formula)
+- asof_join       view→latest-purchase as-of join over events
+- sessionize      gap-based sessionization of the events table
 
 Materialization uses the noop sink (full execution, no driver
 collection cost) unless the operation is inherently driver-side
@@ -90,6 +92,8 @@ def main() -> None:
         silhouette_sampled(yh, model, max_rows=2000, seed=42)
 
     timed("silhouette", bench_silhouette)
+    timed("asof_join", lambda: _materialize(entry.q_asof_join(spark, sf_dir)))
+    timed("sessionize", lambda: _materialize(entry.q_sessionize(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(
