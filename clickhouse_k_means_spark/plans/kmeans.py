@@ -300,6 +300,45 @@ class KMeansEngine:
         return yh.select("i", s["j"].alias("j"), s["dist"].alias("dist"))
 
 
+def delta_finish(
+    history: DataFrame, one_delta: float = 100.0, reference_bug: bool = False
+) -> int:
+    """Convergence metric computed from the WCR history TABLE — the
+    reference's ``deltaFinish`` view (k-means.sql:49-56): per centroid,
+    the distance between its two latest positions; summed, scaled by
+    ``one_delta`` (k-means.sql:50) and truncated (``toUInt32``).
+
+    ``reference_bug=True`` reproduces quirk Q5 bug-for-bug: the
+    reference's inner query uses ``LIMIT 2 BY step`` (k-means.sql:54)
+    — the first two rows of each step in read order, i.e. effectively
+    only centroids j=1,2 ever reach the movement sum. The default
+    measures ALL centroids (the evident intent; what ``fit`` uses for
+    its stopping rule). Centroids present in fewer than two steps are
+    skipped (the reference's ``l[2]`` would default to the origin —
+    an artifact, not a semantic).
+    """
+    from clickhouse_k_means_spark.functions.distance import l2_distance
+    from clickhouse_k_means_spark.operators.limit_by import limit_by
+
+    base = history
+    if reference_bug:
+        base = limit_by(history, 2, by="step", order=[F.col("j").asc()])
+    ranked = limit_by(base, 2, by="j", order=[F.col("step").desc()])
+    latest = limit_by(ranked, 1, by="j", order=[F.col("step").desc()]).select(
+        "j", F.col("C").alias("C1"), F.col("step").alias("s1")
+    )
+    prev = ranked.join(
+        latest.select("j", "s1"), "j"
+    ).filter(F.col("step") < F.col("s1")).select("j", F.col("C").alias("C2"))
+    row = (
+        latest.join(prev, "j")
+        .agg(F.sum(l2_distance("C1", "C2")).alias("d"))
+        .collect()[0]
+    )
+    total = row["d"] or 0.0
+    return int(total * one_delta)
+
+
 def mllib_kmeans(yh: DataFrame, k: int = 4, seed: int = 42, max_iter: int = 100):
     """MLlib fast path behind the same (i, Y) contract.
 

@@ -104,6 +104,46 @@ def test_srp_bucketed_topk_finds_exact_duplicate(spark):
     assert got and got[0]["n"] == 1
 
 
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from clickhouse_k_means_spark.operators.skew import salted_join
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = sorted(
+        (r["o_orderkey"], r["c_mktsegment"])
+        for r in orders.join(cust, "o_custkey").collect()
+    )
+    salted = sorted(
+        (r["o_orderkey"], r["c_mktsegment"])
+        for r in salted_join(orders, cust, "o_custkey", n_salts=4).collect()
+    )
+    assert salted == plain
+    # left join keeps unmatched fact rows exactly once
+    some = orders.limit(50)
+    left = salted_join(some, cust.filter("o_custkey < 5"), "o_custkey", how="left")
+    assert left.count() == 50
+
+
+def test_optimal_k_scan_reports_metrics(spark):
+    from clickhouse_k_means_spark.plans.optimal_k import optimal_k_scan
+    from clickhouse_k_means_spark.sources.dataset import from_table
+    from clickhouse_k_means_spark.sources.generator import golden_points
+
+    g = golden_points(
+        spark, anchors=[(0.0, 0.0), (80.0, 0.0), (0.0, 90.0)], points_per_cluster=60,
+        seed=11,
+    )
+    yh = from_table(g, "i", ["x", "y"])
+    rows = optimal_k_scan(yh, ks=[2, 3, 4], seed=11, silhouette_rows=150)
+    assert [r["k"] for r in rows] == [2, 3, 4]
+    assert all(set(r) >= {"k", "elbow", "ai", "bi", "si"} for r in rows)
+    # elbow non-increasing in k on separable data
+    assert rows[0]["elbow"] >= rows[1]["elbow"] >= rows[2]["elbow"] * 0.9
+
+
 def test_asof_join_backward_and_forward(spark):
     from clickhouse_k_means_spark.operators.asof import as_of_join
 

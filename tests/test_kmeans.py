@@ -122,6 +122,21 @@ def test_silhouette_global_and_sampled(spark):
     assert s2["si"] > 0.95
 
 
+def test_delta_finish_matches_fit_movement(spark):
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine, delta_finish
+
+    pts = [(0.0, 0.0), (1.0, 1.0), (20.0, 20.0), (21.0, 19.0), (-5.0, 7.0), (22.0, 18.0)]
+    df = spark.createDataFrame(
+        [(i, [x, y]) for i, (x, y) in enumerate(pts)], "i long, Y array<double>"
+    )
+    res = KMeansEngine(k=2, seed=3).fit(df)
+    hist = res.history_df(spark)
+    # fixed variant == the fit loop's own stopping metric (last step)
+    assert delta_finish(hist) == int(res.movements[-1] * 100.0)
+    # bug-for-bug variant (Q5) can only see a subset of centroids
+    assert delta_finish(hist, reference_bug=True) <= delta_finish(hist) + 1
+
+
 def test_fit_on_lineitem_fixture(spark, sf_dir):
     yh = load_yh(spark, sf_dir, "lineitem")
     res = KMeansEngine(k=3, seed=42, max_iter=25).fit(yh)
