@@ -458,6 +458,30 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(seg_only)
 
 
+def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions + rollup: per-month order counts and revenue."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "revenue_c"
+            ),
+        )
+    )
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (absent in the
+    reference; free in Spark — SURVEY §2.4 note)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of streaming session
     windows): lag/cumsum session ids + per-session rollup."""
@@ -793,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "monthly_revenue": q_monthly_revenue,
+        "quantiles": q_quantiles,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
@@ -1011,6 +1037,17 @@ def oracle_sql() -> dict[str, str]:
             "union all "
             "select custkey, 'seg_only' as tag from "
             "(select custkey from seg except all select custkey from buyers)"
+        ),
+        "monthly_revenue": (
+            "select strftime(o_orderdate, '%Y-%m') as month, count(*)::BIGINT as n, "
+            "sum(round(o_totalprice * 100)::BIGINT)::BIGINT as revenue_c "
+            "from orders group by 1"
+        ),
+        "quantiles": (
+            "select l_returnflag, "
+            "round(quantile_cont(l_extendedprice, 0.5), 4) as p50, "
+            "round(quantile_cont(l_extendedprice, 0.9), 4) as p90 "
+            "from lineitem group by 1"
         ),
         "sessionize": (
             "with e as (select user_id, epoch_ns(ts) // 1000000000 as s, ts "
