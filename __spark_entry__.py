@@ -310,6 +310,59 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + filters + group + top-10 revenue."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "bigint"
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        )
+        .agg(rev.alias("revenue_c"))
+        .orderBy(F.col("revenue_c").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join with the local-supplier condition,
+    per-nation revenue."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "bigint"
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(rev.alias("revenue_c"), F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_join_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: broadcast equi-join orders→customer + segment rollup."""
     orders = load_table(spark, sf_dir, "orders")
@@ -806,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elbow_total": q_elbow_total,
         "silhouette_sums": q_silhouette_sums,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "join_agg_segment": q_join_agg_segment,
         "window_running": q_window_running,
         "pivot_events": q_pivot_events,
@@ -974,6 +1029,27 @@ def oracle_sql() -> dict[str, str]:
             "sum(round(l_extendedprice * 100)::BIGINT)::BIGINT as sum_price_c, "
             "sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT "
             "as sum_disc_price_c from lineitem group by 1, 2"
+        ),
+        "tpch_q3": (
+            "select l_orderkey, strftime(o_orderdate, '%Y-%m-%d') as order_day, "
+            "sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT "
+            "as revenue_c from lineitem "
+            "join orders on l_orderkey = o_orderkey "
+            "join customer on o_custkey = c_custkey "
+            "where c_mktsegment = 'BUILDING' and o_orderdate < '1998-01-01' "
+            "group by 1, 2 order by revenue_c desc, l_orderkey limit 10"
+        ),
+        "tpch_q5": (
+            "select n_name, "
+            "sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT "
+            "as revenue_c, count(*)::BIGINT as n from lineitem "
+            "join orders on l_orderkey = o_orderkey "
+            "join customer on o_custkey = c_custkey "
+            "join supplier on l_suppkey = s_suppkey "
+            "join nation on c_nationkey = n_nationkey "
+            "join region on n_regionkey = r_regionkey "
+            "where r_name = 'ASIA' and c_nationkey = s_nationkey "
+            "group by 1"
         ),
         "join_agg_segment": (
             "select c_mktsegment, count(*)::BIGINT as n, "

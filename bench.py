@@ -7,6 +7,7 @@ Runs the engine's flagship operations at ``$SPARK_GRAFT_SF_DIR``
 - lloyd_step      one assign + per-cluster recompute pass
 - elbow           total nearest-centroid distance (model as literals)
 - tpch_q1         pricing-summary aggregation
+- tpch_q3/q5      3-way and 5-way join analytics
 - minhash_lsh     MinHash signatures + LSH candidate pairs over documents
 - simhash         packed 60-bit SimHash per document
 - ann_topk        brute-force cosine top-10, 5 queries × corpus
@@ -71,6 +72,8 @@ def main() -> None:
     timed("lloyd_step", lambda: _materialize(entry.q_lloyd_recompute(spark, sf_dir)))
     timed("elbow", lambda: _materialize(entry.q_elbow_total(spark, sf_dir)))
     timed("tpch_q1", lambda: _materialize(entry.q_tpch_q1(spark, sf_dir)))
+    timed("tpch_q3", lambda: _materialize(entry.q_tpch_q3(spark, sf_dir)))
+    timed("tpch_q5", lambda: _materialize(entry.q_tpch_q5(spark, sf_dir)))
 
     def bench_minhash() -> None:
         docs = load_table(spark, sf_dir, "documents")

@@ -60,6 +60,14 @@ def test_assignment_is_codegen_not_hof(spark, sf_dir):
         assert hof not in plan, f"interpreted HOF {hof} in assignment plan"
 
 
+def test_tpch_q5_broadcasts_small_dims(spark, sf_dir):
+    plan = _plan(entry.q_tpch_q5(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    # nation/region (and with AQE typically customer/supplier too) must
+    # not force a sort-merge path; at least two broadcast joins planned
+    assert tree.count("BroadcastHashJoin") >= 2
+
+
 def test_tpch_q1_single_exchange_partial_agg(spark, sf_dir):
     plan = _plan(entry.q_tpch_q1(spark, sf_dir))
     tree = plan.split("\n\n")[0]  # operator tree (details repeat names)
