@@ -241,6 +241,16 @@ class KMeansEngine:
             dim = len(head[0])
             if dim == 0:
                 raise ValueError("k-means: Y must have arity >= 1")
+            # right-size the iteration working set: below ~50k rows per
+            # task the per-iteration cost is task-launch overhead, not
+            # compute. coalesce is NARROW over the cached blocks (no
+            # second copy), so small inputs stop paying 32-task latency
+            # on every Lloyd pass while huge inputs keep full width.
+            n = yh.count()
+            width = yh.rdd.getNumPartitions()
+            target = max(4, min(width, (n // 50_000) + 1))
+            if target < width:
+                yh = yh.coalesce(target)
             rng = random.Random(self.seed)
             model = self.init_centroids(yh, rng)
             history = [(0, j, c) for j, c in model]
