@@ -113,15 +113,41 @@ class KMeansEngine:
             .collect()[0][0]
         )
         model: Model = [(1, list(first))]
-        # the DISTINCT candidate set (GROUP BY Y, reference O7) is
-        # model-independent — dedup once, reuse across all ++ rounds
-        # (the reference re-deduplicates per round, k-means.sql:28)
-        cand = yh.select("Y").distinct().cache()
-        try:
-            for j in range(2, self.k + 1):
-                model.append((j, self._next_centroid(cand, model, rng)))
-        finally:
-            cand.unpersist()
+        if self.k == 1:
+            return model
+        # Incremental min-distance maintenance (the classic k-means++
+        # optimization): the cached state carries each DISTINCT
+        # candidate's distance to the NEAREST chosen centroid; every
+        # round folds in only the newest centroid with least(d, dist),
+        # so total distance work is O(k·n) instead of the reference's
+        # O(k²·n) re-scan (centroidsInit recomputes the full min each
+        # round, k-means.sql:24-26). Exclusion `Y not in centroids`
+        # (k-means.sql:27) becomes `d > 0` — equivalent for L2.
+        bucket = F.pmod(F.xxhash64(F.lit(7), F.col("Y")), F.lit(self._N_BUCKETS))
+
+        def dist_to(c: list[float]):
+            return nearest_centroid_struct("Y", [(1, c)])["dist"]
+
+        # localCheckpoint (NOT cache): each round derives the new state
+        # from the old one, and chained cached plans grow the analyzed
+        # lineage every round — plan canonicalization/cache-matching
+        # cost explodes superlinearly past ~12 rounds (SURVEY O12).
+        # Checkpointing truncates lineage to a flat scan per round. On a
+        # real cluster swap for reliable checkpointing if executor loss
+        # during init matters (init is cheap to restart regardless).
+        state = (
+            yh.select("Y")
+            .distinct()
+            .select("Y", dist_to(model[0][1]).alias("d"), bucket.alias("b"))
+            .localCheckpoint(eager=True)
+        )
+        for j in range(2, self.k + 1):
+            c = self._weighted_pick(state, rng, round_no=j)
+            model.append((j, c))
+            if j < self.k:
+                state = state.select(
+                    "Y", F.least(F.col("d"), dist_to(c)).alias("d"), "b"
+                ).localCheckpoint(eager=True)
         return model
 
     # weight quantization for the ++ sampling: 2^20 steps per distance
@@ -129,53 +155,43 @@ class KMeansEngine:
     _W_SCALE = 1 << 20
     _N_BUCKETS = 64
 
-    def _next_centroid(self, yh: DataFrame, model: Model, rng: random.Random) -> list[float]:
-        """One k-means++ round (``centroidsInit``, k-means.sql:16-33).
+    def _weighted_pick(
+        self, state: DataFrame, rng: random.Random, round_no: int
+    ) -> list[float]:
+        """One k-means++ pick (``centroidsInit``, k-means.sql:16-33).
 
-        Per DISTINCT point not already a centroid (k-means.sql:27-28):
-        weight d = min distance to the current model; cumulative-sum
-        inverse-CDF pick at one driver-drawn threshold U (quirk Q2).
-        The reference's window has no ORDER BY (block order); any fixed
-        order is a valid inverse-CDF permutation (W2 note) — we use
-        (hash-bucket of Y, Y).
+        ``state`` is the cached ``(Y, d, b)`` candidate set: d = min
+        distance to the chosen centroids, b = hash bucket. Weight =
+        d (reference parity) or d² (canonical, squared_weights);
+        cumulative-sum inverse-CDF pick at one driver-drawn threshold
+        U (quirk Q2). The reference's window has no ORDER BY (block
+        order); any fixed order is a valid inverse-CDF permutation
+        (W2 note) — we use (hash-bucket, Y).
 
         Scale design: NO global single-task cumsum. Two phases —
-        (1) per-bucket weight sums (ordinary parallel aggregation, one
-        small row per bucket to the driver), (2) the driver locates the
+        (1) per-bucket weight sums (parallel aggregation, one small
+        row per bucket to the driver), (2) the driver locates the
         bucket whose cumulative range contains the threshold, and only
         THAT bucket's rows (≈ n/_N_BUCKETS) get a windowed cumsum.
         Weights are quantized to exact BIGINTs so every sum is
         order-independent and the pick is bit-deterministic.
-
-        ``yh`` here is the cached distinct candidate set from
-        ``init_centroids`` (a ``(Y)`` DataFrame).
         """
-        taken = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for _, c in model]
-        )
-        nearest = nearest_centroid_struct("Y", model)
-        d = nearest["dist"] * nearest["dist"] if self.squared_weights else nearest["dist"]
-        bucket = F.pmod(F.xxhash64(F.lit(7), F.col("Y")), F.lit(self._N_BUCKETS))
-        weighted = (
-            yh.select("Y")
-            .filter(~F.array_contains(taken, F.col("Y")))
-            .select(
-                "Y",
-                F.round(d * self._W_SCALE).cast("bigint").alias("d"),
-                bucket.alias("b"),
-            )
+        d = F.col("d")
+        w = d * d if self.squared_weights else d
+        weighted = state.filter(d > 0).select(
+            "Y", F.round(w * self._W_SCALE).cast("bigint").alias("w"), "b"
         )
         u = rng.random()
         sums = {
             r["b"]: r["s"]
-            for r in weighted.groupBy("b").agg(F.sum("d").alias("s")).collect()
+            for r in weighted.groupBy("b").agg(F.sum("w").alias("s")).collect()
         }
         if not sums:
             # no candidate points left: k exceeds the number of DISTINCT
             # points (the reference would silently insert nothing here —
             # k-means.sql:27-28 empty result; we fail loudly instead).
             raise ValueError(
-                f"k-means++ round {len(model) + 1}: no candidate points left — "
+                f"k-means++ round {round_no}: no candidate points left — "
                 f"k={self.k} exceeds the number of distinct points"
             )
         total = sum(sums.values())
@@ -199,7 +215,7 @@ class KMeansEngine:
         )
         pick = (
             weighted.filter(F.col("b") == int(target_bucket))
-            .withColumn("cum", F.sum("d").over(running) + F.lit(int(bucket_offset)))
+            .withColumn("cum", F.sum("w").over(running) + F.lit(int(bucket_offset)))
             .filter(F.col("cum") > F.lit(float(threshold)))
             .orderBy("cum", "Y")
             .select("Y")
