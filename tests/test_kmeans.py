@@ -122,6 +122,27 @@ def test_silhouette_global_and_sampled(spark):
     assert s2["si"] > 0.95
 
 
+def test_init_scales_linearly_in_k(spark, sf_dir):
+    """Regression guard for the O12 lineage blow-up: a k=12 init on the
+    small fixture must stay in the seconds range (it was ~30s/round
+    once chained caches passed ~12 layers)."""
+    import random
+    import time
+
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+    from clickhouse_k_means_spark.sources.dataset import load_yh
+
+    yh = load_yh(spark, sf_dir, "lineitem").cache()
+    yh.count()
+    t0 = time.perf_counter()
+    model = KMeansEngine(k=12, seed=42).init_centroids(yh, random.Random(42))
+    elapsed = time.perf_counter() - t0
+    yh.unpersist()
+    assert len(model) == 12
+    assert len({tuple(c) for _, c in model}) == 12  # all distinct picks
+    assert elapsed < 60, f"init took {elapsed:.0f}s — lineage regression?"
+
+
 def test_delta_finish_matches_fit_movement(spark):
     from clickhouse_k_means_spark.plans.kmeans import KMeansEngine, delta_finish
 
