@@ -511,6 +511,30 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(seg_only)
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval (range) join, bucketized equi-join form:
+    view events landing within 1 hour after a purchase by the same
+    user. Oracle: the plain inequality join."""
+    from clickhouse_k_means_spark.operators.rangejoin import point_in_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", sec.alias("view_s"), F.col("event_id").alias("view_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        sec.alias("start_s"),
+        (sec + 3600).alias("end_s"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = point_in_interval_join(
+        views, purchases, key="user_id", point_ts="view_s",
+        start="start_s", end="end_s", bucket_width=3600,
+    )
+    return out.select("user_id", "view_id", "purchase_id", "view_s")
+
+
 def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date functions + rollup: per-month order counts and revenue."""
     orders = load_table(spark, sf_dir, "orders")
@@ -874,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "monthly_revenue": q_monthly_revenue,
         "quantiles": q_quantiles,
+        "range_join": q_range_join,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
@@ -1113,6 +1138,17 @@ def oracle_sql() -> dict[str, str]:
             "union all "
             "select custkey, 'seg_only' as tag from "
             "(select custkey from seg except all select custkey from buyers)"
+        ),
+        "range_join": (
+            "with e as (select user_id, event_type, event_id, "
+            "epoch_ns(ts) // 1000000000 as s from events), "
+            "v as (select user_id, s as view_s, event_id as view_id from e "
+            "where event_type = 'view'), "
+            "p as (select user_id, s as start_s, s + 3600 as end_s, "
+            "event_id as purchase_id from e where event_type = 'purchase') "
+            "select v.user_id, view_id, purchase_id, view_s "
+            "from v join p on v.user_id = p.user_id "
+            "and start_s <= view_s and view_s <= end_s"
         ),
         "monthly_revenue": (
             "select strftime(o_orderdate, '%Y-%m') as month, count(*)::BIGINT as n, "

@@ -104,6 +104,32 @@ def test_srp_bucketed_topk_finds_exact_duplicate(spark):
     assert got and got[0]["n"] == 1
 
 
+def test_range_join_equals_inequality_join(spark):
+    from clickhouse_k_means_spark.operators.rangejoin import point_in_interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 3650, "p2"), (1, 7300, "p3"), (2, 100, "p4")],
+        "k long, t long, name string",
+    )
+    ivs = spark.createDataFrame(
+        [(1, 0, 3600, "i1"), (1, 3600, 7200, "i2"), (2, 200, 300, "i3")],
+        "k long, s long, e long, iv string",
+    )
+    got = {
+        (r["name"], r["iv"])
+        for r in point_in_interval_join(
+            pts, ivs, key="k", point_ts="t", start="s", end="e", bucket_width=1000
+        ).collect()
+    }
+    want = {
+        (p["name"], i["iv"])
+        for p in pts.collect()
+        for i in ivs.collect()
+        if p["k"] == i["k"] and i["s"] <= p["t"] <= i["e"]
+    }
+    assert got == want and ("p1", "i1") in got and ("p3", "i3") not in got
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     from clickhouse_k_means_spark.operators.skew import salted_join
     from clickhouse_k_means_spark.sources.dataset import load_table
