@@ -946,12 +946,14 @@ def oracle_sql() -> dict[str, str]:
         f"{_hash64_sql('s')} % {MINHASH_P}) as hs from shc), "
         f"sig as (select doc_id, {minhash_cols} from hsc)"
     )
-    bands = [
-        f"md5(s{2 * b}::VARCHAR || ',' || s{2 * b + 1}::VARCHAR)" for b in range(4)
-    ]
+    def _band_key(b: int, q: str) -> str:
+        # qualified band expression built from the column names directly
+        # (no string substitution over rendered SQL)
+        return f"md5({q}.s{2 * b}::VARCHAR || ',' || {q}.s{2 * b + 1}::VARCHAR)"
+
     band_union = " union all ".join(
         f"select a.doc_id as a, b.doc_id as b from sig a join sig b "
-        f"on {bands[b].replace('s', 'a.s')} = {bands[b].replace('s', 'b.s')} "
+        f"on {_band_key(b, 'a')} = {_band_key(b, 'b')} "
         f"and a.doc_id < b.doc_id"
         for b in range(4)
     )

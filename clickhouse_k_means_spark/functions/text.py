@@ -73,9 +73,7 @@ def char_ngrams(c: Column | str, n: int = 5) -> Column:
     return F.when(F.length(t) <= n, F.array(t)).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.length(t) - n + 1),
-            lambda i: F.substring(t, 1, n).alias("_")
-            if False
-            else t.substr(i, F.lit(n)),
+            lambda i: t.substr(i, F.lit(n)),
         )
     )
 

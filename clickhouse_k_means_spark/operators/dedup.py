@@ -74,8 +74,18 @@ def lsh_candidate_pairs(
 
     Bands are contiguous signature slices; band key = md5 of the joined
     values. The self-join shuffles on (band, band_key) only — same-
-    bucket pairs, not all pairs. Output is distinct (a, b).
+    bucket pairs, not all pairs. Output is distinct (a, b), materialized
+    eagerly (localCheckpoint) so the band cache can be released before
+    returning — no storage leak across repeated calls.
     """
+    if n_bands <= 0 or n_hashes % n_bands != 0:
+        # a silent remainder would drop trailing signature columns;
+        # n_bands > n_hashes would give every doc an empty band key
+        # (one global bucket -> O(n^2) candidate blow-up)
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be a positive multiple of "
+            f"n_bands ({n_bands})"
+        )
     rows_per_band = n_hashes // n_bands
     bands = F.array(
         *[
@@ -102,12 +112,19 @@ def lsh_candidate_pairs(
     right = banded.select(
         F.col(key).alias("b"), "band_idx", "band_key"
     )
-    return (
-        left.join(right, ["band_idx", "band_key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    try:
+        # eager checkpoint: runs the join while the band cache is hot,
+        # and the returned plan reads the (small) checkpointed pair set
+        # — so unpersisting the cache below never forces a recompute
+        return (
+            left.join(right, ["band_idx", "band_key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        banded.unpersist(blocking=True)
 
 
 def simhash_table(

@@ -208,6 +208,17 @@ class KMeansEngine:
                 target_bucket, bucket_offset = b, offset
                 break
             offset += sums[b]
+        if target_bucket is None:
+            # float(total) * u can round to >= total when total is near
+            # 2^53 and u ~ 1 — then no bucket crosses the threshold.
+            # Inverse-CDF semantics for u -> 1 = the last weighted row;
+            # land in the last nonzero bucket and let the in-bucket
+            # filter (cum > threshold is false everywhere) fall back to
+            # the bucket's final row via the orderBy/limit below.
+            nz = [b for b in sorted(sums) if sums[b] > 0]
+            target_bucket = nz[-1]
+            bucket_offset = total - sums[target_bucket]
+            threshold = float(total) - 0.5  # strictly below the last cum
         from pyspark.sql import Window
 
         running = Window.orderBy(F.col("Y").asc()).rowsBetween(

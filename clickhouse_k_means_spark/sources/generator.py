@@ -7,13 +7,23 @@ uniform in [0,100) (``rand32()%100``), each amplified ×500 with jitter
 
 We reproduce the SHAPE deterministically (seeded) and carry a
 ``true_cluster`` label for scoring (FIXTURES.md F1). Generation is
-distributed: ``spark.range`` + seeded ``F.rand`` — no driver-side data.
+distributed (``spark.range``, no driver-side data) and PARTITION-
+INDEPENDENT: all randomness derives from ``xxhash64(seed, row key)``,
+never ``F.rand`` (whose stream depends on partition layout, so the
+"same seed" would yield different data across core counts / file
+splits).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _seeded_uniform_int(seed: int, key: Column, n: int) -> Column:
+    """Deterministic uniform int in [0, n) from (seed, key) — the same
+    partition-independent pattern as KMeansEngine.init_centroids."""
+    return F.pmod(F.xxhash64(F.lit(seed), key), F.lit(n))
 
 
 def golden_points(
@@ -41,8 +51,8 @@ def golden_points(
     else:
         anchors_df = spark.range(n_clusters).select(
             F.col("id").cast("int").alias("true_cluster"),
-            F.floor(F.rand(seed) * 100).cast("double").alias("ax"),
-            F.floor(F.rand(seed + 1) * 100).cast("double").alias("ay"),
+            _seeded_uniform_int(seed, F.col("id"), 100).cast("double").alias("ax"),
+            _seeded_uniform_int(seed + 1, F.col("id"), 100).cast("double").alias("ay"),
         )
     # one row per (cluster, copy); copy 0 is the anchor itself
     grid = spark.range(n_clusters * (points_per_cluster + 1)).select(
@@ -55,10 +65,14 @@ def golden_points(
         .select(
             "i",
             F.when(F.col("copy") == 0, F.col("ax"))
-            .otherwise(F.col("ax") + F.floor(F.rand(seed + 2) * 3000) / 100.0)
+            .otherwise(
+                F.col("ax") + _seeded_uniform_int(seed + 2, F.col("i"), 3000) / 100.0
+            )
             .alias("x"),
             F.when(F.col("copy") == 0, F.col("ay"))
-            .otherwise(F.col("ay") + F.floor(F.rand(seed + 3) * 5000) / 100.0)
+            .otherwise(
+                F.col("ay") + _seeded_uniform_int(seed + 3, F.col("i"), 5000) / 100.0
+            )
             .alias("y"),
             "true_cluster",
         )
