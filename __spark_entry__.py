@@ -30,10 +30,7 @@ from clickhouse_k_means_spark.functions.text import (
     bpe_ish_token_count,
     lang_id,
     normalize_text,
-    punct_ratio,
-    quality_score,
     rolling_fingerprint,
-    stopword_ratio,
     token_count,
     tokens,
 )
@@ -168,14 +165,28 @@ def q_lloyd_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeanspp_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/W2/T4/Q2: the k-means++ weighted pick at a fixed threshold.
+    """W1/W2/T4/Q2: the k-means++ weighted pick at a fixed threshold,
+    through the engine's scale path (operators/sampling.two_phase_pick
+    — the same routine KMeansEngine.init uses, VERDICT r1 item 3).
 
     Distinct candidate points (GROUP BY Y, O7), weight = min distance
-    to MODEL integerized to exact BIGINT, cumulative-sum inverse-CDF
-    at U_PICK over a total (y0,y1,y2) order.
+    to MODEL integerized to exact BIGINT, inverse-CDF at U_PICK over
+    the (bucket, y0, y1, y2) permutation. NO global single-task window:
+    phase 1 is a parallel per-bucket aggregation, phase 2 a windowed
+    cumsum inside only the crossing bucket, partitioned by the bucket
+    column. The bucket hash is plain integer arithmetic so the DuckDB
+    oracle reproduces the identical permutation.
     """
+    from clickhouse_k_means_spark.operators.sampling import two_phase_pick
+
     yh = _yh_lineitem(spark, sf_dir)
     s = nearest_centroid_struct("Y", MODEL)
+    bucket = F.pmod(
+        F.round(F.col("y0") * 100).cast("bigint") * 31
+        + F.round(F.col("y1") * 100).cast("bigint") * 17
+        + F.round(F.col("y2") * 10000).cast("bigint"),
+        F.lit(64),
+    )
     weighted = (
         yh.select("Y")
         .distinct()
@@ -187,19 +198,11 @@ def q_kmeanspp_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(s["dist"] * 1000).cast("bigint").alias("dmm"),
         )
         .filter(F.col("rawd") > 0)  # exclude exact-centroid points (J4)
+        .withColumn("b", bucket)
     )
-    running = Window.orderBy("y0", "y1", "y2").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cw = weighted.withColumn("cum", F.sum("dmm").over(running)).withColumn(
-        "total", F.sum("dmm").over(Window.partitionBy())
-    )
-    return (
-        cw.filter(F.col("total") * F.lit(U_PICK) < F.col("cum"))
-        .orderBy("cum", "y0", "y1", "y2")
-        .limit(1)
-        .select("y0", "y1", "y2")
-    )
+    return two_phase_pick(
+        weighted, U_PICK, weight="dmm", bucket="b", order=("y0", "y1", "y2")
+    ).select("y0", "y1", "y2")
 
 
 def q_limit_by_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,6 +277,37 @@ def q_silhouette_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = nearest_centroid_struct("Y", MODEL)
     pts = yh.select("i", "Y", s["j"].alias("j"))
+    a = pts.select(
+        F.col("i").alias("ia"), F.col("Y").alias("Ya"), F.col("j").alias("ja")
+    )
+    b = pts.select(
+        F.col("i").alias("ib"), F.col("Y").alias("Yb"), F.col("j").alias("jb")
+    )
+    dmm = F.round(l2_fixed("Ya", "Yb", len(FEATURES)) * 1000).cast("bigint")
+    pairs = a.crossJoin(b).filter(F.col("ia") != F.col("ib"))
+    same = F.col("ja") == F.col("jb")
+    return pairs.agg(
+        F.sum(F.when(same, dmm)).alias("same_mm"),
+        F.count(F.when(same, F.lit(1))).alias("same_n"),
+        F.sum(F.when(~same, dmm)).alias("cross_mm"),
+        F.count(F.when(~same, F.lit(1))).alias("cross_n"),
+    )
+
+
+def q_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 at scale: the silhouette numerators over a DETERMINISTIC
+    key-hash sample (plans/optimal_k.silhouette_hash_sample semantics,
+    fixed modulus 40) — the honest sub-quadratic path, now oracle-
+    checked at a fixed seed (VERDICT r1 item 9). Sampling error bound
+    documented in silhouette_hash_sample's docstring."""
+    from clickhouse_k_means_spark.functions.hashing import hash64
+
+    yh = _yh_lineitem(spark, sf_dir)
+    samp = yh.filter(
+        F.pmod(hash64(F.col("i").cast("string"), salt=42), F.lit(40)) == 0
+    )
+    s = nearest_centroid_struct("Y", MODEL)
+    pts = samp.select("i", "Y", s["j"].alias("j"))
     a = pts.select(
         F.col("i").alias("ia"), F.col("Y").alias("Ya"), F.col("j").alias("ja")
     )
@@ -702,6 +736,22 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via SRP bucket enumeration (the scale path) —
+    candidates from multi-table bucket collisions, exact-cosine
+    verified. Oracle: the brute-force cross-join form (fixture has no
+    near-dup pairs, so both sides agree on the empty set; recall on
+    planted duplicates is asserted in tests/test_extended_ops.py)."""
+    from clickhouse_k_means_spark.operators.similarity import (
+        embed_neardup_bucketed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embed_neardup_bucketed(emb, threshold=0.8, n_bits=8, n_tables=8)
+
+
 # ---- text analysis ----
 
 
@@ -714,13 +764,46 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass form: the normalize/tokenize work is staged ONCE
+    into columns and every rule (including the composite quality
+    score) is arithmetic over those scalars."""
+    from clickhouse_k_means_spark.functions.text import quality_score_from
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    staged = docs.select(
         "doc_id",
-        token_count("text").alias("n_tok"),
-        F.round(punct_ratio("text"), 4).alias("punct_r"),
-        F.round(stopword_ratio("text", "en"), 4).alias("sw_r"),
-        quality_score("text").alias("quality"),
+        F.length("text").alias("len_raw"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+        ).alias("n_punct"),
+        normalize_text("text").alias("nt"),
+        tokens("text").alias("tk"),
+    ).select(
+        "doc_id",
+        "len_raw",
+        "n_punct",
+        F.length("nt").alias("nt_len"),
+        F.size("tk").alias("n_tok"),
+        F.size(F.filter(F.col("tk"), lambda t: F.array_contains(sw, t))).alias(
+            "n_sw"
+        ),
+    )
+    praw = F.when(F.col("len_raw") == 0, F.lit(0.0)).otherwise(
+        F.col("n_punct") / F.col("len_raw").cast("double")
+    )
+    sraw = F.when(F.col("n_tok") == 0, F.lit(0.0)).otherwise(
+        F.col("n_sw") / F.col("n_tok").cast("double")
+    )
+    return staged.select(
+        "doc_id",
+        F.col("n_tok"),
+        F.round(praw, 4).alias("punct_r"),
+        F.round(sraw, 4).alias("sw_r"),
+        quality_score_from(
+            F.col("n_tok"), praw, sraw, F.col("nt_len")
+        ).alias("quality"),
     )
 
 
@@ -743,51 +826,113 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kmeans_fit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full k-means++/Lloyd fit (iterative — no single SQL oracle);
-    returns the WCR-parity history table."""
+    returns the WCR-parity history with per-dimension scalar centroid
+    columns (the gate canonicalizer cannot sort array<double> cells —
+    CORRECTNESS_r01 err)."""
     from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
 
     yh = load_yh(spark, sf_dir, "lineitem")
     res = KMeansEngine(k=4, seed=42, max_iter=30).fit(yh)
-    return res.history_df(spark)
+    hist = res.history_df(spark)
+    return hist.select(
+        "step", "j", *[F.col("C")[d].alias(f"c{d}") for d in range(len(FEATURES))]
+    )
+
+
+def q_kmeans_fit_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-restart fit (``fit_best``, n_init=3): structural oracle —
+    the winning model must keep every cluster populated and assign
+    every input row exactly once. (Centroid quality vs a canonical
+    k-means++ reimplementation is asserted in tests/test_kmeans.py.)"""
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+
+    yh = load_yh(spark, sf_dir, "lineitem")
+    eng = KMeansEngine(k=4, seed=42, max_iter=30)
+    res = eng.fit_best(yh, n_init=3)
+    assigned = eng.assign(yh, res.model)
+    return assigned.agg(
+        F.countDistinct("j").cast("bigint").alias("k_clusters"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
 
 
 def q_mllib_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib fast path (k-means|| init): per-cluster sizes."""
+    """MLlib fast path (k-means|| init). The centroids are
+    approximate-by-design (different init than the reference), so the
+    oracle checks the structural invariants: all k clusters populated,
+    every row assigned exactly once."""
     from clickhouse_k_means_spark.plans.kmeans import mllib_kmeans
 
     yh = load_yh(spark, sf_dir, "lineitem")
     assigned, _ = mllib_kmeans(yh, k=4, seed=42, max_iter=20)
-    return assigned.groupBy("j").agg(F.count(F.lit(1)).alias("n"))
+    return assigned.agg(
+        F.countDistinct("j").cast("bigint").alias("k_clusters"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def _ann_queries_corpus(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5)
+
+
+def _recall_vs_brute(spark, sf_dir, approx: DataFrame, min_hits: int) -> DataFrame:
+    """(n_queries, n_recall_pass): per-query hits@10 of ``approx``
+    against the exact brute-force top-10, thresholded at ``min_hits``.
+
+    Both paths are computed in-query from the same fixture, so the
+    output is a deterministic scalar pair the oracle asserts exactly
+    (VERDICT r1 item 2: 'assert recall in-query'). Thresholds sit well
+    under the measured per-query hits so parameter-insensitive noise
+    can't flip the gate.
+    """
+    from clickhouse_k_means_spark.operators.similarity import brute_force_topk
+
+    q, c = _ann_queries_corpus(spark, sf_dir)
+    exact = brute_force_topk(
+        q, c, k=10, query_key="vec_id", corpus_key="vec_id"
+    ).select("q", "n", F.lit(1).alias("hit"))
+    marked = approx.select("q", "n").join(exact, ["q", "n"], "left")
+    per_q = marked.groupBy("q").agg(
+        F.sum(F.coalesce("hit", F.lit(0))).alias("hits")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("hits") >= min_hits, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_recall_pass"),
+    )
 
 
 def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via SRP-LSH buckets (scale path; approximate by
-    design → rows-only check)."""
+    """Approximate ANN via multi-table SRP-LSH buckets (the scale
+    path). Emits (n_queries, n_recall_pass) vs the in-query brute-force
+    baseline; measured hits@10 at sf0.01 are 7-9 per query, gate
+    threshold 5."""
     from clickhouse_k_means_spark.operators.similarity import srp_bucketed_topk
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    q, c = _ann_queries_corpus(spark, sf_dir)
+    approx = srp_bucketed_topk(
+        q, c, k=10, n_bits=6, n_tables=8, seed=42,
+        query_key="vec_id", corpus_key="vec_id",
     )
-    q = emb.filter(F.col("vec_id") < 5)
-    c = emb.filter(F.col("vec_id") >= 5)
-    return srp_bucketed_topk(
-        q, c, k=10, n_bits=8, seed=42, query_key="vec_id", corpus_key="vec_id"
-    )
+    return _recall_vs_brute(spark, sf_dir, approx, min_hits=5)
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: coarse k-means quantizer + nprobe cell search
-    (approximate by design → rows-only check)."""
+    """IVF ANN: coarse k-means quantizer + nprobe cell search. Emits
+    (n_queries, n_recall_pass) vs the in-query brute-force baseline;
+    measured hits@10 are 7-10 per query at sf0.001 and sf0.01, gate
+    threshold 6."""
     from clickhouse_k_means_spark.operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    q, c = _ann_queries_corpus(spark, sf_dir)
+    approx = ivf_topk(
+        q, c, k=10, nlist=8, nprobe=5, query_key="vec_id", corpus_key="vec_id"
     )
-    q = emb.filter(F.col("vec_id") < 5)
-    c = emb.filter(F.col("vec_id") >= 5)
-    return ivf_topk(
-        q, c, k=10, nlist=8, nprobe=2, query_key="vec_id", corpus_key="vec_id"
-    )
+    return _recall_vs_brute(spark, sf_dir, approx, min_hits=6)
 
 
 def q_streaming_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,34 +951,52 @@ def q_streaming_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         query = skm.attach(stream, checkpoint=ckpt, query_name="q_streaming_kmeans")
         query.awaitTermination()
         query.stop()
-    return spark.createDataFrame(
-        [(j, float(c[0]), float(skm.counts[j])) for j, c in skm.model],
-        "j int, c0 double, weight double",
+    # single availableNow batch over one fixture file → the decay blend
+    # reduces to per-cluster plain means (n_old = 0), which the DuckDB
+    # oracle recomputes; c0 rounded to absorb double-sum order noise
+    raw = spark.createDataFrame(
+        [(j, float(c[0]), int(round(skm.counts[j]))) for j, c in skm.model],
+        "j int, c0_raw double, weight bigint",
     )
+    return raw.select("j", F.round("c0_raw", 4).alias("c0"), "weight")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through Arrow-batched
     mapInPandas (decode is a deterministic fake — no codecs in this
-    container; the Spark plumbing is real)."""
+    container; the Spark plumbing is real). Features are exploded to
+    per-dimension integerized scalars so the DuckDB oracle can replay
+    the md5 hex chain value-for-value."""
     from clickhouse_k_means_spark.operators.multimodal import (
         extract_features,
         synth_multimodal,
     )
 
     mm = synth_multimodal(spark, n=200, payload_bytes=128)
-    return extract_features(mm, dim=8)
+    feats = extract_features(mm, dim=8)
+    return feats.select(
+        "id", "modality", F.posexplode("features").alias("d", "v")
+    ).select(
+        "id",
+        "modality",
+        "d",
+        F.round(F.col("v") * 1000000).cast("bigint").alias("v_mm"),
+    )
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video → sampled frames (row-multiplying mapInPandas stage)."""
+    """Video → sampled frames (row-multiplying mapInPandas stage); the
+    frame digest is emitted as hex so the oracle can recompute it."""
     from clickhouse_k_means_spark.operators.multimodal import (
         sample_frames,
         synth_multimodal,
     )
 
     mm = synth_multimodal(spark, n=200, payload_bytes=128)
-    return sample_frames(mm, every_n=4, n_frames=3).select("id", "frame_idx")
+    fr = sample_frames(mm, every_n=4, n_frames=3)
+    return fr.select(
+        "id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex")
+    )
 
 
 def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offset_pick": q_offset_pick,
         "elbow_total": q_elbow_total,
         "silhouette_sums": q_silhouette_sums,
+        "silhouette_sampled": q_silhouette_sampled,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -907,11 +1071,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "embed_neardup": q_embed_neardup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "kmeans_fit_history": q_kmeans_fit_history,
+        "kmeans_fit_best": q_kmeans_fit_best,
         "mllib_kmeans": q_mllib_kmeans,
         "srp_ann": q_srp_ann,
         "ivf_ann": q_ivf_ann,
@@ -1005,11 +1171,16 @@ def oracle_sql() -> dict[str, str]:
             "from d group by 1"
         ),
         "kmeanspp_pick": (
+            # the oracle replays the two-phase pick as ONE global
+            # inverse-CDF over the identical (bucket, y0, y1, y2)
+            # permutation — mathematically the same draw
             "with pts as (select distinct l_quantity::DOUBLE as y0, "
             "l_extendedprice::DOUBLE as y1, l_discount::DOUBLE as y2 from lineitem), "
             f"wts as (select y0, y1, y2, {_dist_min_sql()} from pts), "
-            "pos as (select * from wts where rawd > 0), "
-            "cw as (select y0, y1, y2, sum(dmm) over (order by y0, y1, y2 "
+            "pos as (select *, (round(y0 * 100)::BIGINT * 31 + "
+            "round(y1 * 100)::BIGINT * 17 + round(y2 * 10000)::BIGINT) % 64 as b "
+            "from wts where rawd > 0), "
+            "cw as (select y0, y1, y2, sum(dmm) over (order by b, y0, y1, y2 "
             "rows between unbounded preceding and current row) as cum, "
             "sum(dmm) over () as total from pos) "
             f"select y0, y1, y2 from cw where total * {U_PICK} < cum "
@@ -1041,6 +1212,23 @@ def oracle_sql() -> dict[str, str]:
             f"l_quantity as y0, l_extendedprice as y1, l_discount as y2, "
             f"({_argmin_j_sql_cols()})::INT as j from ("
             f"select *, {_dists_cols_sql()} from lineitem where l_orderkey % 100 = 0)), "
+            "pp as (select a.j as aj, b.j as bj, "
+            "round(sqrt((a.y0 - b.y0) * (a.y0 - b.y0) + (a.y1 - b.y1) * "
+            "(a.y1 - b.y1) + (a.y2 - b.y2) * (a.y2 - b.y2)) * 1000)::BIGINT as dmm "
+            "from base a join base b on a.i != b.i) "
+            "select sum(case when aj = bj then dmm end)::BIGINT as same_mm, "
+            "count(case when aj = bj then 1 end)::BIGINT as same_n, "
+            "sum(case when aj != bj then dmm end)::BIGINT as cross_mm, "
+            "count(case when aj != bj then 1 end)::BIGINT as cross_n from pp"
+        ),
+        "silhouette_sampled": (
+            "with base as (select l_orderkey * 10 + l_linenumber as i, "
+            "l_quantity as y0, l_extendedprice as y1, l_discount as y2, "
+            f"({_argmin_j_sql_cols()})::INT as j from ("
+            f"select *, {_dists_cols_sql()} from lineitem) "
+            "where ('0x' || substr(md5('42#' || "
+            "(l_orderkey * 10 + l_linenumber)::VARCHAR), 1, 15))::BIGINT "
+            "% 40 = 0), "
             "pp as (select a.j as aj, b.j as bj, "
             "round(sqrt((a.y0 - b.y0) * (a.y0 - b.y0) + (a.y1 - b.y1) * "
             "(a.y1 - b.y1) + (a.y2 - b.y2) * (a.y2 - b.y2)) * 1000)::BIGINT as dmm "
@@ -1232,6 +1420,16 @@ def oracle_sql() -> dict[str, str]:
             "where qa.vec_id < 200 and qb.vec_id < 200 and qa.vec_id < qb.vec_id "
             f"and round({cos}, 4) >= 0.8"
         ),
+        # scale-path twin: SRP candidate enumeration + exact verify.
+        # Exact on the fixture (no near-dup pairs exist; any pair the
+        # brute force finds but a bucket collision misses would be a
+        # recall gap, asserted >=0.9 on planted dups in tests)
+        "embed_neardup_lsh": (
+            f"{emb_cte} select qa.vec_id as a, qb.vec_id as b, "
+            f"round({cos}, 4) as sim from e qa, e qb "
+            "where qa.vec_id < 200 and qb.vec_id < 200 and qa.vec_id < qb.vec_id "
+            f"and round({cos}, 4) >= 0.8"
+        ),
         "lang_id": (
             f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
             f"hits as ({lang_hits}) "
@@ -1252,7 +1450,91 @@ def oracle_sql() -> dict[str, str]:
             f"select doc_id, list_min(list_transform(sh, s -> {_hash64_sql('s')})) "
             "as fp from shc"
         ),
+        # ---- formerly rows-only (VERDICT r1 item 2) ----
+        # fit_best / MLlib k-means are iterative and approximate-by-
+        # design; the oracle checks structural invariants (k clusters
+        # populated, every row assigned once)
+        "kmeans_fit_best": (
+            "select 4::BIGINT as k_clusters, count(*)::BIGINT as n_total "
+            "from lineitem"
+        ),
+        "mllib_kmeans": (
+            "select 4::BIGINT as k_clusters, count(*)::BIGINT as n_total "
+            "from lineitem"
+        ),
+        # ANN recall gates: the Spark query computes approximate AND
+        # exact paths from the same fixture and thresholds per-query
+        # hits@10; the oracle asserts every query passed
+        "srp_ann": (
+            "select 5::BIGINT as n_queries, 5::BIGINT as n_recall_pass"
+        ),
+        "ivf_ann": (
+            "select 5::BIGINT as n_queries, 5::BIGINT as n_recall_pass"
+        ),
+        # single availableNow batch → the decay blend reduces to plain
+        # per-cluster means over the nearest of the initial centroids
+        # (3, 9, 15); rounding absorbs double-sum order noise
+        "streaming_kmeans": (
+            "with a as (select value, case "
+            "when abs(value - 3.0) <= abs(value - 9.0) "
+            "and abs(value - 3.0) <= abs(value - 15.0) then 1 "
+            "when abs(value - 9.0) <= abs(value - 15.0) then 2 "
+            "else 3 end as j from events), "
+            "g as (select j, avg(value) as m, count(*) as cnt from a group by j) "
+            "select c.j, round(coalesce(g.m, c.c0), 4) as c0, "
+            "coalesce(g.cnt, 0)::BIGINT as weight "
+            "from (values (1, 3.0), (2, 9.0), (3, 15.0)) c(j, c0) "
+            "left join g on c.j = g.j"
+        ),
+        # the tumbling-window stream replayed availableNow equals the
+        # batch 5-minute bucketing (same oracle as time_buckets)
+        "streaming_windows": (
+            "with b as (select epoch_ns(ts) // 1000000000 as es, event_type, value "
+            "from events) select es - es % 300 as bucket_s, event_type, "
+            "count(*)::BIGINT as n, sum(round(value * 100)::BIGINT)::BIGINT as "
+            "value_c from b group by 1, 2"
+        ),
+        # multimodal fakes: the md5 hex chain is replayed value-for-value
+        "multimodal_features": _multimodal_features_sql(),
+        "multimodal_frames": _multimodal_frames_sql(),
     }
+
+
+_MM_N = 200
+_MM_REPS = 8  # 128 payload bytes → 8 md5 chunks (multimodal.py)
+
+
+def _mm_payload_hex_sql() -> str:
+    """The synth payload's lowercase hex string: concatenated md5 hex
+    of (id, '#chunk') — matches synth_multimodal chunk-for-chunk."""
+    return " || ".join(
+        f"md5(id::VARCHAR || '#{r}')" for r in range(_MM_REPS)
+    )
+
+
+def _multimodal_features_sql() -> str:
+    return (
+        f"with ids as (select range as id from range({_MM_N})), "
+        f"pay as (select id, ({_mm_payload_hex_sql()}) as ph from ids), "
+        "dig as (select id, md5(ph) as h from pay), "
+        "dims as (select range as d from range(8)) "
+        "select id, ['image','audio','video'][(id % 3 + 1)::INT] as modality, "
+        "d::INT as d, "
+        "round((('0x' || substr(h, (1 + 2 * d)::INT, 2))::INT / 127.5 - 1.0) "
+        "* 1000000)::BIGINT as v_mm "
+        "from dig cross join dims"
+    )
+
+
+def _multimodal_frames_sql() -> str:
+    return (
+        f"with ids as (select range as id from range({_MM_N})), "
+        f"pay as (select id, ({_mm_payload_hex_sql()}) as ph from ids "
+        "where id % 3 = 2), "  # modality 'video'
+        "fidx as (select (range * 4)::INT as frame_idx from range(3)) "
+        "select id, frame_idx, md5(ph || frame_idx::VARCHAR) as frame_hex "
+        "from pay cross join fidx"
+    )
 
 
 def _dist_min_sql() -> str:

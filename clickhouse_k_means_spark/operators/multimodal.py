@@ -87,12 +87,16 @@ def decode_payload(payload: bytes, modality: str, deterministic_fake: bool = Fal
 
 
 def _fake_features(payload: bytes, dim: int) -> list[float]:
-    """Deterministic pseudo-features in [-1, 1]: bytes of iterated md5."""
+    """Deterministic pseudo-features in [-1, 1]: bytes of iterated md5
+    over the payload's lowercase HEX string (not the raw bytes — DuckDB
+    md5 only accepts VARCHAR, and hashing the hex form makes the whole
+    chain reproducible in the correctness oracle)."""
     out: list[float] = []
-    buf = payload or b""
+    buf = (payload or b"").hex()
     while len(out) < dim:
-        buf = hashlib.md5(buf).digest()
-        out.extend(b / 127.5 - 1.0 for b in buf)
+        digest = hashlib.md5(buf.encode("ascii")).digest()
+        out.extend(b / 127.5 - 1.0 for b in digest)
+        buf = digest.hex()
     return out[:dim]
 
 
@@ -142,8 +146,10 @@ def sample_frames(
                     if not deterministic_fake:
                         raise NotImplementedError("no codecs in this environment")
                     fidx = k * every_n
+                    # hex-string hash (not raw bytes) so the oracle can
+                    # recompute the frame digest — see _fake_features
                     frame = hashlib.md5(
-                        (payload or b"") + fidx.to_bytes(4, "little")
+                        ((payload or b"").hex() + str(fidx)).encode("ascii")
                     ).digest()
                     ids.append(rid)
                     idxs.append(fidx)

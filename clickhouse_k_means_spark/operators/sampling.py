@@ -25,6 +25,8 @@ Spark mapping and scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,6 +55,67 @@ def weighted_pick(
     """
     cw = cumulative_weights(df, weight, order)
     return cw.filter(F.col("total") * F.lit(float(u)) < F.col("cum")).orderBy("cum").limit(1)
+
+
+def two_phase_pick(
+    weighted: DataFrame,
+    u: float,
+    weight: str = "w",
+    bucket: str = "b",
+    order: Sequence[str] = ("w",),
+) -> DataFrame:
+    """Scale-safe inverse-CDF pick at fraction ``u`` — no global
+    single-task window (SURVEY W2 note; VERDICT r1 item 3).
+
+    ``weighted`` must carry an exact integer ``weight`` column (BIGINT —
+    quantize first; float sums are order-dependent) and a ``bucket``
+    column (any deterministic hash/int). Two phases:
+
+    1. per-bucket weight sums aggregate in parallel; one small row per
+       bucket reaches the driver, which locates the bucket whose
+       cumulative range [offset, offset+sum) contains ``u * total``;
+    2. only THAT bucket's rows (≈ n/n_buckets) get a windowed running
+       sum — and the window is PARTITIONED by the (now-constant) bucket
+       column, so no unpartitioned WindowExec / single-task exchange
+       appears anywhere in the plan.
+
+    The induced permutation is (bucket, *order) — any fixed order is a
+    valid inverse-CDF permutation. Returns the one picked row.
+    """
+    sums = {
+        r[bucket]: r["__s"]
+        for r in weighted.groupBy(bucket).agg(F.sum(weight).alias("__s")).collect()
+    }
+    sums = {b: s for b, s in sums.items() if s}
+    if not sums:
+        raise ValueError("two_phase_pick: no rows with nonzero weight")
+    total = sum(sums.values())
+    threshold = total * u
+    offset = 0
+    target_bucket, bucket_offset = None, 0
+    for b in sorted(sums):
+        if offset + sums[b] > threshold:
+            target_bucket, bucket_offset = b, offset
+            break
+        offset += sums[b]
+    if target_bucket is None:
+        # float(total) * u rounded to >= total (u ~ 1, huge total):
+        # inverse-CDF semantics for u -> 1 = the last weighted row
+        target_bucket = sorted(sums)[-1]
+        bucket_offset = total - sums[target_bucket]
+        threshold = float(total) - 0.5  # strictly below the final cum
+    running = (
+        Window.partitionBy(bucket)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weighted.filter(F.col(bucket) == target_bucket)
+        .withColumn("cum", F.sum(weight).over(running) + F.lit(int(bucket_offset)))
+        .filter(F.col("cum") > F.lit(float(threshold)))
+        .orderBy("cum", *order)
+        .limit(1)
+    )
 
 
 def partitioned_cumsum(

@@ -104,6 +104,75 @@ def srp_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     return out
 
 
+def embed_neardup_bucketed(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(a, b, sim)`` with
+    ``a < b`` and ``sim >= threshold`` — the scale path (VERDICT r1
+    item 4): candidate pairs come from a multi-table SRP bucket
+    self-join (same (table, bucket) only — never the O(n²) cross
+    join), then every candidate is EXACT-cosine verified, so precision
+    is 1.0 by construction and only recall is approximate (per-table
+    collision p = (1-θ/π)^n_bits compounds over tables as 1-(1-p)^L;
+    at sim 0.9+, 8×8 gives >0.9 recall — tests/test_extended_ops.py).
+
+    At 100 TB: one narrow bucketing pass, one shuffle keyed by
+    (table, bucket), and the verify join touches candidate pairs only.
+    The brute-force cross-join form stays as the fixture-scale oracle.
+    """
+    head = df.select(vec).first()
+    if head is None:
+        return df.sparkSession.createDataFrame(
+            [], "a bigint, b bigint, sim double"
+        )
+    dim = len(head[0])
+    tables = [
+        srp_hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+    b0 = df.select(
+        F.col(key).alias("k"),
+        *[
+            srp_bucket(vec, planes).alias(f"b{t}")
+            for t, planes in enumerate(tables)
+        ],
+    )
+    banded = b0.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("k", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    left = banded.select(F.col("k").alias("a"), "t", "bucket")
+    right = banded.select(F.col("k").alias("b"), "t", "bucket")
+    cand = (
+        left.join(right, ["t", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = df.select(F.col(key).alias("a"), F.col(vec).alias("ea"))
+    vb = df.select(F.col(key).alias("b"), F.col(vec).alias("eb"))
+    sim = F.round(cosine_fixed("ea", "eb", dim), 4)
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -177,6 +246,7 @@ def srp_bucketed_topk(
     corpus: DataFrame,
     k: int = 10,
     n_bits: int = 8,
+    n_tables: int = 1,
     seed: int = 42,
     multi_probe: bool = True,
     query_key: str = "q",
@@ -185,35 +255,71 @@ def srp_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via SRP-LSH buckets.
 
-    Corpus rows are bucketed once (narrow pass); each query probes its
-    bucket and, with ``multi_probe``, all buckets at Hamming distance 1
-    (n_bits+1 probes — standard recall boost). The join shuffles on the
-    bucket id; candidates then get exact cosine re-ranking. Recall is
-    approximate by design; callers needing exact results use
-    ``brute_force_topk``.
+    Corpus rows are bucketed once per hash table (narrow pass); each
+    query probes its bucket in every table and, with ``multi_probe``,
+    all buckets at Hamming distance 1 (n_bits+1 probes per table — the
+    standard recall boost). ``n_tables`` independent hyperplane sets
+    union their candidates (classic multi-table LSH: per-table miss
+    probability compounds as (1-p)^L, the recall knob that single-table
+    SRP lacks on low-similarity neighbor sets). The join shuffles on
+    (table, bucket); candidates get exact cosine re-ranking after
+    dedup. Recall is approximate by design; callers needing exact
+    results use ``brute_force_topk``.
     """
     head = queries.select(vec).first()
     dim = len(head[0])
-    planes = srp_hyperplanes(dim, n_bits=n_bits, seed=seed)
-    c = corpus.select(
+    tables = [
+        srp_hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+    # two-step selects: compute each table's bucket id ONCE into a
+    # column, then reference the column from the probe structs — a
+    # one-step form would clone the unrolled dot-product tree into
+    # every struct (n_tables × (n_bits+1) copies of a dim×n_bits
+    # expression), exploding analysis/codegen cost
+    c0 = corpus.select(
         F.col(corpus_key).alias("n"),
         F.col(vec).alias("cv"),
-        srp_bucket(vec, planes).alias("bucket"),
+        *[
+            srp_bucket(vec, planes).alias(f"b{t}")
+            for t, planes in enumerate(tables)
+        ],
     )
-    qb = queries.select(
+    c = c0.select(
+        "n",
+        "cv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("n", "cv", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    q0 = queries.select(
         F.col(query_key).alias("q"),
         F.col(vec).alias("qv"),
-        srp_bucket(vec, planes).alias("bucket0"),
+        *[
+            srp_bucket(vec, planes).alias(f"b{t}")
+            for t, planes in enumerate(tables)
+        ],
     )
-    if multi_probe:
-        probes = F.array(
-            F.col("bucket0"),
-            *[F.col("bucket0").bitwiseXOR(F.lit(1 << b).cast("bigint")) for b in range(n_bits)],
-        )
-        q = qb.select("q", "qv", F.explode(probes).alias("bucket"))
-    else:
-        q = qb.select("q", "qv", F.col("bucket0").alias("bucket"))
-    cand = c.join(F.broadcast(q), "bucket").select(
+    q_probes = []
+    for t in range(n_tables):
+        b0 = F.col(f"b{t}")
+        per_table = [b0]
+        if multi_probe:
+            per_table += [
+                b0.bitwiseXOR(F.lit(1 << b).cast("bigint")) for b in range(n_bits)
+            ]
+        q_probes += [
+            F.struct(F.lit(t).alias("t"), p.alias("bucket")) for p in per_table
+        ]
+    q = q0.select(
+        "q", "qv", F.explode(F.array(*q_probes)).alias("tb")
+    ).select("q", "qv", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    cand = c.join(F.broadcast(q), ["t", "bucket"]).select(
         "q", "n", cosine_fixed("qv", "cv", dim).alias("score")
     )
     order = [F.col("score").desc(), F.col("n").asc()]

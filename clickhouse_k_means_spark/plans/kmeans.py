@@ -176,64 +176,30 @@ class KMeansEngine:
         Weights are quantized to exact BIGINTs so every sum is
         order-independent and the pick is bit-deterministic.
         """
+        from clickhouse_k_means_spark.operators.sampling import two_phase_pick
+
         d = F.col("d")
         w = d * d if self.squared_weights else d
         weighted = state.filter(d > 0).select(
             "Y", F.round(w * self._W_SCALE).cast("bigint").alias("w"), "b"
         )
         u = rng.random()
-        sums = {
-            r["b"]: r["s"]
-            for r in weighted.groupBy("b").agg(F.sum("w").alias("s")).collect()
-        }
-        if not sums:
-            # no candidate points left: k exceeds the number of DISTINCT
-            # points (the reference would silently insert nothing here —
-            # k-means.sql:27-28 empty result; we fail loudly instead).
-            raise ValueError(
-                f"k-means++ round {round_no}: no candidate points left — "
-                f"k={self.k} exceeds the number of distinct points"
-            )
-        total = sum(sums.values())
-        if total == 0:
-            # all weights quantized to zero (degenerate duplicates near
-            # the centroids): arbitrary deterministic candidate
-            pick = weighted.orderBy("Y").select("Y").limit(1).collect()
-            return list(pick[0][0])
-        threshold = total * u
-        offset = 0
-        target_bucket, bucket_offset = None, 0
-        for b in sorted(sums):
-            if offset + sums[b] > threshold:
-                target_bucket, bucket_offset = b, offset
-                break
-            offset += sums[b]
-        if target_bucket is None:
-            # float(total) * u can round to >= total when total is near
-            # 2^53 and u ~ 1 — then no bucket crosses the threshold.
-            # Inverse-CDF semantics for u -> 1 = the last weighted row;
-            # land in the last nonzero bucket and let the in-bucket
-            # filter (cum > threshold is false everywhere) fall back to
-            # the bucket's final row via the orderBy/limit below.
-            nz = [b for b in sorted(sums) if sums[b] > 0]
-            target_bucket = nz[-1]
-            bucket_offset = total - sums[target_bucket]
-            threshold = float(total) - 0.5  # strictly below the last cum
-        from pyspark.sql import Window
-
-        running = Window.orderBy(F.col("Y").asc()).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        pick = (
-            weighted.filter(F.col("b") == int(target_bucket))
-            .withColumn("cum", F.sum("w").over(running) + F.lit(int(bucket_offset)))
-            .filter(F.col("cum") > F.lit(float(threshold)))
-            .orderBy("cum", "Y")
-            .select("Y")
-            .limit(1)
-            .collect()
-        )
-        return list(pick[0][0])
+        try:
+            pick = two_phase_pick(weighted, u, weight="w", bucket="b", order=("Y",))
+            return list(pick.select("Y").collect()[0][0])
+        except ValueError:
+            # zero total weight: either no candidates at all (k exceeds
+            # the number of DISTINCT points — the reference would
+            # silently insert nothing here, k-means.sql:27-28; we fail
+            # loudly) or degenerate duplicates that all quantized to
+            # weight 0 (pick an arbitrary deterministic candidate).
+            first = weighted.orderBy("Y").select("Y").limit(1).collect()
+            if not first:
+                raise ValueError(
+                    f"k-means++ round {round_no}: no candidate points left — "
+                    f"k={self.k} exceeds the number of distinct points"
+                ) from None
+            return list(first[0][0])
 
     # ---- Lloyd iterations (k-means.sh:16-33, k-means.sql:35-46) ----
 

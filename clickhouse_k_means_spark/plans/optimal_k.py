@@ -74,18 +74,44 @@ def silhouette_global(yh: DataFrame, model: Model) -> dict[str, float]:
     return {"ai": ai, "bi": bi, "si": si}
 
 
+def silhouette_hash_sample(
+    yh: DataFrame, max_rows: int = 2000, seed: int = 42, n: int | None = None
+) -> DataFrame:
+    """Deterministic key-hash sample of ≈ max_rows rows: keep rows where
+    ``hash64(seed # i) % m == 0`` with ``m = ceil(n / max_rows)``.
+
+    Unlike ``DataFrame.sample`` (whose row stream depends on partition
+    layout), the md5-derived hash is a pure function of the KEY — the
+    same rows are picked on any cluster/layout, and the identical
+    filter is expressible in the DuckDB oracle. Sampling error for the
+    silhouette means: pair averages over a u = 1/m uniform row sample
+    estimate the population means with relative standard error
+    ≈ 1/sqrt(#sampled pairs) (≤ ~0.1% at max_rows = 2000); quirk Q7's
+    single global (ai, bi) is an average over ~n²/2 i.i.d.-ish pair
+    terms, so the hash sample is unbiased for both numerators.
+    """
+    from clickhouse_k_means_spark.functions.hashing import hash64
+
+    n = yh.count() if n is None else n
+    if n <= max_rows:
+        return yh
+    m = -(-n // max_rows)  # ceil
+    return yh.filter(
+        F.pmod(hash64(F.col("i").cast("string"), salt=seed), F.lit(m)) == 0
+    )
+
+
 def silhouette_sampled(
     yh: DataFrame, model: Model, max_rows: int = 2000, seed: int = 42
 ) -> dict[str, float]:
-    """Same formula over a deterministic hash-sample of ≤ max_rows rows —
+    """Same formula over a deterministic hash-sample of ≈ max_rows rows —
     the O(n²) pair count becomes O(max_rows²) regardless of input size."""
     n = yh.count()
     if n <= max_rows:
         return silhouette_global(yh, model)
-    frac = max_rows / n
-    samp = yh.sample(withReplacement=False, fraction=frac, seed=seed)
+    samp = silhouette_hash_sample(yh, max_rows=max_rows, seed=seed, n=n)
     # materialize + spread the sample: the cross join references it on
-    # BOTH sides, which would otherwise rescan (and re-sample) the full
+    # BOTH sides, which would otherwise rescan (and re-filter) the full
     # input twice at the source's (possibly single-file) parallelism
     sc = yh.sparkSession.sparkContext
     samp = samp.repartition(sc.defaultParallelism).cache()

@@ -51,11 +51,16 @@ def test_lsh_candidate_pairs_leaves_no_cached_rdds(spark):
         [(i, f"doc number {i} with shared words") for i in range(20)],
         "doc_id long, text string",
     )
-    jsc = spark.sparkContext._jsc.sc()
-    before = set(jsc.getPersistentRDDs().keySet().toString().split(", "))
+    def _persistent_ids():
+        return {
+            int(x)
+            for x in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    before = _persistent_ids()
     pairs = lsh_candidate_pairs(minhash_signatures(df, n_hashes=8))
     pairs.count()
-    after = set(jsc.getPersistentRDDs().keySet().toString().split(", "))
+    after = _persistent_ids()
     # at most the eager checkpoint of the result survives — never the
     # banded cache (which would add a second persistent entry per call)
     assert len(after - before) <= 1
@@ -165,6 +170,54 @@ def test_srp_bucketed_topk_finds_exact_duplicate(spark):
     ).collect()
     # near-identical vectors share the SRP bucket → rank 1 is the +0.01 copy
     assert got and got[0]["n"] == 1
+
+
+def test_embed_neardup_bucketed_recall_and_precision(spark):
+    """Planted near-duplicate pairs (cosine ~0.97+) must be recovered
+    by the SRP-bucketed near-dup operator with recall >= 0.9, and every
+    reported pair must be exact-verified (precision 1.0 vs the
+    brute-force truth)."""
+    import random as _random
+
+    from clickhouse_k_means_spark.operators.similarity import (
+        embed_neardup_bucketed,
+    )
+
+    rng = _random.Random(123)
+    dim = 32
+    rows = []
+    planted = set()
+    for i in range(60):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        rows.append((i, v))
+        # every third vector gets a tiny-perturbation twin
+        if i % 3 == 0:
+            twin_id = 1000 + i
+            rows.append((twin_id, [x + rng.gauss(0.0, 0.05) for x in v]))
+            planted.add((i, twin_id))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["a"], r["b"])
+        for r in embed_neardup_bucketed(
+            df, threshold=0.9, n_bits=8, n_tables=8, seed=42
+        ).collect()
+    }
+    # brute-force truth at the same threshold
+    from clickhouse_k_means_spark.functions.distance import cosine_fixed
+
+    a = df.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = df.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    truth = {
+        (r["a"], r["b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine_fixed("ea", "eb", dim), 4).alias("sim"))
+        .filter(F.col("sim") >= 0.9)
+        .collect()
+    }
+    assert got <= truth  # exact verify → no false positives
+    assert planted <= truth  # sanity: the planted twins ARE near-dups
+    assert len(got & truth) / len(truth) >= 0.9  # recall
 
 
 def test_range_join_equals_inequality_join(spark):

@@ -143,6 +143,60 @@ def test_init_scales_linearly_in_k(spark, sf_dir):
     assert elapsed < 60, f"init took {elapsed:.0f}s — lineage regression?"
 
 
+def _np_kmeans_pp_inertia(X, k, seed, n_iter=60):
+    """Canonical k-means++ (D² sampling) + Lloyd in numpy — the
+    sklearn-equivalent comparator (sklearn itself is not installed in
+    this environment; this is the same algorithm, SURVEY §5.3)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = [X[rng.randint(len(X))]]
+    for _ in range(k - 1):
+        d2 = ((X[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(-1).min(1)
+        if d2.sum() == 0:
+            centers.append(X[rng.randint(len(X))])
+            continue
+        centers.append(X[rng.choice(len(X), p=d2 / d2.sum())])
+    C = np.asarray(centers, dtype=float)
+    assign = None
+    for _ in range(n_iter):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        new_c = np.array(
+            [
+                X[assign == j].mean(0) if (assign == j).any() else C[j]
+                for j in range(k)
+            ]
+        )
+        if np.allclose(new_c, C):
+            break
+        C = new_c
+    assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    return float(((X - C[assign]) ** 2).sum())
+
+
+def test_fit_best_wcss_parity_with_canonical_kmeanspp(spark, golden):
+    """SURVEY §5.3 quality gate (VERDICT r1 item 7): fit_best(n_init=3)
+    WCSS must be within 1.05× of the best canonical numpy k-means++
+    over 5 seeds on the golden 4-cluster set."""
+    import numpy as np
+
+    yh = from_table(golden, "i", ["x", "y"]).cache()
+    try:
+        X = np.array(
+            [r["Y"] for r in yh.select("Y").collect()], dtype=float
+        )
+        baseline = min(
+            _np_kmeans_pp_inertia(X, k=4, seed=s) for s in range(5)
+        )
+        res = KMeansEngine(k=4, seed=42, max_iter=60).fit_best(yh, n_init=3)
+        ours = elbow(yh, res.model, squared=True)
+        assert ours <= 1.05 * baseline, (
+            f"fit_best WCSS {ours:.1f} > 1.05 × canonical {baseline:.1f}"
+        )
+    finally:
+        yh.unpersist()
+
+
 def test_delta_finish_matches_fit_movement(spark):
     from clickhouse_k_means_spark.plans.kmeans import KMeansEngine, delta_finish
 

@@ -78,7 +78,11 @@ def test_oracle_parity(key, spark, sf_dir):
 @pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
 def test_rows_only_queries_run(key, spark, sf_dir):
     df = QUERIES[key](spark, sf_dir)
-    assert df.count() >= 0
+    # the driver gate canonicalizes (sorts) EVERY query's output, even
+    # rows-only ones — unhashable cells (arrays/maps) err the gate row
+    # (CORRECTNESS_r01), so run the same canonicalization here
+    pdf = _canon(df.toPandas())
+    assert len(pdf) >= 0
     assert len(df.schema) > 0
 
 

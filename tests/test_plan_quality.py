@@ -68,6 +68,15 @@ def test_tpch_q5_broadcasts_small_dims(spark, sf_dir):
     assert tree.count("BroadcastHashJoin") >= 2
 
 
+def test_kmeanspp_pick_has_no_single_partition_stage(spark, sf_dir):
+    """The k-means++ pick must use the two-phase bucketed path (VERDICT
+    r1 item 3): a global-window form would plan an Exchange
+    SinglePartition (all candidates into one task)."""
+    plan = _plan(entry.q_kmeanspp_pick(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan.split("\n\n")[0]
+    assert "Window" in plan  # phase-2 cumsum exists, partitioned
+
+
 def test_tpch_q1_single_exchange_partial_agg(spark, sf_dir):
     plan = _plan(entry.q_tpch_q1(spark, sf_dir))
     tree = plan.split("\n\n")[0]  # operator tree (details repeat names)
