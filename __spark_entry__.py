@@ -821,6 +821,109 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolling_fingerprint("text", window=8).alias("fp"))
 
 
+# ---- corpus stats / scrubbing / sampling / sketches ----
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token and
+    top-bigram fractions per document (ppm-integerized)."""
+    from clickhouse_k_means_spark.operators.textstats import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by exact-integer TF-IDF
+    (score = tf · ((N·1e6) div df); no float in the ranking)."""
+    from clickhouse_k_means_spark.operators.textstats import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_k=3)
+
+
+def _planted_pii(docs: DataFrame):
+    """text + synthetic PII derived from doc_id, so the scrub pass has
+    something to scrub on every row (the fixture corpus contains none);
+    the oracle plants the identical suffix."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7 call +1555000"),
+        F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / IPv4 / intl phone → typed tokens): emits the
+    md5 of the redacted text plus per-pattern match counts."""
+    from clickhouse_k_means_spark.functions.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", _planted_pii(docs).alias("t"))
+    return staged.select(
+        "doc_id", F.md5(redact_pii("t")).alias("red_md5"), *pii_counts("t")
+    )
+
+
+# per-language sampling rates for the stratified-sample gate query —
+# the "rebalance the language mix" pipeline move
+STRATA_RATES = {"de": 0.1, "en": 0.5, "es": 0.25, "fr": 0.25, "zh": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling; output is the per-lang
+    count + doc_id checksum of the kept rows."""
+    from clickhouse_k_means_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    samp = stratified_hash_sample(
+        docs, STRATA_RATES, stratum="lang", key="doc_id", salt=42
+    )
+    return samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+def q_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-count sketch gated against the exact count
+    (within 5%) — the sketch's accuracy contract is what's checked."""
+    from clickhouse_k_means_spark.functions.sketches import approx_distinct_check
+
+    ev = load_table(spark, sf_dir, "events")
+    return approx_distinct_check(ev, "user_id", rsd=0.01, tol=0.05)
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch vs exact percentile at p50/p90/p99,
+    gated at 2% relative error; the exact value goes to the oracle."""
+    from clickhouse_k_means_spark.functions.sketches import approx_quantiles_check
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return approx_quantiles_check(
+        li, "l_extendedprice", probs=(0.5, 0.9, 0.99), accuracy=10_000, tol=0.02
+    )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS from MinHash-LSH candidate pairs: hash-min
+    label propagation labels each paired doc with its component (min
+    doc id) and marks the canonical survivor. Oracle replays the
+    grouping as a DuckDB recursive transitive closure."""
+    from clickhouse_k_means_spark.operators.components import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4)
+    out = dedup_components(pairs)
+    return out.select(
+        "n", "component", F.col("is_canonical").cast("int").alias("is_canonical")
+    )
+
+
 # ---- non-SQL-expressible (rows-only checks) ----
 
 
@@ -1076,6 +1179,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
+        "approx_ndv": q_approx_ndv,
+        "approx_quantiles": q_approx_quantiles,
+        "dedup_components": q_dedup_components,
         "kmeans_fit_history": q_kmeans_fit_history,
         "kmeans_fit_best": q_kmeans_fit_best,
         "mllib_kmeans": q_mllib_kmeans,
@@ -1450,6 +1560,77 @@ def oracle_sql() -> dict[str, str]:
             f"select doc_id, list_min(list_transform(sh, s -> {_hash64_sql('s')})) "
             "as fp from shc"
         ),
+        "repetition_stats": (
+            f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
+            "sc as (select doc_id, len(tk) as n_tok, "
+            "len(list_distinct(tk)) as n_distinct from tkc), "
+            "bgt as (select doc_id, unnest(case when len(tk) < 2 "
+            "then []::VARCHAR[] else list_transform(range(1, len(tk)), "
+            "i -> tk[i] || ' ' || tk[i + 1]) end) as bg from tkc), "
+            "bc as (select doc_id, bg, count(*) as c from bgt group by 1, 2), "
+            "tp as (select doc_id, max(c) as top_c, sum(c) as n_bg from bc "
+            "group by 1) "
+            "select sc.doc_id, n_tok::INT as n_tok, n_distinct::INT as "
+            "n_distinct, round(case when n_tok = 0 then 0.0 else "
+            "1.0 - n_distinct::DOUBLE / n_tok end * 1000000)::BIGINT as "
+            "dup_tok_ppm, round(coalesce(top_c::DOUBLE / n_bg, 0.0) * "
+            "1000000)::BIGINT as top_bigram_ppm "
+            "from sc left join tp on sc.doc_id = tp.doc_id"
+        ),
+        "tfidf_top_terms": (
+            f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
+            "tf0 as (select doc_id, unnest(tk) as term from tkc), "
+            "tfc as (select doc_id, term, count(*)::BIGINT as tf from tf0 "
+            "group by 1, 2), "
+            "dfc as (select term, count(*)::BIGINT as df from tfc group by 1), "
+            "nn as (select count(*)::BIGINT as n_docs from documents), "
+            "sc as (select doc_id, term, tf, df, "
+            "tf * ((n_docs * 1000000) // df) as score "
+            "from tfc join dfc using (term) cross join nn), "
+            "rk as (select *, row_number() over (partition by doc_id "
+            "order by score desc, term asc) as rk from sc) "
+            "select doc_id, term, tf, df, score::BIGINT as score, "
+            "rk::INT as rk from rk where rk <= 3"
+        ),
+        "pii_redact": _pii_redact_sql(),
+        "stratified_sample": (
+            "select lang, count(*)::BIGINT as n, sum(doc_id)::BIGINT as id_sum "
+            f"from documents where {_hash64_sql('doc_id::VARCHAR', salt=42)} "
+            "% 1000000 < case lang "
+            + " ".join(
+                f"when '{s}' then {int(r * 1_000_000)}"
+                for s, r in sorted(STRATA_RATES.items())
+            )
+            + " else 0 end group by 1"
+        ),
+        # sketch gates (HLL++ / approx_percentile): the Spark query
+        # computes approximate AND exact and emits the exact value +
+        # a within-tolerance flag; the oracle recomputes the exact side
+        "approx_ndv": (
+            "select count(distinct user_id)::BIGINT as exact_n, "
+            "1::BIGINT as within_tol from events"
+        ),
+        "approx_quantiles": (
+            "with q as (select quantile_cont(l_extendedprice, "
+            "[0.5, 0.9, 0.99]) as qs from lineitem) "
+            "select unnest([50, 90, 99])::INT as p_pct, "
+            "round(unnest(qs), 4)::DOUBLE as exact_q, "
+            "1::BIGINT as within_tol from q"
+        ),
+        # duplicate groups: recursive transitive closure over the SAME
+        # banded LSH pairs the lsh_pairs oracle derives
+        "dedup_components": (
+            sig_cte.replace("with ", "with recursive ", 1)
+            + f", edges as (select distinct a, b from ({band_union}))"
+            + ", sym as (select a as n, b as m from edges "
+            "union select b as n, a as m from edges)"
+            + ", reach(n, m) as (select n, m from sym union "
+            "select r.n, s.m from reach r join sym s on r.m = s.n)"
+            + ", comp as (select n, least(n, min(m)) as component "
+            "from reach group by n) "
+            "select n, component, (n = component)::INT as is_canonical "
+            "from comp"
+        ),
         # ---- formerly rows-only (VERDICT r1 item 2) ----
         # fit_best / MLlib k-means are iterative and approximate-by-
         # design; the oracle checks structural invariants (k clusters
@@ -1534,6 +1715,29 @@ def _multimodal_frames_sql() -> str:
         "fidx as (select (range * 4)::INT as frame_idx from range(3)) "
         "select id, frame_idx, md5(ph || frame_idx::VARCHAR) as frame_hex "
         "from pay cross join fidx"
+    )
+
+
+def _pii_redact_sql() -> str:
+    """Replays q_pii_redact: identical planted suffix, identical RE2
+    patterns applied in the identical order with the 'g' flag."""
+    from clickhouse_k_means_spark.functions.text import PII_PATTERNS
+
+    planted = (
+        "text || ' contact u' || doc_id::VARCHAR || '@example.com from 10.0.' "
+        "|| (doc_id % 256)::VARCHAR || '.7 call +1555000' "
+        "|| (doc_id % 10000)::VARCHAR"
+    )
+    red = "t"
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::INT as n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return (
+        f"with p as (select doc_id, {planted} as t from documents) "
+        f"select doc_id, md5({red}) as red_md5, {counts} from p"
     )
 
 

@@ -1,0 +1,99 @@
+"""Sketch-based approximate aggregates with in-query accuracy gates.
+
+ClickHouse ships ``uniq``/``uniqHLL12``/``quantileTDigest``; Spark's
+counterparts are ``approx_count_distinct`` (HyperLogLog++) and
+``approx_percentile`` (an epsilon-quantile summary). Both are
+approximate-by-design, so their raw output cannot hash-match a DuckDB
+oracle. The gate pattern here mirrors the ANN recall gates: the Spark
+query computes the approximate AND the exact value from the same
+input, emits the exact value plus a within-tolerance flag, and the
+oracle re-derives the exact value and asserts the flag — the sketch's
+accuracy contract is what's checked, which is also exactly what a user
+of the sketch relies on.
+
+At 100 TB these are the right tools: exact COUNT(DISTINCT) shuffles
+every distinct value; HLL++ carries a fixed few-KB sketch per
+partition (map-side partials, mergeable). approx_percentile likewise
+replaces a full sort with a bounded summary per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_distinct_check(
+    df: DataFrame, col: str, rsd: float = 0.05, tol: float = 0.05
+) -> DataFrame:
+    """(exact_n, within_tol) — HLL++ estimate vs exact distinct count.
+
+    ``rsd`` is the sketch's target relative standard deviation;
+    ``tol`` the gate tolerance on relative error (default 5%, well
+    above HLL++'s expected error at default precision).
+    """
+    return df.agg(
+        F.count_distinct(F.col(col)).cast("bigint").alias("exact_n"),
+        F.when(
+            F.abs(
+                F.approx_count_distinct(col, rsd).cast("double")
+                - F.count_distinct(F.col(col)).cast("double")
+            )
+            <= F.count_distinct(F.col(col)).cast("double") * tol,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("within_tol"),
+    )
+
+
+def approx_quantiles_check(
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    accuracy: int = 10_000,
+    tol: float = 0.02,
+) -> DataFrame:
+    """One row per probability: (p_pct, exact_q, within_tol).
+
+    ``approx_percentile`` vs the exact ``percentile`` at each p; the
+    flag asserts relative error ≤ ``tol`` (2%) against the exact value
+    (absolute 1e-9 floor guards exact-zero quantiles). The exact
+    quantile is emitted for the oracle to recompute; the approximate
+    one only feeds the flag.
+    """
+    probs = list(probs)
+    arr_p = F.array(*[F.lit(float(p)) for p in probs])
+    agg = df.agg(
+        F.percentile(F.col(col), arr_p).alias("ex"),
+        F.percentile_approx(F.col(col), arr_p, F.lit(accuracy)).alias("ap"),
+    )
+    z = agg.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(int(round(p * 100))) for p in probs]).alias("p_pct"),
+                F.col("ex").alias("ex"),
+                F.col("ap").alias("ap"),
+            )
+        ).alias("r")
+    )
+    ok = (
+        F.abs(F.col("r.ap") - F.col("r.ex"))
+        <= F.greatest(F.abs(F.col("r.ex")) * tol, F.lit(1e-9))
+    )
+    return z.select(
+        F.col("r.p_pct").cast("int").alias("p_pct"),
+        F.round(F.col("r.ex"), 4).alias("exact_q"),
+        F.when(ok, 1).otherwise(0).cast("bigint").alias("within_tol"),
+    )
+
+
+def hll_union_sketchable(df: DataFrame, col: str, group: str) -> Column:
+    """Mergeable per-group HLL sketches (``hll_sketch_agg``) — the
+    building block for incremental distinct-count rollups (sketch
+    column persisted, unioned across partitions/days without rescans).
+    Returned as a Column for callers composing their own rollup."""
+    return F.hll_sketch_agg(F.col(col)).alias(f"hll_{group}")

@@ -169,6 +169,40 @@ def lang_id(c: Column | str) -> Column:
     return F.struct(best["lang"].alias("lang"), (-best["neg_hits"]).alias("hits"))
 
 
+# PII patterns — deliberately RE2-compatible (no backrefs/lookaround)
+# so the identical pattern string runs in Spark (Java regex) and the
+# DuckDB oracle (RE2). Order matters: emails first (their local part
+# can contain digit runs a later rule would half-match).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+[0-9]{7,15}\b", "[PHONE]"),
+]
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Replace emails / IPv4 addresses / +intl phone numbers with
+    typed placeholder tokens — the standard pre-training scrub pass.
+
+    A chain of JVM-side ``regexp_replace`` calls (one scan, codegen,
+    no UDF); patterns are RE2-safe so the DuckDB oracle applies the
+    same strings with the 'g' flag and matches byte-for-byte.
+    """
+    out = _c(c)
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(c: Column | str) -> list[Column]:
+    """One count column per PII pattern (pre-redaction occurrences)."""
+    raw = _c(c)
+    return [
+        F.size(F.regexp_extract_all(raw, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
 def rolling_fingerprint(c: Column | str, window: int = 8) -> Column:
     """Document fingerprint: min 60-bit hash over rolling ``window``-token
     shingles (a winnowing-style content fingerprint) — robust to small

@@ -153,3 +153,31 @@ def partitioned_cumsum(
         .withColumn("cum", F.col("__local_cum") + F.col("__offset"))
         .drop("__pid", "__local_cum", "__offset")
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum: str,
+    key: str,
+    salt: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``hash64(salt # key) % 1e6 < rate[stratum] * 1e6``.
+
+    The usual pipeline move — downsample over-represented sources/
+    languages to a target mix. Three properties DataFrame.sample lacks:
+    the decision is a pure function of the KEY (identical picks on any
+    cluster size, partition layout, or engine — the DuckDB oracle
+    replays it exactly); it is per-stratum; and it is a narrow filter
+    (no shuffle, no RNG state), so at 100 TB it fuses into the scan
+    with predicate pushdown on the stratum column intact.
+    """
+    from clickhouse_k_means_spark.functions.hashing import hash64
+
+    h = F.pmod(hash64(F.col(key).cast("string"), salt=salt), F.lit(1_000_000))
+    gate = F.lit(int(default_rate * 1_000_000))
+    for s, r in sorted(rates.items()):
+        gate = F.when(F.col(stratum) == s, F.lit(int(r * 1_000_000))).otherwise(gate)
+    return df.filter(h < gate)

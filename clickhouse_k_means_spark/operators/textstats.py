@@ -1,0 +1,137 @@
+"""Corpus-statistics operators for the LLM-pipeline surface.
+
+Repetition metrics (Gopher-style duplicate-token / top-n-gram
+fractions) and TF-IDF term ranking over the ``documents`` table.
+Extensions beyond the reference (which has no text surface); the
+operators follow its engine idiom — declarative plans, portable
+deterministic arithmetic, an exact DuckDB oracle per query.
+
+Scale design:
+- Per-document scalar metrics are single-expression projections (one
+  codegen'd scan, no shuffle).
+- Anything that needs a per-(doc, term) table — the most-common-bigram
+  count, TF — goes explode → groupBy so the heavy work runs as a
+  map-side partial aggregation keyed by (doc, term); never a per-row
+  HOF lambda (interpreted, quadratic per doc) on the hot path.
+- Corpus-level statistics (document frequency, N) join back via
+  broadcast: the vocabulary after normalization is tiny relative to
+  the corpus, and N is a 1-row aggregate.
+- All ranking scores are exact BIGINT arithmetic (integer scaling +
+  integer division), so ordering is bit-deterministic across engines
+  and partitionings — no float ULP flips in the top-k cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clickhouse_k_means_spark.functions.text import tokens
+
+
+def word_bigrams(tk) -> "F.Column":
+    """array<string> of space-joined word bigrams over a token-array
+    column (empty array below 2 tokens)."""
+    tk = F.col(tk) if isinstance(tk, str) else tk
+    return F.when(F.size(tk) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.concat(F.get(tk, i), F.lit(" "), F.get(tk, i + 1)),
+        )
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition stats per document.
+
+    Returns ``(key, n_tok, n_distinct, dup_tok_ppm, top_bigram_ppm)``:
+    - ``dup_tok_ppm``: 1 − distinct/total tokens, in parts-per-million
+      (0 for empty docs) — the duplicate-token fraction.
+    - ``top_bigram_ppm``: occurrences of the most frequent word bigram
+      over total bigrams, ppm (0 below 2 tokens) — the top-2-gram
+      fraction of the Gopher repetition filters.
+
+    The scalar metrics are one projection; the top-bigram count is
+    explode → groupBy(key, bigram) → max/sum — partial-aggregated,
+    skew-free (keys are (doc, bigram)), one shuffle. ppm integerization
+    keeps the output exact for the oracle.
+    """
+    base = docs.select(key, tokens(text).alias("tk"))
+    scalars = base.select(
+        key,
+        F.size("tk").alias("n_tok"),
+        F.size(F.array_distinct("tk")).alias("n_distinct"),
+    )
+    bg = base.select(key, F.explode(word_bigrams("tk")).alias("bg"))
+    top = (
+        bg.groupBy(key, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(key)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
+    )
+    dup_frac = F.when(F.col("n_tok") == 0, F.lit(0.0)).otherwise(
+        1.0 - F.col("n_distinct") / F.col("n_tok").cast("double")
+    )
+    top_frac = F.coalesce(
+        F.col("top_c") / F.col("n_bg").cast("double"), F.lit(0.0)
+    )
+    return (
+        scalars.join(top, key, "left")
+        .select(
+            key,
+            "n_tok",
+            "n_distinct",
+            F.round(dup_frac * 1_000_000).cast("bigint").alias("dup_tok_ppm"),
+            F.round(top_frac * 1_000_000).cast("bigint").alias("top_bigram_ppm"),
+        )
+    )
+
+
+# TF-IDF score scale: idf is the exact integer (N * _IDF_SCALE) div df —
+# a monotone transform of N/df. No logarithm on purpose: ln() is
+# libm-dependent and a one-ULP difference could flip the top-k cut
+# between engines; integer idf keeps the ranking bit-deterministic.
+_IDF_SCALE = 1_000_000
+
+
+def tfidf_top_terms(
+    docs: DataFrame, top_k: int = 3, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Top ``top_k`` characteristic terms per document by an exact
+    integer TF-IDF-style score.
+
+    score(term, doc) = tf · ((N · 1e6) div df)  — all BIGINT, where tf
+    is the term count in the doc, df the number of docs containing the
+    term, N the corpus size. Ties break by term text ascending.
+
+    Plan shape at 100 TB: one explode → groupBy(doc, term) for TF
+    (map-side partials), a groupBy(term) for DF (vocabulary-sized
+    result, broadcast back), N as a broadcast 1-row aggregate — the
+    only large shuffle is the TF aggregation; the final per-doc top-k
+    is a WindowGroupLimit (rank ≤ k pushed into the sort) partitioned
+    by doc.
+    """
+    base = docs.select(key, tokens(text).alias("tk"))
+    tf = (
+        base.select(key, F.explode("tk").alias("term"))
+        .groupBy(key, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_tbl = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(F.broadcast(n_tbl))
+        .withColumn(
+            "score",
+            F.expr(f"tf * ((n_docs * {_IDF_SCALE}) div df)").cast("bigint"),
+        )
+    )
+    w = Window.partitionBy(key).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(key, "term", "tf", "df", "score", F.col("rk").cast("int").alias("rk"))
+    )
