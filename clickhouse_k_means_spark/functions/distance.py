@@ -82,10 +82,59 @@ def cosine_similarity(a, b) -> Column:
 # same left-fold unrolls into plain arithmetic that codegens. The fold
 # order matches the HOF form term-for-term (0 + d0 == d0 in IEEE), so
 # results are bit-identical and DuckDB oracles stay valid.
+#
+# Construction cost matters too: building a 64-term unroll out of
+# Python Column operators is ~130 py4j round-trips PER EXPRESSION
+# (~80 s for a 48-plane SRP projection, measured r3). When the
+# operands are plain column names or Python number vectors, the same
+# tree is rendered as ONE SQL string and parsed JVM-side by a single
+# ``F.expr`` call; ``+``/``*`` parse left-associative, so the tree —
+# and therefore the IEEE fold order — is identical to the loop form.
+
+
+def _lit_f(x: float) -> str:
+    """Exact SQL double literal (repr round-trips float64)."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def _idx(name: str, d: int) -> str:
+    return f"{name}[{d}]"
+
+
+def _vec_elem_sql(v, d: int) -> str | None:
+    """SQL for element ``d`` of a name-or-numbers vector, else None."""
+    if isinstance(v, str):
+        return _idx(v, d)
+    if isinstance(v, Sequence) and not isinstance(v, (str, bytes)):
+        return _lit_f(float(v[d]))
+    return None
+
+
+def _sq_l2_sql(a, b, dim: int) -> str | None:
+    terms = []
+    for d in range(dim):
+        ea, eb = _vec_elem_sql(a, d), _vec_elem_sql(b, d)
+        if ea is None or eb is None:
+            return None
+        terms.append(f"(({ea}) - ({eb})) * (({ea}) - ({eb}))")
+    return " + ".join(terms)
+
+
+def _dot_sql(a, b, dim: int) -> str | None:
+    terms = []
+    for d in range(dim):
+        ea, eb = _vec_elem_sql(a, d), _vec_elem_sql(b, d)
+        if ea is None or eb is None:
+            return None
+        terms.append(f"({ea}) * ({eb})")
+    return " + ".join(terms)
 
 
 def sq_l2_fixed(a, b, dim: int) -> Column:
     """Unrolled squared L2 distance for a known arity."""
+    s = _sq_l2_sql(a, b, dim)
+    if s is not None:
+        return F.expr(s)
     a, b = _as_vec(a), _as_vec(b)
     out: Column | None = None
     for d in range(dim):
@@ -97,11 +146,17 @@ def sq_l2_fixed(a, b, dim: int) -> Column:
 
 def l2_fixed(a, b, dim: int) -> Column:
     """Unrolled Euclidean distance for a known arity."""
+    s = _sq_l2_sql(a, b, dim)
+    if s is not None:
+        return F.expr(f"sqrt({s})")
     return F.sqrt(sq_l2_fixed(a, b, dim))
 
 
 def dot_fixed(a, b, dim: int) -> Column:
     """Unrolled dot product for a known arity."""
+    s = _dot_sql(a, b, dim)
+    if s is not None:
+        return F.expr(s)
     a, b = _as_vec(a), _as_vec(b)
     out: Column | None = None
     for d in range(dim):
@@ -112,6 +167,9 @@ def dot_fixed(a, b, dim: int) -> Column:
 
 def cosine_fixed(a, b, dim: int) -> Column:
     """Unrolled cosine similarity for a known arity."""
+    ab, aa, bb = _dot_sql(a, b, dim), _dot_sql(a, a, dim), _dot_sql(b, b, dim)
+    if ab is not None and aa is not None and bb is not None:
+        return F.expr(f"({ab}) / (sqrt({aa}) * sqrt({bb}))")
     a, b = _as_vec(a), _as_vec(b)
     return dot_fixed(a, b, dim) / (
         F.sqrt(dot_fixed(a, a, dim)) * F.sqrt(dot_fixed(b, b, dim))

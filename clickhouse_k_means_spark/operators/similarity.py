@@ -16,6 +16,12 @@ engine — the reference's L2Distance workhorse generalized to cosine:
   Queries probe their own bucket (plus optional multi-probe neighbor
   buckets at Hamming distance 1); candidates shrink ~2^n_bits-fold
   before exact re-ranking.
+
+Physical split (round 3): multi-plane projections (SRP bucketing, IVF
+cell assignment) are matrix multiplies and run as Arrow-batched numpy
+matmuls (functions/vector.py); pairwise exact re-ranking stays in
+codegen'd unrolled arithmetic (functions/distance.py). See
+vector.py's module docstring for the measured rationale.
 """
 
 from __future__ import annotations
@@ -32,6 +38,11 @@ from clickhouse_k_means_spark.functions.distance import (
     dot_fixed,
     l2_distance,
     l2_fixed,
+)
+from clickhouse_k_means_spark.functions.vector import (
+    nearest_cells_batch,
+    numpy_kmeans,
+    srp_buckets_batch,
 )
 from clickhouse_k_means_spark.operators.topk import top_k_by_group
 
@@ -136,24 +147,14 @@ def embed_neardup_bucketed(
         srp_hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)
         for t in range(n_tables)
     ]
-    b0 = df.select(
-        F.col(key).alias("k"),
-        *[
-            srp_bucket(vec, planes).alias(f"b{t}")
-            for t, planes in enumerate(tables)
-        ],
+    # all n_tables × n_bits hyperplane dots in one Arrow-batched
+    # matmul (functions/vector.py) — the unrolled-expression form cost
+    # ~80 s of plan build + ~40 s of codegen at this plane count
+    buckets = srp_buckets_batch(tables)
+    banded = (
+        df.select(F.col(key).alias("k"), buckets(F.col(vec)).alias("bks"))
+        .select("k", F.posexplode("bks").alias("t", "bucket"))
     )
-    banded = b0.select(
-        "k",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("k", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     left = banded.select(F.col("k").alias("a"), "t", "bucket")
     right = banded.select(F.col("k").alias("b"), "t", "bucket")
     cand = (
@@ -186,49 +187,45 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse k-means quantizer + cell probe.
 
-    The engine eating its own dog food: the coarse quantizer is this
-    repo's MLlib k-means path; corpus rows are bucketed by their
-    nearest of ``nlist`` centroids (one narrow pass — the cell table is
-    what a real deployment materializes/partitions by); each query
-    probes its ``nprobe`` nearest cells and exact-cosine-reranks only
-    those rows. Candidate work drops ~nlist/nprobe-fold vs brute force.
+    The coarse quantizer trains FAISS-style on a bounded deterministic
+    sample (driver-side seeded numpy k-means — the full corpus never
+    leaves the executors); corpus rows are bucketed by their nearest
+    of ``nlist`` centroids via one Arrow-batched matmul (one narrow
+    pass — the cell table is what a real deployment materializes /
+    partitions by); each query probes its ``nprobe`` nearest cells and
+    exact-cosine-reranks only those rows. Candidate work drops
+    ~nlist/nprobe-fold vs brute force.
     """
-    from clickhouse_k_means_spark.functions.centroids import nearest_centroid_struct
-    from clickhouse_k_means_spark.plans.kmeans import mllib_kmeans
+    import numpy as np
 
-    c_yh = corpus.select(
-        F.col(corpus_key).cast("long").alias("i"),
-        F.col(vec).cast("array<double>").alias("Y"),
+    # Train the coarse quantizer FAISS-style: seeded numpy k-means on a
+    # bounded deterministic sample (hash-ordered TakeOrdered — one
+    # corpus pass, no shuffle of the data, works unchanged at 100 TB).
+    # The earlier MLlib quantizer spent ~15 s of tiny-job latency per
+    # call; a 2048-row driver-side fit is milliseconds and the centers
+    # become plan literals.
+    sample = (
+        corpus.select(F.col(corpus_key).alias("sk"), F.col(vec).alias("sv"))
+        .orderBy(F.xxhash64(F.lit(seed), F.col("sk")))
+        .limit(2048)
+        .collect()
     )
-    _, centers = mllib_kmeans(c_yh, k=nlist, seed=seed, max_iter=10)
-    cell = nearest_centroid_struct("Y", centers)["j"]
-    cells = c_yh.select(F.col("i").alias("n"), F.col("Y").alias("cv"), cell.alias("cell"))
+    x = np.asarray([r["sv"] for r in sample], dtype=np.float64)
+    centers = numpy_kmeans(x, k=nlist, seed=seed, n_iter=10)
+    dim = centers.shape[1]
+    centers_l = [list(map(float, c)) for c in centers]
 
-    dim = len(centers[0][1])
-    # nprobe nearest cells per query: sort the (dist, j) candidate
-    # structs and slice — nlist is small, this is per-row constant work
-    cand = F.array(
-        *[
-            F.struct(
-                F.sqrt(
-                    sum(
-                        (F.col("qv")[d] - F.lit(float(c[d]))) ** 2 for d in range(dim)
-                    )
-                ).alias("dist"),
-                F.lit(int(j)).alias("j"),
-            )
-            for j, c in centers
-        ]
+    cell1 = nearest_cells_batch(centers_l, nprobe=1)
+    cells = corpus.select(
+        F.col(corpus_key).alias("n"),
+        F.col(vec).cast("array<double>").alias("cv"),
+        cell1(F.col(vec).cast("array<double>"))[0].alias("cell"),
     )
-    probes = F.transform(F.slice(F.array_sort(cand), 1, nprobe), lambda s: s["j"])
-    # two-step select: `probes` references the qv alias, and combining
-    # a lateral alias with explode in one projection trips the analyzer
-    q = (
-        queries.select(
-            F.col(query_key).alias("q"),
-            F.col(vec).cast("array<double>").alias("qv"),
-        )
-        .withColumn("cell", F.explode(probes))
+    cellp = nearest_cells_batch(centers_l, nprobe=nprobe)
+    q = queries.select(
+        F.col(query_key).alias("q"),
+        F.col(vec).cast("array<double>").alias("qv"),
+        F.explode(cellp(F.col(vec).cast("array<double>"))).alias("cell"),
     )
     scored = cells.join(F.broadcast(q), "cell").select(
         "q", "n", cosine_fixed("qv", "cv", dim).alias("score")
@@ -272,53 +269,36 @@ def srp_bucketed_topk(
         srp_hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)
         for t in range(n_tables)
     ]
-    # two-step selects: compute each table's bucket id ONCE into a
-    # column, then reference the column from the probe structs — a
-    # one-step form would clone the unrolled dot-product tree into
-    # every struct (n_tables × (n_bits+1) copies of a dim×n_bits
-    # expression), exploding analysis/codegen cost
-    c0 = corpus.select(
-        F.col(corpus_key).alias("n"),
-        F.col(vec).alias("cv"),
-        *[
-            srp_bucket(vec, planes).alias(f"b{t}")
-            for t, planes in enumerate(tables)
-        ],
+    # one Arrow-batched matmul computes every table's bucket id
+    # (functions/vector.py — the unrolled-Column form cost ~80 s plan
+    # build + ~40 s codegen at 48 planes); the Hamming-1 multi-probe
+    # expansion stays JVM-side (cheap bit arithmetic on the ids)
+    buckets = srp_buckets_batch(tables)
+    c = (
+        corpus.select(
+            F.col(corpus_key).alias("n"),
+            F.col(vec).alias("cv"),
+            buckets(F.col(vec)).alias("bks"),
+        )
+        .select("n", "cv", F.posexplode("bks").alias("t", "bucket"))
     )
-    c = c0.select(
-        "n",
-        "cv",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("n", "cv", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
-    q0 = queries.select(
-        F.col(query_key).alias("q"),
-        F.col(vec).alias("qv"),
-        *[
-            srp_bucket(vec, planes).alias(f"b{t}")
-            for t, planes in enumerate(tables)
-        ],
+    q0 = (
+        queries.select(
+            F.col(query_key).alias("q"),
+            F.col(vec).alias("qv"),
+            buckets(F.col(vec)).alias("bks"),
+        )
+        .select("q", "qv", F.posexplode("bks").alias("t", "b0"))
     )
-    q_probes = []
-    for t in range(n_tables):
-        b0 = F.col(f"b{t}")
-        per_table = [b0]
-        if multi_probe:
-            per_table += [
-                b0.bitwiseXOR(F.lit(1 << b).cast("bigint")) for b in range(n_bits)
-            ]
-        q_probes += [
-            F.struct(F.lit(t).alias("t"), p.alias("bucket")) for p in per_table
+    b0 = F.col("b0")
+    per_table = [b0]
+    if multi_probe:
+        per_table += [
+            b0.bitwiseXOR(F.lit(1 << b).cast("bigint")) for b in range(n_bits)
         ]
     q = q0.select(
-        "q", "qv", F.explode(F.array(*q_probes)).alias("tb")
-    ).select("q", "qv", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        "q", "qv", "t", F.explode(F.array(*per_table)).alias("bucket")
+    )
     cand = c.join(F.broadcast(q), ["t", "bucket"]).select(
         "q", "n", cosine_fixed("qv", "cv", dim).alias("score")
     )
