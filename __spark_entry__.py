@@ -997,9 +997,23 @@ def _recall_vs_brute(spark, sf_dir, approx: DataFrame, min_hits: int) -> DataFra
     exact = brute_force_topk(
         q, c, k=10, query_key="vec_id", corpus_key="vec_id"
     ).select("q", "n", F.lit(1).alias("hit"))
-    marked = approx.select("q", "n").join(exact, ["q", "n"], "left")
-    per_q = marked.groupBy("q").agg(
-        F.sum(F.coalesce("hit", F.lit(0))).alias("hits")
+    # left-join FROM the query set so a query with zero approx
+    # candidates scores hits=0 instead of vanishing (its absence would
+    # otherwise read as a row-count mismatch, not a recall miss), and
+    # guard rank<=k explicitly rather than relying on upstream top-k
+    marked = approx.filter(F.col("rank") <= 10).select("q", "n").join(
+        exact, ["q", "n"], "left"
+    )
+    per_q = (
+        q.select(F.col("vec_id").alias("q"))
+        .join(
+            marked.groupBy("q").agg(
+                F.sum(F.coalesce("hit", F.lit(0))).alias("hits")
+            ),
+            "q",
+            "left",
+        )
+        .select("q", F.coalesce("hits", F.lit(0)).alias("hits"))
     )
     return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),

@@ -63,15 +63,40 @@ def main() -> None:
     from clickhouse_k_means_spark.sources.dataset import load_table, load_yh
 
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+
+    def _code_cache_mb() -> float:
+        """Occupied JVM code-cache MB (CodeHeap pools). When this
+        saturates ReservedCodeCacheSize the JIT stops compiling and
+        codegen'd queries run interpreted — the prime suspect for the
+        r2 full-sequence outliers; recorded per query so a slow run is
+        self-diagnosing from the artifact."""
+        try:
+            beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+            used = 0
+            for i in range(beans.size()):
+                b = beans.get(i)
+                if "CodeHeap" in b.getName() or "Code Cache" in b.getName():
+                    used += b.getUsage().getUsed()
+            return round(used / 1e6, 1)
+        except Exception:
+            return -1.0
 
     def timed(name: str, fn, n_reps: int | None = None) -> None:
+        t0 = time.perf_counter()
         fn()  # warm-up: JIT/codegen cache, shuffle file reuse, page cache
+        cold = time.perf_counter() - t0
         samples = []
         for _ in range(n_reps or reps):
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        detail[name] = {
+            "cold": round(cold, 3),
+            "samples": [round(s, 3) for s in samples],
+            "code_cache_mb": _code_cache_mb(),
+        }
 
     # warm the JVM + parquet footers before any measured query
     load_table(spark, sf_dir, "lineitem").count()
@@ -123,6 +148,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "detail": detail,
             }
         )
     )

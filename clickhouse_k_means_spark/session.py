@@ -36,6 +36,11 @@ def get_spark(app_name: str = "clickhouse-k-means-spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Codegen-heavy sessions (k-branch distance unrolls, wide
+        # packed aggregates) fill the default 240 MB JIT code cache in
+        # long-lived sessions; once full, HotSpot stops compiling and
+        # late queries run interpreted 3-5× slower. Reserve more.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
     )
     if not os.environ.get("SPARK_GRAFT_MASTER_SET"):
         builder = builder.master(f"local[{cpus}]")
