@@ -953,15 +953,29 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- non-SQL-expressible (rows-only checks) ----
 
 
+# reproducible-fit gate parameters: fixed-point scales of the lineitem
+# features (cents / cents / basis points) and a bounded iteration count
+# so the DuckDB oracle can unroll the whole fit as a finite CTE chain
+FIT_HISTORY_SCALES = [100, 100, 10000]
+FIT_HISTORY_MAX_ITER = 10
+
+
 def q_kmeans_fit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full k-means++/Lloyd fit (iterative — no single SQL oracle);
-    returns the WCR-parity history with per-dimension scalar centroid
-    columns (the gate canonicalizer cannot sort array<double> cells —
-    CORRECTNESS_r01 err)."""
+    """Full k-means++/Lloyd fit in REPRODUCIBLE mode (mean_scales):
+    every pick and mean is a pure function of (data, seed) — portable
+    md5 first-pick hash, arithmetic ++ bucket, exact-BIGINT Lloyd sums
+    — so the DuckDB oracle replays the ENTIRE fit (init picks + every
+    Lloyd step) bit-for-bit as an unrolled CTE chain (VERDICT r2 item
+    3; was the one `no_oracle` row)."""
     from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
 
     yh = load_yh(spark, sf_dir, "lineitem")
-    res = KMeansEngine(k=4, seed=42, max_iter=30).fit(yh)
+    res = KMeansEngine(
+        k=4,
+        seed=42,
+        max_iter=FIT_HISTORY_MAX_ITER,
+        mean_scales=FIT_HISTORY_SCALES,
+    ).fit(yh)
     hist = res.history_df(spark)
     return hist.select(
         "step", "j", *[F.col("C")[d].alias(f"c{d}") for d in range(len(FEATURES))]
@@ -1684,6 +1698,9 @@ def oracle_sql() -> dict[str, str]:
             "from comp"
         ),
         # ---- formerly rows-only (VERDICT r1 item 2) ----
+        # the reproducible-mode fit is replayed IN FULL — init picks +
+        # every Lloyd step — as an unrolled CTE chain (r2 item 3)
+        "kmeans_fit_history": _fit_history_sql(),
         # fit_best / MLlib k-means are iterative and approximate-by-
         # design; the oracle checks structural invariants (k clusters
         # populated, every row assigned once)
@@ -1810,6 +1827,101 @@ def _dists_cols_sql() -> str:
 
 def _argmin_j_sql_cols() -> str:
     return _argmin_j_sql([f"d{j}" for j, _ in MODEL])
+
+
+def _fit_history_sql() -> str:
+    """DuckDB replay of the ENTIRE reproducible-mode fit — the init
+    picks and every Lloyd step unrolled as a finite CTE chain.
+
+    Valid because q_kmeans_fit_history runs the engine with
+    ``mean_scales`` set (plans/kmeans.py): the first pick orders by the
+    portable md5 hash64, the ++ picks use exact-BIGINT weights over a
+    prime-weighted arithmetic bucket, and Lloyd means are exact-BIGINT
+    sums divided once — so every number is a pure function of
+    (data, seed) that ANSI SQL reproduces bit-for-bit. The driver's
+    correctness gate runs at sf0.01 where the fit runs exactly
+    FIT_HISTORY_MAX_ITER Lloyd steps (it does not converge earlier;
+    deterministic for the fixed fixture).
+    """
+    import random as _random
+
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+
+    k = 4
+    scales = FIT_HISTORY_SCALES
+    primes = KMeansEngine._BUCKET_PRIMES
+    w_scale = KMeansEngine._W_SCALE
+    n_buckets = KMeansEngine._N_BUCKETS
+    rng = _random.Random(42)
+    order_salt = rng.randrange(2**31)
+    us = [rng.random() for _ in range(k - 1)]
+
+    def dist(p: str, m: str) -> str:
+        return (
+            f"sqrt(({p}.y0 - {m}.c0) * ({p}.y0 - {m}.c0) + "
+            f"({p}.y1 - {m}.c1) * ({p}.y1 - {m}.c1) + "
+            f"({p}.y2 - {m}.c2) * ({p}.y2 - {m}.c2))"
+        )
+
+    bucket = " + ".join(
+        f"cast(round(y{d} * {scales[d]}) as bigint) * {primes[d]}"
+        for d in range(3)
+    )
+    ctes = [
+        "yh as (select l_orderkey * 10 + l_linenumber as i, "
+        "l_quantity::DOUBLE as y0, l_extendedprice::DOUBLE as y1, "
+        "l_discount::DOUBLE as y2 from lineitem)",
+        "base as (select *, row_number() over (order by i, y0, y1, y2) as rid "
+        "from yh)",
+        f"pb as (select *, (({bucket}) % {n_buckets} + {n_buckets}) % "
+        f"{n_buckets} as b from (select distinct y0, y1, y2 from yh))",
+        # first centroid: portable seeded order, ties on i broken by Y
+        f"f0 as (select y0, y1, y2 from yh order by "
+        f"('0x' || substr(md5('{order_salt}#' || i), 1, 15))::BIGINT, "
+        "i, y0, y1, y2 limit 1)",
+        "mm1 as (select 1 as j, y0 as c0, y1 as c1, y2 as c2 from f0)",
+    ]
+    for r in range(1, k):  # picks 2..k
+        u = us[r - 1]
+        ctes += [
+            f"s{r} as (select p.y0, p.y1, p.y2, p.b, min({dist('p', 'm')}) "
+            f"as d from pb p cross join mm{r} m group by p.y0, p.y1, p.y2, p.b)",
+            f"w{r} as (select *, cast(round(d * {w_scale}) as bigint) as w "
+            f"from s{r} where d > 0)",
+            f"c{r} as (select y0, y1, y2 from (select *, sum(w) over "
+            "(order by b, y0, y1, y2 rows between unbounded preceding and "
+            "current row) as cum, sum(w) over () as total "
+            f"from w{r}) t where cum > floor(total * {u!r}) "
+            "order by cum, b, y0, y1, y2 limit 1)",
+            f"mm{r + 1} as (select * from mm{r} union all select {r + 1} as j, "
+            f"y0 as c0, y1 as c1, y2 as c2 from c{r})",
+        ]
+    ctes.append(f"st0 as (select j, c0, c1, c2 from mm{k})")
+    for t in range(FIT_HISTORY_MAX_ITER):
+        ctes += [
+            f"d{t} as (select p.rid, p.y0, p.y1, p.y2, m.j, "
+            f"{dist('p', 'm')} as dd from base p cross join st{t} m)",
+            f"a{t} as (select rid, any_value(y0) as y0, any_value(y1) as y1, "
+            "any_value(y2) as y2, cast(min([dd, j::DOUBLE])[2] as int) as j "
+            f"from d{t} group by rid)",
+            f"st{t + 1} as (select j, "
+            + ", ".join(
+                f"sum(cast(round(y{d} * {scales[d]}) as bigint))::DOUBLE / "
+                f"({float(scales[d])!r} * count(*)) as c{d}"
+                for d in range(3)
+            )
+            + f" from a{t} group by j)",
+        ]
+    hist = " union all ".join(
+        f"select {t} as step, j, c0, c1, c2 from st{t}"
+        for t in range(FIT_HISTORY_MAX_ITER + 1)
+    )
+    return (
+        "with "
+        + ", ".join(ctes)
+        + f", hist as ({hist}) select step::BIGINT as step, j::INT as j, "
+        "c0, c1, c2 from hist"
+    )
 
 
 def _quality_sql() -> str:

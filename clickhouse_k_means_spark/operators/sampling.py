@@ -82,6 +82,9 @@ def two_phase_pick(
     The induced permutation is (bucket, *order) — any fixed order is a
     valid inverse-CDF permutation. Returns the one picked row.
     """
+    from fractions import Fraction
+    from math import floor
+
     sums = {
         r[bucket]: r["__s"]
         for r in weighted.groupBy(bucket).agg(F.sum(weight).alias("__s")).collect()
@@ -90,7 +93,11 @@ def two_phase_pick(
     if not sums:
         raise ValueError("two_phase_pick: no rows with nonzero weight")
     total = sum(sums.values())
-    threshold = total * u
+    # exact integer threshold: cum > floor(total·u) ⟺ cum > total·u for
+    # integer cum (advisory r2: a bigint→double cast of a >2^53 total
+    # could skip the true crossing row; Fraction(u) is the float's
+    # exact rational value, so the floor is computed without rounding)
+    threshold = floor(total * Fraction(u))
     offset = 0
     target_bucket, bucket_offset = None, 0
     for b in sorted(sums):
@@ -99,11 +106,11 @@ def two_phase_pick(
             break
         offset += sums[b]
     if target_bucket is None:
-        # float(total) * u rounded to >= total (u ~ 1, huge total):
-        # inverse-CDF semantics for u -> 1 = the last weighted row
+        # u → 1 (threshold >= total): inverse-CDF semantics = the last
+        # weighted row; cum > total-1 matches exactly the final row
         target_bucket = sorted(sums)[-1]
         bucket_offset = total - sums[target_bucket]
-        threshold = float(total) - 0.5  # strictly below the final cum
+        threshold = total - 1
     running = (
         Window.partitionBy(bucket)
         .orderBy(*order)
@@ -112,7 +119,7 @@ def two_phase_pick(
     return (
         weighted.filter(F.col(bucket) == target_bucket)
         .withColumn("cum", F.sum(weight).over(running) + F.lit(int(bucket_offset)))
-        .filter(F.col("cum") > F.lit(float(threshold)))
+        .filter(F.col("cum") > F.lit(int(threshold)))
         .orderBy("cum", *order)
         .limit(1)
     )

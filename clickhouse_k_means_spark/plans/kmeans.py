@@ -81,16 +81,48 @@ class KMeansEngine:
         max_iter: int = 100,
         one_delta: float = 100.0,
         squared_weights: bool = False,
+        mean_scales: list[int] | None = None,
     ):
         # one_delta: the convergence scale constant (k-means.sql:50);
         # stop when trunc(total_movement * one_delta) == 0.
         # squared_weights=True gives canonical k-means++ D² sampling;
         # False (default) matches the reference's plain-distance weights.
+        #
+        # mean_scales (one integer scale per dimension) switches the fit
+        # into REPRODUCIBLE mode: features are fixed-point at those
+        # scales (e.g. [100, 100, 10000] for cents/basis-points), so
+        # - Lloyd means become exact-BIGINT sums divided once
+        #   (order-independent — native avg() over doubles depends on
+        #   partition/combine order),
+        # - the seeded first pick orders by the portable md5 hash64
+        #   instead of xxhash64, and
+        # - the ++ pick bucket derives from the integerized dims
+        #   (prime-weighted arithmetic) instead of xxhash64.
+        # Every draw is then a pure function of (data, seed): identical
+        # on any cluster size, partition layout — or engine. The DuckDB
+        # oracle replays the ENTIRE fit bit-for-bit on this mode
+        # (__spark_entry__ kmeans_fit_history).
         self.k = k
         self.seed = seed
         self.max_iter = max_iter
         self.one_delta = one_delta
         self.squared_weights = squared_weights
+        self.mean_scales = mean_scales
+
+    # prime multipliers for the reproducible-mode bucket hash: bucket =
+    # pmod(Σ_d round(Y[d]·scale_d)·_BUCKET_PRIMES[d], _N_BUCKETS) —
+    # plain integer arithmetic, replayable in ANSI SQL
+    _BUCKET_PRIMES = [31, 17, 1, 13, 7, 23, 3, 11]
+
+    def _bucket_col(self, dim: int):
+        if self.mean_scales is None:
+            return F.pmod(F.xxhash64(F.lit(7), F.col("Y")), F.lit(self._N_BUCKETS))
+        acc = None
+        for d in range(dim):
+            p = self._BUCKET_PRIMES[d % len(self._BUCKET_PRIMES)]
+            term = F.round(F.col("Y")[d] * self.mean_scales[d]).cast("bigint") * p
+            acc = term if acc is None else acc + term
+        return F.pmod(acc, F.lit(self._N_BUCKETS))
 
     # ---- initialization (k-means.sh:8-13, k-means.sql:16-33) ----
 
@@ -103,15 +135,25 @@ class KMeansEngine:
         # value-based seeded order (xxhash64 of the key), NOT F.rand:
         # rand depends on partition layout, so repartitioning would
         # change the pick; hashing the key is partition-independent.
-        first = (
-            yh.orderBy(
-                F.xxhash64(F.lit(rng.randrange(2**31)), F.col("i")).asc(),
+        # Reproducible mode uses the md5-based hash64 (DuckDB twin) and
+        # breaks i-ties on the Y values (the fixture has duplicate keys
+        # with different payloads — xxhash mode inherits scan order
+        # there, which is stable per layout but not per engine).
+        order_salt = rng.randrange(2**31)
+        if self.mean_scales is not None:
+            from clickhouse_k_means_spark.functions.hashing import hash64
+
+            order_cols = [
+                hash64(F.col("i").cast("string"), salt=order_salt).asc(),
                 F.col("i").asc(),
-            )
-            .select("Y")
-            .limit(1)
-            .collect()[0][0]
-        )
+                F.col("Y").asc(),
+            ]
+        else:
+            order_cols = [
+                F.xxhash64(F.lit(order_salt), F.col("i")).asc(),
+                F.col("i").asc(),
+            ]
+        first = yh.orderBy(*order_cols).select("Y").limit(1).collect()[0][0]
         model: Model = [(1, list(first))]
         if self.k == 1:
             return model
@@ -123,7 +165,7 @@ class KMeansEngine:
         # O(k²·n) re-scan (centroidsInit recomputes the full min each
         # round, k-means.sql:24-26). Exclusion `Y not in centroids`
         # (k-means.sql:27) becomes `d > 0` — equivalent for L2.
-        bucket = F.pmod(F.xxhash64(F.lit(7), F.col("Y")), F.lit(self._N_BUCKETS))
+        bucket = self._bucket_col(len(model[0][1]))
 
         def dist_to(c: list[float]):
             return nearest_centroid_struct("Y", [(1, c)])["dist"]
@@ -205,14 +247,28 @@ class KMeansEngine:
 
     def lloyd_step(self, yh: DataFrame, model: Model, dim: int) -> Model:
         """Assign + recompute means — one reference loop pass
-        (``nearestCentroid`` + the INSERT at k-means.sql:42-46)."""
+        (``nearestCentroid`` + the INSERT at k-means.sql:42-46).
+
+        Reproducible mode computes each mean as an exact-BIGINT sum of
+        the fixed-point features divided once — order-independent,
+        unlike native avg() whose double partial sums combine in
+        partition-completion order."""
         j = nearest_centroid_struct("Y", model)["j"]
-        rows = (
-            yh.select(j.alias("j"), "Y")
-            .groupBy("j")
-            .agg(*[F.avg(F.col("Y")[dd]).alias(f"c{dd}") for dd in range(dim)])
-            .collect()
-        )
+        if self.mean_scales is not None:
+            aggs = []
+            for dd in range(dim):
+                s = self.mean_scales[dd]
+                aggs.append(
+                    (
+                        F.sum(F.round(F.col("Y")[dd] * s).cast("bigint")).cast(
+                            "double"
+                        )
+                        / (F.lit(float(s)) * F.count(F.lit(1)).cast("double"))
+                    ).alias(f"c{dd}")
+                )
+        else:
+            aggs = [F.avg(F.col("Y")[dd]).alias(f"c{dd}") for dd in range(dim)]
+        rows = yh.select(j.alias("j"), "Y").groupBy("j").agg(*aggs).collect()
         return sorted(
             (int(r["j"]), [float(r[f"c{dd}"]) for dd in range(dim)]) for r in rows
         )

@@ -77,6 +77,31 @@ def test_kmeanspp_pick_has_no_single_partition_stage(spark, sf_dir):
     assert "Window" in plan  # phase-2 cumsum exists, partitioned
 
 
+def test_tfidf_does_not_broadcast_vocabulary(spark, sf_dir):
+    """The tf ⋈ df join must be a shuffle join: the vocabulary
+    relation is 10⁸–10⁹ rows on a real corpus, far past any broadcast
+    budget (VERDICT r2 item 4). With auto-broadcast disabled, the only
+    surviving BroadcastExchange is the 1-row N aggregate — proving the
+    vocab side carries no broadcast hint. (AQE may still convert at
+    runtime when the measured vocab is tiny — that's adaptive and
+    scale-safe, unlike a hint.)"""
+    with_conf = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+    ]
+    old = {k: spark.conf.get(k, None) for k, _ in with_conf}
+    try:
+        for k, v in with_conf:
+            spark.conf.set(k, v)
+        plan = _plan(entry.q_tfidf_top_terms(spark, sf_dir))
+        tree = plan.split("\n\n")[0]
+        assert tree.count("BroadcastExchange") == 1, tree
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_tpch_q1_single_exchange_partial_agg(spark, sf_dir):
     plan = _plan(entry.q_tpch_q1(spark, sf_dir))
     tree = plan.split("\n\n")[0]  # operator tree (details repeat names)
