@@ -91,9 +91,49 @@ def approx_quantiles_check(
     )
 
 
-def hll_union_sketchable(df: DataFrame, col: str, group: str) -> Column:
-    """Mergeable per-group HLL sketches (``hll_sketch_agg``) — the
-    building block for incremental distinct-count rollups (sketch
-    column persisted, unioned across partitions/days without rescans).
-    Returned as a Column for callers composing their own rollup."""
-    return F.hll_sketch_agg(F.col(col)).alias(f"hll_{group}")
+def hll_rollup(df: DataFrame, col: str, group: str | Column) -> DataFrame:
+    """Per-group mergeable HLL sketches: ``(group, sketch binary)``.
+
+    The incremental-ndv building block at 100 TB: materialize one
+    sketch row per partition key (day, source, shard), persist it, and
+    answer any coarser distinct-count without rescanning the raw data —
+    the role ClickHouse's ``uniqState``/``uniqMerge`` pair plays.
+    """
+    g = F.col(group) if isinstance(group, str) else group
+    return df.groupBy(g.alias("g")).agg(
+        F.hll_sketch_agg(F.col(col)).alias("sketch")
+    )
+
+
+def hll_merge_estimate(sketches: DataFrame) -> DataFrame:
+    """Union previously-materialized sketches into one grand-total
+    estimate ``(ndv bigint)`` — a few-KB-per-row aggregation, never a
+    rescan of the raw table (``uniqMerge`` parity)."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("bigint")
+        .alias("ndv")
+    )
+
+
+def hll_rollup_check(
+    df: DataFrame, col: str, group: str | Column, tol: float = 0.05
+) -> DataFrame:
+    """(exact_n, within_tol) gate row for the rollup→merge path: the
+    merged-sketch estimate must land within ``tol`` of the exact
+    distinct count computed from the same input (same contract shape
+    as approx_distinct_check, but exercising persisted per-group
+    sketches + union instead of one flat aggregation)."""
+    est = hll_merge_estimate(hll_rollup(df, col, group))
+    exact = df.agg(F.count_distinct(F.col(col)).cast("bigint").alias("exact_n"))
+    return exact.join(F.broadcast(est)).select(
+        "exact_n",
+        F.when(
+            F.abs(F.col("ndv").cast("double") - F.col("exact_n").cast("double"))
+            <= F.col("exact_n").cast("double") * tol,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("within_tol"),
+    )

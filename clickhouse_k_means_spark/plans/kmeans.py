@@ -82,6 +82,7 @@ class KMeansEngine:
         one_delta: float = 100.0,
         squared_weights: bool = False,
         mean_scales: list[int] | None = None,
+        init: str = "plusplus",
     ):
         # one_delta: the convergence scale constant (k-means.sql:50);
         # stop when trunc(total_movement * one_delta) == 0.
@@ -102,12 +103,21 @@ class KMeansEngine:
         # on any cluster size, partition layout — or engine. The DuckDB
         # oracle replays the ENTIRE fit bit-for-bit on this mode
         # (__spark_entry__ kmeans_fit_history).
+        # init='plusplus' (reference parity: k−1 sequential weighted
+        # picks — linear in k with a per-round job-latency floor) or
+        # 'parallel' (k-means||, Bahmani et al.: a CONSTANT number of
+        # oversampling rounds independent of k, then a driver-side
+        # weighted recluster of the ~2k·rounds candidates — the large-k
+        # init; kills the 63-sequential-round init at k=64).
+        if init not in ("plusplus", "parallel"):
+            raise ValueError(f"unknown init {init!r}")
         self.k = k
         self.seed = seed
         self.max_iter = max_iter
         self.one_delta = one_delta
         self.squared_weights = squared_weights
         self.mean_scales = mean_scales
+        self.init = init
 
     # prime multipliers for the reproducible-mode bucket hash: bucket =
     # pmod(Σ_d round(Y[d]·scale_d)·_BUCKET_PRIMES[d], _N_BUCKETS) —
@@ -242,6 +252,139 @@ class KMeansEngine:
                     f"k={self.k} exceeds the number of distinct points"
                 ) from None
             return list(first[0][0])
+
+    # ---- k-means|| init (Bahmani et al., VLDB'12) ----
+
+    def init_centroids_parallel(
+        self,
+        yh: DataFrame,
+        rng: random.Random | None = None,
+        n_rounds: int = 5,
+        oversample: int | None = None,
+    ) -> Model:
+        """k-means|| initialization: ``n_rounds`` oversampling passes
+        (each expecting ~``oversample`` = 2k new candidates drawn with
+        probability ∝ D²), then a driver-side weighted k-means++ /
+        Lloyd recluster of the small candidate set down to k.
+
+        Round count is CONSTANT in k — the large-k replacement for the
+        sequential ++ init (k=64 means 5 candidate rounds, not 63 picks).
+
+        Scale shapes, deliberately chosen:
+        - per-round distance refresh joins the points against the
+          BROADCAST new-candidate batch and takes a struct-min per
+          point — a plain codegen'd join+agg, NOT a 2k-branch unrolled
+          expression (giant expression trees were the r2 bench
+          regression: JIT/codegen cache pressure).
+        - the cost Φ is an exact-BIGINT sum of quantized D² (order-free
+          → the sampling thresholds are bit-deterministic on any
+          partition layout).
+        - per-point sampling uses seeded xxhash64 uniforms, so the draw
+          is a pure function of (seed, round, Y) — partition-independent
+          and replayable.
+        """
+        rng = rng or random.Random(self.seed)
+        spark = yh.sparkSession
+        dim_row = yh.select("Y").first()
+        if dim_row is None:
+            raise ValueError("k-means: input DataFrame is empty")
+        dim = len(dim_row[0])
+        ell = oversample or 2 * self.k
+        salt = rng.randrange(2**31)
+
+        # first candidate: same partition-independent seeded pick as ++
+        first = (
+            yh.orderBy(
+                F.xxhash64(F.lit(salt), F.col("i")).asc(), F.col("i").asc()
+            )
+            .select("Y")
+            .limit(1)
+            .collect()[0][0]
+        )
+        cands: list[list[float]] = [list(first)]
+
+        def batch_df(vecs: list[list[float]], start: int) -> DataFrame:
+            return spark.createDataFrame(
+                [(start + idx, [float(x) for x in v]) for idx, v in enumerate(vecs)],
+                "cid int, C array<double>",
+            )
+
+        d2 = None
+        for dd in range(dim):
+            t = F.col("Y")[dd] - F.col("C")[dd]
+            d2 = t * t if d2 is None else d2 + t * t
+
+        def min_d2_vs(points: DataFrame, batch: DataFrame) -> DataFrame:
+            """(Y, d2): min squared distance of each point to the batch."""
+            return (
+                points.join(F.broadcast(batch))
+                .select("Y", d2.alias("__d2"))
+                .groupBy("Y")
+                .agg(F.min("__d2").alias("d2"))
+            )
+
+        state = min_d2_vs(yh.select("Y").distinct(), batch_df(cands, 0)).localCheckpoint(
+            eager=True
+        )
+        for r in range(n_rounds):
+            # Φ as an exact integer (quantized) — order-free, so the
+            # per-row threshold below is deterministic on any layout
+            phi = state.agg(
+                F.sum(F.round(F.col("d2") * self._W_SCALE).cast("bigint"))
+            ).collect()[0][0]
+            if not phi:
+                break  # every point coincides with a candidate
+            u53 = (
+                F.shiftrightunsigned(
+                    F.xxhash64(F.lit(salt), F.lit(r), F.col("Y")), 11
+                ).cast("double")
+                / F.lit(float(1 << 53))
+            )
+            p = (
+                F.lit(float(ell))
+                * F.round(F.col("d2") * self._W_SCALE).cast("double")
+                / F.lit(float(phi))
+            )
+            new = [list(row["Y"]) for row in state.filter(u53 < p).select("Y").collect()]
+            if not new:
+                continue
+            start = len(cands)
+            cands.extend(new)
+            nd = min_d2_vs(
+                state.select("Y"), batch_df(new, start)
+            ).withColumnRenamed("d2", "nd2")
+            state = (
+                state.join(nd, "Y")
+                .select("Y", F.least("d2", "nd2").alias("d2"))
+                .localCheckpoint(eager=True)
+            )
+        if len(cands) < self.k:
+            raise ValueError(
+                f"k-means||: only {len(cands)} candidates after {n_rounds} "
+                f"rounds for k={self.k} — raise oversample/n_rounds "
+                "(or the input has fewer distinct points than k)"
+            )
+
+        # weight candidates by their attraction basin size: one pass of
+        # points vs the broadcast candidate table, argmin via struct-min
+        cand_df = batch_df(cands, 0)
+        weights_rows = (
+            yh.select("Y")
+            .join(F.broadcast(cand_df))
+            .select(
+                "Y", F.struct(d2.alias("d"), F.col("cid").alias("cid")).alias("s")
+            )
+            .groupBy("Y")
+            .agg(F.min("s").alias("m"))
+            .groupBy(F.col("m.cid").alias("cid"))
+            .agg(F.count(F.lit(1)).alias("w"))
+            .collect()
+        )
+        weights = {r["cid"]: int(r["w"]) for r in weights_rows}
+        model = _weighted_kmeans_driver(
+            cands, [weights.get(i, 0) for i in range(len(cands))], self.k, rng
+        )
+        return [(j + 1, c) for j, c in enumerate(model)]
 
     # ---- Lloyd iterations (k-means.sh:16-33, k-means.sql:35-46) ----
 

@@ -1,0 +1,65 @@
+"""Persistent state store (the reference's MergeTree role): fit →
+append → re-read → delta_finish must match the in-memory result
+(VERDICT r2 item 8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_k_means_spark.plans.kmeans import KMeansEngine, delta_finish
+from clickhouse_k_means_spark.sources.dataset import load_yh
+from clickhouse_k_means_spark.sources.state import ParquetStateStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return ParquetStateStore(str(tmp_path / "state"))
+
+
+def test_history_roundtrip_delta_finish(spark, sf_dir, store):
+    yh = load_yh(spark, "/root/testdata/sf0.001", "lineitem")
+    res = KMeansEngine(k=3, seed=42, max_iter=8).fit(yh)
+    hist = res.history_df(spark)
+    want = delta_finish(hist)
+
+    store.append(hist, "wcr", partition_by=["step"])
+    back = store.read(spark, "wcr").withColumn(
+        "step", F.col("step").cast("bigint")
+    )
+    assert back.count() == hist.count()
+    assert delta_finish(back) == want
+    # partition pruning: latest-step read touches one directory
+    last = back.agg(F.max("step")).collect()[0][0]
+    plan = back.filter(F.col("step") == last)._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan or "step=" in plan
+
+
+def test_append_accumulates_runs(spark, store):
+    df1 = spark.createDataFrame([(0, 1, [1.0])], "step bigint, j int, C array<double>")
+    df2 = spark.createDataFrame([(1, 1, [2.0])], "step bigint, j int, C array<double>")
+    store.append(df1, "wcr", partition_by=["step"])
+    store.append(df2, "wcr", partition_by=["step"])
+    assert store.read(spark, "wcr").count() == 2
+
+
+def test_truncate(spark, store):
+    df = spark.createDataFrame([(0, 1, [1.0])], "step bigint, j int, C array<double>")
+    store.append(df, "wcr")
+    assert store.exists("wcr")
+    store.truncate("wcr")
+    assert not store.exists("wcr")
+
+
+def test_dedup_components_roundtrip(spark, sf_dir, store):
+    from clickhouse_k_means_spark.operators.components import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (50, 60)], "a long, b long"
+    )
+    comp = dedup_components(pairs)
+    store.append(comp, "components")
+    back = store.read(spark, "components")
+    got = {(r["n"], r["component"], r["is_canonical"]) for r in back.collect()}
+    want = {(r["n"], r["component"], r["is_canonical"]) for r in comp.collect()}
+    assert got == want
