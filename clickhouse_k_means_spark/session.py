@@ -30,9 +30,13 @@ def get_spark(app_name: str = "clickhouse-k-means-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet stores ts as TIMESTAMP(NANOS) which Spark's
-        # reader rejects; read as raw nanos (bigint) and convert with
-        # timestamp_micros(ts div 1000) where a timestamp is needed.
+        # events.ts storage has varied across fixture generations
+        # (TIMESTAMP(NANOS) → timestamp[us]); keep nanosAsLong so a
+        # nanos fixture still loads (no-op otherwise). NO code does
+        # arithmetic on ts directly — all event-time consumers go
+        # through sources.dataset.event_epoch_seconds / event_time,
+        # which dispatch on the loaded dtype (bigint nanos, TIMESTAMP,
+        # or TIMESTAMP_NTZ) with timezone-independent math.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

@@ -18,6 +18,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, LongType, TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -36,13 +37,80 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (TESTDATA.md layout).
 
-    Sets ``nanosAsLong`` defensively (runtime-settable SQL conf): the
-    events fixture stores TIMESTAMP(NANOS), which Spark's reader
-    rejects otherwise — and callers (e.g. the verification driver) may
-    hand us a session built without our `session.get_spark` defaults.
+    Event-time contract: ``events.ts`` has varied across fixture
+    generations — TIMESTAMP(NANOS) (read as raw bigint nanos under
+    ``nanosAsLong``), timestamp[us] without tz (read as TIMESTAMP_NTZ),
+    or a tz-adjusted TIMESTAMP. The engine accepts ALL of them: no
+    consumer does arithmetic on ``ts`` directly — everything goes
+    through :func:`event_epoch_seconds` / :func:`event_time`, which
+    dispatch on the loaded dtype. ``nanosAsLong`` is still set
+    defensively (runtime-settable; a no-op for non-nanos files) so a
+    nanos fixture loads even under a driver-supplied session built
+    without our `session.get_spark` defaults.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def epoch_micros(col: str, dt: DataType) -> Column:
+    """Epoch microseconds for an event-time column of ANY storage type.
+
+    Timezone-explicit by construction (the r3 ADVICE item): the
+    TIMESTAMP_NTZ branch uses ``timestampdiff`` against an NTZ epoch
+    literal, which is pure wall-clock arithmetic — the session
+    timezone is never consulted, so a driver-supplied session with a
+    non-UTC zone cannot shift the result. The naive wall-clock is
+    interpreted as UTC, exactly like DuckDB's ``epoch_ns(ts)`` in the
+    oracles. The tz-aware TIMESTAMP branch uses ``unix_micros`` (an
+    absolute instant — also tz-independent); bigint is raw nanos.
+    """
+    if isinstance(dt, LongType):  # raw nanos (legacy nanosAsLong read)
+        return F.expr(f"{col} div 1000")
+    if isinstance(dt, TimestampNTZType):
+        return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {col})")
+    if isinstance(dt, TimestampType):
+        return F.expr(f"unix_micros({col})")
+    raise TypeError(f"epoch_micros: unsupported event-time dtype {dt} for {col!r}")
+
+
+def epoch_seconds(col: str, dt: DataType) -> Column:
+    """Epoch seconds (floor) — same dispatch as :func:`epoch_micros`."""
+    if isinstance(dt, LongType):
+        return F.expr(f"{col} div 1000000000")
+    if isinstance(dt, TimestampNTZType):
+        return F.expr(f"timestampdiff(SECOND, {_EPOCH_NTZ}, {col})")
+    if isinstance(dt, TimestampType):
+        return F.expr(f"unix_micros({col}) div 1000000")
+    raise TypeError(f"epoch_seconds: unsupported event-time dtype {dt} for {col!r}")
+
+
+def event_epoch_seconds(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch seconds for ``df[col]``, dispatching on the loaded dtype."""
+    return epoch_seconds(col, df.schema[col].dataType)
+
+
+def event_epoch_micros(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch microseconds for ``df[col]``, dispatching on the loaded dtype."""
+    return epoch_micros(col, df.schema[col].dataType)
+
+
+def event_time(df: DataFrame, col: str = "ts") -> Column:
+    """A watermarkable event-time column from any ``ts`` storage type.
+
+    Watermarks require tz-aware TIMESTAMP (Spark rejects
+    TIMESTAMP_NTZ with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so every
+    flavor is normalized to an absolute TIMESTAMP via
+    ``timestamp_micros(epoch_micros)`` — epoch computed by the
+    tz-independent dispatch above, so an NTZ wall-clock is pinned to
+    UTC regardless of the session timezone.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, TimestampType):
+        return F.col(col)
+    return F.timestamp_micros(epoch_micros(col, dt))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -26,30 +26,36 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.window import Window
 
-NANOS = 1_000_000_000
+from clickhouse_k_means_spark.sources.dataset import event_epoch_seconds
 
 
 def sessionize(
     events: DataFrame,
     gap_seconds: int = 1800,
     user: str = "user_id",
-    ts_nanos: str = "ts",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """(user_id, session_id, n_events, start_s, end_s) per gap session.
 
-    ``ts_nanos`` is the raw bigint nanosecond column (events fixture).
-    session_id numbers sessions per user from 1 in time order.
+    ``ts_col`` may be stored as raw bigint nanos, TIMESTAMP, or
+    TIMESTAMP_NTZ — epoch math dispatches on the dtype
+    (``event_epoch_seconds``). session_id numbers sessions per user
+    from 1 in time order.
     """
-    w = Window.partitionBy(user).orderBy(ts_nanos)
+    w = Window.partitionBy(user).orderBy(ts_col)
     gap = F.col("__s") - F.lag("__s").over(w)
     new_session = F.when(
         gap.isNull() | (gap > gap_seconds), F.lit(1)
     ).otherwise(F.lit(0))
-    run = Window.partitionBy(user).orderBy(ts_nanos).rowsBetween(
+    run = Window.partitionBy(user).orderBy(ts_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     tagged = (
-        events.select(F.col(user), F.expr(f"{ts_nanos} div {NANOS}").alias("__s"), F.col(ts_nanos))
+        events.select(
+            F.col(user),
+            event_epoch_seconds(events, ts_col).alias("__s"),
+            F.col(ts_col),
+        )
         .withColumn("session_id", F.sum(new_session).over(run))
     )
     return (
@@ -65,7 +71,15 @@ def sessionize(
 def session_window_counts(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
-    """Streaming gap sessions via the native session_window aggregate."""
+    """Streaming gap sessions via the native session_window aggregate.
+
+    Window bounds inherit the input event-time dtype (TIMESTAMP or
+    TIMESTAMP_NTZ) — epoch rendering dispatches on it, so the output
+    is session-timezone independent either way.
+    """
+    from clickhouse_k_means_spark.sources.dataset import epoch_seconds
+
+    ts_dt = stream.schema["ts"].dataType
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -75,8 +89,8 @@ def session_window_counts(
         )
         .select(
             "user_id",
-            F.unix_timestamp("w.start").alias("start_s"),
-            F.unix_timestamp("w.end").alias("end_s"),
+            epoch_seconds("w.start", ts_dt).alias("start_s"),
+            epoch_seconds("w.end", ts_dt).alias("end_s"),
             "n_events",
             "value_c",
         )

@@ -20,28 +20,28 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the events fixture parquet.
 
-    ``ts`` is stored as TIMESTAMP(NANOS) which Spark reads as raw
-    bigint nanos (session.py nanosAsLong); converted here so the
-    stream carries a real event-time column for watermarking.
+    File streams need an up-front schema; instead of hardcoding one
+    (which broke when the fixture's ``ts`` storage type changed), we
+    take it from a batch read of the same file — a driver-side footer
+    read, no data scan. ``ts`` is then normalized to a watermarkable
+    event-time column via the dtype-dispatching ``event_time`` helper
+    (raw bigint nanos → timestamp; TIMESTAMP/TIMESTAMP_NTZ pass
+    through).
     """
+    from clickhouse_k_means_spark.sources.dataset import event_time, load_table
+
+    batch = load_table(spark, sf_dir, "events")
     # the file-stream source wants a directory; glob-filter the fixture
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch.schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", event_time(raw))
 
 
 def windowed_event_counts(
@@ -54,8 +54,12 @@ def windowed_event_counts(
 
     Late data beyond ``watermark`` is dropped; output one row per
     (window, event_type) with the window rendered as epoch seconds so
-    results are engine-portable.
+    results are engine-portable. Epoch rendering dispatches on the
+    event-time dtype (session-timezone independent for NTZ inputs).
     """
+    from clickhouse_k_means_spark.sources.dataset import epoch_seconds
+
+    ts_dt = events.schema["ts"].dataType
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
@@ -65,7 +69,7 @@ def windowed_event_counts(
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+            epoch_seconds("w.start", ts_dt).alias("bucket_s"),
             "event_type",
             "n",
             "value_c",
