@@ -416,9 +416,34 @@ class KMeansEngine:
             (int(r["j"]), [float(r[f"c{dd}"]) for dd in range(dim)]) for r in rows
         )
 
-    def fit(self, yh: DataFrame) -> KMeansResult:
+    def fit(
+        self,
+        yh: DataFrame,
+        state_store=None,
+        state_table: str = "wcr",
+    ) -> KMeansResult:
+        """Run init + Lloyd loop; optionally persist WCR state per step.
+
+        ``state_store`` (a ``sources.state.ParquetStateStore``) maps the
+        reference's per-step ``INSERT INTO WCR SELECT ...``
+        (k-means.sql:42-46 executed by the k-means.sh loop): each
+        step's (step, j, C) rows are appended to ``state_table`` AS
+        PRODUCED — step-partitioned, so a crash mid-fit leaves a
+        resumable log and ``delta_finish`` reads prune to the steps
+        they need. k rows per append: driver-side createDataFrame is
+        the right tool, no distributed state involved.
+        """
         if self.k < 1:
             raise ValueError(f"k must be >= 1, got {self.k}")
+
+        def _persist_step(step: int, model: Model) -> None:
+            if state_store is None:
+                return
+            rows = [(int(step), int(j), [float(x) for x in c]) for j, c in model]
+            df = yh.sparkSession.createDataFrame(
+                rows, schema="step bigint, j int, C array<double>"
+            )
+            state_store.append(df, state_table, partition_by=["step"])
         # spread narrow sources to full parallelism before caching: a
         # single-file scan yields few partitions, and every Lloyd
         # iteration would inherit that narrow parallelism from cache.
@@ -446,12 +471,14 @@ class KMeansEngine:
             rng = random.Random(self.seed)
             model = self.init_centroids(yh, rng)
             history = [(0, j, c) for j, c in model]
+            _persist_step(0, model)
             movements: list[float] = []
             converged = False
             step = 0
             for step in range(1, self.max_iter + 1):
                 new_model = self.lloyd_step(yh, model, dim)
                 history.extend((step, j, c) for j, c in new_model)
+                _persist_step(step, new_model)
                 prev = dict(model)
                 # movement over ALL centroids present in both steps
                 # (deltaFinish intent; quirk Q5 fixed — the reference

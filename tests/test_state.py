@@ -35,6 +35,30 @@ def test_history_roundtrip_delta_finish(spark, sf_dir, store):
     assert "PartitionFilters" in plan or "step=" in plan
 
 
+def test_fit_persists_state_per_step(spark, sf_dir, store):
+    """State store wired INTO the fit (VERDICT r3 item 6): WCR rows
+    are appended per step as produced; the persisted table replays
+    delta_finish identically to the in-memory history, and the log is
+    step-partitioned (resumable / pruned read-back)."""
+    from pathlib import Path
+
+    yh = load_yh(spark, "/root/testdata/sf0.001", "lineitem")
+    eng = KMeansEngine(k=3, seed=42, max_iter=8)
+    res = eng.fit(yh, state_store=store, state_table="wcr_live")
+
+    back = store.read(spark, "wcr_live").withColumn(
+        "step", F.col("step").cast("bigint")
+    )
+    # every in-memory WCR row made it to disk, no extras
+    assert back.count() == len(res.history)
+    # per-step directory partitions exist for step 0..n_iter
+    step_dirs = {p.name for p in Path(store.path("wcr_live")).glob("step=*")}
+    assert step_dirs == {f"step={s}" for s in range(res.n_iter + 1)}
+    # convergence metric replayed from the persisted table matches the
+    # one replayed from the in-memory history
+    assert delta_finish(back) == delta_finish(res.history_df(spark))
+
+
 def test_append_accumulates_runs(spark, store):
     df1 = spark.createDataFrame([(0, 1, [1.0])], "step bigint, j int, C array<double>")
     df2 = spark.createDataFrame([(1, 1, [2.0])], "step bigint, j int, C array<double>")
