@@ -90,6 +90,67 @@ def nearest_cells_batch(centers: list[list[float]], nprobe: int = 1):
     return _cells
 
 
+def min_sq_dist_batch(centers: list[list[float]]):
+    """Factory: pandas_udf mapping ``array<double>`` to the MINIMUM
+    squared L2 distance to any of ``centers`` (double).
+
+    The k-means|| init's per-round distance refresh: each round folds
+    the new candidate batch into the per-point running min-D² with ONE
+    narrow Arrow pass — replacing a broadcast-join + groupBy-on-array
+    that shuffled the whole point set per round. Values (not just
+    ranks) matter here (the Φ cost and sampling thresholds), so the
+    full expansion ``|x|² - 2x·c + |c|²`` is computed and clamped at 0
+    (fp cancellation can dip epsilon-negative). Per-row results are
+    independent of Arrow batch composition — partition layout cannot
+    change the outcome.
+    """
+    c = _stack(centers)  # (k, dim)
+    ct = np.ascontiguousarray(c.T)
+    c_sq = (c * c).sum(axis=1)  # (k,)
+
+    @pandas_udf("double")
+    def _min_d2(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ ct) + c_sq
+        return pd.Series(np.maximum(d2.min(axis=1), 0.0))
+
+    return _min_d2
+
+
+def numpy_kmeans_weighted(
+    x: np.ndarray,
+    w: list[float] | np.ndarray,
+    k: int,
+    seed: int = 42,
+    n_iter: int = 20,
+) -> np.ndarray:
+    """Weighted k-means (seeded weighted-++ init + weighted Lloyd) on a
+    driver-side candidate set — the k-means|| recluster step (Bahmani
+    et al. §3.3: the ~2k·rounds oversampled candidates, weighted by
+    attraction-basin size, reduced to the final k)."""
+    rng = np.random.RandomState(seed)
+    n = len(x)
+    w = np.asarray(w, dtype=np.float64)
+    if w.sum() <= 0:
+        w = np.ones(n, dtype=np.float64)
+    centers = np.empty((k, x.shape[1]), dtype=np.float64)
+    centers[0] = x[rng.choice(n, p=w / w.sum())]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        wd = w * d2
+        probs = wd / wd.sum() if wd.sum() > 0 else w / w.sum()
+        centers[j] = x[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((x - centers[j]) ** 2).sum(axis=1))
+    for _ in range(n_iter):
+        dists = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = dists.argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any() and w[mask].sum() > 0:
+                centers[j] = np.average(x[mask], axis=0, weights=w[mask])
+    return centers
+
+
 def numpy_kmeans(
     x: np.ndarray, k: int, seed: int = 42, n_iter: int = 20
 ) -> np.ndarray:

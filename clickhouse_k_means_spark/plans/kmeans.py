@@ -70,6 +70,20 @@ def _euclid(a: list[float], b: list[float]) -> float:
     return sum((x - y) ** 2 for x, y in zip(a, b)) ** 0.5
 
 
+def _weighted_kmeans_driver(
+    cands: list[list[float]], weights: list[int], k: int, rng: random.Random
+) -> list[list[float]]:
+    """k-means|| recluster: weighted k-means over the small candidate
+    set, driver-side numpy (a few hundred rows — never the data)."""
+    import numpy as np
+
+    from clickhouse_k_means_spark.functions.vector import numpy_kmeans_weighted
+
+    x = np.asarray(cands, dtype=np.float64)
+    centers = numpy_kmeans_weighted(x, weights, k, seed=rng.randrange(2**31))
+    return [list(map(float, row)) for row in centers]
+
+
 class KMeansEngine:
     """Reference-parity k-means over a ``(i, Y)`` DataFrame (the YH
     contract, sources/dataset.py)."""
@@ -206,6 +220,11 @@ class KMeansEngine:
     # unit — exact BIGINT cumulative sums (order-free, deterministic)
     _W_SCALE = 1 << 20
     _N_BUCKETS = 64
+    # k·dim threshold above which Lloyd assignment switches from the
+    # unrolled struct-min to the Arrow-batched matmul (k=4..8 small
+    # fits and every oracle-replayed reproducible fit stay unrolled;
+    # k>=16 at dim 3 crosses over)
+    _ARROW_ASSIGN_CELLS = 48
 
     def _weighted_pick(
         self, state: DataFrame, rng: random.Random, round_no: int
@@ -271,24 +290,27 @@ class KMeansEngine:
         sequential ++ init (k=64 means 5 candidate rounds, not 63 picks).
 
         Scale shapes, deliberately chosen:
-        - per-round distance refresh joins the points against the
-          BROADCAST new-candidate batch and takes a struct-min per
-          point — a plain codegen'd join+agg, NOT a 2k-branch unrolled
-          expression (giant expression trees were the r2 bench
-          regression: JIT/codegen cache pressure).
+        - per-round distance refresh is ONE narrow Arrow-batched pass:
+          ``least(d2, min_sq_dist_batch(new_batch)(Y))`` — no join, no
+          shuffle, no unrolled expression tree (r4: the previous
+          broadcast-join + groupBy-on-array-key form shuffled the full
+          distinct point set EVERY round and dominated init time —
+          measured 49 s at k=64 sf0.1; the matmul form is seconds).
         - the cost Φ is an exact-BIGINT sum of quantized D² (order-free
           → the sampling thresholds are bit-deterministic on any
-          partition layout).
+          partition layout; per-row matmul results are independent of
+          Arrow batch composition).
         - per-point sampling uses seeded xxhash64 uniforms, so the draw
           is a pure function of (seed, round, Y) — partition-independent
           and replayable.
         """
+        from clickhouse_k_means_spark.functions.vector import (
+            min_sq_dist_batch,
+            nearest_cells_batch,
+        )
         rng = rng or random.Random(self.seed)
-        spark = yh.sparkSession
-        dim_row = yh.select("Y").first()
-        if dim_row is None:
+        if yh.select("Y").first() is None:
             raise ValueError("k-means: input DataFrame is empty")
-        dim = len(dim_row[0])
         ell = oversample or 2 * self.k
         salt = rng.randrange(2**31)
 
@@ -303,35 +325,31 @@ class KMeansEngine:
         )
         cands: list[list[float]] = [list(first)]
 
-        def batch_df(vecs: list[list[float]], start: int) -> DataFrame:
-            return spark.createDataFrame(
-                [(start + idx, [float(x) for x in v]) for idx, v in enumerate(vecs)],
-                "cid int, C array<double>",
+        def refresh(points: DataFrame, batch: list[list[float]]) -> DataFrame:
+            """Fold a candidate batch into the running min-D² — one
+            narrow Arrow pass, no shuffle."""
+            nd2 = min_sq_dist_batch([list(map(float, v)) for v in batch])
+            base = (
+                F.col("d2") if "d2" in points.columns else F.lit(float("inf"))
+            )
+            return points.select(
+                "Y", F.least(base, nd2(F.col("Y"))).alias("d2")
             )
 
-        d2 = None
-        for dd in range(dim):
-            t = F.col("Y")[dd] - F.col("C")[dd]
-            d2 = t * t if d2 is None else d2 + t * t
-
-        def min_d2_vs(points: DataFrame, batch: DataFrame) -> DataFrame:
-            """(Y, d2): min squared distance of each point to the batch."""
-            return (
-                points.join(F.broadcast(batch))
-                .select("Y", d2.alias("__d2"))
-                .groupBy("Y")
-                .agg(F.min("__d2").alias("d2"))
-            )
-
-        state = min_d2_vs(yh.select("Y").distinct(), batch_df(cands, 0)).localCheckpoint(
+        state = refresh(yh.select("Y").distinct(), cands).localCheckpoint(
             eager=True
         )
         for r in range(n_rounds):
             # Φ as an exact integer (quantized) — order-free, so the
-            # per-row threshold below is deterministic on any layout
-            phi = state.agg(
-                F.sum(F.round(F.col("d2") * self._W_SCALE).cast("bigint"))
+            # per-row threshold below is deterministic on any layout.
+            # DECIMAL(38,0) accumulator, not BIGINT: squared distances
+            # of large-magnitude features (lineitem price ~5e4 → D² ~
+            # 2.5e9 → quantized ~2.6e15/row) overflow a long across
+            # ~600k rows; decimal sums stay exact to 38 digits.
+            phi_dec = state.agg(
+                F.sum(F.round(F.col("d2") * self._W_SCALE).cast("decimal(38,0)"))
             ).collect()[0][0]
+            phi = int(phi_dec) if phi_dec is not None else 0
             if not phi:
                 break  # every point coincides with a candidate
             u53 = (
@@ -348,16 +366,8 @@ class KMeansEngine:
             new = [list(row["Y"]) for row in state.filter(u53 < p).select("Y").collect()]
             if not new:
                 continue
-            start = len(cands)
             cands.extend(new)
-            nd = min_d2_vs(
-                state.select("Y"), batch_df(new, start)
-            ).withColumnRenamed("d2", "nd2")
-            state = (
-                state.join(nd, "Y")
-                .select("Y", F.least("d2", "nd2").alias("d2"))
-                .localCheckpoint(eager=True)
-            )
+            state = refresh(state, new).localCheckpoint(eager=True)
         if len(cands) < self.k:
             raise ValueError(
                 f"k-means||: only {len(cands)} candidates after {n_rounds} "
@@ -365,18 +375,15 @@ class KMeansEngine:
                 "(or the input has fewer distinct points than k)"
             )
 
-        # weight candidates by their attraction basin size: one pass of
-        # points vs the broadcast candidate table, argmin via struct-min
-        cand_df = batch_df(cands, 0)
+        # weight candidates by their attraction basin size: one narrow
+        # Arrow argmin pass over ALL points (duplicates count — basin
+        # size is a point count, not a distinct-point count), then a
+        # tiny groupBy on the candidate index (ties → lowest index,
+        # matching the struct-min convention)
+        nearest = nearest_cells_batch([list(map(float, v)) for v in cands])
         weights_rows = (
-            yh.select("Y")
-            .join(F.broadcast(cand_df))
-            .select(
-                "Y", F.struct(d2.alias("d"), F.col("cid").alias("cid")).alias("s")
-            )
-            .groupBy("Y")
-            .agg(F.min("s").alias("m"))
-            .groupBy(F.col("m.cid").alias("cid"))
+            yh.select(nearest(F.col("Y"))[0].alias("cid"))
+            .groupBy("cid")
             .agg(F.count(F.lit(1)).alias("w"))
             .collect()
         )
@@ -395,8 +402,31 @@ class KMeansEngine:
         Reproducible mode computes each mean as an exact-BIGINT sum of
         the fixed-point features divided once — order-independent,
         unlike native avg() whose double partial sums combine in
-        partition-completion order."""
-        j = nearest_centroid_struct("Y", model)["j"]
+        partition-completion order.
+
+        Assignment has two physical forms (same argmin, ties → lowest
+        j): the codegen'd unrolled struct-min for small models, and an
+        Arrow-batched matmul (functions/vector.py rationale) once
+        k·dim crosses ``_ARROW_ASSIGN_CELLS`` — at k=64 the unrolled
+        expression tree costs seconds of Catalyst/codegen per
+        iteration (measured 7.5 s/step at sf0.1) vs ~1 s for the
+        matmul form. Reproducible mode always uses the unrolled form
+        (its DuckDB full-replay oracle depends on that exact float
+        fold order)."""
+        k = len(model)
+        if self.mean_scales is None and k * dim >= self._ARROW_ASSIGN_CELLS:
+            from clickhouse_k_means_spark.functions.vector import (
+                nearest_cells_batch,
+            )
+
+            ordered = sorted(model)  # index order == ascending j
+            cells = nearest_cells_batch([list(map(float, c)) for _, c in ordered])
+            idx = cells(F.col("Y").cast("array<double>"))[0]
+            j = F.element_at(
+                F.array(*[F.lit(int(jj)) for jj, _ in ordered]), idx + 1
+            )
+        else:
+            j = nearest_centroid_struct("Y", model)["j"]
         if self.mean_scales is not None:
             aggs = []
             for dd in range(dim):
@@ -469,7 +499,13 @@ class KMeansEngine:
             if target < width:
                 yh = yh.coalesce(target)
             rng = random.Random(self.seed)
-            model = self.init_centroids(yh, rng)
+            # dispatch on the configured init (r4: this was silently
+            # always-sequential before — init='parallel' was validated
+            # in __init__ but never consulted here)
+            if self.init == "parallel":
+                model = self.init_centroids_parallel(yh, rng)
+            else:
+                model = self.init_centroids(yh, rng)
             history = [(0, j, c) for j, c in model]
             _persist_step(0, model)
             movements: list[float] = []
@@ -524,7 +560,41 @@ class KMeansEngine:
     # ---- results delivery (k-means.sql:35-39, README.md:45-47) ----
 
     def assign(self, yh: DataFrame, model: Model) -> DataFrame:
-        """(i, j, dist) — final membership, joinable back to source by i."""
+        """(i, j, dist) — final membership, joinable back to source by i.
+
+        Same two physical forms as ``lloyd_step``: unrolled struct-min
+        for small models, Arrow matmul argmin above the k·dim
+        threshold — there the distance to the CHOSEN centroid is an
+        O(dim) expression over an array-literal lookup (independent of
+        k), so only the argmin itself leaves codegen.
+        """
+        k = len(model)
+        dim = len(model[0][1]) if model else 0
+        if self.mean_scales is None and k * dim >= self._ARROW_ASSIGN_CELLS:
+            from clickhouse_k_means_spark.functions.vector import (
+                nearest_cells_batch,
+            )
+
+            ordered = sorted(model)
+            cells = nearest_cells_batch([list(map(float, c)) for _, c in ordered])
+            idx = cells(F.col("Y").cast("array<double>"))[0]
+            js_lit = F.array(*[F.lit(int(j)) for j, _ in ordered])
+            cs_lit = F.array(
+                *[F.array(*[F.lit(float(x)) for x in c]) for _, c in ordered]
+            )
+            picked = F.element_at(cs_lit, F.col("__idx") + 1)
+            sq = None
+            for d in range(dim):
+                t = F.col("Y")[d] - picked[d]
+                sq = t * t if sq is None else sq + t * t
+            return (
+                yh.select("i", "Y", idx.alias("__idx"))
+                .select(
+                    "i",
+                    F.element_at(js_lit, F.col("__idx") + 1).alias("j"),
+                    F.sqrt(sq).alias("dist"),
+                )
+            )
         s = nearest_centroid_struct("Y", model)
         return yh.select("i", s["j"].alias("j"), s["dist"].alias("dist"))
 

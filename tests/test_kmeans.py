@@ -217,3 +217,41 @@ def test_fit_on_lineitem_fixture(spark, sf_dir):
     res = KMeansEngine(k=3, seed=42, max_iter=25).fit(yh)
     assert len(res.model) == 3
     assert res.n_iter >= 1
+
+
+def test_parallel_init_fit_recovers_golden(spark, golden):
+    """init='parallel' (k-means||) actually dispatches in fit (r4: it
+    was silently ignored before) and recovers the separable golden
+    blobs with WCSS comparable to the sequential ++ fit."""
+    yh = from_table(golden, "i", ["x", "y"]).cache()
+    try:
+        res = KMeansEngine(k=4, seed=42, max_iter=60, init="parallel").fit(yh)
+        assert len(res.model) == 4
+        assert res.converged
+        par = elbow(yh, res.model, squared=True)
+        seq = elbow(
+            yh,
+            KMeansEngine(k=4, seed=42, max_iter=60).fit_best(yh, n_init=3).model,
+            squared=True,
+        )
+        assert par <= 1.10 * seq, f"k-means|| WCSS {par:.1f} vs ++ {seq:.1f}"
+    finally:
+        yh.unpersist()
+
+
+def test_parallel_init_large_k_arrow_path(spark):
+    """k=16 on lineitem exercises BOTH r4 large-k paths: the k-means||
+    init (Arrow min-D² refresh) and the Arrow matmul Lloyd assignment
+    (k*dim=48 >= threshold). All clusters populated, every row
+    assigned once."""
+    yh = load_yh(spark, "/root/testdata/sf0.001", "lineitem").cache()
+    try:
+        eng = KMeansEngine(k=16, seed=42, max_iter=5, init="parallel")
+        res = eng.fit(yh)
+        assert len(res.model) == 16
+        assigned = eng.assign(yh, res.model)
+        n = yh.count()
+        assert assigned.count() == n
+        assert assigned.select("j").distinct().count() == 16
+    finally:
+        yh.unpersist()
