@@ -107,3 +107,47 @@ def test_tpch_q1_single_exchange_partial_agg(spark, sf_dir):
     tree = plan.split("\n\n")[0]  # operator tree (details repeat names)
     assert tree.count("Exchange") == 1  # one shuffle: partial → final agg
     assert tree.count("HashAggregate") == 2  # partial + final
+
+
+def test_large_k_assignment_uses_arrow_not_unrolled(spark, sf_dir):
+    """Above the k*dim threshold, Lloyd/assign must run the Arrow
+    matmul argmin (ArrowEvalPython in the plan), not a k-branch
+    unrolled expression — the r4 large-k fix (7.5 s/step of
+    Catalyst/codegen at k=64 otherwise)."""
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+    from clickhouse_k_means_spark.sources.dataset import load_yh
+
+    yh = load_yh(spark, sf_dir, "lineitem")
+    model = [(j + 1, [float(j), float(j) * 2, 0.5]) for j in range(16)]  # k*dim=48
+    eng = KMeansEngine(k=16, seed=42)
+    plan = _plan(eng.assign(yh, model))
+    assert "ArrowEvalPython" in plan, plan
+
+
+def test_small_k_assignment_stays_codegen(spark, sf_dir):
+    """Below the threshold (and always in reproducible mode) the
+    assignment stays a fully codegen'd JVM expression — no Python in
+    the plan."""
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+    from clickhouse_k_means_spark.sources.dataset import load_yh
+
+    yh = load_yh(spark, sf_dir, "lineitem")
+    model = [(j + 1, [float(j), float(j) * 2, 0.5]) for j in range(4)]
+    eng = KMeansEngine(k=4, seed=42)
+    plan = _plan(eng.assign(yh, model))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    # reproducible mode must stay codegen even at large k (oracle replay)
+    eng_r = KMeansEngine(k=16, seed=42, mean_scales=[100, 100, 10000])
+    model16 = [(j + 1, [float(j), float(j) * 2, 0.5]) for j in range(16)]
+    plan_r = _plan(eng_r.assign(yh, model16))
+    assert "ArrowEvalPython" not in plan_r, plan_r
+
+
+def test_event_time_epoch_is_jvm_side(spark, sf_dir):
+    """The dtype-dispatched epoch helpers must compile to JVM
+    expressions (timestampdiff/unix_micros/div) — no Python rows in
+    any event-time query plan."""
+    plan = _plan(entry.q_time_buckets(spark, sf_dir))
+    assert "EvalPython" not in plan, plan
+    plan = _plan(entry.q_sessionize(spark, sf_dir))
+    assert "EvalPython" not in plan, plan
