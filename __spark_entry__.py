@@ -500,11 +500,15 @@ def q_latest_two(spark: SparkSession, sf_dir: str) -> DataFrame:
     per customer as columns, via sorted collect + slice (the engine's
     deterministic replacement for ClickHouse's read-order groupArray)."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 60)
+    # epoch via the dtype dispatcher, NOT unix_timestamp: o_orderdate
+    # loads as TIMESTAMP_NTZ and unix_timestamp on NTZ shifts with the
+    # session timezone (ordering-only here, but a DST-gap tz could
+    # reorder near-midnight dates under a driver-supplied session)
     pair = F.slice(
         F.sort_array(
             F.collect_list(
                 F.struct(
-                    (-F.unix_timestamp("o_orderdate")).alias("neg_ts"),
+                    (-event_epoch_seconds(orders, "o_orderdate")).alias("neg_ts"),
                     (-F.col("o_orderkey")).alias("neg_key"),
                     F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_c"),
                 )

@@ -363,7 +363,13 @@ class KMeansEngine:
                 * F.round(F.col("d2") * self._W_SCALE).cast("double")
                 / F.lit(float(phi))
             )
-            new = [list(row["Y"]) for row in state.filter(u53 < p).select("Y").collect()]
+            # sort the sampled batch: collect() order is partition-
+            # dependent, and the driver recluster consumes candidates
+            # by index — without this the final model varies run-to-run
+            # on the same (data, seed)
+            new = sorted(
+                [list(row["Y"]) for row in state.filter(u53 < p).select("Y").collect()]
+            )
             if not new:
                 continue
             cands.extend(new)
