@@ -890,6 +890,26 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolling_fingerprint("text", window=8).alias("fp"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (n-gram collision vs an eval set).
+
+    The eval set is derived IN-QUERY so the gate is non-vacuous at any
+    SF: the leading 8-gram of every ``doc_id % 97 == 0`` document —
+    the 'benchmark question leaked verbatim from training data'
+    scenario — so exactly those docs must flag contaminated while the
+    rest of the corpus (random text) stays clean. DuckDB replays the
+    same derivation. Corpus shuffles only on doc_id; the benchmark
+    n-gram set is broadcast (operators/decontam.py scale notes)."""
+    from clickhouse_k_means_spark.functions.text import tokens
+    from clickhouse_k_means_spark.operators.decontam import ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.pmod("doc_id", F.lit(97)) == 0).select(
+        F.concat_ws(" ", F.slice(tokens("text"), 1, 8)).alias("text")
+    )
+    return ngram_overlap(docs, bench, n=8, min_hits=1)
+
+
 # ---- corpus stats / scrubbing / sampling / sketches ----
 
 
@@ -1281,7 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "join_agg_segment": q_join_agg_segment,
-        "pivot_events": q_pivot_events,
+        "decontaminate": q_decontaminate,
         "time_buckets": q_time_buckets,
         "latest_two": q_latest_two,
         "sql_scalar_subquery": q_sql_scalar_subquery,
@@ -1321,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windows": q_streaming_windows,
         # --- rotated out of the driver's 50-row window (3 rounds green;
         # still oracle-gated in pytest) ---
+        "pivot_events": q_pivot_events,
         "topk_global": q_topk_global,
         "offset_pick": q_offset_pick,
         "window_running": q_window_running,
@@ -1708,6 +1729,25 @@ def oracle_sql() -> dict[str, str]:
             f"shc as (select doc_id, {toks8} as sh from tkc) "
             f"select doc_id, list_min(list_transform(sh, s -> {_hash64_sql('s')})) "
             "as fp from shc"
+        ),
+        # benchmark = leading 8-gram of every doc_id % 97 == 0 doc
+        # (in-query, SF-independent — the leaked-eval-question
+        # scenario); contamination = any shared distinct 8-gram
+        "decontaminate": (
+            f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
+            f"shc as (select doc_id, list_distinct({toks8}) as sh from tkc), "
+            "ds as (select doc_id, unnest(sh) as s from shc where len(sh) > 0), "
+            "d2 as (select * from ds where s != ''), "
+            "bench as (select distinct array_to_string(list_slice(tk, 1, 8), ' ') "
+            "as s from tkc where doc_id % 97 = 0 and "
+            "array_to_string(list_slice(tk, 1, 8), ' ') != ''), "
+            "tot as (select doc_id, count(*)::BIGINT as n_ngrams from d2 group by 1), "
+            "hit as (select doc_id, count(*)::BIGINT as n_overlap from d2 "
+            "join bench using (s) group by 1) "
+            "select tot.doc_id, tot.n_ngrams, "
+            "coalesce(hit.n_overlap, 0)::BIGINT as n_overlap, "
+            "(coalesce(hit.n_overlap, 0) >= 1)::INT as contaminated "
+            "from tot left join hit on tot.doc_id = hit.doc_id"
         ),
         "repetition_stats": (
             f"with tkc as (select doc_id, {_TOKS} as tk from documents), "

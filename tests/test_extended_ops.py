@@ -572,3 +572,60 @@ def test_streaming_assign_stateless(spark, sf_dir):
     total = rows.count()
     assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert rows.filter(~F.col("j").isin(1, 2)).count() == 0
+
+
+# ---- decontamination (r4) ----
+
+
+def test_ngram_overlap_flags_planted_leak(spark):
+    from clickhouse_k_means_spark.operators.decontam import (
+        decontaminate,
+        ngram_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely unrelated text about spark catalyst optimizer plans"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    out = ngram_overlap(docs, bench, n=8, min_hits=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["contaminated"] == 1 and rows[1]["n_overlap"] >= 1
+    assert rows[2]["contaminated"] == 0 and rows[2]["n_overlap"] == 0
+    assert rows[3]["contaminated"] == 0  # whole-text shingle, no match
+    assert rows[1]["n_ngrams"] == 5  # 12 tokens -> 5 distinct 8-grams
+
+    clean = decontaminate(docs, bench, n=8)
+    assert {r["doc_id"] for r in clean.select("doc_id").collect()} == {2, 3}
+
+
+def test_ngram_overlap_short_text_exact_match(spark):
+    """Docs under n tokens fall back to whole-text shingles — an exact
+    short-text collision still counts (both sides use the same rule)."""
+    from clickhouse_k_means_spark.operators.decontam import ngram_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "tiny leaked question"), (2, "different tiny doc")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("Tiny LEAKED question!",)], "text string")
+    rows = {r["doc_id"]: r for r in ngram_overlap(docs, bench, n=8).collect()}
+    assert rows[1]["contaminated"] == 1  # normalization makes them equal
+    assert rows[2]["contaminated"] == 0
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark probe must be a broadcast hash join — a 100 TB
+    corpus is never shuffled by shingle."""
+    import __spark_entry__ as entry
+
+    df = entry.q_decontaminate(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0], plan
