@@ -17,16 +17,23 @@ Scale mapping (100 TB):
   (``delta_finish``, dedup canonical joins) works unchanged on
   persisted state.
 
-A Delta/Iceberg table would add ACID upserts and snapshot isolation;
-parquet-append is deliberately chosen as the dependency-free subset —
-the write/read contract here (append, read, truncate) is the same
-surface those formats implement, so swapping the format is a one-class
-change.
+Two stores, two guarantees:
+- ``ParquetStateStore`` — plain parquet-append; the dependency-free
+  minimum (append, read, truncate). Single-writer.
+- ``SnapshotStateStore`` (r4) — manifest-based versioned snapshots:
+  optimistic-concurrency commits (exclusive-create on the version
+  file), snapshot-isolated reads, time travel, logical truncate, and
+  vacuum — the Delta/Iceberg log design re-expressed dependency-free.
+  Swapping in a real Delta/Iceberg table remains a one-class change;
+  the commit/read protocol is deliberately the same shape.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import shutil
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,3 +72,158 @@ class ParquetStateStore:
         p = Path(self.path(table))
         if p.exists():
             shutil.rmtree(p)
+
+
+class SnapshotStateStore:
+    """Versioned state tables with snapshot isolation and time travel —
+    the Delta/Iceberg log design in dependency-free form.
+
+    Layout per table::
+
+        <root>/<table>/data/<uuid>-part-N.parquet   immutable data files
+        <root>/<table>/_manifests/v<NNNNNNNN>.json  ordered snapshots
+
+    A manifest is the COMPLETE file list of its snapshot (not a delta),
+    committed with an exclusive-create (``os.link`` onto the final
+    name): two racing writers can both stage data files, but only one
+    claims version N — the loser re-reads the latest manifest and
+    retries at N+1, so every committed append lands exactly once
+    (optimistic concurrency, Delta's commit protocol). Readers resolve
+    a manifest ONCE and see that file list forever — snapshot
+    isolation; later appends/truncates cannot tear a read. ``truncate``
+    is logical (a new empty-file-list version) so earlier versions
+    remain time-travelable; ``vacuum`` reclaims files unreferenced by
+    the latest snapshot.
+
+    Scale notes: the manifest holds file NAMES only (k-row state
+    batches → tiny lists); data files are immutable so object-store
+    reads need no locking; commit cost is one small JSON write + one
+    atomic link, independent of table size.
+    """
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+
+    # ---- paths ----
+
+    def _table(self, table: str) -> Path:
+        return self.root / table
+
+    def _data(self, table: str) -> Path:
+        return self._table(table) / "data"
+
+    def _manifests(self, table: str) -> Path:
+        return self._table(table) / "_manifests"
+
+    # ---- manifest bookkeeping ----
+
+    def _versions(self, table: str) -> list[int]:
+        mdir = self._manifests(table)
+        if not mdir.exists():
+            return []
+        return sorted(
+            int(p.stem[1:]) for p in mdir.glob("v*.json") if p.stem[1:].isdigit()
+        )
+
+    def latest_version(self, table: str) -> int | None:
+        vs = self._versions(table)
+        return vs[-1] if vs else None
+
+    def _read_manifest(self, table: str, version: int) -> list[str]:
+        p = self._manifests(table) / f"v{version:08d}.json"
+        return json.loads(p.read_text())["files"]
+
+    def _commit(self, table: str, new_files: list[str], replace: bool = False) -> int:
+        """Claim the next version via exclusive create; retry on race.
+
+        Each attempt re-reads the CURRENT latest manifest as the base,
+        so a loser of the race re-applies only its own ``new_files`` on
+        top of the winner's snapshot — no lost updates. ``replace=True``
+        commits ``new_files`` as the whole snapshot (truncate)."""
+        mdir = self._manifests(table)
+        mdir.mkdir(parents=True, exist_ok=True)
+        while True:
+            latest = self.latest_version(table)
+            base = (
+                []
+                if replace or latest is None
+                else self._read_manifest(table, latest)
+            )
+            seen = set(base)
+            files = base + [f for f in new_files if f not in seen]
+            version = (latest or 0) + 1
+            tmp = mdir / f".tmp-{uuid.uuid4().hex}.json"
+            tmp.write_text(json.dumps({"version": version, "files": files}))
+            final = mdir / f"v{version:08d}.json"
+            try:
+                os.link(tmp, final)  # atomic, fails if version taken
+                tmp.unlink()
+                return version
+            except FileExistsError:
+                tmp.unlink()  # lost the race — recompute base and retry
+
+    # ---- public surface ----
+
+    def append(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> int:
+        """Stage the batch as immutable data files, then commit
+        latest-snapshot-files + new-files as the next version.
+        Returns the committed version number.
+
+        ``partition_by`` is accepted for ParquetStateStore interface
+        compatibility (fit's per-step persist) and ignored: versions
+        are the pruning axis here — each append IS a snapshot
+        boundary, so 'read the latest two steps' is two version reads."""
+        staging = self._table(table) / f".staging-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(str(staging))
+        data = self._data(table)
+        data.mkdir(parents=True, exist_ok=True)
+        batch = uuid.uuid4().hex
+        new_files: list[str] = []
+        for i, part in enumerate(sorted(staging.glob("part-*.parquet"))):
+            name = f"{batch}-part-{i}.parquet"
+            os.replace(part, data / name)
+            new_files.append(name)
+        shutil.rmtree(staging)
+        return self._commit(table, new_files)
+
+    def read(
+        self, spark: SparkSession, table: str, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read: resolve the manifest once (latest or pinned
+        ``version`` — time travel), then read exactly those files."""
+        v = self.latest_version(table) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"SnapshotStateStore: no snapshots for {table!r}")
+        files = self._read_manifest(table, v)
+        if not files:
+            return spark.createDataFrame([], schema="__empty string").limit(0)
+        data = self._data(table)
+        return spark.read.parquet(*[str(data / f) for f in files])
+
+    def exists(self, table: str) -> bool:
+        return self.latest_version(table) is not None
+
+    def truncate(self, table: str) -> int:
+        """LOGICAL truncate: commit an empty snapshot. Earlier versions
+        stay readable (time travel) until ``vacuum``."""
+        return self._commit(table, [], replace=True)
+
+    def vacuum(self, table: str) -> int:
+        """Delete data files not referenced by the LATEST snapshot and
+        drop all older manifests. Returns files removed. (After vacuum,
+        time travel reaches only the latest version — the retention
+        trade Delta's VACUUM makes.)"""
+        latest = self.latest_version(table)
+        if latest is None:
+            return 0
+        keep = set(self._read_manifest(table, latest))
+        removed = 0
+        for p in self._data(table).glob("*.parquet"):
+            if p.name not in keep:
+                p.unlink()
+                removed += 1
+        for v in self._versions(table)[:-1]:
+            (self._manifests(table) / f"v{v:08d}.json").unlink()
+        return removed

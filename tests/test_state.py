@@ -87,3 +87,105 @@ def test_dedup_components_roundtrip(spark, sf_dir, store):
     got = {(r["n"], r["component"], r["is_canonical"]) for r in back.collect()}
     want = {(r["n"], r["component"], r["is_canonical"]) for r in comp.collect()}
     assert got == want
+
+
+# ---- SnapshotStateStore (r4): versioned snapshots / time travel ----
+
+
+@pytest.fixture()
+def snap(tmp_path):
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    return SnapshotStateStore(str(tmp_path / "snap"))
+
+
+def _batch(spark, step, val):
+    return spark.createDataFrame(
+        [(step, 1, [float(val)])], "step bigint, j int, C array<double>"
+    )
+
+
+def test_snapshot_append_read_versions(spark, snap):
+    v1 = snap.append(_batch(spark, 0, 1.0), "wcr")
+    v2 = snap.append(_batch(spark, 1, 2.0), "wcr")
+    assert (v1, v2) == (1, 2)
+    assert snap.read(spark, "wcr").count() == 2
+    # time travel: version 1 still sees only the first batch
+    assert snap.read(spark, "wcr", version=1).count() == 1
+
+
+def test_snapshot_isolation_reader_pinned(spark, snap):
+    snap.append(_batch(spark, 0, 1.0), "wcr")
+    pinned = snap.read(spark, "wcr")          # resolves manifest v1 NOW
+    snap.append(_batch(spark, 1, 2.0), "wcr")  # concurrent append
+    assert pinned.count() == 1                 # read not torn by v2
+    assert snap.read(spark, "wcr").count() == 2
+
+
+def test_snapshot_logical_truncate_and_time_travel(spark, snap):
+    snap.append(_batch(spark, 0, 1.0), "wcr")
+    v = snap.truncate("wcr")
+    assert snap.read(spark, "wcr").count() == 0
+    assert snap.read(spark, "wcr", version=v - 1).count() == 1  # still there
+
+
+def test_snapshot_commit_race_no_lost_update(spark, snap):
+    """Simulate a racing writer claiming our version: pre-create the
+    manifest the next commit would take. The store must retry onto the
+    following version and keep BOTH writers' files visible."""
+    import json
+    from pathlib import Path
+
+    snap.append(_batch(spark, 0, 1.0), "wcr")
+    # racing writer stages a data file + claims version 2 directly
+    data = Path(snap._data("wcr"))
+    race_file = "racer-part-0.parquet"
+    _batch(spark, 9, 9.0).toPandas().to_parquet(data / race_file)
+    base = snap._read_manifest("wcr", 1)
+    mdir = Path(snap._manifests("wcr"))
+    (mdir / "v00000002.json").write_text(
+        json.dumps({"version": 2, "files": base + [race_file]})
+    )
+    # our append must land at version 3 including the racer's file
+    v = snap.append(_batch(spark, 1, 2.0), "wcr")
+    assert v == 3
+    assert snap.read(spark, "wcr").count() == 3
+
+
+def test_snapshot_vacuum_reclaims_unreferenced(spark, snap):
+    from pathlib import Path
+
+    snap.append(_batch(spark, 0, 1.0), "wcr")
+    snap.append(_batch(spark, 1, 2.0), "wcr")
+    snap.truncate("wcr")
+    n_files = len(list(Path(snap._data("wcr")).glob("*.parquet")))
+    removed = snap.vacuum("wcr")
+    assert removed == n_files  # empty latest snapshot references nothing
+    assert snap.read(spark, "wcr").count() == 0
+    assert snap.latest_version("wcr") == 3  # only latest manifest survives
+
+
+def test_snapshot_staged_but_uncommitted_invisible(spark, snap):
+    """A data file without a manifest entry (crash between stage and
+    commit) must be invisible to readers."""
+    from pathlib import Path
+
+    snap.append(_batch(spark, 0, 1.0), "wcr")
+    orphan = Path(snap._data("wcr")) / "orphan-part-0.parquet"
+    _batch(spark, 5, 5.0).toPandas().to_parquet(orphan)
+    assert snap.read(spark, "wcr").count() == 1
+
+
+def test_fit_persists_into_snapshot_store(spark, snap):
+    """KMeansEngine.fit(state_store=...) works against the snapshot
+    store too (same append contract): per-step commits, delta_finish
+    parity from the committed snapshot."""
+    yh = load_yh(spark, "/root/testdata/sf0.001", "lineitem")
+    res = KMeansEngine(k=3, seed=42, max_iter=6).fit(
+        yh, state_store=snap, state_table="wcr_fit"
+    )
+    back = snap.read(spark, "wcr_fit")
+    assert back.count() == len(res.history)
+    assert delta_finish(back) == delta_finish(res.history_df(spark))
+    # one committed version per persisted step (0..n_iter)
+    assert snap.latest_version("wcr_fit") == res.n_iter + 1
