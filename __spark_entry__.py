@@ -890,6 +890,30 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolling_fingerprint("text", window=8).alias("fp"))
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by portable key hash
+    — assignment is a pure function of (doc_id, salt), so re-runs and
+    incremental arrivals land identically; oracle replays the md5
+    arithmetic exactly."""
+    from clickhouse_k_means_spark.operators.packing import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, key="doc_id", salt=42).select("doc_id", "split")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (budget 2048) over the documents
+    table in doc_id order — two-phase global cumsum, no
+    SinglePartition stage; oracle replays with a plain window cumsum."""
+    from clickhouse_k_means_spark.functions.text import token_count
+    from clickhouse_k_means_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    return pack_sequences(docs, tokens="n_tok", key="doc_id", budget=2048)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (n-gram collision vs an eval set).
 
@@ -1302,10 +1326,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "join_agg_segment": q_join_agg_segment,
         "decontaminate": q_decontaminate,
+        "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
         "time_buckets": q_time_buckets,
-        "latest_two": q_latest_two,
         "sql_scalar_subquery": q_sql_scalar_subquery,
-        "anti_join": q_anti_join,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "range_join": q_range_join,
@@ -1341,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windows": q_streaming_windows,
         # --- rotated out of the driver's 50-row window (3 rounds green;
         # still oracle-gated in pytest) ---
+        "latest_two": q_latest_two,
+        "anti_join": q_anti_join,
         "pivot_events": q_pivot_events,
         "topk_global": q_topk_global,
         "offset_pick": q_offset_pick,
@@ -1729,6 +1755,25 @@ def oracle_sql() -> dict[str, str]:
             f"shc as (select doc_id, {toks8} as sh from tkc) "
             f"select doc_id, list_min(list_transform(sh, s -> {_hash64_sql('s')})) "
             "as fp from shc"
+        ),
+        # portable md5 split hash: same arithmetic as hashing.hash64
+        "hash_split": (
+            f"with u as (select doc_id, {_hash64_sql('doc_id::VARCHAR', salt=42)}"
+            " / 1152921504606846976.0 as u from documents) "
+            "select doc_id, case when u < 0.90 then 'train' "
+            "when u < 0.95 then 'val' else 'test' end as split from u"
+        ),
+        # greedy-window packing: pack = (running total BEFORE the doc)
+        # div budget, replayed with a plain window cumsum
+        "pack_sequences": (
+            "with t as (select doc_id, "
+            f"len({_TOKS}) as n_tok from documents), "
+            "c as (select doc_id, n_tok, coalesce(sum(n_tok) over "
+            "(order by doc_id rows between unbounded preceding and 1 "
+            "preceding), 0) as before from t) "
+            "select doc_id, n_tok::BIGINT as n_tok, "
+            "(before // 2048)::BIGINT as pack_id, "
+            "(before % 2048)::BIGINT as pack_offset from c"
         ),
         # benchmark = leading 8-gram of every doc_id % 97 == 0 doc
         # (in-query, SF-independent — the leaked-eval-question

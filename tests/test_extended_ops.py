@@ -629,3 +629,56 @@ def test_decontaminate_plan_broadcasts_benchmark(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0], plan
+
+
+# ---- dataset assembly: splits + packing (r4) ----
+
+
+def test_hash_split_deterministic_and_proportional(spark, sf_dir):
+    from clickhouse_k_means_spark.operators.packing import hash_split
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         hash_split(docs.repartition(7)).collect()}
+    assert a == b  # partition-layout independent
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] / n > 0.8  # 90% nominal, tolerant at small n
+    # different salt -> different assignment (not a constant function)
+    s2 = {r["doc_id"]: r["split"] for r in
+          hash_split(docs, salt=43).collect()}
+    assert s2 != a
+
+
+def test_pack_sequences_invariants(spark):
+    from clickhouse_k_means_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 700) for i in range(10)], "doc_id long, n_tok long"
+    )
+    out = pack_sequences(df, tokens="n_tok", key="doc_id", budget=2048)
+    rows = sorted(
+        (r["doc_id"], r["pack_id"], r["pack_offset"]) for r in out.collect()
+    )
+    # 700-token docs, budget 2048: cumulative-before = 700*i;
+    # pack = (700*i) div 2048 -> docs 0-2 pack 0, 3-5 pack 1, ...
+    assert [r[1] for r in rows] == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3]
+    assert rows[0][2] == 0 and rows[3][2] == (2100 % 2048)
+    # every pack's docs are contiguous in key order
+    packs = [r[1] for r in rows]
+    assert packs == sorted(packs)
+
+
+def test_pack_sequences_no_single_partition_window(spark, sf_dir):
+    """The global cumsum must be two-phase — no SinglePartition
+    exchange in the plan (the 100 TB killer)."""
+    import __spark_entry__ as entry
+
+    df = entry.q_pack_sequences(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
