@@ -114,3 +114,38 @@ def test_orders_schema(spark, sf_dir):
     assert isinstance(t["o_orderkey"], LongType)
     assert isinstance(t["o_custkey"], LongType)
     assert isinstance(t["o_totalprice"], DoubleType)
+
+
+def test_epoch_dispatch_all_storage_types(spark):
+    """All three dispatch branches agree on the same instant:
+    raw bigint nanos (legacy fixture), TIMESTAMP_NTZ (current
+    fixture), and tz-aware TIMESTAMP."""
+    from clickhouse_k_means_spark.sources.dataset import (
+        epoch_micros,
+        epoch_seconds,
+    )
+
+    base_s = 1_704_067_207  # 2024-01-01T00:00:07Z
+    df = spark.sql(
+        f"select cast({base_s} as bigint) * 1000000000 + 179575000 as ts_nanos, "
+        f"timestamp_ntz'2024-01-01 00:00:07.179575' as ts_ntz, "
+        f"timestamp'2024-01-01 00:00:07.179575 UTC' as ts_tz"
+    )
+    row = df.select(
+        epoch_seconds("ts_nanos", df.schema["ts_nanos"].dataType).alias("s1"),
+        epoch_seconds("ts_ntz", df.schema["ts_ntz"].dataType).alias("s2"),
+        epoch_seconds("ts_tz", df.schema["ts_tz"].dataType).alias("s3"),
+        epoch_micros("ts_nanos", df.schema["ts_nanos"].dataType).alias("u1"),
+        epoch_micros("ts_ntz", df.schema["ts_ntz"].dataType).alias("u2"),
+        epoch_micros("ts_tz", df.schema["ts_tz"].dataType).alias("u3"),
+    ).first()
+    assert row["s1"] == row["s2"] == row["s3"] == base_s
+    assert row["u1"] == row["u2"] == row["u3"] == base_s * 1_000_000 + 179575
+
+
+def test_epoch_dispatch_rejects_unknown_type(spark):
+    from clickhouse_k_means_spark.sources.dataset import epoch_seconds
+    from pyspark.sql.types import StringType
+
+    with pytest.raises(TypeError, match="unsupported event-time dtype"):
+        epoch_seconds("x", StringType())
