@@ -163,6 +163,9 @@ def main() -> None:
         ("embed_neardup_lsh", entry.q_embed_neardup_lsh),
         ("srp_ann", entry.q_srp_ann),
         ("ivf_ann", entry.q_ivf_ann),
+        ("decontaminate", entry.q_decontaminate),
+        ("hash_split", entry.q_hash_split),
+        ("pack_sequences", entry.q_pack_sequences),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)), n_reps=2,
               into=extended)

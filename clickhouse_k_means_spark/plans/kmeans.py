@@ -314,10 +314,17 @@ class KMeansEngine:
         ell = oversample or 2 * self.k
         salt = rng.randrange(2**31)
 
-        # first candidate: same partition-independent seeded pick as ++
+        # first candidate: same partition-independent seeded pick as ++.
+        # Tie-break on Y too: the YH contract allows duplicate keys
+        # with different payloads (lineitem fixture), and an (hash, i)
+        # tie resolved by scan order made the whole init — and the
+        # final model — vary run to run (caught via kscale inertia
+        # wobble in r4).
         first = (
             yh.orderBy(
-                F.xxhash64(F.lit(salt), F.col("i")).asc(), F.col("i").asc()
+                F.xxhash64(F.lit(salt), F.col("i")).asc(),
+                F.col("i").asc(),
+                F.col("Y").asc(),
             )
             .select("Y")
             .limit(1)
