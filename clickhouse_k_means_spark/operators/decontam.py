@@ -59,24 +59,20 @@ def ngram_overlap(
         )
         .filter(F.col("sh") != "")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    per_doc = d.groupBy(doc_id).agg(F.count(F.lit(1)).alias("n_ngrams"))
-    hits = (
-        d.join(F.broadcast(b), "sh")
-        .groupBy(doc_id)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    return (
-        per_doc.join(hits, doc_id, "left")
-        .select(
-            doc_id,
-            "n_ngrams",
-            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
-            F.when(F.coalesce("n_overlap", F.lit(0)) >= min_hits, 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("contaminated"),
-        )
+    # ONE corpus shingle pass: left broadcast join marks hits, a single
+    # doc_id aggregation counts totals and overlaps together (the
+    # two-pass per_doc/hits form re-shingled the corpus twice — 2x the
+    # dominant cost at bench scale)
+    marked = d.join(F.broadcast(b), "sh", "left")
+    n_overlap = F.sum(F.coalesce("__hit", F.lit(0)))
+    return marked.groupBy(doc_id).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        n_overlap.cast("bigint").alias("n_overlap"),
+        F.when(n_overlap >= min_hits, 1).otherwise(0).cast("int").alias(
+            "contaminated"
+        ),
     )
 
 
