@@ -223,3 +223,44 @@ def jaccard_pairs(
             (inter.cast("double") / union).alias("jaccard"),
         )
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    store,
+    table: str = "seen_hashes",
+    text: str = "text",
+    key: str = "doc_id",
+):
+    """Dedup an arriving batch against ALL previously-committed content
+    — the production ingest shape (the batch ``exact_dedup`` only sees
+    its own rows).
+
+    Protocol: (1) read the persisted hash table (any state store from
+    ``sources/state.py``; with ``SnapshotStateStore`` the read is
+    snapshot-isolated, so a concurrent ingest can't tear it), (2)
+    dedup the batch internally (keep-first by key), (3) anti-join the
+    batch's survivors against history, (4) append the NEW survivors'
+    hashes as the next commit. Returns (survivors_df, n_committed).
+
+    Scale shape: history is touched only through one join keyed on the
+    digest (skew-free — md5 is uniform) and one tiny append of the
+    batch's new hashes; the corpus-sized history is never rewritten.
+    """
+    from pyspark.sql import Row
+
+    spark = new_docs.sparkSession
+    tagged = exact_dedup(new_docs, text=text, key=key)
+    batch_keep = tagged.filter(F.col("keep") == 1).select(key, "text_hash")
+    if store.exists(table):
+        seen = store.read(spark, table).select("text_hash").distinct()
+        fresh = batch_keep.join(seen, "text_hash", "left_anti")
+    else:
+        fresh = batch_keep
+    fresh_rows = fresh.select(key, "text_hash")
+    survivors = new_docs.join(fresh_rows.select(key), key)
+    new_hashes = fresh_rows.select("text_hash")
+    n = new_hashes.count()
+    if n:
+        store.append(new_hashes, table)
+    return survivors, n

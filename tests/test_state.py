@@ -189,3 +189,30 @@ def test_fit_persists_into_snapshot_store(spark, snap):
     assert delta_finish(back) == delta_finish(res.history_df(spark))
     # one committed version per persisted step (0..n_iter)
     assert snap.latest_version("wcr_fit") == res.n_iter + 1
+
+
+def test_incremental_exact_dedup_across_batches(spark, snap):
+    """Ingest-shape dedup: batch 2's duplicates of batch 1 content are
+    dropped even though they never co-existed in one DataFrame; the
+    hash history advances one snapshot per ingest."""
+    from clickhouse_k_means_spark.operators.dedup import incremental_exact_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    )
+    s1, n1 = incremental_exact_dedup(b1, snap, table="seen")
+    assert {r["doc_id"] for r in s1.collect()} == {1, 2}  # 3 is in-batch dup
+    assert n1 == 2
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text"), (12, "gamma text")],
+        "doc_id long, text string",
+    )
+    s2, n2 = incremental_exact_dedup(b2, snap, table="seen")
+    assert {r["doc_id"] for r in s2.collect()} == {11}  # 10 dups batch 1
+    assert n2 == 1
+    # replaying an already-seen batch commits nothing new
+    s3, n3 = incremental_exact_dedup(b1, snap, table="seen")
+    assert n3 == 0 and s3.count() == 0
+    assert snap.latest_version("seen") == 2  # no empty commits
