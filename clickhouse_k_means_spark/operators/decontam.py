@@ -21,17 +21,53 @@ Scale shape (100 TB corpus, benchmark sets are small by nature):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from clickhouse_k_means_spark.functions.text import word_shingles
+from clickhouse_k_means_spark.functions.text import tokens
 
 
 def _doc_shingles(df: DataFrame, key: str, text: str, n: int) -> DataFrame:
-    """(key, sh): DISTINCT n-gram shingles per document."""
-    return df.select(
-        F.col(key), F.explode(F.array_distinct(word_shingles(text, n))).alias("sh")
-    ).filter(F.col("sh") != "")
+    """(key, sh): DISTINCT n-gram shingles per document — codegen shape.
+
+    The HOF form (``transform(sequence(...), i -> concat_ws(slice(tok,
+    i+1, n)))``) evaluates interpreted, and because the lambda embeds
+    the full tokenization expression it can re-derive lower/regexp/split
+    work per shingle — O(doc_len · n_shingles) per document (this was
+    the slowest bench query in round 4 at 7.7 s). Here tokens are
+    staged ONCE, posexploded to (key, pos, token) rows, and each
+    shingle is `concat_ws(token, lead(token,1) … lead(token,n-1))` over
+    a per-document window — plain JVM window + string concat. The only
+    corpus shuffle keys on the unique document key (skew-free), and the
+    per-doc dedup reuses that partitioning (no second exchange: hash
+    partitioning on ``key`` satisfies clustering on (key, sh)).
+
+    Documents shorter than ``n`` tokens contribute their whole
+    normalized text as one shingle (the ``word_shingles`` convention).
+    """
+    tok = df.select(F.col(key), tokens(text).alias("__tok"))
+    short = (
+        tok.filter(F.size("__tok") < n)
+        .select(F.col(key), F.concat_ws(" ", "__tok").alias("sh"))
+        .filter(F.col("sh") != "")
+    )
+    w = Window.partitionBy(key).orderBy("__pos")
+    parts = [F.col("__t")] + [F.lead("__t", i).over(w) for i in range(1, n)]
+    long = (
+        tok.filter(F.size("__tok") >= n)
+        .select(F.col(key), F.posexplode("__tok").alias("__pos", "__t"))
+        # concat_ws skips nulls, so tail positions (fewer than n tokens
+        # left) would emit short shingles — keep only full windows
+        .select(
+            F.col(key),
+            F.concat_ws(" ", *parts).alias("sh"),
+            parts[-1].isNotNull().alias("__full"),
+        )
+        .filter("__full")
+        .drop("__full")
+    )
+    return long.dropDuplicates([key, "sh"]).unionByName(short)
 
 
 def ngram_overlap(
@@ -53,11 +89,20 @@ def ngram_overlap(
     exact short-text matches still count).
     """
     d = _doc_shingles(docs, doc_id, text, n)
+    # benchmark side goes through the same codegen shingle stage (a
+    # synthetic row id stands in for the doc key — dropped after the
+    # global distinct), keeping the whole plan HOF-free
     b = (
-        benchmark.select(
-            F.explode(F.array_distinct(word_shingles(bench_text, n))).alias("sh")
+        _doc_shingles(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("__bid"),
+                F.col(bench_text).alias("__btext"),
+            ),
+            "__bid",
+            "__btext",
+            n,
         )
-        .filter(F.col("sh") != "")
+        .select("sh")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )

@@ -143,6 +143,16 @@ def test_small_k_assignment_stays_codegen(spark, sf_dir):
     assert "ArrowEvalPython" not in plan_r, plan_r
 
 
+def test_decontaminate_shingles_are_codegen_not_hof(spark, sf_dir):
+    """The corpus shingle stage must be the posexplode + lead() window
+    shape — no interpreted HOF re-deriving tokenization per shingle
+    (the r4 7.7 s hot path; VERDICT r4 item 1)."""
+    plan = _plan(entry.q_decontaminate(spark, sf_dir))
+    for hof in ("transform(", "aggregate(", "zip_with("):
+        assert hof not in plan, f"interpreted HOF {hof} in decontaminate plan"
+    assert "Generate posexplode" in plan or "posexplode" in plan, plan
+
+
 def test_event_time_epoch_is_jvm_side(spark, sf_dir):
     """The dtype-dispatched epoch helpers must compile to JVM
     expressions (timestampdiff/unix_micros/div) — no Python rows in
