@@ -14,11 +14,12 @@ Scale shapes:
 - ``pack_sequences`` needs a GLOBAL running token total in key order —
   the classic single-partition window trap. It uses the same
   two-phase shape as the engine's weighted pick (operators/sampling
-  W1/W2): phase 1 aggregates per-bucket token sums (tiny driver list),
-  phase 2 computes within-bucket cumsums in parallel and adds the
-  driver-broadcast bucket offset. No SinglePartition stage at any
-  size; buckets are contiguous key ranges so the global order is
-  exact.
+  W1/W2): phase 1 aggregates per-bucket token sums into running
+  offsets (~sqrt(n) buckets by default, broadcast-joined back as a
+  DataFrame, never a literal plan map), phase 2 computes
+  within-bucket cumsums in parallel and adds the bucket offset. No
+  SinglePartition stage at any size; buckets are contiguous key
+  ranges so the global order is exact.
 """
 
 from __future__ import annotations
@@ -64,7 +65,7 @@ def pack_sequences(
     tokens: str,
     key: str = "doc_id",
     budget: int = 2048,
-    bucket_width: int = 64,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Assign each document to a training pack by token budget.
 
@@ -80,24 +81,57 @@ def pack_sequences(
     ``key`` for the remaining columns (kept out of the operator so it
     adds no shuffle of its own).
 
-    Two-phase global cumsum: per-bucket sums (bucket = key div
-    bucket_width·budget-ish contiguous ranges) collect as one tiny
-    driver list; within-bucket window cumsums run fully parallel.
+    Two-phase global cumsum: per-bucket token sums roll up into running
+    offsets, then within-bucket window cumsums run fully parallel and
+    add the bucket offset back — no SinglePartition stage at any size.
+    Buckets are contiguous key ranges (``key div width`` — INTEGRAL
+    division, so 64-bit keys above 2^53 never mis-bucket the way a
+    double-rounded ``/`` could).
+
+    ``bucket_width`` (key units per bucket) defaults to a width derived
+    from the key span targeting ~sqrt(n) buckets, which balances the
+    two phases: the (bucket, offset) side stays ~sqrt(n) rows (a few
+    hundred thousand at 10^11 docs — megabytes), and each bucket's
+    sequential cumsum task stays ~sqrt(n) rows. The offsets ship as a
+    broadcast-joined DataFrame, never a literal plan map (a literal
+    explodes the plan at exactly the scale that needs bucketing).
+    ``key`` must be numeric — a string key would cast to null and
+    collapse every row into one bucket.
     """
-    b = (F.col(key) / F.lit(bucket_width)).cast("bigint").alias("__b")
-    t = df.select(F.col(key), F.col(tokens).cast("bigint").alias("__t"), b)
-    # phase 1: per-bucket totals -> driver -> running offsets
-    sums = {
-        r["__b"]: r["s"]
-        for r in t.groupBy("__b").agg(F.sum("__t").alias("s")).collect()
-    }
-    offsets = {}
-    run = 0
-    for bk in sorted(sums):
-        offsets[bk] = run
-        run += sums[bk]
-    off_map = F.create_map(
-        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(df.schema[key].dataType, NumericType):
+        raise ValueError(
+            f"pack_sequences: key column {key!r} must be numeric "
+            f"(got {df.schema[key].dataType.simpleString()}); global key "
+            "order is defined by contiguous numeric bucket ranges"
+        )
+    t = df.select(
+        F.col(key), F.col(tokens).cast("bigint").alias("__t")
+    ).withColumn("__k", F.col(key).cast("bigint"))
+    if bucket_width is None:
+        lo, hi, n = t.agg(
+            F.min("__k"), F.max("__k"), F.count(F.lit(1))
+        ).first()
+        if not n:
+            bucket_width = 1
+        else:
+            target = max(16, min(1 << 20, int(float(n) ** 0.5) + 1))
+            span = hi - lo + 1
+            bucket_width = max(1, -(-span // target))
+    t = t.select(
+        F.col(key), "__t", F.expr(f"__k div {int(bucket_width)}").alias("__b")
+    )
+    # phase 1: per-bucket totals -> running offsets (cumsum over the
+    # tiny sorted bucket list) -> broadcast (bucket, offset) relation
+    spark = df.sparkSession
+    sums = t.groupBy("__b").agg(F.sum("__t").alias("s")).collect()
+    offsets, run = [], 0
+    for r in sorted(sums, key=lambda r: r["__b"]):
+        offsets.append((r["__b"], run))
+        run += r["s"]
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "__b bigint, __off bigint")
     )
     # phase 2: within-bucket cumsum (parallel across buckets) + offset
     w = (
@@ -105,8 +139,8 @@ def pack_sequences(
         .orderBy(key)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    before = F.coalesce(F.sum("__t").over(w), F.lit(0)) + off_map[F.col("__b")]
-    return t.select(
+    before = F.coalesce(F.sum("__t").over(w), F.lit(0)) + F.col("__off")
+    return t.join(off, "__b").select(
         F.col(key),
         F.col("__t").alias(tokens),
         F.floor(before / budget).cast("bigint").alias("pack_id"),

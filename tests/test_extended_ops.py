@@ -674,6 +674,31 @@ def test_pack_sequences_invariants(spark):
     assert packs == sorted(packs)
 
 
+def test_pack_sequences_rejects_non_numeric_key(spark):
+    import pytest
+
+    from clickhouse_k_means_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([("a", 10)], "doc_id string, n_tok long")
+    with pytest.raises(ValueError, match="numeric"):
+        pack_sequences(df, tokens="n_tok", key="doc_id")
+
+
+def test_pack_sequences_keys_above_2_53_bucket_exactly(spark):
+    """Bucket ids use integral div, not double division — keys above
+    2^53 (where doubles lose integer resolution) must still land in
+    exact key-order buckets."""
+    from clickhouse_k_means_spark.operators.packing import pack_sequences
+
+    base = 1 << 60
+    df = spark.createDataFrame(
+        [(base + i, 700) for i in range(10)], "doc_id long, n_tok long"
+    )
+    out = pack_sequences(df, tokens="n_tok", key="doc_id", budget=2048)
+    rows = sorted((r["doc_id"], r["pack_id"]) for r in out.collect())
+    assert [r[1] for r in rows] == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3]
+
+
 def test_pack_sequences_no_single_partition_window(spark, sf_dir):
     """The global cumsum must be two-phase — no SinglePartition
     exchange in the plan (the 100 TB killer)."""
