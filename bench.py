@@ -24,9 +24,10 @@ Measurement protocol (stabilized in round 2 — VERDICT r1 item 5: the
 round-1 numbers swung up to 3× between runs from JVM warm-up and run
 order): FIXED query order (the list above), one UNTIMED warm-up
 execution per query, then the MEDIAN of ``$SPARK_GRAFT_BENCH_REPS``
-(default 3) timed executions. ``kmeans_fit`` is iterative/driver-paced
-and dominates wall time, so it runs ``min(reps, 2)`` timed passes after
-its warm-up and reports their median.
+(default 3) timed executions; per-query ``detail`` records the raw
+samples and their MIN so convergence-iteration noise stays visible in
+the artifact (VERDICT r4 item 4 — the iterative queries, kmeans_fit
+and dedup_components, run a full 3 reps for exactly that reason).
 
 Materialization uses the noop sink (full execution, no driver
 collection cost) unless the operation is inherently driver-side
@@ -103,6 +104,7 @@ def main() -> None:
         detail[name] = {
             "cold": round(cold, 3),
             "samples": [round(s, 3) for s in samples],
+            "min": round(min(samples), 3),
             "code_cache_mb": _code_cache_mb(),
         }
 
@@ -117,7 +119,7 @@ def main() -> None:
         res = KMeansEngine(k=4, seed=42, max_iter=15).fit(yh)
         assert len(res.model) == 4
 
-    timed("kmeans_fit", bench_fit, n_reps=min(reps, 2))
+    timed("kmeans_fit", bench_fit, n_reps=min(reps, 3))
     timed("lloyd_step", lambda: _materialize(entry.q_lloyd_recompute(spark, sf_dir)))
     timed("elbow", lambda: _materialize(entry.q_elbow_total(spark, sf_dir)))
     timed("tpch_q1", lambda: _materialize(entry.q_tpch_q1(spark, sf_dir)))
@@ -154,21 +156,23 @@ def main() -> None:
     # full-sequence regressions (codegen-cache pressure, shuffle
     # explosions) on the non-headline surface, not to micro-rank.
     extended: dict[str, float] = {}
-    for name, q in [
-        ("time_buckets", entry.q_time_buckets),
-        ("range_join", entry.q_range_join),
-        ("hll_rollup", entry.q_hll_rollup),
-        ("tfidf_top_terms", entry.q_tfidf_top_terms),
-        ("dedup_components", entry.q_dedup_components),
-        ("embed_neardup_lsh", entry.q_embed_neardup_lsh),
-        ("srp_ann", entry.q_srp_ann),
-        ("ivf_ann", entry.q_ivf_ann),
-        ("decontaminate", entry.q_decontaminate),
-        ("hash_split", entry.q_hash_split),
-        ("pack_sequences", entry.q_pack_sequences),
+    for name, q, n_reps in [
+        ("time_buckets", entry.q_time_buckets, 2),
+        ("range_join", entry.q_range_join, 2),
+        ("hll_rollup", entry.q_hll_rollup, 2),
+        ("tfidf_top_terms", entry.q_tfidf_top_terms, 2),
+        # iterative star loop: convergence-count noise needs 3 reps
+        # (r4 samples [2.16, 4.38] — VERDICT r4 item 4)
+        ("dedup_components", entry.q_dedup_components, 3),
+        ("embed_neardup_lsh", entry.q_embed_neardup_lsh, 2),
+        ("srp_ann", entry.q_srp_ann, 2),
+        ("ivf_ann", entry.q_ivf_ann, 2),
+        ("decontaminate", entry.q_decontaminate, 2),
+        ("hash_split", entry.q_hash_split, 2),
+        ("pack_sequences", entry.q_pack_sequences, 2),
     ]:
-        timed(name, lambda q=q: _materialize(q(spark, sf_dir)), n_reps=2,
-              into=extended)
+        timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
+              n_reps=n_reps, into=extended)
 
     # ---- kscale: large-k fit (VERDICT r3 item 5) ----------------------
     # k=64 with k-means|| init + Arrow matmul Lloyd assignment, vs the

@@ -246,9 +246,18 @@ def incremental_exact_dedup(
     Scale shape: history is touched only through one join keyed on the
     digest (skew-free — md5 is uniform) and one tiny append of the
     batch's new hashes; the corpus-sized history is never rewritten.
-    """
-    from pyspark.sql import Row
+    The batch plan (hash + keep-first + history anti-join) is
+    ``localCheckpoint``-ed so it runs ONCE per batch — the count, the
+    history append, and the survivors join all read the materialized
+    result instead of re-scanning the batch three times.
 
+    Concurrency contract: SINGLE WRITER PER TABLE. The snapshot store's
+    optimistic commits prevent torn manifests, but two ingests that
+    anti-join against the same snapshot can both keep the same content
+    and both commit its hash (a lost update above the storage layer).
+    Serialize ingests per hash table — the standard exactly-once
+    ingest discipline; cross-table writers need no coordination.
+    """
     spark = new_docs.sparkSession
     tagged = exact_dedup(new_docs, text=text, key=key)
     batch_keep = tagged.filter(F.col("keep") == 1).select(key, "text_hash")
@@ -257,7 +266,7 @@ def incremental_exact_dedup(
         fresh = batch_keep.join(seen, "text_hash", "left_anti")
     else:
         fresh = batch_keep
-    fresh_rows = fresh.select(key, "text_hash")
+    fresh_rows = fresh.select(key, "text_hash").localCheckpoint(eager=True)
     survivors = new_docs.join(fresh_rows.select(key), key)
     new_hashes = fresh_rows.select("text_hash")
     n = new_hashes.count()

@@ -129,31 +129,61 @@ class SnapshotStateStore:
         vs = self._versions(table)
         return vs[-1] if vs else None
 
-    def _read_manifest(self, table: str, version: int) -> list[str]:
+    def _read_manifest(self, table: str, version: int) -> dict:
         p = self._manifests(table) / f"v{version:08d}.json"
-        return json.loads(p.read_text())["files"]
+        return json.loads(p.read_text())
 
-    def _commit(self, table: str, new_files: list[str], replace: bool = False) -> int:
+    def _commit(
+        self,
+        table: str,
+        new_files: list[str],
+        replace: bool = False,
+        schema_json: str | None = None,
+    ) -> int:
         """Claim the next version via exclusive create; retry on race.
 
         Each attempt re-reads the CURRENT latest manifest as the base,
         so a loser of the race re-applies only its own ``new_files`` on
         top of the winner's snapshot — no lost updates. ``replace=True``
-        commits ``new_files`` as the whole snapshot (truncate)."""
+        commits ``new_files`` as the whole snapshot (truncate). The
+        table schema rides in the manifest (``schema_json`` on append;
+        carried forward otherwise) so an EMPTY snapshot — a fresh
+        truncate — still reads back with the real column types.
+
+        Commit primitive note (object stores): ``os.link`` onto the
+        final name is the local-filesystem spelling of "create this
+        exact key only if absent". On S3-class stores the same protocol
+        swaps in the store's conditional write — S3 ``PutObject`` with
+        ``If-None-Match: *``, GCS ``x-goog-if-generation-match: 0``,
+        Azure ``If-None-Match: *`` — or a DynamoDB-style lock table
+        where the store lacks one (the pre-conditional-write Delta-on-S3
+        design). Only this one primitive is filesystem-specific; data
+        files are immutable uuid-named objects needing no coordination.
+        """
         mdir = self._manifests(table)
         mdir.mkdir(parents=True, exist_ok=True)
         while True:
             latest = self.latest_version(table)
-            base = (
-                []
-                if replace or latest is None
-                else self._read_manifest(table, latest)
-            )
+            base_schema = None
+            if latest is not None:
+                m = self._read_manifest(table, latest)
+                base = [] if replace else m["files"]
+                base_schema = m.get("schema")
+            else:
+                base = []
             seen = set(base)
             files = base + [f for f in new_files if f not in seen]
             version = (latest or 0) + 1
             tmp = mdir / f".tmp-{uuid.uuid4().hex}.json"
-            tmp.write_text(json.dumps({"version": version, "files": files}))
+            tmp.write_text(
+                json.dumps(
+                    {
+                        "version": version,
+                        "files": files,
+                        "schema": schema_json or base_schema,
+                    }
+                )
+            )
             final = mdir / f"v{version:08d}.json"
             try:
                 os.link(tmp, final)  # atomic, fails if version taken
@@ -186,7 +216,7 @@ class SnapshotStateStore:
             os.replace(part, data / name)
             new_files.append(name)
         shutil.rmtree(staging)
-        return self._commit(table, new_files)
+        return self._commit(table, new_files, schema_json=df.schema.json())
 
     def read(
         self, spark: SparkSession, table: str, version: int | None = None
@@ -196,8 +226,18 @@ class SnapshotStateStore:
         v = self.latest_version(table) if version is None else version
         if v is None:
             raise FileNotFoundError(f"SnapshotStateStore: no snapshots for {table!r}")
-        files = self._read_manifest(table, v)
+        m = self._read_manifest(table, v)
+        files = m["files"]
         if not files:
+            # empty snapshot (fresh truncate): the real table schema
+            # rides in the manifest, so truncate-then-ingest callers
+            # still see typed columns, not a placeholder
+            if m.get("schema"):
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(m["schema"]))
+                )
             return spark.createDataFrame([], schema="__empty string").limit(0)
         data = self._data(table)
         return spark.read.parquet(*[str(data / f) for f in files])
@@ -218,7 +258,7 @@ class SnapshotStateStore:
         latest = self.latest_version(table)
         if latest is None:
             return 0
-        keep = set(self._read_manifest(table, latest))
+        keep = set(self._read_manifest(table, latest)["files"])
         removed = 0
         for p in self._data(table).glob("*.parquet"):
             if p.name not in keep:

@@ -141,7 +141,7 @@ def test_snapshot_commit_race_no_lost_update(spark, snap):
     data = Path(snap._data("wcr"))
     race_file = "racer-part-0.parquet"
     _batch(spark, 9, 9.0).toPandas().to_parquet(data / race_file)
-    base = snap._read_manifest("wcr", 1)
+    base = snap._read_manifest("wcr", 1)["files"]
     mdir = Path(snap._manifests("wcr"))
     (mdir / "v00000002.json").write_text(
         json.dumps({"version": 2, "files": base + [race_file]})
@@ -216,3 +216,31 @@ def test_incremental_exact_dedup_across_batches(spark, snap):
     s3, n3 = incremental_exact_dedup(b1, snap, table="seen")
     assert n3 == 0 and s3.count() == 0
     assert snap.latest_version("seen") == 2  # no empty commits
+
+
+def test_snapshot_empty_read_keeps_table_schema(spark, snap):
+    """The manifest carries the table schema, so an EMPTY snapshot
+    (fresh truncate) reads back with the real column types — not a
+    placeholder that breaks column-selecting callers."""
+    snap.append(_batch(spark, 0, 1.0), "wcr")
+    cols = snap.read(spark, "wcr").schema
+    snap.truncate("wcr")
+    empty = snap.read(spark, "wcr")
+    assert empty.count() == 0
+    assert empty.schema == cols
+
+
+def test_truncate_then_ingest_does_not_crash(spark, snap):
+    """Regression (r5 advisory): after truncate(), exists() is still
+    True and incremental_exact_dedup selects text_hash from the empty
+    snapshot — this must work, and prior batches are forgotten."""
+    from clickhouse_k_means_spark.operators.dedup import incremental_exact_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+    )
+    incremental_exact_dedup(b1, snap, table="seen")
+    snap.truncate("seen")
+    s, n = incremental_exact_dedup(b1, snap, table="seen")
+    assert n == 2  # history wiped: both survive again
+    assert {r["doc_id"] for r in s.collect()} == {1, 2}
