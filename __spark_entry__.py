@@ -929,6 +929,20 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, key="doc_id", salt=42).select("doc_id", "split")
 
 
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: src0/src1/src2 at 50/30/20 target
+    proportions, binding-domain rule (no upsampling), deterministic
+    md5 hash-threshold selection — DuckDB replays the same count →
+    rate → threshold arithmetic."""
+    from clickhouse_k_means_spark.operators.packing import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mix_sources(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, salt=13
+    )
+    return out.select("doc_id", "source")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (budget 2048) over the documents
     table in doc_id order — two-phase global cumsum, no
@@ -1336,20 +1350,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 61 entries, 11
+    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 62 entries, 12
     # sit in the tail each round, alternating between two fixed groups
     # so every query gets a driver CORRECTNESS row at least every
     # other round:
     #   group A (tail on EVEN rounds r6, r8, …): latest_two, anti_join,
     #     pivot_events, topk_global, offset_pick, window_running,
     #     json_extract, set_ops, monthly_revenue, quantiles,
-    #     dedup_incremental
+    #     dedup_incremental, mix_sources
     #   group B (tail on ODD rounds r5, r7, …): lang_id,
     #     quality_scores, token_counts, doc_fingerprint,
     #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
-    #     approx_quantiles, jaccard_pairs, simhash_pairs
+    #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup
     # This round (r5) group A — dark since its r4 rotation — is in the
-    # window and group B (all green in CORRECTNESS_r04) rotates out.
+    # window (the two NEW queries, dedup_incremental and mix_sources,
+    # get their first driver rows now and rotate with group A from r6)
+    # and group B (all green in CORRECTNESS_r04) rotates out.
     return {
         "yh_contract": q_yh_contract,
         "nearest_assign": q_nearest_assign,
@@ -1380,7 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "hll_rollup": q_hll_rollup,
+        "mix_sources": q_mix_sources,
         "dedup_components": q_dedup_components,
         "kmeans_fit_history": q_kmeans_fit_history,
         "kmeans_fit_best": q_kmeans_fit_best,
@@ -1416,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles": q_approx_quantiles,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "hll_rollup": q_hll_rollup,
     }
 
 
@@ -1823,6 +1840,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         # greedy-window packing: pack = (running total BEFORE the doc)
         # div budget, replayed with a plain window cumsum
+        "mix_sources": (
+            # count → binding-domain T = min(n/w) → per-source rate →
+            # md5 hash-threshold; arithmetic order mirrors the Spark
+            # operator exactly ((w*T)/n, least with 1.0) so the double
+            # results are bit-equal
+            "with c as (select source, count(*)::DOUBLE as n, "
+            "case source when 'src0' then 0.5 when 'src1' then 0.3 "
+            "else 0.2 end as w from documents "
+            "where source in ('src0','src1','src2') group by source), "
+            "t as (select min(n / w) as T from c), "
+            "r as (select source, least(1.0, w * (select T from t) / n) "
+            "as rate from c), "
+            "u as (select doc_id, source, "
+            + _hash64_sql("doc_id::VARCHAR || '|' || source", salt=13)
+            + " / 1152921504606846976.0 as u from documents "
+            "where source in ('src0','src1','src2')) "
+            "select u.doc_id, u.source from u join r using (source) "
+            "where u.u < r.rate"
+        ),
         "pack_sequences": (
             "with t as (select doc_id, "
             f"len({_TOKS}) as n_tok from documents), "

@@ -62,19 +62,39 @@ def bpe_ish_token_count(c: Column | str) -> Column:
     return F.size(F.regexp_extract_all(_c(c), F.lit(BPE_ISH_RE), F.lit(0)))
 
 
-def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """array<string> of n-word shingles (space-joined) over tokens.
+def shingles_from_tokens(tok: Column, n: int = 3) -> Column:
+    """array<string> of n-word shingles over an ALREADY-MATERIALIZED
+    token-array column.
 
-    Built with ``transform(sequence(...))`` over the token array —
-    arity-generic, no explode needed at signature time.
+    Callers on a hot path should stage ``tokens(text)`` as its own
+    projection and pass the bound column here: the ``transform``
+    lambda then slices an attribute — O(n) per shingle. Passing the
+    raw ``tokens(c)`` expression instead embeds the whole
+    lower/regexp/split subtree in the lambda, and the interpreted HOF
+    path re-derives it per element — O(doc_len) per shingle (this was
+    the round-4 decontaminate hot spot). Catalyst's CollapseProject
+    keeps the staged projection: a non-cheap expression referenced
+    more than once (size + concat_ws + the lambda slice) is not
+    inlined.
     """
-    tok = tokens(c)
     return F.when(F.size(tok) < n, F.array(F.concat_ws(" ", tok))).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(tok) - n),
             lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
         )
     )
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """array<string> of n-word shingles (space-joined) over tokens.
+
+    Built with ``transform(sequence(...))`` over the token array —
+    arity-generic, no explode needed at signature time. For hot paths
+    prefer ``shingles_from_tokens`` over a staged token column (see
+    its docstring), or the posexplode+lead window shape
+    (operators/decontam.py) which avoids the HOF entirely.
+    """
+    return shingles_from_tokens(tokens(c), n)
 
 
 def char_ngrams(c: Column | str, n: int = 5) -> Column:

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from clickhouse_k_means_spark.functions.hashing import md5_hex
-from clickhouse_k_means_spark.functions.text import word_shingles
+from clickhouse_k_means_spark.functions.text import shingles_from_tokens, tokens
 
 
 def exact_dedup(
@@ -60,8 +60,14 @@ def minhash_signatures(
     """
     from clickhouse_k_means_spark.functions.hashing import minhash_expr
 
-    sig = minhash_expr(word_shingles(text, n=shingle_n), n_hashes=n_hashes)
-    mh = _spread(df).select(F.col(key), sig.alias("mh"))
+    # stage tokens as their own projection so the shingle lambda
+    # slices a bound array instead of re-deriving the tokenization per
+    # element on the interpreted HOF path (r5; see shingles_from_tokens)
+    staged = _spread(df).select(F.col(key), tokens(text).alias("__tok"))
+    sig = minhash_expr(
+        shingles_from_tokens(F.col("__tok"), n=shingle_n), n_hashes=n_hashes
+    )
+    mh = staged.select(F.col(key), sig.alias("mh"))
     return mh.select(
         F.col(key), *[F.col("mh")[i].alias(f"s{i}") for i in range(n_hashes)]
     )
@@ -207,8 +213,11 @@ def jaccard_pairs(
     Joins the distinct shingle sets in twice (broadcast if small),
     ``|A ∩ B| / |A ∪ B|`` via array_intersect/array_union sizes.
     """
-    sets_df = df.select(
-        F.col(key), F.array_distinct(word_shingles(text, n=shingle_n)).alias("sh")
+    sets_df = df.select(F.col(key), tokens(text).alias("__tok")).select(
+        F.col(key),
+        F.array_distinct(
+            shingles_from_tokens(F.col("__tok"), n=shingle_n)
+        ).alias("sh"),
     )
     a = sets_df.select(F.col(key).alias("a"), F.col("sh").alias("sh_a"))
     b = sets_df.select(F.col(key).alias("b"), F.col("sh").alias("sh_b"))

@@ -1,10 +1,11 @@
 """Dataset assembly operators — deterministic splits and sequence
 packing for training-data pipelines.
 
-Neither exists in the reference (its pipeline ends at clustering);
-both are table-stakes for the LLM-data surface this engine extends it
-with: every corpus ships as train/val/test, and every pretraining run
-packs documents into fixed token budgets.
+None of these exist in the reference (its pipeline ends at
+clustering); they are table-stakes for the LLM-data surface this
+engine extends it with: every corpus ships as train/val/test, every
+pretraining run packs documents into fixed token budgets, and every
+data recipe mixes domains at target proportions (``mix_sources``).
 
 Scale shapes:
 - ``hash_split`` is a pure narrow projection (one portable md5-based
@@ -58,6 +59,66 @@ def hash_split(
         F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     )
     return df.withColumn(out, expr)
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    source: str = "source",
+    key: str = "doc_id",
+    salt: int = 13,
+) -> DataFrame:
+    """Deterministic domain-mixture downsampling — the data-mixing
+    step of a pretraining pipeline (e.g. The Pile / LLaMA-style
+    per-domain proportions).
+
+    ``weights`` maps source name → target fraction of the output.
+    The operator finds the largest output size T with ``w_s·T ≤ n_s``
+    for every weighted source (the binding-domain rule: sources are
+    only ever DOWNsampled, never duplicated), then hash-samples each
+    source at rate ``w_s·T/n_s``. Selection is a pure function of
+    (key, source, salt) — rerun-stable, backfill-safe, independent of
+    partition layout. Sources absent from ``weights`` are dropped.
+    Realized counts are binomial around the targets (hash-threshold
+    sampling), exact in expectation.
+
+    Scale shape: one tiny ``groupBy(source)`` count (domains are a
+    curated handful — the rate CASE literal is bounded by
+    ``len(weights)``), then a NARROW filter pass over the corpus — no
+    shuffle, no state.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("mix_sources: weights must be a non-empty map of "
+                         "positive fractions")
+    counts = {
+        r[source]: r["n"]
+        for r in df.filter(F.col(source).isin(*weights))
+        .groupBy(source)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    present = {s: w for s, w in weights.items() if counts.get(s)}
+    if not present:
+        raise ValueError(
+            f"mix_sources: none of the weighted sources {sorted(weights)} "
+            f"appear in column {source!r}"
+        )
+    total = min(counts[s] / w for s, w in present.items())
+    rate_expr: Column | None = None
+    for s, w in present.items():
+        rate = min(1.0, w * total / counts[s])
+        cond = F.col(source) == s
+        rate_expr = (
+            F.when(cond, rate)
+            if rate_expr is None
+            else rate_expr.when(cond, rate)
+        )
+    rate_expr = rate_expr.otherwise(F.lit(0.0))
+    u = hash64(
+        F.concat(F.col(key).cast("string"), F.lit("|"), F.col(source)),
+        salt=salt,
+    ) / F.lit(float(1 << 60))
+    return df.filter(u < rate_expr)
 
 
 def pack_sequences(

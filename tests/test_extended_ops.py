@@ -545,6 +545,46 @@ def test_stateful_user_counts_match_batch(spark, sf_dir):
     assert final == batch
 
 
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """Ingest-shape streaming dedup: a doc duplicated ACROSS
+    micro-batches is emitted once; the hash history advances one
+    snapshot per batch (foreachBatch + SnapshotStateStore)."""
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.dedup_stream import StreamingDedup
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    store = SnapshotStateStore(str(tmp_path / "state"))
+    sd = StreamingDedup(store, table="seen")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = sd.attach(stream, str(tmp_path / "sink"), str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    # 'alpha text' arrives in both batches: exactly one survivor
+    # whichever batch ran first
+    assert sorted(r["text"] for r in out.collect()) == [
+        "alpha text",
+        "beta text",
+        "gamma text",
+    ]
+    assert sd.n_batches == 2
+    assert sd.n_seen == 4
+    assert sd.n_survived == 3
+    assert store.latest_version("seen") == 2  # one snapshot per batch
+
+
 def test_streaming_assign_stateless(spark, sf_dir):
     from clickhouse_k_means_spark.streaming.windows import (
         stream_events,
@@ -672,6 +712,45 @@ def test_pack_sequences_invariants(spark):
     # every pack's docs are contiguous in key order
     packs = [r[1] for r in rows]
     assert packs == sorted(packs)
+
+
+def test_mix_sources_proportions_and_binding_domain(spark, sf_dir):
+    from clickhouse_k_means_spark.operators.packing import mix_sources
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mix_sources(docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert set(got) <= {"src0", "src1", "src2"}
+    # binding domain is src0 (highest weight, equal counts): kept whole
+    n0 = docs.filter("source = 'src0'").count()
+    assert got["src0"] == n0
+    # others land binomially around w_s*T; just check ordering + bounds
+    assert got["src0"] > got["src1"] > got["src2"] > 0
+    assert got["src1"] <= n0 and got["src2"] <= n0
+
+
+def test_mix_sources_deterministic_and_validated(spark, sf_dir):
+    import pytest
+
+    from clickhouse_k_means_spark.operators.packing import mix_sources
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"src0": 0.6, "src3": 0.4}
+    a = sorted(r["doc_id"] for r in mix_sources(docs, w).select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mix_sources(docs.repartition(7), w).select("doc_id").collect()
+    )
+    assert a == b  # pure function of (key, source, salt)
+    with pytest.raises(ValueError, match="positive"):
+        mix_sources(docs, {"src0": 0.0})
+    with pytest.raises(ValueError, match="appear"):
+        mix_sources(docs, {"no_such_source": 1.0})
 
 
 def test_pack_sequences_rejects_non_numeric_key(spark):
