@@ -914,8 +914,17 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_k_means_spark.functions.text import (
+        fingerprint_from_tokens,
+        tokens,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", rolling_fingerprint("text", window=8).alias("fp"))
+    # tokens staged as a projection so the shingle lambda binds an
+    # attribute (shingles_from_tokens rationale)
+    return docs.select("doc_id", tokens("text").alias("__tok")).select(
+        "doc_id", fingerprint_from_tokens(F.col("__tok"), window=8).alias("fp")
+    )
 
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:

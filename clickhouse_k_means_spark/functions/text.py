@@ -253,11 +253,19 @@ def pii_counts(c: Column | str) -> list[Column]:
     ]
 
 
+def fingerprint_from_tokens(tok: Column, window: int = 8) -> Column:
+    """``rolling_fingerprint`` over an already-materialized token-array
+    column — the hot-path form (see ``shingles_from_tokens``: callers
+    stage ``tokens(text)`` as a projection so the interpreted shingle
+    lambda slices a bound array instead of re-tokenizing per element)."""
+    from clickhouse_k_means_spark.functions.hashing import hash64
+
+    sh = shingles_from_tokens(tok, n=window)
+    return F.array_min(F.transform(sh, lambda s: hash64(s)))
+
+
 def rolling_fingerprint(c: Column | str, window: int = 8) -> Column:
     """Document fingerprint: min 60-bit hash over rolling ``window``-token
     shingles (a winnowing-style content fingerprint) — robust to small
     edits, portable to the SQL oracle."""
-    from clickhouse_k_means_spark.functions.hashing import hash64
-
-    sh = word_shingles(c, n=window)
-    return F.array_min(F.transform(sh, lambda s: hash64(s)))
+    return fingerprint_from_tokens(tokens(c), window)
