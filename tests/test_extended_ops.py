@@ -645,6 +645,31 @@ def test_ngram_overlap_flags_planted_leak(spark):
     assert {r["doc_id"] for r in clean.select("doc_id").collect()} == {2, 3}
 
 
+def test_ngram_overlap_min_hits_threshold(spark):
+    """min_hits raises the collision bar: a doc sharing exactly one
+    8-gram stays clean at min_hits=2; a doc sharing several flags."""
+    from clickhouse_k_means_spark.operators.decontam import ngram_overlap
+
+    docs = spark.createDataFrame(
+        [
+            # shares the full 9-token benchmark span -> 2 overlapping 8-grams
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota prefix"),
+            # shares exactly the first 8 tokens -> 1 overlapping 8-gram
+            (2, "alpha beta gamma delta epsilon zeta eta theta DIFFERENT"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta iota",)],
+        "text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in ngram_overlap(docs, bench, n=8, min_hits=2).collect()
+    }
+    assert rows[1]["n_overlap"] == 2 and rows[1]["contaminated"] == 1
+    assert rows[2]["n_overlap"] == 1 and rows[2]["contaminated"] == 0
+
+
 def test_ngram_overlap_short_text_exact_match(spark):
     """Docs under n tokens fall back to whole-text shingles — an exact
     short-text collision still counts (both sides use the same rule)."""
