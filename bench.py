@@ -170,6 +170,10 @@ def main() -> None:
         ("decontaminate", entry.q_decontaminate, 2),
         ("hash_split", entry.q_hash_split, 2),
         ("pack_sequences", entry.q_pack_sequences, 2),
+        ("mix_sources", entry.q_mix_sources, 2),
+        # two-batch ingest replay incl. snapshot-store commits; a bit
+        # heavier and stateful-ish (fresh temp store per run)
+        ("dedup_incremental", entry.q_dedup_incremental, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)
