@@ -234,12 +234,40 @@ def jaccard_pairs(
     )
 
 
+def _history_anti_join(
+    batch_keep: DataFrame, seen: DataFrame, broadcast_batch: bool
+) -> DataFrame:
+    """Rows of ``batch_keep`` whose ``text_hash`` is absent from
+    ``seen`` — the history-membership check, in one of two physical
+    shapes:
+
+    - ``broadcast_batch=True`` (the ingest default): the batch's hash
+      set is BROADCAST into a LEFT SEMI scan of history, so the
+      corpus-sized history is read once with the filter applied at the
+      scan and NEVER shuffled; the resulting hit set is at most
+      batch-sized, so the final anti-join broadcasts it too. Total
+      cost: one history scan + two broadcast hash joins — the shape
+      that survives a 100 TB history (a plain anti-join shuffles the
+      ENTIRE history on text_hash every batch).
+    - ``broadcast_batch=False``: classic shuffle anti-join, for the
+      backfill case where one "batch" is itself corpus-sized and would
+      not fit in a broadcast.
+    """
+    if broadcast_batch:
+        hits = seen.join(
+            F.broadcast(batch_keep.select("text_hash")), "text_hash", "left_semi"
+        )
+        return batch_keep.join(F.broadcast(hits), "text_hash", "left_anti")
+    return batch_keep.join(seen, "text_hash", "left_anti")
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     store,
     table: str = "seen_hashes",
     text: str = "text",
     key: str = "doc_id",
+    broadcast_batch: bool = True,
 ):
     """Dedup an arriving batch against ALL previously-committed content
     — the production ingest shape (the batch ``exact_dedup`` only sees
@@ -248,17 +276,22 @@ def incremental_exact_dedup(
     Protocol: (1) read the persisted hash table (any state store from
     ``sources/state.py``; with ``SnapshotStateStore`` the read is
     snapshot-isolated, so a concurrent ingest can't tear it), (2)
-    dedup the batch internally (keep-first by key), (3) anti-join the
-    batch's survivors against history, (4) append the NEW survivors'
-    hashes as the next commit. Returns (survivors_df, n_committed).
+    dedup the batch internally (keep-first by key), (3) check the
+    batch's survivors against history (``_history_anti_join``), (4)
+    append the NEW survivors' hashes as the next commit. Returns
+    (survivors_df, n_committed).
 
-    Scale shape: history is touched only through one join keyed on the
-    digest (skew-free — md5 is uniform) and one tiny append of the
-    batch's new hashes; the corpus-sized history is never rewritten.
-    The batch plan (hash + keep-first + history anti-join) is
-    ``localCheckpoint``-ed so it runs ONCE per batch — the count, the
-    history append, and the survivors join all read the materialized
-    result instead of re-scanning the batch three times.
+    Scale shape: with ``broadcast_batch=True`` (default — batches are
+    small relative to history in any ingest loop) the history is
+    scanned once with a broadcast semi filter and never shuffled; set
+    it False only for corpus-sized backfill batches, which fall back
+    to the shuffle anti-join keyed on the digest (skew-free — md5 is
+    uniform). Either way history is never rewritten — only the batch's
+    new hashes are appended. The batch plan (hash + keep-first) and
+    the join result are each ``localCheckpoint``-ed so the batch runs
+    ONCE — the broadcast build, the count, the history append, and the
+    survivors join all read materialized results instead of
+    re-scanning the batch.
 
     Concurrency contract: SINGLE WRITER PER TABLE. The snapshot store's
     optimistic commits prevent torn manifests, but two ingests that
@@ -269,10 +302,14 @@ def incremental_exact_dedup(
     """
     spark = new_docs.sparkSession
     tagged = exact_dedup(new_docs, text=text, key=key)
-    batch_keep = tagged.filter(F.col("keep") == 1).select(key, "text_hash")
+    batch_keep = (
+        tagged.filter(F.col("keep") == 1)
+        .select(key, "text_hash")
+        .localCheckpoint(eager=True)
+    )
     if store.exists(table):
-        seen = store.read(spark, table).select("text_hash").distinct()
-        fresh = batch_keep.join(seen, "text_hash", "left_anti")
+        seen = store.read(spark, table).select("text_hash")
+        fresh = _history_anti_join(batch_keep, seen, broadcast_batch)
     else:
         fresh = batch_keep
     fresh_rows = fresh.select(key, "text_hash").localCheckpoint(eager=True)

@@ -244,3 +244,70 @@ def test_truncate_then_ingest_does_not_crash(spark, snap):
     s, n = incremental_exact_dedup(b1, snap, table="seen")
     assert n == 2  # history wiped: both survive again
     assert {r["doc_id"] for r in s.collect()} == {1, 2}
+
+
+def test_incremental_dedup_broadcast_path_never_shuffles_history(spark, snap):
+    """The ingest default (broadcast_batch=True) must read history
+    once through a broadcast LEFT SEMI filter and anti-join the batch
+    against the (broadcast) hit set — NO shuffle of the history side
+    at any size. Guarded on the physical plan: two BroadcastHashJoins,
+    zero hash-partition exchanges."""
+    from clickhouse_k_means_spark.operators.dedup import (
+        _history_anti_join,
+        incremental_exact_dedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+    )
+    incremental_exact_dedup(b1, snap, table="seen")
+    seen = snap.read(spark, "seen").select("text_hash")
+    batch_keep = spark.createDataFrame(
+        [(10, "aa"), (11, "bb")], "doc_id long, text_hash string"
+    )
+    import re
+
+    jvm = spark._jvm
+
+    def _plan(df):
+        return df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    # pin auto-broadcast OFF so the asserts see the joins OUR hints
+    # force (at real history scale Catalyst could never auto-broadcast
+    # the history side anyway — tiny test inputs would)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(_history_anti_join(batch_keep, seen, broadcast_batch=True))
+        # formatted explain prints each node twice (tree + detail);
+        # count the numbered detail headers
+        assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+        # formatted mode spells a shuffle as an Exchange node whose
+        # Arguments line says hashpartitioning(...)
+        assert "hashpartitioning" not in plan, plan
+        # the fallback backfill shape (corpus-sized batch) still shuffles
+        plan2 = _plan(_history_anti_join(batch_keep, seen, broadcast_batch=False))
+        assert "hashpartitioning" in plan2, plan2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_incremental_dedup_backfill_path_equivalent(spark, snap):
+    """broadcast_batch=False (shuffle anti-join backfill shape) keeps
+    identical dedup semantics to the broadcast ingest shape."""
+    from clickhouse_k_means_spark.operators.dedup import incremental_exact_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+    )
+    incremental_exact_dedup(b1, snap, table="seen_bf")
+    b2 = spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text"), (12, "gamma text")],
+        "doc_id long, text string",
+    )
+    s2, n2 = incremental_exact_dedup(
+        b2, snap, table="seen_bf", broadcast_batch=False
+    )
+    assert {r["doc_id"] for r in s2.collect()} == {11}
+    assert n2 == 1
