@@ -442,6 +442,43 @@ def q_join_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via BUCKETED tables (sources/bucketed.py):
+    orders and customer are persisted bucketed by custkey with the
+    same bucket count, so the join runs as a zero-Exchange
+    SortMergeJoin — the 100 TB repeated-join strategy (shuffle paid
+    once at write, amortized over every later query). The oracle is
+    the plain logical join — bucketing must not change RESULTS, only
+    the physical plan (guarded in tests/test_bucketed.py)."""
+    import tempfile
+    import uuid
+
+    from clickhouse_k_means_spark.sources.bucketed import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    d = tempfile.mkdtemp(prefix="bkt_gate_")
+    tag = uuid.uuid4().hex[:8]
+    bo = write_bucketed(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        f"bkt_orders_{tag}", 8, "o_custkey", f"{d}/orders",
+    )
+    bc = write_bucketed(
+        cust.select("c_custkey", "c_mktsegment"),
+        f"bkt_cust_{tag}", 8, "c_custkey", f"{d}/cust",
+    )
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "sum_total_c"
+            ),
+        )
+    )
+
+
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: per-customer running order count + totals."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
@@ -1388,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "join_agg_segment": q_join_agg_segment,
+        "bucketed_join": q_bucketed_join,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
@@ -1638,6 +1676,13 @@ def oracle_sql() -> dict[str, str]:
             "group by 1"
         ),
         "join_agg_segment": (
+            "select c_mktsegment, count(*)::BIGINT as n, "
+            "sum(round(o_totalprice * 100)::BIGINT)::BIGINT as sum_total_c "
+            "from orders join customer on o_custkey = c_custkey group by 1"
+        ),
+        # bucketing is a PHYSICAL layout choice: the oracle is the same
+        # plain logical join (zero-Exchange plan guarded in pytest)
+        "bucketed_join": (
             "select c_mktsegment, count(*)::BIGINT as n, "
             "sum(round(o_totalprice * 100)::BIGINT)::BIGINT as sum_total_c "
             "from orders join customer on o_custkey = c_custkey group by 1"
