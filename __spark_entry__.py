@@ -1043,6 +1043,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, top_k=3)
 
 
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc avg surprisal (micro-nats, exact BIGINT) under the
+    corpus's own unigram LM — cheap quality/outlier scoring; ln() is
+    fixed-pointed once per vocabulary term, all aggregation integer."""
+    from clickhouse_k_means_spark.operators.textstats import unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs)
+
+
 def _planted_pii(docs: DataFrame):
     """text + synthetic PII derived from doc_id, so the scrub pass has
     something to scrub on every row (the fixture corpus contains none);
@@ -1443,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "unigram_lm": q_unigram_lm,
         "mix_sources": q_mix_sources,
         "dedup_components": q_dedup_components,
         "kmeans_fit_history": q_kmeans_fit_history,
@@ -1973,6 +1984,26 @@ def oracle_sql() -> dict[str, str]:
             "order by score desc, term asc) as rk from sc) "
             "select doc_id, term, tf, df, score::BIGINT as score, "
             "rk::INT as rk from rk where rk <= 3"
+        ),
+        # unigram LM: ln once per distinct term, fixed-pointed to
+        # micro-nats BEFORE any aggregation — everything after is
+        # exact BIGINT (sum, integer div), so partition/summation
+        # order cannot move the result
+        "unigram_lm": (
+            f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
+            "tf0 as (select doc_id, unnest(tk) as term from tkc), "
+            "tfc as (select doc_id, term, count(*)::BIGINT as tf from tf0 "
+            "group by 1, 2), "
+            "c as (select term, sum(tf)::BIGINT as c from tfc group by 1), "
+            "n as (select sum(c)::BIGINT as n_total from c), "
+            "s as (select term, round(ln(n_total::DOUBLE / c) * 1000000)::BIGINT "
+            "as s from c cross join n), "
+            "d as (select doc_id, sum(tf)::BIGINT as n_tok, "
+            "sum(tf * s)::BIGINT as nll_sum from tfc join s using (term) "
+            "group by 1) "
+            "select documents.doc_id, coalesce(d.n_tok, 0)::BIGINT as n_tok, "
+            "coalesce(d.nll_sum // d.n_tok, 0)::BIGINT as nll_micro "
+            "from documents left join d on documents.doc_id = d.doc_id"
         ),
         "pii_redact": _pii_redact_sql(),
         "stratified_sample": (

@@ -139,3 +139,71 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= top_k)
         .select(key, "term", "tf", "df", "score", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def unigram_lm_scores(
+    docs: DataFrame, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Per-document negative log-likelihood under the corpus's own
+    unigram language model — the classic cheap quality/outlier score
+    (documents full of rare tokens score high; boilerplate scores low).
+
+    For each token instance t: surprisal(t) = ln(N / count(t)) where
+    count is the corpus instance count and N the total token count
+    (MLE unigram model — every corpus token has count ≥ 1, so no
+    smoothing term is needed). Output per doc:
+    ``(key, n_tok, nll_micro)`` with ``nll_micro`` = average surprisal
+    in MICRO-NATS as an exact BIGINT (0 for empty documents).
+
+    Determinism note (the TF-IDF rule applied to a score that
+    genuinely needs a logarithm): ln() is evaluated once per
+    VOCABULARY TERM (inputs are ratios of two integers — a tiny,
+    well-conditioned domain) and immediately fixed-pointed to
+    integer micro-nats (round-half-up, matching DuckDB); every
+    aggregation after that (Σ tf·s, integer div by n_tok) is exact
+    BIGINT arithmetic, so per-doc results cannot drift with partition
+    or summation order, and the only cross-engine FP surface is one
+    well-conditioned ln per distinct count.
+
+    Plan shape at 100 TB: explode → groupBy(doc, term) TF partials
+    (persisted — it feeds the corpus counts AND the per-doc score),
+    groupBy(term) corpus counts, a SHUFFLE join tf ⋈ counts on term
+    (vocab is unbounded — never broadcast; AQE may downgrade to
+    broadcast when measured-small, and skew-splits hot terms), one
+    broadcast 1-row N, then groupBy(doc). Two shuffles total beyond
+    the joins' own.
+    """
+    base = docs.select(key, tokens(text).alias("tk"))
+    tf = (
+        base.select(key, F.explode("tk").alias("term"))
+        .groupBy(key, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    n_tbl = counts.agg(F.sum("c").alias("n_total"))
+    s_micro = F.round(
+        F.log(F.col("n_total").cast("double") / F.col("c")) * 1_000_000
+    ).cast("bigint")
+    surprisal = counts.join(F.broadcast(n_tbl)).select(
+        "term", s_micro.alias("s")
+    )
+    per_doc = (
+        tf.join(surprisal, "term")
+        .groupBy(key)
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("s")).alias("nll_sum"),
+        )
+    )
+    return (
+        docs.select(key)
+        .join(per_doc, key, "left")
+        .select(
+            key,
+            F.coalesce("n_tok", F.lit(0)).cast("bigint").alias("n_tok"),
+            F.coalesce(
+                F.expr("nll_sum div n_tok"), F.lit(0)
+            ).cast("bigint").alias("nll_micro"),
+        )
+    )

@@ -811,3 +811,41 @@ def test_pack_sequences_no_single_partition_window(spark, sf_dir):
     df = entry.q_pack_sequences(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_unigram_lm_exact_values(spark):
+    """Hand-computed micro-nat surprisal on a 3-token corpus: counts
+    a=2, b=1, N=3 -> s(a)=round(ln(1.5)*1e6)=405465,
+    s(b)=round(ln(3)*1e6)=1098612; empty doc scores (0, 0)."""
+    from clickhouse_k_means_spark.operators.textstats import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, "b"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["nll_micro"])
+        for r in unigram_lm_scores(docs).collect()
+    }
+    assert got == {1: (2, 405465), 2: (1, 1098612), 3: (0, 0)}
+
+
+def test_unigram_lm_rare_tokens_score_higher(spark, sf_dir):
+    """Ordering sanity on the fixture: a doc made of singleton tokens
+    must out-score one made of the corpus's most common tokens."""
+    from clickhouse_k_means_spark.operators.textstats import unigram_lm_scores
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (9100001, "qzxvjkwpy flurbination crontagulous"),  # unseen-ish
+            (9100002, "the the the the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = unigram_lm_scores(docs.unionByName(extra))
+    got = {
+        r["doc_id"]: r["nll_micro"]
+        for r in scored.filter("doc_id >= 9100000").collect()
+    }
+    assert got[9100001] > got[9100002]
