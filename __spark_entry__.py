@@ -1099,6 +1099,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample (n=50, weight = token
+    count + 1) — pure function of (doc_id, salt), replayed exactly by
+    the oracle; compiles to TakeOrdered (no global sort shuffle)."""
+    from clickhouse_k_means_spark.functions.text import token_count
+    from clickhouse_k_means_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (token_count("text") + 1).cast("bigint").alias("w")
+    )
+    return weighted_sample(docs, n=50, weight="w", key="doc_id", salt=7)
+
+
 def q_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct-count sketch gated against the exact count
     (within 5%) — the sketch's accuracy contract is what's checked."""
@@ -1485,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
+        "weighted_sample": q_weighted_sample,
         "stratified_sample": q_stratified_sample,
         "approx_ndv": q_approx_ndv,
         "approx_quantiles": q_approx_quantiles,
@@ -2006,6 +2020,16 @@ def oracle_sql() -> dict[str, str]:
             "from documents left join d on documents.doc_id = d.doc_id"
         ),
         "pii_redact": _pii_redact_sql(),
+        # Efraimidis-Spirakis: order by ln(u)/w desc, u = portable md5
+        # hash — same arithmetic order as the Spark operator
+        "weighted_sample": (
+            f"with w as (select doc_id, (len({_TOKS}) + 1)::BIGINT as w "
+            "from documents), "
+            "k as (select doc_id, w, "
+            f"ln({_hash64_sql('doc_id::VARCHAR', salt=7)} / 1152921504606846976.0)"
+            " / w::DOUBLE as es from w where w > 0) "
+            "select doc_id, w from k order by es desc, doc_id asc limit 50"
+        ),
         "stratified_sample": (
             "select lang, count(*)::BIGINT as n, sum(doc_id)::BIGINT as id_sum "
             f"from documents where {_hash64_sql('doc_id::VARCHAR', salt=42)} "

@@ -162,6 +162,47 @@ def partitioned_cumsum(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight: str | Column,
+    key: str = "doc_id",
+    salt: int = 7,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``n`` rows
+    — Efraimidis–Spirakis A-ES (the standard one-pass distributed
+    algorithm: each row gets sort key u^(1/w), the global top-n by
+    that key is an exact weighted sample; Efraimidis & Spirakis 2006).
+
+    Implemented order-equivalently as ``ln(u)/w`` descending (monotone
+    transform of u^(1/w) for w > 0 — avoids pow underflow for large
+    weights). u is the portable 60-bit md5 hash of (salt, key) scaled
+    to [0,1), so the sample is a pure function of the key set — stable
+    across partition layouts, cluster sizes, and engines (the DuckDB
+    oracle replays it). Rows with NULL or non-positive weight are
+    excluded (they have zero sampling probability).
+
+    Scale shape: one narrow projection + a global top-n, which Spark
+    executes as TakeOrdered (per-partition partial top-n, then a
+    driver merge of n-row partials — no global sort shuffle). The
+    typical use: importance-sample a corpus by quality/length weight.
+    """
+    if n <= 0:
+        raise ValueError(f"weighted_sample: n must be > 0, got {n}")
+    from clickhouse_k_means_spark.functions.hashing import hash64
+
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    u = hash64(F.col(key).cast("string"), salt=salt) / F.lit(float(1 << 60))
+    es = F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__es", es)
+        .orderBy(F.col("__es").desc(), F.col(key).asc())
+        .limit(n)
+        .drop("__es")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -849,3 +849,49 @@ def test_unigram_lm_rare_tokens_score_higher(spark, sf_dir):
         for r in scored.filter("doc_id >= 9100000").collect()
     }
     assert got[9100001] > got[9100002]
+
+
+def test_weighted_sample_heavy_rows_dominate(spark):
+    """ES sampling: 5 rows carrying ~all the weight must all be in the
+    top-5 sample; selection is layout-independent."""
+    from clickhouse_k_means_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1_000_000 if i < 5 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r["doc_id"] for r in weighted_sample(df, 5, "w").collect()}
+    assert got == {0, 1, 2, 3, 4}
+    # repartitioning must not change the sample (pure function of key)
+    got2 = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), 5, "w").collect()
+    }
+    assert got2 == got
+
+
+def test_weighted_sample_excludes_nonpositive_and_validates(spark):
+    import pytest as _pytest
+
+    from clickhouse_k_means_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, None)], "doc_id long, w int"
+    )
+    got = weighted_sample(df, 10, "w").collect()
+    assert [r["doc_id"] for r in got] == [1]
+    with _pytest.raises(ValueError, match="n must be"):
+        weighted_sample(df, 0, "w")
+
+
+def test_weighted_sample_compiles_to_take_ordered(spark, sf_dir):
+    """The global top-n must be TakeOrdered (partial per-partition
+    top-n + driver merge), never a global sort shuffle."""
+    import __spark_entry__ as entry
+
+    plan = (
+        entry.q_weighted_sample(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrdered" in plan, plan
+    assert "rangepartitioning" not in plan, plan
