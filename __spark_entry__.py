@@ -1145,6 +1145,25 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup removal (operators/dedup.near_dedup_corpus):
+    MinHash → LSH candidates → exact Jaccard ≥ 0.8 on candidates only
+    → connected components → drop non-canonical docs. Near-dups are
+    PLANTED in-query (every doc_id % 101 == 0 document is duplicated
+    at doc_id + 9200000) so the gate is non-vacuous at any SF: planted
+    copies must vanish, their originals must survive. The oracle
+    replays the identical pipeline as a recursive transitive closure
+    over jaccard-verified LSH edges."""
+    from clickhouse_k_means_spark.operators.dedup import near_dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.pmod("doc_id", F.lit(101)) == 0).select(
+        (F.col("doc_id") + 9200000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    return near_dedup_corpus(corpus, jaccard_threshold=0.8).select("doc_id")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate GROUPS from MinHash-LSH candidate pairs: hash-min
     label propagation labels each paired doc with its component (min
@@ -1419,23 +1438,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 62 entries, 12
+    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 66 entries, 16
     # sit in the tail each round, alternating between two fixed groups
     # so every query gets a driver CORRECTNESS row at least every
     # other round:
     #   group A (tail on EVEN rounds r6, r8, …): latest_two, anti_join,
     #     pivot_events, topk_global, offset_pick, window_running,
     #     json_extract, set_ops, monthly_revenue, quantiles,
-    #     dedup_incremental, mix_sources
+    #     dedup_incremental, mix_sources, bucketed_join, unigram_lm,
+    #     weighted_sample, near_dedup
     #   group B (tail on ODD rounds r5, r7, …): lang_id,
     #     quality_scores, token_counts, doc_fingerprint,
     #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
-    #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup
-    # This round (r5) group A — dark since its r4 rotation — is in the
-    # window (the two NEW queries, dedup_incremental and mix_sources,
-    # get their first driver rows now and rotate with group A from r6)
-    # and group B (all green in CORRECTNESS_r04) rotates out.
+    #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup,
+    #     simhash_docs, embed_neardup, silhouette_sampled, lsh_pairs
+    # This round (r5): group A — dark since its r4 rotation — is in
+    # the window, including first driver rows for the six NEW r5
+    # queries (dedup_incremental, mix_sources, bucketed_join,
+    # unigram_lm, weighted_sample, near_dedup); group B rotates out
+    # (all its members, incl. the four moved from the fixed head —
+    # simhash_docs, embed_neardup, silhouette_sampled, lsh_pairs —
+    # have green rows in CORRECTNESS_r04 and stay pytest-oracle-gated).
     return {
+        # --- fixed head: in the driver window every round (35) ---
         "yh_contract": q_yh_contract,
         "nearest_assign": q_nearest_assign,
         "lloyd_recompute": q_lloyd_recompute,
@@ -1443,12 +1468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "limit_by_latest": q_limit_by_latest,
         "elbow_total": q_elbow_total,
         "silhouette_sums": q_silhouette_sums,
-        "silhouette_sampled": q_silhouette_sampled,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "join_agg_segment": q_join_agg_segment,
-        "bucketed_join": q_bucketed_join,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
@@ -1458,16 +1481,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "range_join": q_range_join,
         "dedup_exact": q_dedup_exact,
-        "dedup_incremental": q_dedup_incremental,
         "minhash_sigs": q_minhash_sigs,
-        "lsh_pairs": q_lsh_pairs,
-        "simhash_docs": q_simhash_docs,
         "ann_topk": q_ann_topk,
-        "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "unigram_lm": q_unigram_lm,
-        "mix_sources": q_mix_sources,
         "dedup_components": q_dedup_components,
         "kmeans_fit_history": q_kmeans_fit_history,
         "kmeans_fit_best": q_kmeans_fit_best,
@@ -1478,7 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "streaming_windows": q_streaming_windows,
-        # group A — dark in r4, back in the window this round
+        # --- group A: in the window this round (r5), tail on even ---
         "latest_two": q_latest_two,
         "anti_join": q_anti_join,
         "pivot_events": q_pivot_events,
@@ -1489,6 +1506,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "monthly_revenue": q_monthly_revenue,
         "quantiles": q_quantiles,
+        "dedup_incremental": q_dedup_incremental,
+        "mix_sources": q_mix_sources,
+        "bucketed_join": q_bucketed_join,
+        "unigram_lm": q_unigram_lm,
+        "weighted_sample": q_weighted_sample,
+        "near_dedup": q_near_dedup,
         # --- tail: group B, out of the driver's 50-row window this
         # round (all green in CORRECTNESS_r04; still oracle-gated in
         # pytest) ---
@@ -1498,13 +1521,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
-        "weighted_sample": q_weighted_sample,
         "stratified_sample": q_stratified_sample,
         "approx_ndv": q_approx_ndv,
         "approx_quantiles": q_approx_quantiles,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "hll_rollup": q_hll_rollup,
+        "simhash_docs": q_simhash_docs,
+        "embed_neardup": q_embed_neardup,
+        "silhouette_sampled": q_silhouette_sampled,
+        "lsh_pairs": q_lsh_pairs,
     }
 
 
@@ -2071,6 +2097,37 @@ def oracle_sql() -> dict[str, str]:
             "from reach group by n) "
             "select n, component, (n = component)::INT as is_canonical "
             "from comp"
+        ),
+        # end-to-end near-dedup: the sig chain over the PLANTED corpus,
+        # LSH candidates, exact Jaccard >= 0.8 on candidates only, then
+        # recursive transitive closure; survivors = corpus minus
+        # non-canonical component members
+        "near_dedup": (
+            "with recursive corpus as (select doc_id, text from documents "
+            "union all select doc_id + 9200000 as doc_id, text "
+            "from documents where doc_id % 101 = 0), "
+            f"tkc as (select doc_id, {_TOKS} as tk from corpus), "
+            f"shc as (select doc_id, {toks3} as sh from tkc), "
+            f"hsc as (select doc_id, list_transform(sh, s -> "
+            f"{_hash64_sql('s')} % {MINHASH_P}) as hs from shc), "
+            f"sig as (select doc_id, {minhash_cols} from hsc), "
+            f"cand as (select distinct a, b from ({band_union})), "
+            "shd as (select doc_id, list_distinct(sh) as shd from shc), "
+            "edges as (select a, b from cand "
+            "join shd sa on cand.a = sa.doc_id "
+            "join shd sb on cand.b = sb.doc_id "
+            "where len(list_intersect(sa.shd, sb.shd))::DOUBLE / "
+            "len(list_distinct(list_concat(sa.shd, sb.shd))) >= 0.8), "
+            "sym as (select a as n, b as m from edges "
+            "union select b as n, a as m from edges), "
+            "reach(n, m) as (select n, m from sym union "
+            "select r.n, s.m from reach r join sym s on r.m = s.n), "
+            "comp as (select n, least(n, min(m)) as component "
+            "from reach group by n), "
+            "dropped as (select n from comp where n != component) "
+            "select corpus.doc_id from corpus "
+            "left join dropped on corpus.doc_id = dropped.n "
+            "where dropped.n is null"
         ),
         # ---- formerly rows-only (VERDICT r1 item 2) ----
         # the reproducible-mode fit is replayed IN FULL — init picks +

@@ -174,6 +174,14 @@ def main() -> None:
         # two-batch ingest replay incl. snapshot-store commits; a bit
         # heavier and stateful-ish (fresh temp store per run)
         ("dedup_incremental", entry.q_dedup_incremental, 2),
+        # r5 additions: bucketed write+join (write cost dominates —
+        # that's the point, it's paid once), unigram LM, ES sampling
+        ("bucketed_join", entry.q_bucketed_join, 2),
+        ("unigram_lm", entry.q_unigram_lm, 2),
+        ("weighted_sample", entry.q_weighted_sample, 2),
+        # full near-dup pipeline (sigs -> LSH -> jaccard verify -> CC
+        # -> anti-join) incl. the planted-dup corpus union
+        ("near_dedup", entry.q_near_dedup, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

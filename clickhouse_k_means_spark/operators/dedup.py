@@ -234,6 +234,56 @@ def jaccard_pairs(
     )
 
 
+def near_dedup_corpus(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float | None = 0.8,
+) -> DataFrame:
+    """The full near-duplicate removal pipeline in one call: MinHash
+    signatures → LSH candidate pairs → EXACT n-gram-Jaccard
+    verification on candidates only → connected components → drop
+    every non-canonical member. Returns the surviving corpus (all
+    original columns).
+
+    This is the production composition of the dedup family: LSH keeps
+    the pair search sub-quadratic (same-bucket pairs only), the exact
+    Jaccard check removes LSH false positives before they glue
+    unrelated documents into one component (``jaccard_threshold=None``
+    skips it — banding-only dedup), and hash-min components make
+    near-duplication transitive (A≈B≈C collapses to one survivor even
+    if A and C never shared a bucket). Canonical = lowest key per
+    component — deterministic, replayed exactly by the DuckDB oracle's
+    recursive transitive closure.
+
+    Scale shape: everything before the component loop is the
+    already-guarded operators' plans (narrow signature pass, one
+    (band, band_key) shuffle, candidate-only Jaccard join); the
+    component iteration runs on the PAIR set (≪ corpus); the final
+    drop is one anti-join on the key.
+    """
+    from clickhouse_k_means_spark.operators.components import dedup_components
+
+    sigs = minhash_signatures(
+        df, text=text, key=key, n_hashes=n_hashes, shingle_n=shingle_n
+    )
+    cand = lsh_candidate_pairs(sigs, key=key, n_hashes=n_hashes, n_bands=n_bands)
+    if jaccard_threshold is not None:
+        cand = (
+            jaccard_pairs(df, cand, text=text, key=key, shingle_n=shingle_n)
+            .filter(F.col("jaccard") >= float(jaccard_threshold))
+            .select("a", "b")
+        )
+    comp = dedup_components(cand)
+    drop = comp.filter(F.col("is_canonical") == False).select(  # noqa: E712
+        F.col("n").alias(key)
+    )
+    return df.join(drop, key, "left_anti")
+
+
 def _history_anti_join(
     batch_keep: DataFrame, seen: DataFrame, broadcast_batch: bool
 ) -> DataFrame:

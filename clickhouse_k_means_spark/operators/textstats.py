@@ -117,11 +117,12 @@ def tfidf_top_terms(
     The final per-doc top-k is a WindowGroupLimit partitioned by doc.
     """
     base = docs.select(key, tokens(text).alias("tk"))
+    # eager localCheckpoint, not persist() — see unigram_lm_scores
     tf = (
         base.select(key, F.explode("tk").alias("term"))
         .groupBy(key, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_tbl = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -174,11 +175,16 @@ def unigram_lm_scores(
     the joins' own.
     """
     base = docs.select(key, tokens(text).alias("tk"))
+    # eager localCheckpoint, not persist(): tf feeds BOTH the corpus
+    # counts and the per-doc join, and the checkpoint runs the
+    # explode+agg exactly once with nothing left registered in the
+    # cache afterwards (a persist() here leaks one cache entry per
+    # call — repeated scoring runs accumulate stale cached plans)
     tf = (
         base.select(key, F.explode("tk").alias("term"))
         .groupBy(key, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     n_tbl = counts.agg(F.sum("c").alias("n_total"))

@@ -49,6 +49,13 @@ def write_bucketed(
     ``path`` is the storage location (external — dropping the table
     later leaves the files). ``key`` may be one column or a list; the
     same columns are used for ``sortBy`` when ``sort`` is True.
+
+    The input is repartitioned to ``n_buckets`` ON the bucket columns
+    before writing, so each bucket lands as ONE file instead of
+    (input partitions × buckets) small files — at cluster scale that
+    is the difference between n_buckets objects and a small-file
+    explosion, and one sorted file per bucket additionally lets the
+    planner drop the per-task Sort on read-back.
     """
     if n_buckets <= 0:
         raise ValueError(f"write_bucketed: n_buckets must be > 0, got {n_buckets}")
@@ -58,7 +65,8 @@ def write_bucketed(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     w = (
-        df.write.mode("overwrite")
+        df.repartition(n_buckets, *[df[k] for k in keys])
+        .write.mode("overwrite")
         .format("parquet")
         .option("path", path)
         .bucketBy(n_buckets, keys[0], *keys[1:])

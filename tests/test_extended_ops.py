@@ -895,3 +895,48 @@ def test_weighted_sample_compiles_to_take_ordered(spark, sf_dir):
     )
     assert "TakeOrdered" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_near_dedup_corpus_collapses_planted_dups(spark):
+    """A≈B≈C chains collapse to the lowest-id survivor; unrelated docs
+    survive; exact copies die even when split across LSH bands."""
+    from clickhouse_k_means_spark.operators.dedup import near_dedup_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong coffee behind the old stone bridge every morning"
+    )
+    near = base.replace("every morning", "each morning")  # jaccard ~0.82
+    rows = [
+        (1, base),
+        (2, base),          # exact dup of 1
+        (3, near),          # near dup of 1/2 (transitive chain)
+        (4, "completely different text about spark physical plans and "
+            "shuffle exchanges in distributed query engines today"),
+        (5, ""),            # empty doc must pass through untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {
+        r["doc_id"]
+        for r in near_dedup_corpus(df, jaccard_threshold=0.5).collect()
+    }
+    assert kept == {1, 4, 5}
+
+
+def test_near_dedup_threshold_none_skips_verification(spark):
+    """jaccard_threshold=None = banding-only dedup (keeps LSH false
+    positives as edges — the cheaper, recall-max variant)."""
+    from clickhouse_k_means_spark.operators.dedup import near_dedup_corpus
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string"
+    )
+    kept = {
+        r["doc_id"]
+        for r in near_dedup_corpus(df, jaccard_threshold=None).collect()
+    }
+    assert kept == {1}
