@@ -1099,6 +1099,38 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted incremental distinct counting (uniqState/uniqMerge
+    parity): three batch sketches committed to a snapshot store, then
+    a union-merge estimate. The gate asserts BOTH the accuracy
+    contract (merged estimate within 5% of exact) and the lossless-
+    merge contract (incremental == single-shot sketch estimate)."""
+    import tempfile
+
+    from clickhouse_k_means_spark.functions.sketches import IncrementalDistinct
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    inc = IncrementalDistinct(SnapshotStateStore(tempfile.mkdtemp(prefix="hll_inc_")))
+    for i in range(3):
+        inc.update(ev.filter(F.pmod("user_id", F.lit(3)) == i), "user_id")
+    est = inc.estimate(spark)
+    single = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).first()["e"]
+    return ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_n"),
+        F.when(
+            F.abs(F.lit(int(est)) - F.count_distinct("user_id").cast("double"))
+            <= F.count_distinct("user_id").cast("double") * 0.05,
+            1,
+        ).otherwise(0).cast("bigint").alias("within_tol"),
+        F.lit(1 if int(est) == int(single) else 0)
+        .cast("bigint")
+        .alias("merge_matches_single"),
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sample (n=50, weight = token
     count + 1) — pure function of (doc_id, salt), replayed exactly by
@@ -1438,7 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 66 entries, 16
+    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 67 entries, 17
     # sit in the tail each round, alternating between two fixed groups
     # so every query gets a driver CORRECTNESS row at least every
     # other round:
@@ -1446,19 +1478,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     pivot_events, topk_global, offset_pick, window_running,
     #     json_extract, set_ops, monthly_revenue, quantiles,
     #     dedup_incremental, mix_sources, bucketed_join, unigram_lm,
-    #     weighted_sample, near_dedup
+    #     weighted_sample, near_dedup, hll_incremental
     #   group B (tail on ODD rounds r5, r7, …): lang_id,
     #     quality_scores, token_counts, doc_fingerprint,
     #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
     #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup,
-    #     simhash_docs, embed_neardup, silhouette_sampled, lsh_pairs
+    #     simhash_docs, embed_neardup, silhouette_sampled, lsh_pairs,
+    #     embed_neardup_lsh
     # This round (r5): group A — dark since its r4 rotation — is in
-    # the window, including first driver rows for the six NEW r5
+    # the window, including first driver rows for the seven NEW r5
     # queries (dedup_incremental, mix_sources, bucketed_join,
-    # unigram_lm, weighted_sample, near_dedup); group B rotates out
-    # (all its members, incl. the four moved from the fixed head —
-    # simhash_docs, embed_neardup, silhouette_sampled, lsh_pairs —
-    # have green rows in CORRECTNESS_r04 and stay pytest-oracle-gated).
+    # unigram_lm, weighted_sample, near_dedup, hll_incremental);
+    # group B rotates out (all its members, incl. the five moved from
+    # the fixed head — simhash_docs, embed_neardup,
+    # silhouette_sampled, lsh_pairs, embed_neardup_lsh — have green
+    # rows in CORRECTNESS_r04 and stay pytest-oracle-gated).
     return {
         # --- fixed head: in the driver window every round (35) ---
         "yh_contract": q_yh_contract,
@@ -1483,7 +1517,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "ann_topk": q_ann_topk,
-        "embed_neardup_lsh": q_embed_neardup_lsh,
         "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_components": q_dedup_components,
         "kmeans_fit_history": q_kmeans_fit_history,
@@ -1512,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm": q_unigram_lm,
         "weighted_sample": q_weighted_sample,
         "near_dedup": q_near_dedup,
+        "hll_incremental": q_hll_incremental,
         # --- tail: group B, out of the driver's 50-row window this
         # round (all green in CORRECTNESS_r04; still oracle-gated in
         # pytest) ---
@@ -1531,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "silhouette_sampled": q_silhouette_sampled,
         "lsh_pairs": q_lsh_pairs,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
     }
 
 
@@ -2024,6 +2059,13 @@ def oracle_sql() -> dict[str, str]:
             "order by score desc, term asc) as rk from sc) "
             "select doc_id, term, tf, df, score::BIGINT as score, "
             "rk::INT as rk from rk where rk <= 3"
+        ),
+        # incremental sketch gate: both flags must be 1 — accuracy vs
+        # exact, and lossless merge vs the single-shot sketch
+        "hll_incremental": (
+            "select count(distinct user_id)::BIGINT as exact_n, "
+            "1::BIGINT as within_tol, 1::BIGINT as merge_matches_single "
+            "from events"
         ),
         # unigram LM: ln once per distinct term, fixed-pointed to
         # micro-nats BEFORE any aggregation — everything after is

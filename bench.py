@@ -182,6 +182,8 @@ def main() -> None:
         # full near-dup pipeline (sigs -> LSH -> jaccard verify -> CC
         # -> anti-join) incl. the planted-dup corpus union
         ("near_dedup", entry.q_near_dedup, 2),
+        # three sketch commits to a temp snapshot store + union merge
+        ("hll_incremental", entry.q_hll_incremental, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

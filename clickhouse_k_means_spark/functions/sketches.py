@@ -137,3 +137,38 @@ def hll_rollup_check(
         .cast("bigint")
         .alias("within_tol"),
     )
+
+
+class IncrementalDistinct:
+    """Persisted incremental distinct counting — ClickHouse's
+    ``uniqState`` table + ``uniqMerge`` read, on a state store.
+
+    Each ``update(batch)`` aggregates the batch to ONE few-KB HLL
+    sketch row (map-side partials, no distinct-value shuffle) and
+    commits it to the store; ``estimate()`` unions every committed
+    sketch. Because Datasketches HLL union takes the per-register max,
+    the union of per-batch sketches is IDENTICAL to the sketch of the
+    concatenated stream — overlapping or disjoint batches, any commit
+    order (verified in tests) — so the incremental path never drifts
+    from the single-shot one. At 100 TB ingest this answers "distinct
+    users ever" per batch arrival by scanning only the new batch plus
+    n_batches few-KB rows, never the history.
+
+    Works with either state store; with ``SnapshotStateStore`` reads
+    are snapshot-isolated and each update is one atomic commit.
+    """
+
+    def __init__(self, store, table: str = "hll_sketches"):
+        self.store = store
+        self.table = table
+
+    def update(self, df: DataFrame, col: str) -> None:
+        sketch = df.agg(F.hll_sketch_agg(F.col(col)).alias("sketch"))
+        self.store.append(sketch, self.table)
+
+    def estimate(self, spark) -> int:
+        """Union all committed sketches -> ndv (0 if nothing committed)."""
+        if not self.store.exists(self.table):
+            return 0
+        row = hll_merge_estimate(self.store.read(spark, self.table)).first()
+        return int(row["ndv"]) if row and row["ndv"] is not None else 0

@@ -311,3 +311,29 @@ def test_incremental_dedup_backfill_path_equivalent(spark, snap):
     )
     assert {r["doc_id"] for r in s2.collect()} == {11}
     assert n2 == 1
+
+
+def test_incremental_distinct_matches_single_shot(spark, snap):
+    """Union of per-batch sketches must EQUAL the single-shot sketch
+    estimate (per-register max is order- and overlap-insensitive), and
+    land within tolerance of the exact count."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_k_means_spark.functions.sketches import IncrementalDistinct
+
+    ev = spark.range(60_000).select((F.col("id") % 23_456).alias("u"))
+    inc = IncrementalDistinct(snap, table="hll")
+    assert inc.estimate(spark) == 0  # nothing committed yet
+    # overlapping, unordered batches
+    inc.update(ev.filter("u >= 10000"), "u")
+    inc.update(ev.filter("u < 15000"), "u")
+    inc.update(ev.filter("u % 2 = 0"), "u")
+    est = inc.estimate(spark)
+    single = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("e")
+    ).first()["e"]
+    assert est == int(single)
+    exact = 23_456
+    assert abs(est - exact) <= exact * 0.05
+    # one snapshot commit per update
+    assert snap.latest_version("hll") == 3
