@@ -1099,6 +1099,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format fidelity: orders → JSONL → read (explicit
+    schema, no inference) → CSV → read → aggregate. The rollup must
+    equal the oracle's direct-from-parquet answer, proving both
+    writers/readers preserve keys, doubles, dates, and strings."""
+    import tempfile
+
+    from clickhouse_k_means_spark.sources.formats import (
+        read_csv,
+        read_jsonl,
+        write_csv,
+        write_jsonl,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    d = tempfile.mkdtemp(prefix="fmt_rt_")
+    write_jsonl(orders, f"{d}/jsonl")
+    back_j = read_jsonl(spark, f"{d}/jsonl", orders)
+    write_csv(back_j, f"{d}/csv")
+    back = read_csv(spark, f"{d}/csv", orders)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "sum_total_c"
+        ),
+    )
+
+
 def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted incremental distinct counting (uniqState/uniqMerge
     parity): three batch sketches committed to a snapshot store, then
@@ -1470,7 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 67 entries, 17
+    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 68 entries, 18
     # sit in the tail each round, alternating between two fixed groups
     # so every query gets a driver CORRECTNESS row at least every
     # other round:
@@ -1478,21 +1508,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     pivot_events, topk_global, offset_pick, window_running,
     #     json_extract, set_ops, monthly_revenue, quantiles,
     #     dedup_incremental, mix_sources, bucketed_join, unigram_lm,
-    #     weighted_sample, near_dedup, hll_incremental
+    #     weighted_sample, near_dedup, hll_incremental,
+    #     formats_roundtrip
     #   group B (tail on ODD rounds r5, r7, …): lang_id,
     #     quality_scores, token_counts, doc_fingerprint,
     #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
     #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup,
     #     simhash_docs, embed_neardup, silhouette_sampled, lsh_pairs,
-    #     embed_neardup_lsh
+    #     embed_neardup_lsh, time_buckets
     # This round (r5): group A — dark since its r4 rotation — is in
-    # the window, including first driver rows for the seven NEW r5
+    # the window, including first driver rows for the eight NEW r5
     # queries (dedup_incremental, mix_sources, bucketed_join,
-    # unigram_lm, weighted_sample, near_dedup, hll_incremental);
-    # group B rotates out (all its members, incl. the five moved from
-    # the fixed head — simhash_docs, embed_neardup,
-    # silhouette_sampled, lsh_pairs, embed_neardup_lsh — have green
-    # rows in CORRECTNESS_r04 and stay pytest-oracle-gated).
+    # unigram_lm, weighted_sample, near_dedup, hll_incremental,
+    # formats_roundtrip); group B rotates out (all its members, incl.
+    # the six moved from the fixed head — simhash_docs, embed_neardup,
+    # silhouette_sampled, lsh_pairs, embed_neardup_lsh, time_buckets —
+    # have green rows in CORRECTNESS_r04 and stay pytest-oracle-gated).
     return {
         # --- fixed head: in the driver window every round (35) ---
         "yh_contract": q_yh_contract,
@@ -1509,7 +1540,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
-        "time_buckets": q_time_buckets,
         "sql_scalar_subquery": q_sql_scalar_subquery,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
@@ -1546,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "near_dedup": q_near_dedup,
         "hll_incremental": q_hll_incremental,
+        "formats_roundtrip": q_formats_roundtrip,
         # --- tail: group B, out of the driver's 50-row window this
         # round (all green in CORRECTNESS_r04; still oracle-gated in
         # pytest) ---
@@ -1566,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette_sampled": q_silhouette_sampled,
         "lsh_pairs": q_lsh_pairs,
         "embed_neardup_lsh": q_embed_neardup_lsh,
+        "time_buckets": q_time_buckets,
     }
 
 
@@ -2059,6 +2091,13 @@ def oracle_sql() -> dict[str, str]:
             "order by score desc, term asc) as rk from sc) "
             "select doc_id, term, tf, df, score::BIGINT as score, "
             "rk::INT as rk from rk where rk <= 3"
+        ),
+        # format roundtrip is IO-only: the oracle is the same rollup
+        # straight off the parquet table
+        "formats_roundtrip": (
+            "select o_orderpriority, count(*)::BIGINT as n, "
+            "sum(round(o_totalprice * 100)::BIGINT)::BIGINT as sum_total_c "
+            "from orders group by 1"
         ),
         # incremental sketch gate: both flags must be 1 — accuracy vs
         # exact, and lossless merge vs the single-shot sketch

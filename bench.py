@@ -184,6 +184,8 @@ def main() -> None:
         ("near_dedup", entry.q_near_dedup, 2),
         # three sketch commits to a temp snapshot store + union merge
         ("hll_incremental", entry.q_hll_incremental, 2),
+        # orders -> JSONL -> CSV -> rollup (IO-bound by design)
+        ("formats_roundtrip", entry.q_formats_roundtrip, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)
