@@ -423,6 +423,46 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: CORRELATED EXISTS subquery (the fixture has no
+    commit/receipt dates, so the inner predicate is discount/quantity
+    based) — Catalyst decorrelates it into a left-semi join; the
+    priority rollup must match DuckDB's direct EXISTS evaluation."""
+    from clickhouse_k_means_spark.sources.dataset import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "select o_orderpriority, count(*) as n from orders "
+        "where exists (select 1 from lineitem "
+        "where l_orderkey = o_orderkey "
+        "and l_discount > 0.05 and l_quantity > 40) "
+        "group by o_orderpriority"
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): HAVING over a grouped
+    subquery, joined back for the per-customer rollup — exact integer
+    quantity sums so the threshold cut is bit-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_c")
+        )
+        .filter(F.col("qty_c") > 15000)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("qty_c").alias("total_qty_c"),
+        )
+    )
+
+
 def q_join_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: broadcast equi-join orders→customer + segment rollup."""
     orders = load_table(spark, sf_dir, "orders")
@@ -1500,7 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 68 entries, 18
+    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 70 entries, 20
     # sit in the tail each round, alternating between two fixed groups
     # so every query gets a driver CORRECTNESS row at least every
     # other round:
@@ -1509,21 +1549,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     json_extract, set_ops, monthly_revenue, quantiles,
     #     dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     #     weighted_sample, near_dedup, hll_incremental,
-    #     formats_roundtrip
+    #     formats_roundtrip, tpch_q4, tpch_q18
     #   group B (tail on ODD rounds r5, r7, …): lang_id,
     #     quality_scores, token_counts, doc_fingerprint,
     #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
     #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup,
     #     simhash_docs, embed_neardup, silhouette_sampled, lsh_pairs,
-    #     embed_neardup_lsh, time_buckets
+    #     embed_neardup_lsh, time_buckets, range_join, dedup_exact
     # This round (r5): group A — dark since its r4 rotation — is in
-    # the window, including first driver rows for the eight NEW r5
+    # the window, including first driver rows for the ten NEW r5
     # queries (dedup_incremental, mix_sources, bucketed_join,
     # unigram_lm, weighted_sample, near_dedup, hll_incremental,
-    # formats_roundtrip); group B rotates out (all its members, incl.
-    # the six moved from the fixed head — simhash_docs, embed_neardup,
-    # silhouette_sampled, lsh_pairs, embed_neardup_lsh, time_buckets —
-    # have green rows in CORRECTNESS_r04 and stay pytest-oracle-gated).
+    # formats_roundtrip, tpch_q4, tpch_q18); group B rotates out (all
+    # its members, incl. the eight moved from the fixed head —
+    # simhash_docs, embed_neardup, silhouette_sampled, lsh_pairs,
+    # embed_neardup_lsh, time_buckets, range_join, dedup_exact — have
+    # green rows in CORRECTNESS_r04 and stay pytest-oracle-gated).
     return {
         # --- fixed head: in the driver window every round (35) ---
         "yh_contract": q_yh_contract,
@@ -1543,8 +1584,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_scalar_subquery": q_sql_scalar_subquery,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
-        "range_join": q_range_join,
-        "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "ann_topk": q_ann_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1577,6 +1616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup": q_near_dedup,
         "hll_incremental": q_hll_incremental,
         "formats_roundtrip": q_formats_roundtrip,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q18": q_tpch_q18,
         # --- tail: group B, out of the driver's 50-row window this
         # round (all green in CORRECTNESS_r04; still oracle-gated in
         # pytest) ---
@@ -1598,6 +1639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "time_buckets": q_time_buckets,
+        "range_join": q_range_join,
+        "dedup_exact": q_dedup_exact,
     }
 
 
@@ -1792,6 +1835,23 @@ def oracle_sql() -> dict[str, str]:
             "join region on n_regionkey = r_regionkey "
             "where r_name = 'ASIA' and c_nationkey = s_nationkey "
             "group by 1"
+        ),
+        # correlated EXISTS — DuckDB evaluates it directly; Spark
+        # decorrelates to a left-semi join (same answer by definition)
+        "tpch_q4": (
+            "select o_orderpriority, count(*)::BIGINT as n from orders "
+            "where exists (select 1 from lineitem "
+            "where l_orderkey = o_orderkey "
+            "and l_discount > 0.05 and l_quantity > 40) "
+            "group by o_orderpriority"
+        ),
+        "tpch_q18": (
+            "with big as (select l_orderkey, "
+            "sum(round(l_quantity * 100)::BIGINT)::BIGINT as qty_c "
+            "from lineitem group by 1 having qty_c > 15000) "
+            "select o_custkey, count(*)::BIGINT as n_orders, "
+            "sum(qty_c)::BIGINT as total_qty_c "
+            "from orders join big on o_orderkey = l_orderkey group by 1"
         ),
         "join_agg_segment": (
             "select c_mktsegment, count(*)::BIGINT as n, "

@@ -186,6 +186,9 @@ def main() -> None:
         ("hll_incremental", entry.q_hll_incremental, 2),
         # orders -> JSONL -> CSV -> rollup (IO-bound by design)
         ("formats_roundtrip", entry.q_formats_roundtrip, 2),
+        # correlated EXISTS (decorrelated semi join) / HAVING rollup
+        ("tpch_q4", entry.q_tpch_q4, 2),
+        ("tpch_q18", entry.q_tpch_q18, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)
