@@ -1139,6 +1139,26 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted mergeable histogram: three batch commits over
+    events.value, then the merged (bin, cnt) table — EXACTLY equal to
+    a single-shot histogram (integer merge), replayed row-for-row by
+    the oracle's direct binning of the full table."""
+    import tempfile
+
+    from clickhouse_k_means_spark.functions.sketches import IncrementalHistogram
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    hist = IncrementalHistogram(
+        SnapshotStateStore(tempfile.mkdtemp(prefix="hist_inc_")),
+        lo=0.0, width=20.0, n_bins=25,
+    )
+    for i in range(3):
+        hist.update(ev.filter(F.pmod("event_id", F.lit(3)) == i), "value")
+    return hist.merged(spark)
+
+
 def q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interchange-format fidelity: orders → JSONL → read (explicit
     schema, no inference) → CSV → read → aggregate. The rollup must
@@ -1540,7 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 70 entries, 20
+    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 71 entries, 21
     # sit in the tail each round, alternating between two fixed groups
     # so every query gets a driver CORRECTNESS row at least every
     # other round:
@@ -1549,21 +1569,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     json_extract, set_ops, monthly_revenue, quantiles,
     #     dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     #     weighted_sample, near_dedup, hll_incremental,
-    #     formats_roundtrip, tpch_q4, tpch_q18
+    #     formats_roundtrip, tpch_q4, tpch_q18, histogram_incremental
     #   group B (tail on ODD rounds r5, r7, …): lang_id,
     #     quality_scores, token_counts, doc_fingerprint,
     #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
     #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup,
     #     simhash_docs, embed_neardup, silhouette_sampled, lsh_pairs,
-    #     embed_neardup_lsh, time_buckets, range_join, dedup_exact
-    # This round (r5): group A — dark since its r4 rotation — is in
-    # the window, including first driver rows for the ten NEW r5
-    # queries (dedup_incremental, mix_sources, bucketed_join,
-    # unigram_lm, weighted_sample, near_dedup, hll_incremental,
-    # formats_roundtrip, tpch_q4, tpch_q18); group B rotates out (all
-    # its members, incl. the eight moved from the fixed head —
-    # simhash_docs, embed_neardup, silhouette_sampled, lsh_pairs,
-    # embed_neardup_lsh, time_buckets, range_join, dedup_exact — have
+    #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
+    #     minhash_sigs
+    # (71 entries: 29 fixed head + 21 per group.) This round (r5):
+    # group A — dark since its r4 rotation — is in the window,
+    # including first driver rows for the eleven NEW r5 queries
+    # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
+    # weighted_sample, near_dedup, hll_incremental, formats_roundtrip,
+    # tpch_q4, tpch_q18, histogram_incremental); group B rotates out
+    # (all its members, incl. the nine moved from the fixed head, have
     # green rows in CORRECTNESS_r04 and stay pytest-oracle-gated).
     return {
         # --- fixed head: in the driver window every round (35) ---
@@ -1584,7 +1604,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_scalar_subquery": q_sql_scalar_subquery,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
-        "minhash_sigs": q_minhash_sigs,
         "ann_topk": q_ann_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_components": q_dedup_components,
@@ -1618,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "formats_roundtrip": q_formats_roundtrip,
         "tpch_q4": q_tpch_q4,
         "tpch_q18": q_tpch_q18,
+        "histogram_incremental": q_histogram_incremental,
         # --- tail: group B, out of the driver's 50-row window this
         # round (all green in CORRECTNESS_r04; still oracle-gated in
         # pytest) ---
@@ -1641,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_buckets": q_time_buckets,
         "range_join": q_range_join,
         "dedup_exact": q_dedup_exact,
+        "minhash_sigs": q_minhash_sigs,
     }
 
 
@@ -2151,6 +2172,13 @@ def oracle_sql() -> dict[str, str]:
             "order by score desc, term asc) as rk from sc) "
             "select doc_id, term, tf, df, score::BIGINT as score, "
             "rk::INT as rk from rk where rk <= 3"
+        ),
+        # merged histogram == direct binning of the full table (exact
+        # integer state merge; lo=0 width=20 n_bins=25, edge-clamped)
+        "histogram_incremental": (
+            "select greatest(0, least(24, floor(value / 20.0)::BIGINT))::BIGINT "
+            "as bin, count(*)::BIGINT as cnt "
+            "from events where value is not null group by 1"
         ),
         # format roundtrip is IO-only: the oracle is the same rollup
         # straight off the parquet table

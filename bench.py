@@ -189,6 +189,8 @@ def main() -> None:
         # correlated EXISTS (decorrelated semi join) / HAVING rollup
         ("tpch_q4", entry.q_tpch_q4, 2),
         ("tpch_q18", entry.q_tpch_q18, 2),
+        # three binned-count commits + integer merge
+        ("histogram_incremental", entry.q_histogram_incremental, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -172,3 +172,84 @@ class IncrementalDistinct:
             return 0
         row = hll_merge_estimate(self.store.read(spark, self.table)).first()
         return int(row["ndv"]) if row and row["ndv"] is not None else 0
+
+
+class IncrementalHistogram:
+    """Persisted mergeable histogram — EXACTLY mergeable state (unlike
+    HLL's estimate, bin counts are integers, so the merged histogram
+    is bit-identical to the single-shot one and the DuckDB oracle
+    replays it row-for-row).
+
+    Binning is FIXED by (lo, width, n_bins) at construction —
+    deterministic and data-independent, which is what makes commits
+    from different batches (or different days of an ingest) mergeable
+    forever; values outside [lo, lo + width*n_bins) clamp into the
+    edge bins. Each ``update(batch)`` commits at most ``n_bins`` tiny
+    (bin, cnt) rows; ``merged()`` integer-sums them; ``quantile(p)``
+    reads the cumulative counts and returns the upper edge of the
+    first bin reaching ``ceil(p * total)`` — error bounded by one bin
+    width. The ClickHouse analogue is a persisted
+    ``histogram``/``quantileExact`` state table; at 100 TB each batch
+    scan is one narrow groupBy(bin) with map-side partials.
+    """
+
+    def __init__(
+        self, store, lo: float, width: float, n_bins: int,
+        table: str = "histogram",
+    ):
+        if width <= 0 or n_bins <= 0:
+            raise ValueError(
+                f"IncrementalHistogram: width ({width}) and n_bins "
+                f"({n_bins}) must be positive"
+            )
+        self.store = store
+        self.lo = float(lo)
+        self.width = float(width)
+        self.n_bins = int(n_bins)
+        self.table = table
+
+    def _bin(self, col: str) -> Column:
+        raw = F.floor((F.col(col) - self.lo) / self.width).cast("bigint")
+        return F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.lit(self.n_bins - 1).cast("bigint"), raw),
+        )
+
+    def update(self, df: DataFrame, col: str) -> None:
+        batch = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(self._bin(col).alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        self.store.append(batch, self.table)
+
+    def merged(self, spark) -> DataFrame:
+        """(bin, cnt) — integer-summed across every committed batch."""
+        if not self.store.exists(self.table):
+            return spark.createDataFrame([], "bin bigint, cnt bigint")
+        return (
+            self.store.read(spark, self.table)
+            .groupBy("bin")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+
+    def quantile(self, spark, p: float) -> float:
+        """Upper edge of the first bin whose cumulative count reaches
+        ``ceil(p * total)`` (0 < p <= 1); error <= one bin width."""
+        import math
+
+        if not 0 < p <= 1:
+            raise ValueError(f"quantile: p must be in (0, 1], got {p}")
+        rows = sorted(
+            (r["bin"], r["cnt"]) for r in self.merged(spark).collect()
+        )
+        total = sum(c for _, c in rows)
+        if not total:
+            raise ValueError("quantile: empty histogram")
+        target = math.ceil(p * total)
+        cum = 0
+        for b, c in rows:
+            cum += c
+            if cum >= target:
+                return self.lo + (b + 1) * self.width
+        return self.lo + self.n_bins * self.width

@@ -337,3 +337,53 @@ def test_incremental_distinct_matches_single_shot(spark, snap):
     assert abs(est - exact) <= exact * 0.05
     # one snapshot commit per update
     assert snap.latest_version("hll") == 3
+
+
+def test_incremental_histogram_exact_merge_and_quantile(spark, snap):
+    """Merged bin counts across unordered overlapping batches must be
+    BIT-IDENTICAL to a single-shot histogram (integer merge), and the
+    quantile estimate lands within one bin width of the exact value."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_k_means_spark.functions.sketches import IncrementalHistogram
+
+    df = spark.range(10_000).select((F.col("id") % 997).cast("double").alias("v"))
+    hist = IncrementalHistogram(snap, lo=0.0, width=100.0, n_bins=10, table="h")
+    hist.update(df.filter("v < 600"), "v")
+    hist.update(df.filter("v >= 300"), "v")  # overlap on purpose? no —
+    # rows, not values, define the histogram: together these two
+    # filters cover every row exactly once plus the 300-599 overlap
+    merged = {(r["bin"], r["cnt"]) for r in hist.merged(spark).collect()}
+    both = df.filter("v < 600").unionByName(df.filter("v >= 300"))
+    single = IncrementalHistogram(
+        snap, lo=0.0, width=100.0, n_bins=10, table="h_single"
+    )
+    single.update(both, "v")
+    want = {(r["bin"], r["cnt"]) for r in single.merged(spark).collect()}
+    assert merged == want
+    # quantile: p=0.5 over 0..996 uniform-ish -> exact ~ 498; bound by
+    # one bin width above
+    q = single.quantile(spark, 0.5)
+    import numpy as np
+
+    exact = float(np.quantile(both.toPandas()["v"], 0.5))
+    assert exact <= q <= exact + 100.0 + 1e-9
+
+
+def test_incremental_histogram_clamps_and_validates(spark, snap):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from clickhouse_k_means_spark.functions.sketches import IncrementalHistogram
+
+    with _pytest.raises(ValueError, match="width"):
+        IncrementalHistogram(snap, lo=0, width=0, n_bins=5)
+    hist = IncrementalHistogram(snap, lo=0.0, width=1.0, n_bins=4, table="hc")
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (3.5,), (99.0,), (None,)], "v double"
+    )
+    hist.update(df, "v")
+    got = {(r["bin"], r["cnt"]) for r in hist.merged(spark).collect()}
+    assert got == {(0, 2), (3, 2)}  # -5 clamps to 0, 99 clamps to 3, null dropped
+    with _pytest.raises(ValueError, match="p must be"):
+        hist.quantile(spark, 0.0)
