@@ -1,0 +1,169 @@
+"""Training-data pipeline CLI — the extended surface as runnable
+commands.
+
+The main CLI (``cli.py``) reproduces the reference's k-means.sh
+lifecycle; this one drives the LLM-data operators the engine adds on
+top, each as parquet-in → parquet-out with one JSON summary line on
+stdout (machine-parseable, shell-composable — the same contract as
+``bench.py``):
+
+    python -m clickhouse_k_means_spark.pipeline dedup \
+        --input docs.parquet --key doc_id --text text \
+        --mode near --threshold 0.8 --out kept.parquet
+    python -m clickhouse_k_means_spark.pipeline split \
+        --input docs.parquet --key doc_id \
+        --weights train=0.9,val=0.05,test=0.05 --out split.parquet
+    python -m clickhouse_k_means_spark.pipeline score \
+        --input docs.parquet --key doc_id --text text --out scored.parquet
+    python -m clickhouse_k_means_spark.pipeline sample \
+        --input docs.parquet --key doc_id --n 1000 \
+        --weight n_tok --out sample.parquet
+    python -m clickhouse_k_means_spark.pipeline pack \
+        --input scored.parquet --key doc_id --tokens n_tok \
+        --budget 2048 --out packs.parquet
+
+Every command is deterministic (hash-seeded operators), so re-runs
+produce identical outputs — the property that makes backfills and
+incremental arrivals safe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="clickhouse_k_means_spark.pipeline",
+        description="training-data pipeline operators (parquet in/out)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, text: bool = False):
+        sp.add_argument("--input", required=True, help="input parquet path")
+        sp.add_argument("--out", required=True, help="output parquet path")
+        sp.add_argument("--key", default="doc_id", help="row-key column")
+        if text:
+            sp.add_argument("--text", default="text", help="text column")
+
+    d = sub.add_parser("dedup", help="exact or near-duplicate removal")
+    common(d, text=True)
+    d.add_argument("--mode", choices=["exact", "near"], default="exact")
+    d.add_argument(
+        "--threshold", type=float, default=0.8,
+        help="near mode: exact-Jaccard verification threshold "
+        "(pass -1 to skip verification — banding-only)",
+    )
+
+    s = sub.add_parser("split", help="deterministic train/val/test split")
+    common(s)
+    s.add_argument(
+        "--weights", default="train=0.9,val=0.05,test=0.05",
+        help="name=frac comma list (must sum to ~1)",
+    )
+    s.add_argument("--salt", type=int, default=42)
+
+    sc = sub.add_parser("score", help="per-doc quality/token/LM metrics")
+    common(sc, text=True)
+
+    sa = sub.add_parser("sample", help="weighted sample without replacement")
+    common(sa)
+    sa.add_argument("--n", type=int, required=True, help="sample size")
+    sa.add_argument(
+        "--weight", default=None,
+        help="weight column (default: token count of --text)",
+    )
+    sa.add_argument("--text", default="text")
+    sa.add_argument("--salt", type=int, default=7)
+
+    pk = sub.add_parser("pack", help="token-budget sequence packing")
+    common(pk)
+    pk.add_argument("--tokens", required=True, help="token-count column")
+    pk.add_argument("--budget", type=int, default=2048)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_k_means_spark.session import get_spark
+
+    spark = get_spark("pipeline-cli")
+    df = spark.read.parquet(args.input)
+    n_in = df.count()
+
+    if args.cmd == "dedup":
+        if args.mode == "exact":
+            from clickhouse_k_means_spark.operators.dedup import exact_dedup
+
+            tagged = exact_dedup(df, text=args.text, key=args.key)
+            keep = tagged.filter(F.col("keep") == 1).select(args.key)
+            out = df.join(keep, args.key, "left_semi")
+        else:
+            from clickhouse_k_means_spark.operators.dedup import near_dedup_corpus
+
+            thr = None if args.threshold < 0 else args.threshold
+            out = near_dedup_corpus(
+                df, text=args.text, key=args.key, jaccard_threshold=thr
+            )
+    elif args.cmd == "split":
+        from clickhouse_k_means_spark.operators.packing import hash_split
+
+        weights = {}
+        for part in args.weights.split(","):
+            name, frac = part.split("=")
+            weights[name.strip()] = float(frac)
+        out = hash_split(df, key=args.key, weights=weights, salt=args.salt)
+    elif args.cmd == "score":
+        from clickhouse_k_means_spark.functions.text import (
+            lang_id,
+            quality_score,
+            token_count,
+        )
+        from clickhouse_k_means_spark.operators.textstats import unigram_lm_scores
+
+        lm = unigram_lm_scores(df, key=args.key, text=args.text)
+        out = df.select(
+            args.key,
+            token_count(args.text).alias("n_tok"),
+            quality_score(args.text).alias("quality"),
+            lang_id(args.text).alias("lang"),
+        ).join(lm.select(args.key, "nll_micro"), args.key)
+    elif args.cmd == "sample":
+        from clickhouse_k_means_spark.functions.text import token_count
+        from clickhouse_k_means_spark.operators.sampling import weighted_sample
+
+        if args.weight:
+            src, weight = df, args.weight
+        else:
+            src = df.withColumn(
+                "__w", (token_count(args.text) + 1).cast("bigint")
+            )
+            weight = "__w"
+        out = weighted_sample(
+            src, args.n, weight=weight, key=args.key, salt=args.salt
+        )
+        if not args.weight:
+            out = out.drop("__w")
+    elif args.cmd == "pack":
+        from clickhouse_k_means_spark.operators.packing import pack_sequences
+
+        out = pack_sequences(
+            df, tokens=args.tokens, key=args.key, budget=args.budget
+        )
+    else:  # pragma: no cover - argparse enforces choices
+        return 2
+
+    out.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    print(json.dumps({"cmd": args.cmd, "rows_in": n_in, "rows_out": n_out,
+                      "out": args.out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -62,3 +62,73 @@ def test_cli_parquet_input(tmp_path, capsys, sf_dir):
 
 def test_cli_input_requires_key_features(capsys):
     assert main(["--input", "x.parquet"]) == 2
+
+
+def test_pipeline_cli_dedup_split_sample(tmp_path, capsys, spark):
+    """pipeline CLI: parquet in -> operator -> parquet out with a JSON
+    summary; deterministic across re-runs."""
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "kept")
+    rc = pmain(["dedup", "--input", src, "--out", out, "--mode", "exact"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"cmd": "dedup", "rows_in": 3, "rows_out": 2, "out": out}
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 3}
+
+    out2 = str(tmp_path / "split")
+    rc = pmain([
+        "split", "--input", src, "--out", out2,
+        "--weights", "train=0.5,test=0.5",
+    ])
+    assert rc == 0
+    back = spark.read.parquet(out2)
+    assert set(back.columns) == {"doc_id", "text", "split"}
+    assigns1 = {(r["doc_id"], r["split"]) for r in back.collect()}
+    # re-run lands identically (pure function of key+salt)
+    pmain(["split", "--input", src, "--out", out2,
+           "--weights", "train=0.5,test=0.5"])
+    assigns2 = {
+        (r["doc_id"], r["split"])
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert assigns1 == assigns2
+    capsys.readouterr()
+
+    out3 = str(tmp_path / "sample")
+    rc = pmain(["sample", "--input", src, "--out", out3, "--n", "2"])
+    assert rc == 0
+    samp = spark.read.parquet(out3)
+    assert samp.count() == 2 and set(samp.columns) == {"doc_id", "text"}
+
+
+def test_pipeline_cli_score_and_pack(tmp_path, capsys, spark):
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "hello world this is fine"), (2, "short")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    scored = str(tmp_path / "scored")
+    rc = pmain(["score", "--input", src, "--out", scored])
+    assert rc == 0
+    back = spark.read.parquet(scored)
+    assert set(back.columns) == {"doc_id", "n_tok", "quality", "lang", "nll_micro"}
+    assert back.count() == 2
+
+    packs = str(tmp_path / "packs")
+    rc = pmain([
+        "pack", "--input", scored, "--out", packs,
+        "--tokens", "n_tok", "--budget", "4",
+    ])
+    assert rc == 0
+    pk = spark.read.parquet(packs)
+    assert {r["doc_id"]: r["pack_id"] for r in pk.collect()} == {1: 0, 2: 1}
