@@ -146,16 +146,23 @@ class IncrementalDistinct:
     Each ``update(batch)`` aggregates the batch to ONE few-KB HLL
     sketch row (map-side partials, no distinct-value shuffle) and
     commits it to the store; ``estimate()`` unions every committed
-    sketch. Because Datasketches HLL union takes the per-register max,
-    the union of per-batch sketches is IDENTICAL to the sketch of the
-    concatenated stream — overlapping or disjoint batches, any commit
-    order (verified in tests) — so the incremental path never drifts
-    from the single-shot one. At 100 TB ingest this answers "distinct
-    users ever" per batch arrival by scanning only the new batch plus
-    n_batches few-KB rows, never the history.
+    sketch. Datasketches HLL union takes the per-register max, so the
+    merge is deterministic, commit-order/overlap-insensitive, and
+    stays inside the sketch's error bounds; once sketches are in
+    dense HLL mode the union is BIT-IDENTICAL to the single-shot
+    sketch (measured: equal at 23k and 38k distinct). In the sparse→
+    dense promotion zone (batch cardinalities near 2^lgK/4 ≈ 1k at
+    the default lgK=12) the union's forced promotion can differ from
+    a still-sparse single-shot sketch by ~1% — within the accuracy
+    contract, and the reason the gates check BOUNDED difference, not
+    equality. At 100 TB ingest this answers "distinct users ever" per
+    batch arrival by scanning only the new batch plus n_batches
+    few-KB rows, never the history.
 
     Works with either state store; with ``SnapshotStateStore`` reads
     are snapshot-isolated and each update is one atomic commit.
+    ``hll_sketch_agg`` accepts int/bigint/string/binary columns —
+    cast doubles (or hash composites) to one of those first.
     """
 
     def __init__(self, store, table: str = "hll_sketches"):

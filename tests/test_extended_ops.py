@@ -940,3 +940,74 @@ def test_near_dedup_threshold_none_skips_verification(spark):
         for r in near_dedup_corpus(df, jaccard_threshold=None).collect()
     }
     assert kept == {1}
+
+
+def test_streaming_sketch_distinct_and_histogram(spark, tmp_path):
+    """Stream folds into persisted sketch state one commit per
+    micro-batch; the final estimates match batch-computed ones, and a
+    replayed batch id is skipped (exactly-once state)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.sketch_stream import StreamingSketch
+
+    src = tmp_path / "src"
+    b1 = spark.range(0, 500).select(F.col("id").cast("double").alias("v"))
+    b2 = spark.range(300, 800).select(F.col("id").cast("double").alias("v"))
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    store = SnapshotStateStore(str(tmp_path / "state"))
+    hist = StreamingSketch(
+        store, col="v", kind="histogram", lo=0.0, width=100.0, n_bins=8
+    )
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = hist.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    q.stop()
+    assert hist.n_batches == 2
+    got = {(r["bin"], r["cnt"]) for r in hist.state.merged(spark).collect()}
+    # direct batch histogram over the union (rows, incl. the overlap)
+    both = b1.unionByName(b2)
+    want = {
+        (r["b"], r["n"])
+        for r in both.groupBy(
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(F.lit(7).cast("bigint"),
+                        F.floor(F.col("v") / 100).cast("bigint")),
+            ).alias("b")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    # replayed batch id is a no-op
+    hist.process_batch(b1, batch_id=0)
+    got2 = {(r["bin"], r["cnt"]) for r in hist.state.merged(spark).collect()}
+    assert got2 == got
+
+    # distinct flavour on the same source (hll_sketch_agg takes
+    # int/long/string/binary — not double, so stream the id as bigint)
+    dist = StreamingSketch(store, col="u", kind="distinct", table="hll_s")
+    stream2 = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select(F.col("v").cast("bigint").alias("u"))
+    )
+    q2 = dist.attach(stream2, str(tmp_path / "ckpt2"), query_name="s2")
+    q2.awaitTermination()
+    q2.stop()
+    est = dist.state.estimate(spark)
+    single = both.select(F.col("v").cast("bigint").alias("u")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("e")
+    ).first()["e"]
+    # 500-distinct batches sit in the sparse->dense promotion zone, so
+    # union vs single-shot may differ ~1% (IncrementalDistinct docs) —
+    # the contract here is bounded difference + determinism
+    assert abs(est - int(single)) <= max(1, 0.02 * int(single))
+    assert abs(est - 800) <= 800 * 0.05
+    assert dist.state.estimate(spark) == est  # deterministic re-read

@@ -332,6 +332,9 @@ def test_incremental_distinct_matches_single_shot(spark, snap):
     single = ev.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("e")
     ).first()["e"]
+    # all three batches are >= 10k distinct -> dense HLL mode, where
+    # union is bit-identical to single-shot (the sparse->dense
+    # promotion zone is only bounded-close; see IncrementalDistinct)
     assert est == int(single)
     exact = 23_456
     assert abs(est - exact) <= exact * 0.05
