@@ -113,3 +113,109 @@ def test_fit_translation_shifts_centroids(spark):
         assert ja == jb
         assert cb[0] - ca[0] == pytest.approx(100.0)
         assert cb[1] - ca[1] == pytest.approx(-40.0)
+
+
+# ---- extended-surface invariants (r5) ----
+
+texts = st.lists(
+    st.text(
+        alphabet="abcdefghij ",
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _docs(spark, ts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts)], "doc_id long, text string"
+    )
+
+
+@given(ts=texts)
+@SETTINGS
+def test_near_dedup_idempotent(spark, ts):
+    """Deduping an already-deduped corpus changes nothing — survivors
+    are pairwise below threshold by construction."""
+    from clickhouse_k_means_spark.operators.dedup import near_dedup_corpus
+
+    once = near_dedup_corpus(_docs(spark, ts), jaccard_threshold=0.8)
+    keys1 = {r["doc_id"] for r in once.collect()}
+    twice = near_dedup_corpus(once, jaccard_threshold=0.8)
+    assert {r["doc_id"] for r in twice.collect()} == keys1
+
+
+@given(ts=texts, n=st.integers(min_value=1, max_value=8))
+@SETTINGS
+def test_weighted_sample_size_and_membership(spark, ts, n):
+    """|sample| = min(n, positive-weight rows); sample ⊆ input; and the
+    pick is stable across partition layouts."""
+    from clickhouse_k_means_spark.functions.text import token_count
+    from clickhouse_k_means_spark.operators.sampling import weighted_sample
+
+    df = _docs(spark, ts).select(
+        "doc_id", token_count("text").cast("bigint").alias("w")
+    )
+    n_pos = df.filter("w > 0").count()
+    got = {r["doc_id"] for r in weighted_sample(df, n, "w").collect()}
+    assert len(got) == min(n, n_pos)
+    assert got <= {r["doc_id"] for r in df.collect()}
+    got2 = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(5), n, "w").collect()
+    }
+    assert got2 == got
+
+
+@given(ts=texts)
+@SETTINGS
+def test_hash_split_partitions_completely(spark, ts):
+    """Every row lands in exactly one split; assignment is a pure
+    function of the key (layout-independent)."""
+    from clickhouse_k_means_spark.operators.packing import hash_split
+
+    df = _docs(spark, ts)
+    out = hash_split(df, key="doc_id")
+    assert out.count() == df.count()
+    assert out.filter(~F.col("split").isin("train", "val", "test")).count() == 0
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(df.repartition(7), key="doc_id").collect()
+    }
+    assert a == b
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=50,
+    )
+)
+@SETTINGS
+def test_histogram_conserves_rows(spark, vals):
+    """sum(cnt) == n_rows for ANY values (clamping loses nothing), and
+    two half-batches merge to the same table as one batch."""
+    import tempfile
+
+    from clickhouse_k_means_spark.functions.sketches import IncrementalHistogram
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    h1 = IncrementalHistogram(
+        SnapshotStateStore(tempfile.mkdtemp()), lo=0.0, width=10.0, n_bins=16
+    )
+    h1.update(df, "v")
+    one = {(r["bin"], r["cnt"]) for r in h1.merged(df.sparkSession).collect()}
+    assert sum(c for _, c in one) == len(vals)
+    h2 = IncrementalHistogram(
+        SnapshotStateStore(tempfile.mkdtemp()), lo=0.0, width=10.0, n_bins=16
+    )
+    half = len(vals) // 2
+    h2.update(spark.createDataFrame([(v,) for v in vals[:half]] or [(None,)], "v double"), "v")
+    h2.update(spark.createDataFrame([(v,) for v in vals[half:]] or [(None,)], "v double"), "v")
+    two = {(r["bin"], r["cnt"]) for r in h2.merged(df.sparkSession).collect()}
+    assert two == one
