@@ -1139,6 +1139,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum staging: token count per doc, exact global
+    quartile boundaries (one tiny aggregate — never an ntile window),
+    CASE projection into stages 1..4."""
+    from clickhouse_k_means_spark.functions.text import token_count
+    from clickhouse_k_means_spark.operators.packing import length_curriculum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    return length_curriculum(docs, col="n_tok", n_stages=4)
+
+
 def q_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted mergeable histogram: three batch commits over
     events.value, then the merged (bin, cnt) table — EXACTLY equal to
@@ -1562,7 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 71 entries, 21
+    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 72 entries, 22
     # sit in the tail each round, alternating between two fixed groups
     # so every query gets a driver CORRECTNESS row at least every
     # other round:
@@ -1571,22 +1584,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     json_extract, set_ops, monthly_revenue, quantiles,
     #     dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     #     weighted_sample, near_dedup, hll_incremental,
-    #     formats_roundtrip, tpch_q4, tpch_q18, histogram_incremental
+    #     formats_roundtrip, tpch_q4, tpch_q18, histogram_incremental,
+    #     curriculum
     #   group B (tail on ODD rounds r5, r7, …): lang_id,
     #     quality_scores, token_counts, doc_fingerprint,
     #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
     #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup,
     #     simhash_docs, embed_neardup, silhouette_sampled, lsh_pairs,
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
-    #     minhash_sigs
-    # (71 entries: 29 fixed head + 21 per group.) This round (r5):
+    #     minhash_sigs, join_agg_segment
+    # (72 entries: 28 fixed head + 22 per group.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
-    # including first driver rows for the eleven NEW r5 queries
+    # including first driver rows for the twelve NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     # weighted_sample, near_dedup, hll_incremental, formats_roundtrip,
-    # tpch_q4, tpch_q18, histogram_incremental); group B rotates out
-    # (all its members, incl. the nine moved from the fixed head, have
-    # green rows in CORRECTNESS_r04 and stay pytest-oracle-gated).
+    # tpch_q4, tpch_q18, histogram_incremental, curriculum); group B
+    # rotates out (all its members, incl. the ten moved from the fixed
+    # head, have green rows in CORRECTNESS_r04 and stay
+    # pytest-oracle-gated).
     return {
         # --- fixed head: in the driver window every round (35) ---
         "yh_contract": q_yh_contract,
@@ -1599,7 +1614,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
-        "join_agg_segment": q_join_agg_segment,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
@@ -1640,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q18": q_tpch_q18,
         "histogram_incremental": q_histogram_incremental,
+        "curriculum": q_curriculum,
         # --- tail: group B, out of the driver's 50-row window this
         # round (all green in CORRECTNESS_r04; still oracle-gated in
         # pytest) ---
@@ -1664,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
+        "join_agg_segment": q_join_agg_segment,
     }
 
 
@@ -2174,6 +2190,16 @@ def oracle_sql() -> dict[str, str]:
             "order by score desc, term asc) as rk from sc) "
             "select doc_id, term, tf, df, score::BIGINT as score, "
             "rk::INT as rk from rk where rk <= 3"
+        ),
+        # curriculum: exact interpolated quartiles (quantile_cont ==
+        # F.percentile), then the same CASE chain
+        "curriculum": (
+            f"with t as (select doc_id, len({_TOKS}) as n_tok from documents), "
+            "b as (select quantile_cont(n_tok, [0.25, 0.5, 0.75]) as bs from t) "
+            "select doc_id, n_tok::INT as n_tok, "
+            "(case when n_tok <= bs[1] then 1 when n_tok <= bs[2] then 2 "
+            "when n_tok <= bs[3] then 3 else 4 end)::INT as stage "
+            "from t cross join b"
         ),
         # merged histogram == direct binning of the full table (exact
         # integer state merge; lo=0 width=20 n_bins=25, edge-clamped)

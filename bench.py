@@ -191,6 +191,8 @@ def main() -> None:
         ("tpch_q18", entry.q_tpch_q18, 2),
         # three binned-count commits + integer merge
         ("histogram_incremental", entry.q_histogram_incremental, 2),
+        # one percentile aggregate + CASE projection
+        ("curriculum", entry.q_curriculum, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -121,6 +121,43 @@ def mix_sources(
     return df.filter(u < rate_expr)
 
 
+def length_curriculum(
+    df: DataFrame,
+    col: str,
+    n_stages: int = 4,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Curriculum staging by global quantiles of ``col`` — the
+    shortest quarter of the corpus is stage 1, the longest is stage
+    ``n_stages`` (curriculum-learning schedules feed short documents
+    first).
+
+    Two narrow passes: ONE exact-percentile aggregate computes the
+    n_stages−1 boundaries (a single tiny row to the driver — never an
+    ``ntile`` window, whose global sort is a SinglePartition stage at
+    any size), then a pure CASE projection assigns stages. Stage
+    assignment is reproducible: boundaries are exact interpolated
+    percentiles (DuckDB ``quantile_cont`` parity, same contract as the
+    ``quantiles`` gate), and every comparison is against the same
+    driver-collected doubles.
+    """
+    if n_stages < 2:
+        raise ValueError(f"length_curriculum: n_stages must be >= 2, got {n_stages}")
+    probs = [i / n_stages for i in range(1, n_stages)]
+    row = df.agg(
+        F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs])).alias("b")
+    ).first()
+    if row is None or row["b"] is None:
+        raise ValueError(f"length_curriculum: no non-null rows in {col!r}")
+    bounds = list(row["b"])
+    expr: Column | None = None
+    for s, b in enumerate(bounds, start=1):
+        cond = F.col(col) <= F.lit(float(b))
+        expr = F.when(cond, s) if expr is None else expr.when(cond, s)
+    expr = expr.otherwise(n_stages)
+    return df.select(key, col, expr.cast("int").alias("stage"))
+
+
 def pack_sequences(
     df: DataFrame,
     tokens: str,

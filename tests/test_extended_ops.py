@@ -1011,3 +1011,22 @@ def test_streaming_sketch_distinct_and_histogram(spark, tmp_path):
     assert abs(est - int(single)) <= max(1, 0.02 * int(single))
     assert abs(est - 800) <= 800 * 0.05
     assert dist.state.estimate(spark) == est  # deterministic re-read
+
+
+def test_length_curriculum_quartiles(spark):
+    """16 docs with token counts 1..16 -> exactly 4 per stage, stage
+    monotone in length; n_stages validated."""
+    import pytest as _pytest
+
+    from clickhouse_k_means_spark.operators.packing import length_curriculum
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 17)], "doc_id long, n_tok int"
+    )
+    got = {r["doc_id"]: r["stage"] for r in length_curriculum(df, "n_tok").collect()}
+    from collections import Counter
+
+    assert Counter(got.values()) == {1: 4, 2: 4, 3: 4, 4: 4}
+    assert all(got[i] <= got[j] for i in range(1, 17) for j in range(i, 17))
+    with _pytest.raises(ValueError, match="n_stages"):
+        length_curriculum(df, "n_tok", n_stages=1)
