@@ -41,6 +41,7 @@ def as_of_join(
     right_ts: str,
     right_vals: Sequence[str],
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """All left columns + the matched ``right_vals`` (null if no match).
 
@@ -48,9 +49,19 @@ def as_of_join(
     the right DataFrame first). Ties: at equal timestamps the right row
     matches (inclusive); duplicate (key, right_ts) rows make the match
     nondeterministic — dedupe the right side first (limit_by).
+
+    ``tolerance`` (same units as the ts columns, which must be NUMERIC
+    when it is set — the engine convention is epoch seconds via
+    ``sources.dataset.event_epoch_seconds``) rejects matches further
+    than that from the left timestamp: a view only pairs with a
+    purchase in the preceding ``tolerance`` seconds, pandas
+    ``merge_asof(tolerance=...)`` semantics. Free at scale — the
+    matched timestamp rides the same forward-fill window.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
     keys = [key] if isinstance(key, str) else list(key)
     for v in right_vals:
         if v in left.columns:
@@ -70,14 +81,25 @@ def as_of_join(
         frame = (Window.unboundedPreceding, Window.currentRow)
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(*frame)
 
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(v), ignorenulls=True).over(w).alias(f"__m_{v}")
-            for v in right_vals
-        ],
-    )
-    out_cols = [c for c in left.columns] + [
-        F.col(f"__m_{v}").alias(v) for v in right_vals
+    fills = [
+        F.last(F.col(v), ignorenulls=True).over(w).alias(f"__m_{v}")
+        for v in right_vals
     ]
+    if tolerance is not None:
+        # the matched right row's timestamp rides the same window so
+        # stale matches can be nulled without another join
+        fills.append(
+            F.last(
+                F.when(F.col(_TAG) == 0, F.col(_TS)), ignorenulls=True
+            ).over(w).alias("__m_ts")
+        )
+    filled = unioned.select("*", *fills)
+    if tolerance is None:
+        matched = [F.col(f"__m_{v}").alias(v) for v in right_vals]
+    else:
+        in_tol = F.abs(F.col(_TS) - F.col("__m_ts")) <= F.lit(float(tolerance))
+        matched = [
+            F.when(in_tol, F.col(f"__m_{v}")).alias(v) for v in right_vals
+        ]
+    out_cols = [c for c in left.columns] + matched
     return filled.filter(F.col(_TAG) == 1).select(*out_cols)

@@ -1030,3 +1030,34 @@ def test_length_curriculum_quartiles(spark):
     assert all(got[i] <= got[j] for i in range(1, 17) for j in range(i, 17))
     with _pytest.raises(ValueError, match="n_stages"):
         length_curriculum(df, "n_tok", n_stages=1)
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance nulls matches further back than the window (pandas
+    merge_asof semantics); without it the stale match survives."""
+    from clickhouse_k_means_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0), (1, 205.0), (2, 50.0)], "k long, t double"
+    )
+    right = spark.createDataFrame(
+        [(1, 90.0, "fresh"), (1, 10.0, "stale"), (2, 49.0, "ok")],
+        "k long, rt double, label string",
+    )
+    loose = {
+        (r["k"], r["t"]): r["label"]
+        for r in as_of_join(left, right, "k", "t", "rt", ["label"]).collect()
+    }
+    assert loose == {(1, 100.0): "fresh", (1, 205.0): "fresh", (2, 50.0): "ok"}
+    tight = {
+        (r["k"], r["t"]): r["label"]
+        for r in as_of_join(
+            left, right, "k", "t", "rt", ["label"], tolerance=20.0
+        ).collect()
+    }
+    # (1, 205): nearest earlier purchase is 115 back -> rejected
+    assert tight == {(1, 100.0): "fresh", (1, 205.0): None, (2, 50.0): "ok"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tolerance"):
+        as_of_join(left, right, "k", "t", "rt", ["label"], tolerance=-1)
