@@ -1139,6 +1139,41 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (HashingTF role, portable SQL): token counts
+    folded into 16 buckets by md5-hash64 mod — exact long-form counts,
+    no vocabulary state; the oracle replays every count."""
+    from clickhouse_k_means_spark.operators.textstats import hashed_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_features(docs, dim=16)
+
+
+def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END text clustering: tokens → hashed 8-dim features →
+    the engine's own k-means++/Lloyd fit → every tokenized doc
+    assigned exactly once (structural oracle, the mllib_kmeans
+    contract shape) — the LLM-data surface feeding the reference's
+    core algorithm."""
+    from clickhouse_k_means_spark.operators.textstats import (
+        features_array,
+        hashed_features,
+    )
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+
+    docs = load_table(spark, sf_dir, "documents")
+    yh = features_array(hashed_features(docs, dim=8), dim=8).withColumnRenamed(
+        "doc_id", "i"
+    )
+    eng = KMeansEngine(k=4, seed=42, max_iter=10)
+    res = eng.fit(yh)
+    assigned = eng.assign(yh, res.model)
+    return assigned.agg(
+        F.count_distinct("j").cast("bigint").alias("k_clusters"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+
+
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-curriculum staging: token count per doc, exact global
     quartile boundaries (one tiny aggregate — never an ntile window),
@@ -1575,7 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 72 entries, 22
+    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 74 entries, 24
     # sit in the tail each round, alternating between two fixed groups
     # so every query gets a driver CORRECTNESS row at least every
     # other round:
@@ -1585,23 +1620,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     #     weighted_sample, near_dedup, hll_incremental,
     #     formats_roundtrip, tpch_q4, tpch_q18, histogram_incremental,
-    #     curriculum
+    #     curriculum, hashed_features, doc_clusters
     #   group B (tail on ODD rounds r5, r7, …): lang_id,
     #     quality_scores, token_counts, doc_fingerprint,
     #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
     #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup,
     #     simhash_docs, embed_neardup, silhouette_sampled, lsh_pairs,
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
-    #     minhash_sigs, join_agg_segment
-    # (72 entries: 28 fixed head + 22 per group.) This round (r5):
+    #     minhash_sigs, join_agg_segment, hash_split,
+    #     sql_scalar_subquery
+    # (74 entries: 26 fixed head + 24 per group.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
-    # including first driver rows for the twelve NEW r5 queries
+    # including first driver rows for the fourteen NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     # weighted_sample, near_dedup, hll_incremental, formats_roundtrip,
-    # tpch_q4, tpch_q18, histogram_incremental, curriculum); group B
-    # rotates out (all its members, incl. the ten moved from the fixed
-    # head, have green rows in CORRECTNESS_r04 and stay
-    # pytest-oracle-gated).
+    # tpch_q4, tpch_q18, histogram_incremental, curriculum,
+    # hashed_features, doc_clusters); group B rotates out (all its
+    # members, incl. the twelve moved from the fixed head, have green
+    # rows in CORRECTNESS_r04 and stay pytest-oracle-gated).
     return {
         # --- fixed head: in the driver window every round (35) ---
         "yh_contract": q_yh_contract,
@@ -1615,9 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "decontaminate": q_decontaminate,
-        "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
-        "sql_scalar_subquery": q_sql_scalar_subquery,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "ann_topk": q_ann_topk,
@@ -1655,6 +1689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "histogram_incremental": q_histogram_incremental,
         "curriculum": q_curriculum,
+        "hashed_features": q_hashed_features,
+        "doc_clusters": q_doc_clusters,
         # --- tail: group B, out of the driver's 50-row window this
         # round (all green in CORRECTNESS_r04; still oracle-gated in
         # pytest) ---
@@ -1680,6 +1716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "join_agg_segment": q_join_agg_segment,
+        "hash_split": q_hash_split,
+        "sql_scalar_subquery": q_sql_scalar_subquery,
     }
 
 
@@ -2190,6 +2228,20 @@ def oracle_sql() -> dict[str, str]:
             "order by score desc, term asc) as rk from sc) "
             "select doc_id, term, tf, df, score::BIGINT as score, "
             "rk::INT as rk from rk where rk <= 3"
+        ),
+        # feature hashing: same md5 bucket arithmetic, exact counts
+        "hashed_features": (
+            f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
+            "ex as (select doc_id, unnest(tk) as term from tkc) "
+            f"select doc_id, ({_hash64_sql('term')} % 16)::BIGINT as bucket, "
+            "count(*)::BIGINT as cnt from ex group by 1, 2"
+        ),
+        # structural contract (mllib_kmeans shape): k populated
+        # clusters, every tokenized doc assigned exactly once
+        "doc_clusters": (
+            f"with tkc as (select doc_id, {_TOKS} as tk from documents) "
+            "select 4::BIGINT as k_clusters, count(*)::BIGINT as n_docs "
+            "from tkc where len(tk) > 0"
         ),
         # curriculum: exact interpolated quartiles (quantile_cont ==
         # F.percentile), then the same CASE chain

@@ -193,6 +193,10 @@ def main() -> None:
         ("histogram_incremental", entry.q_histogram_incremental, 2),
         # one percentile aggregate + CASE projection
         ("curriculum", entry.q_curriculum, 2),
+        # hashing-trick long form (no vocabulary join at all)
+        ("hashed_features", entry.q_hashed_features, 2),
+        # end-to-end: tokens -> hashed 8-dim -> engine k-means fit
+        ("doc_clusters", entry.q_doc_clusters, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -142,6 +142,57 @@ def tfidf_top_terms(
     )
 
 
+def hashed_features(
+    docs: DataFrame, dim: int = 16, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Feature hashing (the hashing trick): token counts folded into
+    ``dim`` buckets by portable hash — the fixed-width text→vector
+    bridge that feeds clustering/ANN without a vocabulary table
+    (HashingTF's role, in pure portable SQL).
+
+    Output is LONG FORM ``(key, bucket, cnt)`` with exact BIGINT
+    counts — pivot to an array with ``features_array`` when a dense
+    vector is needed. bucket = md5-hash64(term) mod dim, so the DuckDB
+    oracle replays every count exactly and the mapping never drifts
+    between runs or engines (no vocabulary state to version).
+
+    Scale shape: explode → groupBy(key, bucket) — map-side partials,
+    one shuffle keyed by (doc, bucket); no vocabulary join at all,
+    which is the hashing trick's entire point at 100 TB.
+    """
+    from clickhouse_k_means_spark.functions.hashing import hash64
+
+    if dim <= 0:
+        raise ValueError(f"hashed_features: dim must be > 0, got {dim}")
+    ex = docs.select(key, F.explode(tokens(text)).alias("term"))
+    return (
+        ex.groupBy(
+            key, F.pmod(hash64("term"), F.lit(dim)).cast("bigint").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def features_array(
+    long_form: DataFrame, dim: int, key: str = "doc_id"
+) -> DataFrame:
+    """Pivot ``hashed_features`` long form to ``(key, Y array<double>)``
+    — the engine's (i, Y) contract, ready for ``KMeansEngine``/ANN.
+    One groupBy on the key; absent buckets become 0.0.
+    """
+    return long_form.groupBy(key).agg(
+        F.array(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("bucket") == d, F.col("cnt"))),
+                    F.lit(0),
+                ).cast("double")
+                for d in range(dim)
+            ]
+        ).alias("Y")
+    )
+
+
 def unigram_lm_scores(
     docs: DataFrame, key: str = "doc_id", text: str = "text"
 ) -> DataFrame:

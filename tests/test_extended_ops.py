@@ -1061,3 +1061,30 @@ def test_asof_join_tolerance(spark):
 
     with _pytest.raises(ValueError, match="tolerance"):
         as_of_join(left, right, "k", "t", "rt", ["label"], tolerance=-1)
+
+
+def test_hashed_features_and_array_pivot(spark):
+    """Counts are exact and conserved (sum over buckets == n_tokens);
+    features_array pivots to the (i, Y) contract with zeros for absent
+    buckets; dim validated."""
+    import pytest as _pytest
+
+    from clickhouse_k_means_spark.operators.textstats import (
+        features_array,
+        hashed_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, ""), (3, "z")], "doc_id long, text string"
+    )
+    long = hashed_features(df, dim=4)
+    per_doc = {
+        r["doc_id"]: r["s"]
+        for r in long.groupBy("doc_id").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert per_doc == {1: 4, 3: 1}  # doc 2 empty -> no rows
+    arr = {r["doc_id"]: r["Y"] for r in features_array(long, dim=4).collect()}
+    assert sum(arr[1]) == 4.0 and len(arr[1]) == 4
+    assert sum(arr[3]) == 1.0
+    with _pytest.raises(ValueError, match="dim"):
+        hashed_features(df, dim=0)
