@@ -1505,6 +1505,25 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_brute(spark, sf_dir, approx, min_hits=6)
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC shortlist + exact re-rank) — the
+    memory-side scale path complementing IVF's compute side: the scan
+    reads 16 small ints per corpus row, never the vector, and only the
+    100-row shortlist per query touches raw embeddings. Emits
+    per-query (q, hits_floor, recall_pass) vs the in-query brute-force
+    baseline; measured hits@10 with m_sub=16/n_codes=64/rerank=100 are
+    10/10 for every query at both sf0.001 and sf0.01 — gate threshold
+    8 leaves margin."""
+    from clickhouse_k_means_spark.operators.similarity import pq_topk
+
+    q, c = _ann_queries_corpus(spark, sf_dir)
+    approx = pq_topk(
+        q, c, k=10, m_sub=16, n_codes=64, rerank=100,
+        query_key="vec_id", corpus_key="vec_id",
+    )
+    return _recall_vs_brute(spark, sf_dir, approx, min_hits=8)
+
+
 def q_streaming_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mini-batch streaming k-means over the events stream; returns the
     final model (driver-held state, foreachBatch updates)."""
@@ -1655,13 +1674,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "ann_topk": q_ann_topk,
-        "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_components": q_dedup_components,
         "kmeans_fit_history": q_kmeans_fit_history,
         "kmeans_fit_best": q_kmeans_fit_best,
         "mllib_kmeans": q_mllib_kmeans,
         "srp_ann": q_srp_ann,
         "ivf_ann": q_ivf_ann,
+        "pq_ann": q_pq_ann,
         "streaming_kmeans": q_streaming_kmeans,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1694,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: group B, out of the driver's 50-row window this
         # round (all green in CORRECTNESS_r04; still oracle-gated in
         # pytest) ---
+        "tfidf_top_terms": q_tfidf_top_terms,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -2406,6 +2426,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": (
             "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "
             "6::BIGINT as hits_floor, 1::BIGINT as recall_pass"
+        ),
+        "pq_ann": (
+            "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "
+            "8::BIGINT as hits_floor, 1::BIGINT as recall_pass"
         ),
         # single availableNow batch → the decay blend reduces to plain
         # per-cluster means over the nearest of the initial centroids

@@ -308,3 +308,98 @@ def srp_bucketed_topk(
 
     w = Window.partitionBy("q").orderBy(*order)
     return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    rerank: int | None = None,
+    seed: int = 42,
+    query_key: str = "q",
+    corpus_key: str = "n",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): codebooks →
+    m-byte codes → ADC shortlist → exact re-rank. (q, n, score, rank).
+
+    The 100 TB story is MEMORY, complementing IVF's compute story: the
+    corpus is encoded once into ``m_sub`` small ints per row (one
+    narrow Arrow pass — this code column is what a real deployment
+    materializes; 8 bytes/row vs 512 for raw 64-dim doubles), and the
+    ADC scan reads ONLY that column — per-query lookup tables baked
+    into the UDF closure score a row with m adds, no vector access, no
+    shuffle. Only the ``rerank`` shortlist (default 4k per query)
+    touches original vectors for exact-cosine re-ranking, so precision
+    of the final ordering is exact over the shortlist and only recall
+    is approximate.
+
+    Codebooks train per-subspace on the same bounded deterministic
+    2048-row sample protocol as ``ivf_topk`` (seeded numpy k-means,
+    driver-side, centers become closure constants). Vectors are
+    L2-normalized before training/encoding so squared-L2 ADC rank
+    agrees with the cosine metric of the exact paths (|a-b|² = 2-2cosθ
+    on unit vectors). Queries are collected driver-side — same bounded
+    query-batch contract as ``brute_force_topk``'s broadcast side.
+    """
+    import numpy as np
+
+    from clickhouse_k_means_spark.functions.vector import (
+        normalize_rows,
+        pq_adc_batch,
+        pq_encode_batch,
+    )
+
+    rerank = rerank or 4 * k
+    sample = (
+        corpus.select(F.col(corpus_key).alias("sk"), F.col(vec).alias("sv"))
+        .orderBy(F.xxhash64(F.lit(seed), F.col("sk")))
+        .limit(2048)
+        .collect()
+    )
+    x = normalize_rows(np.asarray([r["sv"] for r in sample], dtype=np.float64))
+    dim = x.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    codebooks = [
+        numpy_kmeans(x[:, s * dsub : (s + 1) * dsub], k=n_codes, seed=seed + s, n_iter=10)
+        for s in range(m_sub)
+    ]
+
+    qrows = queries.select(F.col(query_key).alias("q"), F.col(vec).alias("qv")).collect()
+    q_mat = normalize_rows(np.asarray([r["qv"] for r in qrows], dtype=np.float64))
+
+    encode = pq_encode_batch(codebooks)
+    adc = pq_adc_batch(codebooks, q_mat)
+    # one narrow corpus pass: encode + ADC against every query; the
+    # original vector rides along only to feed the shortlist re-rank
+    # (a real deployment splits this into a stored code column + a
+    # gather join — same plan shape, different storage)
+    coded = corpus.select(
+        F.col(corpus_key).alias("n"),
+        F.col(vec).cast("array<double>").alias("cv"),
+        encode(F.col(vec).cast("array<double>")).alias("codes"),
+    )
+    scored = coded.select(
+        "n", "cv", F.posexplode(adc("codes")).alias("qi", "ad2")
+    )
+    short = top_k_by_group(
+        scored, rerank, "qi", [F.col("ad2").asc(), F.col("n").asc()]
+    )
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        [(i, r["q"], [float(v) for v in r["qv"]]) for i, r in enumerate(qrows)],
+        "qi int, q bigint, qv array<double>",
+    )
+    rer = short.join(F.broadcast(qdf), "qi").select(
+        "q", "n", cosine_fixed("qv", "cv", dim).alias("score")
+    )
+    order = [F.col("score").desc(), F.col("n").asc()]
+    ranked = top_k_by_group(rer, k, "q", order)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(*order)
+    return ranked.withColumn("rank", F.row_number().over(w))
