@@ -690,6 +690,49 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain drift: KL(P_source || P_corpus) over unigram
+    distributions, one row per source, in exact integer micro-nats
+    (fixed-point-before-sum — the unigram_lm determinism rule)."""
+    from clickhouse_k_means_spark.operators.textstats import domain_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_divergence(docs, group="source")
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: per-doc share of 3-gram shingles that
+    appear in >= 5 distinct documents (template/chrome signal — the
+    line-frequency filter of CCNet/RefinedWeb adapted to shingles, as
+    this corpus has no line structure). Codegen shingle stage +
+    shuffle-join vocabulary; see operators/textstats.boilerplate_ratio."""
+    from clickhouse_k_means_spark.operators.textstats import boilerplate_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_ratio(docs, n=3, min_doc_freq=5)
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional rollup: CUBE over (order year, priority) with
+    GROUPING_ID — every subtotal combination (year×priority, per-year,
+    per-priority, grand total) in one pass. Spark plans a single Expand
+    + partial/final aggregate (no per-grouping-set rescan), which is
+    the shape that matters at 100 TB: one scan feeds all 4 grouping
+    sets. Money stays in integer cents (the engine's exact-sum rule);
+    gid disambiguates subtotal rows from genuine NULL keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").alias("o_year"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return base.cube("o_year", "priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("revenue_c"),
+        F.grouping_id().alias("gid"),
+    )
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (absent in the
     reference; free in Spark — SURVEY §2.4 note)."""
@@ -1667,12 +1710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elbow_total": q_elbow_total,
         "silhouette_sums": q_silhouette_sums,
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
         "ann_topk": q_ann_topk,
         "dedup_components": q_dedup_components,
         "kmeans_fit_history": q_kmeans_fit_history,
@@ -1695,6 +1735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "set_ops": q_set_ops,
         "monthly_revenue": q_monthly_revenue,
+        "cube_revenue": q_cube_revenue,
+        "boilerplate": q_boilerplate,
+        "domain_kl": q_domain_kl,
         "quantiles": q_quantiles,
         "dedup_incremental": q_dedup_incremental,
         "mix_sources": q_mix_sources,
@@ -1714,6 +1757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round (all green in CORRECTNESS_r04; still oracle-gated in
         # pytest) ---
         "tfidf_top_terms": q_tfidf_top_terms,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "tpch_q3": q_tpch_q3,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -2035,6 +2081,43 @@ def oracle_sql() -> dict[str, str]:
             "select strftime(o_orderdate, '%Y-%m') as month, count(*)::BIGINT as n, "
             "sum(round(o_totalprice * 100)::BIGINT)::BIGINT as revenue_c "
             "from orders group by 1"
+        ),
+        "domain_kl": (
+            f"with tkc as (select source, {_TOKS} as tk from documents), "
+            "tok as (select source, unnest(tk) as term from tkc), "
+            "sw as (select source, term, count(*)::BIGINT as c_sw from tok group by 1, 2), "
+            "cw as (select term, sum(c_sw)::BIGINT as c_w from sw group by 1), "
+            "ts as (select source, sum(c_sw)::BIGINT as t_s from sw group by 1), "
+            "n as (select sum(c_w)::BIGINT as n_total from cw), "
+            "contrib as (select sw.source, c_sw * "
+            "round(ln((c_sw::DOUBLE * n_total) / (t_s::DOUBLE * c_w)) "
+            "* 1000000)::BIGINT as c from sw "
+            "join cw using (term) join ts using (source) cross join n) "
+            "select ts.source, ts.t_s::BIGINT as n_tok, "
+            "(greatest(sum(c), 0) // ts.t_s)::BIGINT as kl_micro "
+            "from contrib join ts using (source) group by ts.source, ts.t_s"
+        ),
+        "boilerplate": (
+            f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
+            f"shc as (select doc_id, list_distinct({toks3}) as sh from tkc), "
+            "ds as (select doc_id, unnest(sh) as s from shc where len(sh) > 0), "
+            "d2 as (select * from ds where s != ''), "
+            "f as (select s from d2 group by s having count(*) >= 5), "
+            "per as (select d2.doc_id, count(*)::BIGINT as n_shingles, "
+            "sum(case when f.s is not null then 1 else 0 end)::BIGINT as n_frequent "
+            "from d2 left join f using (s) group by d2.doc_id) "
+            "select d.doc_id, coalesce(per.n_shingles, 0)::BIGINT as n_shingles, "
+            "coalesce(per.n_frequent, 0)::BIGINT as n_frequent, "
+            "round(coalesce(per.n_frequent / per.n_shingles, 0), 4) as boiler_ratio "
+            "from documents d left join per using (doc_id)"
+        ),
+        "cube_revenue": (
+            "select year(o_orderdate)::INT as o_year, "
+            "o_orderpriority as priority, count(*)::BIGINT as n, "
+            "sum(round(o_totalprice * 100)::BIGINT)::BIGINT as revenue_c, "
+            "grouping_id(year(o_orderdate), o_orderpriority)::BIGINT as gid "
+            "from orders "
+            "group by cube(year(o_orderdate), o_orderpriority)"
         ),
         "quantiles": (
             "select l_returnflag, "

@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 from clickhouse_k_means_spark.functions.text import tokens
 
 
-def _doc_shingles(df: DataFrame, key: str, text: str, n: int) -> DataFrame:
+def doc_shingles(df: DataFrame, key: str, text: str, n: int) -> DataFrame:
     """(key, sh): DISTINCT n-gram shingles per document — codegen shape.
 
     The HOF form (``transform(sequence(...), i -> concat_ws(slice(tok,
@@ -88,12 +88,12 @@ def ngram_overlap(
     normalized text as one shingle (the ``word_shingles`` convention —
     exact short-text matches still count).
     """
-    d = _doc_shingles(docs, doc_id, text, n)
+    d = doc_shingles(docs, doc_id, text, n)
     # benchmark side goes through the same codegen shingle stage (a
     # synthetic row id stands in for the doc key — dropped after the
     # global distinct), keeping the whole plan HOF-free
     b = (
-        _doc_shingles(
+        doc_shingles(
             benchmark.select(
                 F.monotonically_increasing_id().alias("__bid"),
                 F.col(bench_text).alias("__btext"),

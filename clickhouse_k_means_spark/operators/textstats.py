@@ -264,3 +264,121 @@ def unigram_lm_scores(
             ).cast("bigint").alias("nll_micro"),
         )
     )
+
+
+def boilerplate_ratio(
+    docs: DataFrame,
+    n: int = 3,
+    min_doc_freq: int = 5,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate fraction: of a document's DISTINCT word
+    ``n``-gram shingles, the share that are corpus-frequent (appear in
+    at least ``min_doc_freq`` distinct documents) — the
+    CCNet/RefinedWeb-style template/navigation-chrome signal, adapted
+    to shingles since this corpus has no line structure. Returns
+    (doc_id, n_shingles, n_frequent, boiler_ratio[4dp]).
+
+    Scale shape: shingles come from the codegen posexplode+lead stage
+    (operators/decontam.doc_shingles — never the interpreted HOF);
+    document frequency is a map-side-partial groupBy on the shingle
+    (hot shingles are absorbed by partial aggregation, not a skewed
+    shuffle); the frequent set joins back as a SHUFFLE join keyed on
+    the shingle, following the tfidf rule — corpus-frequent vocabulary
+    is not provably bounded, so it is never broadcast. The final
+    per-doc rollup keys on the unique doc id (skew-free).
+    """
+    from clickhouse_k_means_spark.operators.decontam import doc_shingles
+
+    if n < 1 or min_doc_freq < 2:
+        raise ValueError("need n >= 1 and min_doc_freq >= 2")
+    sh = doc_shingles(docs, doc_id, text, n)
+    freq = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("sh", F.lit(1).alias("__freq"))
+    )
+    marked = sh.join(freq, "sh", "left")
+    per_doc = marked.groupBy(doc_id).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce("__freq", F.lit(0))).alias("n_frequent"),
+    )
+    # left-join back from the doc table so empty-text docs (zero
+    # shingles) keep a row with ratio 0 instead of vanishing
+    return (
+        docs.select(doc_id)
+        .join(per_doc, doc_id, "left")
+        .select(
+            doc_id,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_frequent", F.lit(0)).cast("bigint").alias("n_frequent"),
+            F.round(
+                F.coalesce(
+                    F.col("n_frequent") / F.col("n_shingles"), F.lit(0.0)
+                ),
+                4,
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+def domain_divergence(
+    docs: DataFrame, group: str = "source", text: str = "text"
+) -> DataFrame:
+    """Per-domain distribution drift: KL(P_domain || P_corpus) over
+    unigram token distributions — the standard mixture-health check
+    for a training pipeline (a domain whose token distribution drifts
+    far from the corpus mixture gets re-weighted or investigated).
+    Output: (group, n_tok, kl_micro) with KL in MICRO-NATS as exact
+    BIGINT.
+
+    No smoothing is needed: every domain token is by construction in
+    the corpus, so Q(w) > 0 wherever P(w) > 0 and the KL sum is
+    finite. Determinism follows the unigram_lm_scores rule: the single
+    ln() per (domain, term) — a well-conditioned ratio of integer
+    counts, evaluated as (c_sw·N)/(T_s·c_w) in doubles — is
+    fixed-pointed to integer micro-nats BEFORE any summation; the
+    aggregation (Σ c_sw·s, integer div by T_s) is exact BIGINT, so
+    results cannot drift with partition or fold order.
+
+    Plan shape at 100 TB: explode → groupBy(domain, term) partials
+    (map-side combine absorbs hot terms), a SHUFFLE join on term for
+    corpus counts (unbounded vocab — never broadcast), broadcast joins
+    for the per-domain totals (|domains| rows) and the 1-row N, then
+    groupBy(domain). The (domain, term) table is checkpointed once —
+    it feeds both the corpus counts and the divergence sum.
+    """
+    base = docs.select(group, F.explode(tokens(text)).alias("term"))
+    sw = (
+        base.groupBy(group, "term")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+        .localCheckpoint(eager=True)
+    )
+    cw = sw.groupBy("term").agg(F.sum("c_sw").alias("c_w"))
+    ts = sw.groupBy(group).agg(F.sum("c_sw").alias("t_s"))
+    n_tbl = cw.agg(F.sum("c_w").alias("n_total"))
+    s_micro = F.round(
+        F.log(
+            (F.col("c_sw").cast("double") * F.col("n_total"))
+            / (F.col("t_s").cast("double") * F.col("c_w"))
+        )
+        * 1_000_000
+    ).cast("bigint")
+    contrib = sw.join(cw, "term").join(F.broadcast(ts), group).join(
+        F.broadcast(n_tbl)
+    ).select(group, (F.col("c_sw") * s_micro).alias("contrib"))
+    return (
+        contrib.groupBy(group)
+        .agg(F.sum("contrib").alias("kl_sum"))
+        .join(F.broadcast(ts), group)
+        .select(
+            group,
+            F.col("t_s").alias("n_tok"),
+            # KL >= 0 mathematically; the greatest() guard keeps the
+            # epsilon-negative fixed-point case away from the floor-vs-
+            # trunc divide divergence between engines
+            F.expr("greatest(kl_sum, 0L) div t_s").alias("kl_micro"),
+        )
+    )

@@ -1144,3 +1144,53 @@ def test_pq_codes_are_narrow_and_deterministic(spark, sf_dir):
     assert got1 == got2
     assert all(len(c) == 8 for c in got1)
     assert all(0 <= code < 8 for c in got1 for code in c)
+
+
+def test_boilerplate_ratio_edges(spark):
+    from clickhouse_k_means_spark.operators.textstats import boilerplate_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown cat sits"),
+            (3, "the quick brown dog runs"),
+            (4, "the quick brown owl flies"),
+            (5, "the quick brown elk walks"),
+            (6, ""),  # empty doc must keep a row at ratio 0
+            (7, "zz"),  # shorter than n -> whole text is one shingle
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_ratio(df, n=3, min_doc_freq=5).collect()}
+    assert len(out) == 7
+    # 'the quick brown' appears in 5 docs -> frequent for docs 1-5
+    for d in (1, 2, 3, 4, 5):
+        assert out[d]["n_frequent"] == 1, out[d]
+        assert 0 < out[d]["boiler_ratio"] <= 1.0
+    assert out[6]["n_shingles"] == 0 and out[6]["boiler_ratio"] == 0.0
+    assert out[7]["n_shingles"] == 1 and out[7]["n_frequent"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_doc_freq"):
+        boilerplate_ratio(df, n=3, min_doc_freq=1)
+
+
+def test_domain_divergence_properties(spark):
+    from clickhouse_k_means_spark.operators.textstats import domain_divergence
+
+    # one domain == the corpus -> KL exactly 0
+    df1 = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "a", "x x y")], "doc_id bigint, source string, text string"
+    )
+    only = domain_divergence(df1, group="source").collect()
+    assert len(only) == 1 and only[0]["kl_micro"] == 0
+
+    # disjoint-vocabulary domains -> strictly positive divergence both
+    # sides; n_tok adds up
+    df2 = spark.createDataFrame(
+        [(1, "a", "x x y"), (2, "b", "u v w q")],
+        "doc_id bigint, source string, text string",
+    )
+    out = {r["source"]: r for r in domain_divergence(df2, group="source").collect()}
+    assert out["a"]["kl_micro"] > 0 and out["b"]["kl_micro"] > 0
+    assert out["a"]["n_tok"] == 3 and out["b"]["n_tok"] == 4

@@ -161,3 +161,19 @@ def test_event_time_epoch_is_jvm_side(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     plan = _plan(entry.q_sessionize(spark, sf_dir))
     assert "EvalPython" not in plan, plan
+
+
+def test_cube_is_single_scan_expand(spark, sf_dir):
+    """CUBE must plan as ONE parquet scan feeding an Expand (all 4
+    grouping sets from a single pass) with the read schema pruned to
+    the 3 referenced columns — not a union of per-grouping-set
+    rescans."""
+    plan = _plan(entry.q_cube_revenue(spark, sf_dir))
+    import re
+
+    assert plan.count("Expand") >= 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Union" not in plan, plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_totalprice" in read and "o_orderdate" in read
+    assert "o_custkey" not in read, read
