@@ -44,6 +44,7 @@ from clickhouse_k_means_spark.operators.dedup import (
 )
 from clickhouse_k_means_spark.operators.limit_by import limit_by
 from clickhouse_k_means_spark.sources.dataset import (
+    event_epoch_micros,
     event_epoch_seconds,
     from_table,
     load_table,
@@ -688,6 +689,109 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: stage k
+    counts users whose first stage-k event strictly follows their
+    entry into stage k-1 (classic sequential funnel — ClickHouse's
+    windowFunnel shape, built from per-stage conditional mins).
+    Event-time goes through the dtype-dispatched epoch helpers; joins
+    key on user_id (uniform) and the per-stage tables are
+    user-cardinality — AQE decides broadcast, per the engine's
+    unbounded-side rule."""
+    ev = load_table(spark, sf_dir, "events")
+    us = ev.select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        event_epoch_micros(ev).alias("us"),
+    )
+    v = us.filter(F.col("et") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t1")
+    )
+    c = (
+        us.filter(F.col("et") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        us.filter(F.col("et") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+
+    def _stage(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(n).alias("stage"), F.lit(name).alias("step"), "users"
+        )
+
+    return (
+        _stage(v, 1, "view")
+        .unionByName(_stage(c, 2, "click"))
+        .unionByName(_stage(p, 3, "purchase"))
+    )
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen day; for every
+    (cohort_day, day_offset) the count of distinct cohort users active
+    that day. One groupBy for cohorts, one distinct-activity rollup —
+    both keyed on user/day (uniform)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(event_epoch_seconds(ev) / 86400).cast("bigint")
+    acts = ev.select("user_id", day.alias("day")).distinct()
+    first = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        acts.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window-frame analytics per user: 4-row moving average
+    of event value (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) plus the
+    step delta vs the previous event. Values go through exact integer
+    cents before the frame sum — windowed double aggregation is
+    summation-order-dependent across engines (DuckDB's segment tree vs
+    Spark's running frame), integers are not; one double division at
+    the end. Frame order is (ts, event_id) — unique, so ties cannot
+    reorder."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    base = ev.select("event_id", "user_id", "ts", vc.alias("value_c"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-3, 0)
+    sum_c = F.sum("value_c").over(wf)
+    cnt = F.count(F.lit(1)).over(wf)
+    return base.select(
+        "event_id",
+        "user_id",
+        "value_c",
+        F.round((sum_c.cast("double") / cnt) / 100.0, 4).alias("ma4"),
+        F.coalesce(
+            F.col("value_c") - F.lag("value_c").over(w), F.lit(0)
+        ).alias("delta_c"),
+    )
+
+
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point covariance of the first 8 embedding dims —
+    the SQL-checkable layer under fit_pca (operators/pca.py): every
+    sum is exact BIGINT after one integerization, one double division
+    at the end."""
+    from clickhouse_k_means_spark.operators.pca import covariance_long
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_long(emb, vec="embedding", dim=8)
 
 
 def q_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1672,18 +1776,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 74 entries, 24
-    # sit in the tail each round, alternating between two fixed groups
-    # so every query gets a driver CORRECTNESS row at least every
-    # other round:
+    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 82 entries, 32
+    # sit in the tail each round, alternating between two groups so
+    # every query gets a driver CORRECTNESS row at least every other
+    # round:
     #   group A (tail on EVEN rounds r6, r8, …): latest_two, anti_join,
     #     pivot_events, topk_global, offset_pick, window_running,
     #     json_extract, set_ops, monthly_revenue, quantiles,
     #     dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     #     weighted_sample, near_dedup, hll_incremental,
     #     formats_roundtrip, tpch_q4, tpch_q18, histogram_incremental,
-    #     curriculum, hashed_features, doc_clusters
-    #   group B (tail on ODD rounds r5, r7, …): lang_id,
+    #     curriculum, hashed_features, doc_clusters — PLUS the eight
+    #     first-gated-this-round queries cube_revenue, boilerplate,
+    #     domain_kl, embed_covariance, moving_avg, funnel, retention,
+    #     pq_ann (they join group A's cadence after their first driver
+    #     row lands in r5)
+    #   group B (tail on ODD rounds r5, r7, …): tfidf_top_terms,
+    #     asof_join, sessionize, tpch_q3, limit_by_latest,
+    #     silhouette_sums, decontaminate, pack_sequences, lang_id,
     #     quality_scores, token_counts, doc_fingerprint,
     #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
     #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup,
@@ -1691,28 +1801,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (74 entries: 26 fixed head + 24 per group.) This round (r5):
+    # (82 entries: 18 fixed head + 32 per group.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
-    # including first driver rows for the fourteen NEW r5 queries
+    # including first driver rows for the twenty-two NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     # weighted_sample, near_dedup, hll_incremental, formats_roundtrip,
     # tpch_q4, tpch_q18, histogram_incremental, curriculum,
-    # hashed_features, doc_clusters); group B rotates out (all its
-    # members, incl. the twelve moved from the fixed head, have green
-    # rows in CORRECTNESS_r04 and stay pytest-oracle-gated).
+    # hashed_features, doc_clusters, cube_revenue, boilerplate,
+    # domain_kl, embed_covariance, moving_avg, funnel, retention,
+    # pq_ann); group B rotates out (every member has a green row in
+    # CORRECTNESS_r04 and stays pytest-oracle-gated each round).
     return {
         # --- fixed head: in the driver window every round (35) ---
         "yh_contract": q_yh_contract,
         "nearest_assign": q_nearest_assign,
         "lloyd_recompute": q_lloyd_recompute,
         "kmeanspp_pick": q_kmeanspp_pick,
-        "limit_by_latest": q_limit_by_latest,
         "elbow_total": q_elbow_total,
-        "silhouette_sums": q_silhouette_sums,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
         "ann_topk": q_ann_topk,
         "dedup_components": q_dedup_components,
         "kmeans_fit_history": q_kmeans_fit_history,
@@ -1738,6 +1845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": q_cube_revenue,
         "boilerplate": q_boilerplate,
         "domain_kl": q_domain_kl,
+        "embed_covariance": q_embed_covariance,
+        "moving_avg": q_moving_avg,
+        "funnel": q_funnel,
+        "retention": q_retention,
         "quantiles": q_quantiles,
         "dedup_incremental": q_dedup_incremental,
         "mix_sources": q_mix_sources,
@@ -1760,6 +1871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "tpch_q3": q_tpch_q3,
+        "limit_by_latest": q_limit_by_latest,
+        "silhouette_sums": q_silhouette_sums,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -1792,6 +1907,34 @@ def oracle_sql() -> dict[str, str]:
     least = f"least({', '.join(dcols)})"
     argmin = _argmin_j_sql(dcols)
     toks3 = _shingles_sql("tk", 3)
+    # embed_covariance: generated upper-triangular entries, dims 0..7
+    # (mirrors operators/pca.covariance_long: integerize once at 1e5,
+    # exact BIGINT sums, one final double division)
+    _cd = 8
+    _cov_b = ", ".join(
+        f"round(embedding[{i + 1}]::DOUBLE * 100000)::BIGINT as e{i}"
+        for i in range(_cd)
+    )
+    _cov_sums = ", ".join(
+        [f"sum(e{i}) as s{i}" for i in range(_cd)]
+        + [
+            f"sum(e{i} * e{j}) as s{i}_{j}"
+            for i in range(_cd)
+            for j in range(i, _cd)
+        ]
+    )
+    _cov_entries = " union all ".join(
+        f"select {i} as i, {j} as j, "
+        f"round((n * s{i}_{j} - s{i} * s{j})::DOUBLE / (n * n * 1e10), 8) as cov "
+        "from a"
+        for i in range(_cd)
+        for j in range(i, _cd)
+    )
+    cov_sql = (
+        f"with b as (select {_cov_b} from embeddings), "
+        f"a as (select count(*)::BIGINT as n, {_cov_sums} from b) "
+        + _cov_entries
+    )
     toks8 = _shingles_sql("tk", 8)
     from clickhouse_k_means_spark.functions.hashing import (
         MINHASH_P,
@@ -2081,6 +2224,41 @@ def oracle_sql() -> dict[str, str]:
             "select strftime(o_orderdate, '%Y-%m') as month, count(*)::BIGINT as n, "
             "sum(round(o_totalprice * 100)::BIGINT)::BIGINT as revenue_c "
             "from orders group by 1"
+        ),
+        "embed_covariance": cov_sql,
+        "funnel": (
+            "with e as (select user_id, event_type as et, "
+            "epoch_ns(ts) // 1000 as us from events), "
+            "v as (select user_id, min(us) as t1 from e where et = 'view' "
+            "group by 1), "
+            "c as (select e.user_id, min(us) as t2 from e join v using (user_id) "
+            "where et = 'click' and us > t1 group by 1), "
+            "p as (select e.user_id, min(us) as t3 from e join c using (user_id) "
+            "where et = 'purchase' and us > t2 group by 1) "
+            "select 1 as stage, 'view' as step, count(*)::BIGINT as users from v "
+            "union all select 2, 'click', count(*)::BIGINT from c "
+            "union all select 3, 'purchase', count(*)::BIGINT from p"
+        ),
+        "retention": (
+            "with a as (select distinct user_id, "
+            "(epoch_ns(ts) // 1000000000) // 86400 as day from events), "
+            "f as (select user_id, min(day) as cohort_day from a group by 1) "
+            "select cohort_day::BIGINT as cohort_day, "
+            "(day - cohort_day)::BIGINT as day_offset, "
+            "count(*)::BIGINT as users "
+            "from a join f using (user_id) group by 1, 2"
+        ),
+        "moving_avg": (
+            "with b as (select event_id, user_id, ts, "
+            "round(value * 100)::BIGINT as value_c from events) "
+            "select event_id, user_id, value_c, "
+            "round((sum(value_c) over f)::DOUBLE / (count(*) over f) / 100, 4) "
+            "as ma4, "
+            "coalesce(value_c - lag(value_c) over w, 0)::BIGINT as delta_c "
+            "from b "
+            "window w as (partition by user_id order by ts, event_id), "
+            "f as (partition by user_id order by ts, event_id "
+            "rows between 3 preceding and current row)"
         ),
         "domain_kl": (
             f"with tkc as (select source, {_TOKS} as tk from documents), "

@@ -197,6 +197,16 @@ def main() -> None:
         ("hashed_features", entry.q_hashed_features, 2),
         # end-to-end: tokens -> hashed 8-dim -> engine k-means fit
         ("doc_clusters", entry.q_doc_clusters, 2),
+        # r5 batch 2: PQ ANN (encode + ADC + re-rank), CUBE subtotals,
+        # corpus-frequent shingle ratio, per-source unigram KL
+        ("pq_ann", entry.q_pq_ann, 2),
+        ("cube_revenue", entry.q_cube_revenue, 2),
+        ("boilerplate", entry.q_boilerplate, 2),
+        ("domain_kl", entry.q_domain_kl, 2),
+        ("embed_covariance", entry.q_embed_covariance, 2),
+        ("moving_avg", entry.q_moving_avg, 2),
+        ("funnel", entry.q_funnel, 2),
+        ("retention", entry.q_retention, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

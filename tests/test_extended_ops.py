@@ -1194,3 +1194,57 @@ def test_domain_divergence_properties(spark):
     out = {r["source"]: r for r in domain_divergence(df2, group="source").collect()}
     assert out["a"]["kl_micro"] > 0 and out["b"]["kl_micro"] > 0
     assert out["a"]["n_tok"] == 3 and out["b"]["n_tok"] == 4
+
+
+def test_fit_pca_recovers_variance_structure(spark, sf_dir):
+    import numpy as np
+
+    from clickhouse_k_means_spark.operators.pca import (
+        fit_pca,
+        project_pca,
+    )
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, n_components=4)
+    # orthonormal components
+    g = model.components @ model.components.T
+    assert np.allclose(g, np.eye(4), atol=1e-8)
+    # eigenvalues descending and nonnegative
+    ev = model.explained_variance
+    assert all(ev[i] >= ev[i + 1] >= 0 for i in range(3))
+    # projected per-component variance matches the eigenvalues
+    proj = project_pca(emb, model)
+    m = np.array([r["pc"] for r in proj.select("pc").collect()])
+    assert np.allclose(m.var(axis=0), ev, rtol=1e-6)
+    # projection is deterministic across repeated runs
+    m2 = np.array([r["pc"] for r in proj.select("pc").collect()])
+    assert np.array_equal(m, m2)
+
+
+def test_fit_pca_validates(spark):
+    import pytest as _pytest
+
+    from clickhouse_k_means_spark.operators.pca import fit_pca
+
+    df = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
+    with _pytest.raises(ValueError, match="n_components"):
+        fit_pca(df, n_components=3)
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        fit_pca(empty, n_components=1)
+
+
+def test_covariance_long_matches_numpy(spark):
+    import numpy as np
+
+    from clickhouse_k_means_spark.operators.pca import covariance_long
+
+    rng = np.random.RandomState(0)
+    x = np.round(rng.uniform(-0.5, 0.5, (200, 3)), 5)  # exact at 1e-5 grid
+    df = spark.createDataFrame([(list(map(float, r)),) for r in x], "embedding array<double>")
+    got = {(r["i"], r["j"]): r["cov"] for r in covariance_long(df, dim=3).collect()}
+    ref = np.cov(x, rowvar=False, bias=True)
+    for i in range(3):
+        for j in range(i, 3):
+            assert abs(got[(i, j)] - ref[i, j]) < 1e-7, (i, j)
