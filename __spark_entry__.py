@@ -691,6 +691,37 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native relational pivot (`groupBy().pivot(col, values)`) with
+    the value list passed EXPLICITLY — omitting it costs an extra
+    distinct scan of the pivot column before the real aggregation (the
+    100 TB rule: never let the planner discover what the caller
+    already knows). Missing combinations fill as 0."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in EVENT_TYPES],
+    )
+
+
+def q_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native unpivot/melt back to long form — wide per-user counts →
+    (user_id, event_type, n), zeros preserved. Pivot→unpivot is the
+    round-trip contract for feature-matrix interchange."""
+    wide = q_pivot_native(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=EVENT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: stage k
     counts users whose first stage-k event strictly follows their
@@ -916,6 +947,35 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1, n1 = incremental_exact_dedup(b1, store, table="seen")
     c1 = s1.count()
     s2, n2 = incremental_exact_dedup(b2, store, table="seen")
+    c2 = s2.count()
+    return spark.createDataFrame(
+        [(1, c1, n1), (2, c2, n2)],
+        "batch int, n_survivors bigint, n_committed bigint",
+    )
+
+
+def q_near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-shape NEAR-dedup replayed as a two-batch protocol
+    (operators/dedup.incremental_near_dedup): batch 1 = ``doc_id % 3
+    != 0``, batch 2 = ``doc_id % 2 == 0`` (content overlaps batch 1).
+    Each batch near-dedups within itself (banding + exact Jaccard +
+    components), then drops survivors sharing any LSH band with the
+    persisted band history, then commits its survivors' distinct band
+    rows. Returns per-batch (n_survivors, n_committed); DuckDB replays
+    the identical two-layer logic including the transitive-drop
+    semantics."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.dedup import incremental_near_dedup
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="neardedup_inc_"))
+    b1 = docs.filter(F.pmod("doc_id", F.lit(3)) != 0)
+    b2 = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    s1, n1 = incremental_near_dedup(b1, store, table="bands")
+    c1 = s1.count()
+    s2, n2 = incremental_near_dedup(b2, store, table="bands")
     c2 = s2.count()
     return spark.createDataFrame(
         [(1, c1, n1), (2, c2, n2)],
@@ -1776,7 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 82 entries, 32
+    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 85 entries, 35
     # sit in the tail each round, alternating between two groups so
     # every query gets a driver CORRECTNESS row at least every other
     # round:
@@ -1786,14 +1846,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     #     weighted_sample, near_dedup, hll_incremental,
     #     formats_roundtrip, tpch_q4, tpch_q18, histogram_incremental,
-    #     curriculum, hashed_features, doc_clusters — PLUS the eight
+    #     curriculum, hashed_features, doc_clusters — PLUS the eleven
     #     first-gated-this-round queries cube_revenue, boilerplate,
     #     domain_kl, embed_covariance, moving_avg, funnel, retention,
-    #     pq_ann (they join group A's cadence after their first driver
-    #     row lands in r5)
+    #     pivot_native, unpivot_events, near_dedup_incremental, pq_ann
+    #     (they join group A's cadence after their first driver row
+    #     lands in r5)
     #   group B (tail on ODD rounds r5, r7, …): tfidf_top_terms,
     #     asof_join, sessionize, tpch_q3, limit_by_latest,
-    #     silhouette_sums, decontaminate, pack_sequences, lang_id,
+    #     silhouette_sums, decontaminate, pack_sequences, tpch_q5,
+    #     ann_topk, tpch_q1, lang_id,
     #     quality_scores, token_counts, doc_fingerprint,
     #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
     #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup,
@@ -1801,15 +1863,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (82 entries: 18 fixed head + 32 per group.) This round (r5):
+    # (85 entries: 15 fixed head + 35 per group.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
-    # including first driver rows for the twenty-two NEW r5 queries
+    # including first driver rows for the twenty-five NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     # weighted_sample, near_dedup, hll_incremental, formats_roundtrip,
     # tpch_q4, tpch_q18, histogram_incremental, curriculum,
     # hashed_features, doc_clusters, cube_revenue, boilerplate,
     # domain_kl, embed_covariance, moving_avg, funnel, retention,
-    # pq_ann); group B rotates out (every member has a green row in
+    # pivot_native, unpivot_events, near_dedup_incremental, pq_ann);
+    # group B rotates out (every member has a green row in
     # CORRECTNESS_r04 and stays pytest-oracle-gated each round).
     return {
         # --- fixed head: in the driver window every round (35) ---
@@ -1818,9 +1881,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lloyd_recompute": q_lloyd_recompute,
         "kmeanspp_pick": q_kmeanspp_pick,
         "elbow_total": q_elbow_total,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q5": q_tpch_q5,
-        "ann_topk": q_ann_topk,
         "dedup_components": q_dedup_components,
         "kmeans_fit_history": q_kmeans_fit_history,
         "kmeans_fit_best": q_kmeans_fit_best,
@@ -1849,6 +1909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": q_moving_avg,
         "funnel": q_funnel,
         "retention": q_retention,
+        "pivot_native": q_pivot_native,
+        "unpivot_events": q_unpivot_events,
+        "near_dedup_incremental": q_near_dedup_incremental,
         "quantiles": q_quantiles,
         "dedup_incremental": q_dedup_incremental,
         "mix_sources": q_mix_sources,
@@ -1875,6 +1938,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette_sums": q_silhouette_sums,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "tpch_q5": q_tpch_q5,
+        "ann_topk": q_ann_topk,
+        "tpch_q1": q_tpch_q1,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -1964,6 +2030,69 @@ def oracle_sql() -> dict[str, str]:
         f"on {_band_key(b, 'a')} = {_band_key(b, 'b')} "
         f"and a.doc_id < b.doc_id"
         for b in range(4)
+    )
+    def _near_batch_ctes(s: str, pred: str) -> str:
+        """CTE chain for one incremental-near-dedup batch ``s``:
+        signature → banding candidates → Jaccard edges → recursive
+        components → within-batch survivors (win{s})."""
+        bu = " union all ".join(
+            f"select a.doc_id as a, b.doc_id as b from sig{s} a "
+            f"join sig{s} b on {_band_key(b, 'a')} = {_band_key(b, 'b')} "
+            f"and a.doc_id < b.doc_id"
+            for b in range(4)
+        )
+        return (
+            f"corpus{s} as (select doc_id, text from documents where {pred}), "
+            f"tk{s} as (select doc_id, {_TOKS} as tk from corpus{s}), "
+            f"sh{s} as (select doc_id, {toks3} as sh from tk{s}), "
+            f"hs{s} as (select doc_id, list_transform(sh, x -> "
+            f"{_hash64_sql('x')} % {MINHASH_P}) as hs from sh{s}), "
+            f"sig{s} as (select doc_id, {minhash_cols} from hs{s}), "
+            f"cand{s} as (select distinct a, b from ({bu})), "
+            f"shd{s} as (select doc_id, list_distinct(sh) as shd from sh{s}), "
+            f"edges{s} as (select a, b from cand{s} "
+            f"join shd{s} sa on cand{s}.a = sa.doc_id "
+            f"join shd{s} sb on cand{s}.b = sb.doc_id "
+            f"where len(list_intersect(sa.shd, sb.shd))::DOUBLE / "
+            f"len(list_distinct(list_concat(sa.shd, sb.shd))) >= 0.8), "
+            f"sym{s} as (select a as n, b as m from edges{s} "
+            f"union select b as n, a as m from edges{s}), "
+            f"reach{s}(n, m) as (select n, m from sym{s} union "
+            f"select r.n, x.m from reach{s} r join sym{s} x on r.m = x.n), "
+            f"comp{s} as (select n, least(n, min(m)) as component "
+            f"from reach{s} group by n), "
+            f"drop{s} as (select n from comp{s} where n != component), "
+            f"win{s} as (select corpus{s}.doc_id from corpus{s} "
+            f"left join drop{s} on corpus{s}.doc_id = drop{s}.n "
+            f"where drop{s}.n is null)"
+        )
+
+    def _bands_of(s: str, surv: str) -> str:
+        """(doc_id, band_idx, band_key) of ``surv`` docs from sig{s}."""
+        return " union all ".join(
+            f"select g.doc_id, {b} as band_idx, {_band_key(b, 'g')} as band_key "
+            f"from sig{s} g join {surv} using (doc_id)"
+            for b in range(4)
+        )
+
+    near_inc_sql = (
+        "with recursive "
+        + _near_batch_ctes("1", "doc_id % 3 != 0")
+        + ", "
+        + _near_batch_ctes("2", "doc_id % 2 = 0")
+        + ", "
+        + f"bands1 as (select distinct band_idx, band_key from ({_bands_of('1', 'win1')})), "
+        + f"b2all as ({_bands_of('2', 'win2')}), "
+        + "hit2 as (select distinct b2all.doc_id from b2all "
+        + "join bands1 using (band_idx, band_key)), "
+        + "fin2 as (select win2.doc_id from win2 left join hit2 "
+        + "on win2.doc_id = hit2.doc_id where hit2.doc_id is null), "
+        + "bands2 as (select distinct band_idx, band_key from b2all "
+        + "join fin2 on b2all.doc_id = fin2.doc_id) "
+        + "select 1 as batch, (select count(*) from win1)::BIGINT as n_survivors, "
+        + "(select count(*) from bands1)::BIGINT as n_committed "
+        + "union all select 2, (select count(*) from fin2)::BIGINT, "
+        + "(select count(*) from bands2)::BIGINT"
     )
     simhash_sums = ", ".join(
         f"sum(((hv >> {b}) & 1) * 2 - 1) as b{b}" for b in range(60)
@@ -2226,6 +2355,25 @@ def oracle_sql() -> dict[str, str]:
             "from orders group by 1"
         ),
         "embed_covariance": cov_sql,
+        "pivot_native": (
+            "select user_id, "
+            + ", ".join(
+                f"sum(case when event_type = '{t}' then 1 else 0 end)::BIGINT as \"{t}\""
+                for t in EVENT_TYPES
+            )
+            + " from events group by user_id"
+        ),
+        "near_dedup_incremental": near_inc_sql,
+        "unpivot_events": (
+            "with u as (select distinct user_id from events), "
+            "t as (select unnest(['click', 'error', 'purchase', 'signup', "
+            "'view']) as event_type), "
+            "c as (select user_id, event_type, count(*)::BIGINT as n "
+            "from events group by 1, 2) "
+            "select u.user_id, t.event_type, coalesce(c.n, 0)::BIGINT as n "
+            "from u cross join t "
+            "left join c on u.user_id = c.user_id and t.event_type = c.event_type"
+        ),
         "funnel": (
             "with e as (select user_id, event_type as et, "
             "epoch_ns(ts) // 1000 as us from events), "

@@ -207,6 +207,8 @@ def main() -> None:
         ("moving_avg", entry.q_moving_avg, 2),
         ("funnel", entry.q_funnel, 2),
         ("retention", entry.q_retention, 2),
+        # two-batch ingest near-dedup replay incl. band-history commits
+        ("near_dedup_incremental", entry.q_near_dedup_incremental, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -73,17 +73,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_table(
     sigs: DataFrame, key: str = "doc_id", n_hashes: int = 8, n_bands: int = 4
 ) -> DataFrame:
-    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
-
-    Bands are contiguous signature slices; band key = md5 of the joined
-    values. The self-join shuffles on (band, band_key) only — same-
-    bucket pairs, not all pairs. Output is distinct (a, b), materialized
-    eagerly (localCheckpoint) so the band cache can be released before
-    returning — no storage leak across repeated calls.
-    """
+    """Long-form LSH band relation (key, band_idx, band_key) from
+    signature columns. Bands are contiguous signature slices; band key
+    = md5 of the comma-joined values. This table IS the persistable
+    LSH index — ``lsh_candidate_pairs`` self-joins it, the incremental
+    path commits it as the dedup history."""
     if n_bands <= 0 or n_hashes % n_bands != 0:
         # a silent remainder would drop trailing signature columns;
         # n_bands > n_hashes would give every doc an empty band key
@@ -104,14 +101,25 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
+    return sigs.select(F.col(key), F.posexplode(bands).alias("band_idx", "band_key"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, key: str = "doc_id", n_hashes: int = 8, n_bands: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
+
+    The self-join shuffles on (band, band_key) only — same-bucket
+    pairs, not all pairs. Output is distinct (a, b), materialized
+    eagerly (localCheckpoint) so the band cache can be released before
+    returning — no storage leak across repeated calls.
+    """
     # one long-form (key, band_idx, band_key) relation + ONE self-join
     # on (band_idx, band_key): the signature computation runs once per
     # side instead of once per band per side, and the cache below makes
     # it once total (at cluster scale this is the materialized
     # bucket table every LSH pipeline persists).
-    banded = sigs.select(
-        F.col(key), F.posexplode(bands).alias("band_idx", "band_key")
-    ).cache()
+    banded = band_table(sigs, key=key, n_hashes=n_hashes, n_bands=n_bands).cache()
     left = banded.select(
         F.col(key).alias("a"), "band_idx", "band_key"
     )
@@ -368,4 +376,95 @@ def incremental_exact_dedup(
     n = new_hashes.count()
     if n:
         store.append(new_hashes, table)
+    return survivors, n
+
+
+def incremental_near_dedup(
+    new_docs: DataFrame,
+    store,
+    table: str = "seen_bands",
+    text: str = "text",
+    key: str = "doc_id",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float | None = 0.8,
+    broadcast_batch: bool = True,
+):
+    """Near-dedup an arriving batch against ALL previously-ingested
+    content using only the persisted LSH BAND table — the ingest-loop
+    form of ``near_dedup_corpus``. Returns (survivors_df, n_band_rows_committed).
+
+    Protocol:
+    1. WITHIN-batch near-dedup via the full pipeline (banding → exact
+       Jaccard verify → connected components) — texts are present, so
+       LSH false positives are filtered before they cost a document.
+    2. Batch survivors' bands vs HISTORY: any survivor sharing one
+       (band_idx, band_key) with a committed band is dropped.
+       History stores band keys only — no text, no signatures — so
+       this layer is banding-only: its false-positive rate is the
+       standard (bands, rows-per-band) S-curve knob, and the trade is
+       storage (n_bands md5s/doc forever) vs re-verification (which
+       would need the full text history). Same decision DuckDB/BigQuery
+       streaming-dedup designs make; documented, replayed exactly by
+       the gate oracle.
+    3. Surviving docs' DISTINCT band rows become the next commit.
+
+    Transitivity across the two layers: a batch doc B dropped in step
+    1 in favor of canonical A stays dropped even when A then collides
+    with history in step 2 (B ≈ A ≈ history ⇒ B is a transitive dup).
+
+    Scale shape mirrors ``incremental_exact_dedup``: the batch
+    pipeline is localCheckpoint-ed so it runs once; with
+    ``broadcast_batch=True`` the history band table is scanned once
+    behind a broadcast semi filter and NEVER shuffled (set False for
+    corpus-sized backfills → shuffle semi-join keyed on the uniform
+    md5 band key). History is append-only. Concurrency contract:
+    SINGLE WRITER PER TABLE (same lost-update argument as the exact
+    path).
+    """
+    spark = new_docs.sparkSession
+    within = near_dedup_corpus(
+        new_docs,
+        text=text,
+        key=key,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+    ).localCheckpoint(eager=True)
+    sigs = minhash_signatures(
+        within, text=text, key=key, n_hashes=n_hashes, shingle_n=shingle_n
+    )
+    bt = (
+        band_table(sigs, key=key, n_hashes=n_hashes, n_bands=n_bands)
+        .localCheckpoint(eager=True)
+    )
+    if store.exists(table):
+        hist = store.read(spark, table).select("band_idx", "band_key")
+        if broadcast_batch:
+            collide = (
+                hist.join(F.broadcast(bt), ["band_idx", "band_key"])
+                .select(key)
+                .distinct()
+            )
+        else:
+            collide = (
+                bt.join(hist, ["band_idx", "band_key"], "left_semi")
+                .select(key)
+                .distinct()
+            )
+        survivors = within.join(collide, key, "left_anti").localCheckpoint(
+            eager=True
+        )
+    else:
+        survivors = within
+    new_bands = (
+        bt.join(survivors.select(key), key)
+        .select("band_idx", "band_key")
+        .distinct()
+    )
+    n = new_bands.count()
+    if n:
+        store.append(new_bands, table)
     return survivors, n

@@ -1248,3 +1248,50 @@ def test_covariance_long_matches_numpy(spark):
     for i in range(3):
         for j in range(i, 3):
             assert abs(got[(i, j)] - ref[i, j]) < 1e-7, (i, j)
+
+
+def test_incremental_near_dedup_cross_batch(spark, tmp_path):
+    from clickhouse_k_means_spark.operators.dedup import incremental_near_dedup
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "bands"))
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark engines here")],
+        "doc_id bigint, text string",
+    )
+    s1, n1 = incremental_near_dedup(b1, store)
+    assert s1.count() == 2 and n1 > 0
+
+    # batch 2: an exact copy of doc 1 (same bands) + a fresh doc
+    b2 = spark.createDataFrame(
+        [(10, base), (11, "novel content with no overlap to anything prior at all")],
+        "doc_id bigint, text string",
+    )
+    s2, n2 = incremental_near_dedup(b2, store)
+    kept = {r["doc_id"] for r in s2.collect()}
+    assert kept == {11}, kept
+    assert n2 > 0
+
+    # replaying batch 2 drops everything (all bands now committed)
+    s3, n3 = incremental_near_dedup(b2, store)
+    assert s3.count() == 0 and n3 == 0
+
+
+def test_incremental_near_dedup_transitive_within_batch(spark, tmp_path):
+    """B dropped for canonical A stays dropped when A then collides
+    with history — the two-layer transitivity contract."""
+    from clickhouse_k_means_spark.operators.dedup import incremental_near_dedup
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "bands"))
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    _, _ = incremental_near_dedup(
+        spark.createDataFrame([(1, t)], "doc_id bigint, text string"), store
+    )
+    b2 = spark.createDataFrame(
+        [(20, t), (21, t)], "doc_id bigint, text string"
+    )
+    s2, _ = incremental_near_dedup(b2, store)
+    # 21 collapses into 20 within-batch; 20 then hits history -> none survive
+    assert s2.count() == 0
