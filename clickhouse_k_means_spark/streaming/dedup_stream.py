@@ -88,3 +88,26 @@ class StreamingDedup:
             .trigger(availableNow=True)
             .start()
         )
+
+
+def watermarked_dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    time_col: str = "event_time",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Native bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` over ``keys``.
+
+    The complement to ``StreamingDedup``: that class keeps the FULL
+    ingest history (external snapshot store, grows forever, survives
+    restarts); this keeps dedup state only inside the watermark
+    horizon — Spark garbage-collects key state as the watermark
+    advances, so state size is bounded by arrival rate × ``delay``
+    regardless of stream lifetime. Correct exactly when duplicates
+    are known to arrive within ``delay`` of each other (retry storms,
+    at-least-once upstreams), which is the common case the full-history
+    store is overkill for. The first occurrence wins; later arrivals
+    inside the horizon are dropped even if their event time differs.
+    """
+    return stream.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(keys)

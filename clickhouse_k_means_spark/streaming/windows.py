@@ -77,14 +77,18 @@ def windowed_event_counts(
     )
 
 
-def run_available_now(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
+def run_available_now(
+    spark: SparkSession, agg: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Replay the whole source as a finite stream (availableNow trigger),
-    collect into a memory sink, return the result table."""
+    collect into a memory sink, return the result table. ``complete``
+    fits aggregations; pass ``append`` for row-level operators
+    (dedup, stateless maps)."""
     with tempfile.TemporaryDirectory(prefix="ckms_stream_ckpt_") as ckpt:
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

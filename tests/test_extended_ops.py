@@ -1295,3 +1295,98 @@ def test_incremental_near_dedup_transitive_within_batch(spark, tmp_path):
     s2, _ = incremental_near_dedup(b2, store)
     # 21 collapses into 20 within-batch; 20 then hits history -> none survive
     assert s2.count() == 0
+
+
+def test_watermarked_dedup_stream_bounded_state(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark drops planted duplicate event ids
+    and matches the batch distinct count — bounded-state streaming
+    dedup (state GC'd beyond the watermark horizon)."""
+    from clickhouse_k_means_spark.sources.dataset import event_time, load_table
+    from clickhouse_k_means_spark.streaming.dedup_stream import (
+        watermarked_dedup_stream,
+    )
+    from clickhouse_k_means_spark.streaming.windows import run_available_now
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    doubled = ev.unionByName(ev)  # every event arrives twice
+    src = str(tmp_path / "src")
+    doubled.write.parquet(src)
+
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .load(src)
+        .withColumn("event_time", event_time(batch))
+    )
+    dd = watermarked_dedup_stream(stream, ["event_id"], delay="10 minutes")
+    got = run_available_now(
+        spark, dd.select("event_id"), name="t_wm_dedup", output_mode="append"
+    )
+    ids = [r["event_id"] for r in got.collect()]
+    assert len(ids) == len(set(ids)) == 500
+
+
+def test_zorder_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Per-file min/max spans after a z-ordered write are narrow on
+    BOTH clustered columns (each file covers a small hyper-rectangle),
+    while a one-column sorted write leaves the second column at full
+    range — the stats parquet data skipping actually uses."""
+    from clickhouse_k_means_spark.sources.dataset import (
+        event_epoch_seconds,
+        load_table,
+    )
+    from clickhouse_k_means_spark.sources.zorder import write_zordered
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", event_epoch_seconds(ev).alias("es")
+    )
+
+    def avg_span(path: str) -> dict:
+        d = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        g = d.groupBy("f").agg(
+            F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+            F.min("es").alias("elo"), F.max("es").alias("ehi"),
+        )
+        tot = d.agg(
+            (F.max("user_id") - F.min("user_id")).alias("du"),
+            (F.max("es") - F.min("es")).alias("de"),
+        ).first()
+        rows = g.collect()
+        return {
+            "u": sum((r["uhi"] - r["ulo"]) / tot["du"] for r in rows) / len(rows),
+            "e": sum((r["ehi"] - r["elo"]) / tot["de"] for r in rows) / len(rows),
+            "files": len(rows),
+        }
+
+    zpath = str(tmp_path / "z")
+    write_zordered(base, zpath, ["user_id", "es"], n_files=8)
+    zs = avg_span(zpath)
+
+    lpath = str(tmp_path / "linear")
+    (
+        base.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(lpath)
+    )
+    ls = avg_span(lpath)
+
+    assert zs["files"] >= 4
+    # z-order: BOTH columns narrow per file
+    assert zs["u"] <= 0.6, zs
+    assert zs["e"] <= 0.6, zs
+    # linear sort: first column tight, second column ~full range
+    assert ls["u"] <= zs["u"] + 0.05
+    assert ls["e"] >= 0.8, ls
+
+
+def test_zorder_key_validation(spark):
+    import pytest as _pytest
+
+    from clickhouse_k_means_spark.sources.zorder import zorder_key
+
+    with _pytest.raises(ValueError, match="columns"):
+        zorder_key([F.col("a")] * 5, [(0, 1)] * 5, bits=16)
+    with _pytest.raises(ValueError, match="at least one"):
+        zorder_key([], [])
