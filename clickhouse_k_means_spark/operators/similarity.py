@@ -166,12 +166,22 @@ def embed_neardup_bucketed(
     va = df.select(F.col(key).alias("a"), F.col(vec).alias("ea"))
     vb = df.select(F.col(key).alias("b"), F.col(vec).alias("eb"))
     sim = F.round(cosine_fixed("ea", "eb", dim), 4)
-    return (
+    # Eager checkpoint BETWEEN scoring and thresholding: without the
+    # barrier Catalyst pushes `sim >= threshold` through the project
+    # into the verify join's condition, cloning the ~3·dim-term
+    # unrolled cosine into the join's generated method — at dim=64
+    # that blows the JVM's 64 KB method limit, codegen fails
+    # (Janino "Code grows beyond 64 KB") and the WHOLE stage runs
+    # interpreted (measured 4-9× slower at sf0.1, r5). The scored
+    # relation is candidate-pair-sized (≪ corpus — that is the LSH
+    # invariant), so materializing it is cheap at any scale.
+    scored = (
         cand.join(va, "a")
         .join(vb, "b")
         .select("a", "b", sim.alias("sim"))
-        .filter(F.col("sim") >= threshold)
+        .localCheckpoint(eager=True)
     )
+    return scored.filter(F.col("sim") >= threshold)
 
 
 def ivf_topk(
