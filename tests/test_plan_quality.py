@@ -177,3 +177,26 @@ def test_cube_is_single_scan_expand(spark, sf_dir):
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "o_totalprice" in read and "o_orderdate" in read
     assert "o_custkey" not in read, read
+
+
+def test_embed_neardup_verify_filter_not_pushed_into_join(spark):
+    """The near-dup threshold filter must read the checkpointed scored
+    pairs — if the barrier is removed, Catalyst clones the unrolled
+    dim=64 cosine into the verify join's condition, the generated
+    method passes the JVM's 64 KB limit and the stage silently runs
+    interpreted (r5 regression: 2.3 s -> 9-14 s at sf0.1)."""
+    from clickhouse_k_means_spark.operators.similarity import (
+        embed_neardup_bucketed,
+    )
+
+    rng = __import__("random").Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = embed_neardup_bucketed(df, threshold=0.5)
+    plan = _plan(out)
+    # the returned plan is filter-over-checkpoint: no join, and no
+    # cosine arithmetic duplicated into a join condition
+    assert "Join" not in plan, plan
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan, plan
