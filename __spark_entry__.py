@@ -67,6 +67,9 @@ MODEL = [
 FEATURES = ["l_quantity", "l_extendedprice", "l_discount"]
 U_PICK = 0.372949  # driver-drawn k-means++ threshold (quirk Q2 literal)
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+EVENT_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
 EMB_DIM = 64  # embeddings fixture arity (TESTDATA.md)
 
 # ---------------------------------------------------------------------------
@@ -688,6 +691,33 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue_c"
             ),
         )
+    )
+
+
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation over orders — five checks
+    (nullability, key uniqueness, range, value set, format) folded
+    into ONE aggregation over ONE scan (operators/quality.py). The
+    check a training pipeline runs before anything consumes a table."""
+    from clickhouse_k_means_spark.operators.quality import (
+        check_constraints,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return check_constraints(
+        orders,
+        [
+            not_null("o_custkey"),
+            unique("o_orderkey"),
+            in_range("o_totalprice", 0.0, 1_000_000.0),
+            in_set("o_orderpriority", EVENT_PRIORITIES),
+            matches("o_orderstatus", "^[A-Z]$"),
+        ],
     )
 
 
@@ -1836,7 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 85 entries, 35
+    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 86 entries, 36
     # sit in the tail each round, alternating between two groups so
     # every query gets a driver CORRECTNESS row at least every other
     # round:
@@ -1846,16 +1876,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     #     weighted_sample, near_dedup, hll_incremental,
     #     formats_roundtrip, tpch_q4, tpch_q18, histogram_incremental,
-    #     curriculum, hashed_features, doc_clusters — PLUS the eleven
+    #     curriculum, hashed_features, doc_clusters — PLUS the twelve
     #     first-gated-this-round queries cube_revenue, boilerplate,
     #     domain_kl, embed_covariance, moving_avg, funnel, retention,
-    #     pivot_native, unpivot_events, near_dedup_incremental, pq_ann
+    #     pivot_native, unpivot_events, near_dedup_incremental,
+    #     data_quality, pq_ann
     #     (they join group A's cadence after their first driver row
     #     lands in r5)
     #   group B (tail on ODD rounds r5, r7, …): tfidf_top_terms,
     #     asof_join, sessionize, tpch_q3, limit_by_latest,
     #     silhouette_sums, decontaminate, pack_sequences, tpch_q5,
-    #     ann_topk, tpch_q1, lang_id,
+    #     ann_topk, tpch_q1, dedup_components, lang_id,
     #     quality_scores, token_counts, doc_fingerprint,
     #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
     #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup,
@@ -1863,15 +1894,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (85 entries: 15 fixed head + 35 per group.) This round (r5):
+    # (86 entries: 14 fixed head + 36 per group.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
-    # including first driver rows for the twenty-five NEW r5 queries
+    # including first driver rows for the twenty-six NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     # weighted_sample, near_dedup, hll_incremental, formats_roundtrip,
     # tpch_q4, tpch_q18, histogram_incremental, curriculum,
     # hashed_features, doc_clusters, cube_revenue, boilerplate,
     # domain_kl, embed_covariance, moving_avg, funnel, retention,
-    # pivot_native, unpivot_events, near_dedup_incremental, pq_ann);
+    # pivot_native, unpivot_events, near_dedup_incremental,
+    # data_quality, pq_ann);
     # group B rotates out (every member has a green row in
     # CORRECTNESS_r04 and stays pytest-oracle-gated each round).
     return {
@@ -1881,7 +1913,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lloyd_recompute": q_lloyd_recompute,
         "kmeanspp_pick": q_kmeanspp_pick,
         "elbow_total": q_elbow_total,
-        "dedup_components": q_dedup_components,
         "kmeans_fit_history": q_kmeans_fit_history,
         "kmeans_fit_best": q_kmeans_fit_best,
         "mllib_kmeans": q_mllib_kmeans,
@@ -1912,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_native": q_pivot_native,
         "unpivot_events": q_unpivot_events,
         "near_dedup_incremental": q_near_dedup_incremental,
+        "data_quality": q_data_quality,
         "quantiles": q_quantiles,
         "dedup_incremental": q_dedup_incremental,
         "mix_sources": q_mix_sources,
@@ -1941,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "ann_topk": q_ann_topk,
         "tpch_q1": q_tpch_q1,
+        "dedup_components": q_dedup_components,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -2355,6 +2388,29 @@ def oracle_sql() -> dict[str, str]:
             "from orders group by 1"
         ),
         "embed_covariance": cov_sql,
+        "data_quality": (
+            "with a as (select count(*)::BIGINT as n, "
+            "sum(case when o_custkey is null then 1 else 0 end)::BIGINT as v0, "
+            "count(distinct o_orderkey)::BIGINT as d1, "
+            "sum(case when o_totalprice is null or o_totalprice < 0 "
+            "or o_totalprice > 1000000 then 1 else 0 end)::BIGINT as v2, "
+            "sum(case when o_orderpriority is null or o_orderpriority not in "
+            "('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') "
+            "then 1 else 0 end)::BIGINT as v3, "
+            "sum(case when o_orderstatus is null or "
+            "not regexp_matches(o_orderstatus, '^[A-Z]$') "
+            "then 1 else 0 end)::BIGINT as v4 from orders) "
+            "select 'not_null(o_custkey)' as constraint, n as n_rows, "
+            "v0 as n_violations, (v0 = 0)::INT as ok from a "
+            "union all select 'unique(o_orderkey)', n, n - d1, "
+            "(n - d1 = 0)::INT from a "
+            "union all select 'in_range(o_totalprice,0.0,1000000.0)', n, v2, "
+            "(v2 = 0)::INT from a "
+            "union all select 'in_set(o_orderpriority)', n, v3, "
+            "(v3 = 0)::INT from a "
+            "union all select 'matches(o_orderstatus)', n, v4, "
+            "(v4 = 0)::INT from a"
+        ),
         "pivot_native": (
             "select user_id, "
             + ", ".join(

@@ -209,6 +209,8 @@ def main() -> None:
         ("retention", entry.q_retention, 2),
         # two-batch ingest near-dedup replay incl. band-history commits
         ("near_dedup_incremental", entry.q_near_dedup_incremental, 2),
+        # one-scan declarative constraint validation
+        ("data_quality", entry.q_data_quality, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

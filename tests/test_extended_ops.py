@@ -1390,3 +1390,56 @@ def test_zorder_key_validation(spark):
         zorder_key([F.col("a")] * 5, [(0, 1)] * 5, bits=16)
     with _pytest.raises(ValueError, match="at least one"):
         zorder_key([], [])
+
+
+def test_check_constraints_counts_and_nulls(spark):
+    import pytest as _pytest
+
+    from clickhouse_k_means_spark.operators.quality import (
+        check_constraints,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A", "x"),
+            (1, -5.0, "B", "y"),   # dup key, below range
+            (2, None, "Z", "zz"),  # null price, bad status format len
+            (3, 50.0, None, "x"),  # null category
+        ],
+        "k bigint, price double, cat string, st string",
+    )
+    out = {
+        r["constraint"]: r
+        for r in check_constraints(
+            df,
+            [
+                not_null("price"),
+                unique("k"),
+                in_range("price", 0.0, 100.0),
+                in_set("cat", ["A", "B"]),
+                matches("st", "^[a-z]$"),
+            ],
+        ).collect()
+    }
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert out["not_null(price)"]["n_violations"] == 1
+    assert out["unique(k)"]["n_violations"] == 1  # 4 rows, 3 distinct
+    # null price AND -5.0 both violate the strict range check
+    assert out["in_range(price,0.0,100.0)"]["n_violations"] == 2
+    assert out["in_set(cat)"]["n_violations"] == 2  # 'Z' and NULL
+    assert out["matches(st)"]["n_violations"] == 1  # 'zz'
+    assert all(r["ok"] == 0 for r in out.values())
+
+    clean = check_constraints(
+        df.filter("k = 3"), [not_null("price"), unique("k")]
+    ).collect()
+    assert all(r["ok"] == 1 for r in clean)
+    with _pytest.raises(ValueError, match="at least one"):
+        check_constraints(df, [])
+    with _pytest.raises(ValueError, match="duplicate"):
+        check_constraints(df, [not_null("price"), not_null("price")])
