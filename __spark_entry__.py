@@ -694,6 +694,51 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H q2's shape): lineitems whose
+    price equals their order's minimum price. Catalyst decorrelates
+    the per-row subquery into one aggregate + join — the plan a
+    hand-written groupBy-join would produce, from the declarative
+    correlated form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__cm_lineitem")
+    return spark.sql(
+        """
+        select l_orderkey, l_linenumber,
+               round(l_extendedprice, 2) as price
+        from __cm_lineitem a
+        where l_extendedprice = (
+            select min(l_extendedprice) from __cm_lineitem b
+            where b.l_orderkey = a.l_orderkey
+        )
+        """
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per-user daily event counts with
+    missing days materialized at 0 over each user's [first, last]
+    active span — sequence() + explode generates the calendar
+    JVM-side (no driver loop, no cross join with a global calendar),
+    then a left join fills observed counts. The pre-aggregation step
+    every regular-interval model (forecasting, retention curves)
+    needs over an irregular event log."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(event_epoch_seconds(ev) / 86400).cast("bigint")
+    daily = ev.select("user_id", day.alias("day")).groupBy(
+        "user_id", "day"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return cal.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
+
+
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint validation over orders — five checks
     (nullability, key uniqueness, range, value set, format) folded
@@ -1866,7 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 86 entries, 36
+    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 88 entries, 38
     # sit in the tail each round, alternating between two groups so
     # every query gets a driver CORRECTNESS row at least every other
     # round:
@@ -1880,13 +1925,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     first-gated-this-round queries cube_revenue, boilerplate,
     #     domain_kl, embed_covariance, moving_avg, funnel, retention,
     #     pivot_native, unpivot_events, near_dedup_incremental,
-    #     data_quality, pq_ann
+    #     data_quality, correlated_min, gap_fill, pq_ann
     #     (they join group A's cadence after their first driver row
     #     lands in r5)
     #   group B (tail on ODD rounds r5, r7, …): tfidf_top_terms,
     #     asof_join, sessionize, tpch_q3, limit_by_latest,
     #     silhouette_sums, decontaminate, pack_sequences, tpch_q5,
-    #     ann_topk, tpch_q1, dedup_components, lang_id,
+    #     ann_topk, tpch_q1, dedup_components, srp_ann, ivf_ann,
+    #     lang_id,
     #     quality_scores, token_counts, doc_fingerprint,
     #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
     #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup,
@@ -1894,16 +1940,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (86 entries: 14 fixed head + 36 per group.) This round (r5):
+    # (88 entries: 13 fixed head + 37-entry group A + 38-entry group B.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
-    # including first driver rows for the twenty-six NEW r5 queries
+    # including first driver rows for the twenty-eight NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     # weighted_sample, near_dedup, hll_incremental, formats_roundtrip,
     # tpch_q4, tpch_q18, histogram_incremental, curriculum,
     # hashed_features, doc_clusters, cube_revenue, boilerplate,
     # domain_kl, embed_covariance, moving_avg, funnel, retention,
     # pivot_native, unpivot_events, near_dedup_incremental,
-    # data_quality, pq_ann);
+    # data_quality, correlated_min, gap_fill, pq_ann);
     # group B rotates out (every member has a green row in
     # CORRECTNESS_r04 and stays pytest-oracle-gated each round).
     return {
@@ -1916,8 +1962,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_fit_history": q_kmeans_fit_history,
         "kmeans_fit_best": q_kmeans_fit_best,
         "mllib_kmeans": q_mllib_kmeans,
-        "srp_ann": q_srp_ann,
-        "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
         "streaming_kmeans": q_streaming_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -1944,6 +1988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_events": q_unpivot_events,
         "near_dedup_incremental": q_near_dedup_incremental,
         "data_quality": q_data_quality,
+        "correlated_min": q_correlated_min,
+        "gap_fill": q_gap_fill,
         "quantiles": q_quantiles,
         "dedup_incremental": q_dedup_incremental,
         "mix_sources": q_mix_sources,
@@ -1974,6 +2020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "tpch_q1": q_tpch_q1,
         "dedup_components": q_dedup_components,
+        "srp_ann": q_srp_ann,
+        "ivf_ann": q_ivf_ann,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -2388,6 +2436,24 @@ def oracle_sql() -> dict[str, str]:
             "from orders group by 1"
         ),
         "embed_covariance": cov_sql,
+        "correlated_min": (
+            "select l_orderkey, l_linenumber, "
+            "round(l_extendedprice, 2) as price "
+            "from lineitem a where l_extendedprice = ("
+            "select min(l_extendedprice) from lineitem b "
+            "where b.l_orderkey = a.l_orderkey)"
+        ),
+        "gap_fill": (
+            "with daily as (select user_id, "
+            "(epoch_ns(ts) // 1000000000) // 86400 as day, "
+            "count(*)::BIGINT as n from events group by 1, 2), "
+            "span as (select user_id, min(day) as d0, max(day) as d1 "
+            "from daily group by 1), "
+            "cal as (select user_id, unnest(range(d0, d1 + 1)) as day from span) "
+            "select cal.user_id, cal.day::BIGINT as day, "
+            "coalesce(daily.n, 0)::BIGINT as n "
+            "from cal left join daily using (user_id, day)"
+        ),
         "data_quality": (
             "with a as (select count(*)::BIGINT as n, "
             "sum(case when o_custkey is null then 1 else 0 end)::BIGINT as v0, "

@@ -267,3 +267,45 @@ class SnapshotStateStore:
         for v in self._versions(table)[:-1]:
             (self._manifests(table) / f"v{v:08d}.json").unlink()
         return removed
+
+    def upsert(
+        self, spark: SparkSession, df: DataFrame, table: str, key: str
+    ) -> int:
+        """MERGE by ``key`` (SCD-1 semantics): rows of the current
+        snapshot whose key appears in ``df`` are superseded; everything
+        else carries over; ``df`` rows land as the new truth. Commits
+        ONE new version (replace snapshot) — earlier versions remain
+        time-travelable until ``vacuum``.
+
+        Physical shape: survivors = current LEFT ANTI df on the key
+        (one join keyed on the table key), then survivors ∪ df staged
+        as the new snapshot's files. This is copy-on-write MERGE —
+        right for state-sized tables (models, hash histories,
+        aggregates), deliberately NOT for a 100 TB fact table (that
+        wants merge-on-read deletion vectors; out of scope for a
+        state store whose tables are bounded).
+
+        Same single-writer-per-table contract as the ingest operators:
+        OCC prevents torn manifests, not read-modify-write lost
+        updates between concurrent upserters.
+        """
+        if not self.exists(table):
+            return self.append(df, table)
+        current = self.read(spark, table)
+        merged = current.join(
+            df.select(key).distinct(), key, "left_anti"
+        ).unionByName(df)
+        staging = self._table(table) / f".staging-{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(str(staging))
+        data = self._data(table)
+        data.mkdir(parents=True, exist_ok=True)
+        batch = uuid.uuid4().hex
+        new_files: list[str] = []
+        for i, part in enumerate(sorted(staging.glob("part-*.parquet"))):
+            name = f"{batch}-part-{i}.parquet"
+            os.replace(part, data / name)
+            new_files.append(name)
+        shutil.rmtree(staging)
+        return self._commit(
+            table, new_files, replace=True, schema_json=merged.schema.json()
+        )

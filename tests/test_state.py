@@ -390,3 +390,35 @@ def test_incremental_histogram_clamps_and_validates(spark, snap):
     assert got == {(0, 2), (3, 2)}  # -5 clamps to 0, 99 clamps to 3, null dropped
     with _pytest.raises(ValueError, match="p must be"):
         hist.quantile(spark, 0.0)
+
+
+def test_snapshot_upsert_scd1(spark, tmp_path):
+    """upsert supersedes matching keys, carries the rest, keeps old
+    versions time-travelable, and vacuum reclaims them."""
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "s"))
+    v1 = store.append(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"),
+        "t",
+    )
+    v2 = store.upsert(
+        spark,
+        spark.createDataFrame([(2, "B2"), (4, "d")], "k bigint, v string"),
+        "t",
+        key="k",
+    )
+    assert v2 == v1 + 1
+    now = {(r["k"], r["v"]) for r in store.read(spark, "t").collect()}
+    assert now == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    # time travel still sees the pre-merge state
+    old = {(r["k"], r["v"]) for r in store.read(spark, "t", version=v1).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
+    # upsert into a missing table is a plain first append
+    store.upsert(
+        spark, spark.createDataFrame([(9, "z")], "k bigint, v string"), "t2", key="k"
+    )
+    assert store.read(spark, "t2").count() == 1
+    # vacuum drops superseded files; latest still reads
+    store.vacuum("t")
+    assert {(r["k"], r["v"]) for r in store.read(spark, "t").collect()} == now
