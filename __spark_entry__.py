@@ -694,6 +694,54 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time: per event, count and
+    exact-cents sum of the SAME USER's events in the trailing hour
+    (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW over epoch
+    seconds) — the value-based frame ROWS frames can't express when
+    events are irregular. Frame bounds depend only on the ordering
+    VALUE, so peer rows (same user, same second) share identical
+    frame results and tie order cannot change the output."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    es = event_epoch_seconds(ev)
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    base = ev.select(
+        "event_id", "user_id", es.alias("es"), vc.alias("value_c")
+    )
+    w = Window.partitionBy("user_id").orderBy("es").rangeBetween(-3600, 0)
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("value_c").over(w).alias("sum_c_1h"),
+    )
+
+
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-statistic windows per user over a UNIQUE ordering
+    (value_c, event_id): rank, dense_rank, percent_rank (6 dp),
+    cume_dist (6 dp), ntile(4). Unique ordering keeps every statistic
+    deterministic; fixed rounding keeps the doubles hash-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    base = ev.select("event_id", "user_id", vc.alias("value_c"))
+    w = Window.partitionBy("user_id").orderBy("value_c", "event_id")
+    return base.select(
+        "event_id",
+        "user_id",
+        "value_c",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def q_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (TPC-H q2's shape): lineitems whose
     price equals their order's minimum price. Catalyst decorrelates
@@ -1911,7 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 88 entries, 38
+    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 90 entries, 40
     # sit in the tail each round, alternating between two groups so
     # every query gets a driver CORRECTNESS row at least every other
     # round:
@@ -1925,14 +1973,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     first-gated-this-round queries cube_revenue, boilerplate,
     #     domain_kl, embed_covariance, moving_avg, funnel, retention,
     #     pivot_native, unpivot_events, near_dedup_incremental,
-    #     data_quality, correlated_min, gap_fill, pq_ann
+    #     data_quality, correlated_min, gap_fill, range_frame,
+    #     window_ranks, pq_ann
     #     (they join group A's cadence after their first driver row
     #     lands in r5)
     #   group B (tail on ODD rounds r5, r7, …): tfidf_top_terms,
     #     asof_join, sessionize, tpch_q3, limit_by_latest,
     #     silhouette_sums, decontaminate, pack_sequences, tpch_q5,
     #     ann_topk, tpch_q1, dedup_components, srp_ann, ivf_ann,
-    #     lang_id,
+    #     kmeans_fit_best, mllib_kmeans, lang_id,
     #     quality_scores, token_counts, doc_fingerprint,
     #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
     #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup,
@@ -1940,16 +1989,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (88 entries: 13 fixed head + 37-entry group A + 38-entry group B.) This round (r5):
+    # (90 entries: 11 fixed head + 39-entry group A + 40-entry group B.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
-    # including first driver rows for the twenty-eight NEW r5 queries
+    # including first driver rows for the thirty NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     # weighted_sample, near_dedup, hll_incremental, formats_roundtrip,
     # tpch_q4, tpch_q18, histogram_incremental, curriculum,
     # hashed_features, doc_clusters, cube_revenue, boilerplate,
     # domain_kl, embed_covariance, moving_avg, funnel, retention,
     # pivot_native, unpivot_events, near_dedup_incremental,
-    # data_quality, correlated_min, gap_fill, pq_ann);
+    # data_quality, correlated_min, gap_fill, range_frame,
+    # window_ranks, pq_ann);
     # group B rotates out (every member has a green row in
     # CORRECTNESS_r04 and stays pytest-oracle-gated each round).
     return {
@@ -1960,8 +2010,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeanspp_pick": q_kmeanspp_pick,
         "elbow_total": q_elbow_total,
         "kmeans_fit_history": q_kmeans_fit_history,
-        "kmeans_fit_best": q_kmeans_fit_best,
-        "mllib_kmeans": q_mllib_kmeans,
         "pq_ann": q_pq_ann,
         "streaming_kmeans": q_streaming_kmeans,
         "multimodal_features": q_multimodal_features,
@@ -1990,6 +2038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality": q_data_quality,
         "correlated_min": q_correlated_min,
         "gap_fill": q_gap_fill,
+        "range_frame": q_range_frame,
+        "window_ranks": q_window_ranks,
         "quantiles": q_quantiles,
         "dedup_incremental": q_dedup_incremental,
         "mix_sources": q_mix_sources,
@@ -2022,6 +2072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "srp_ann": q_srp_ann,
         "ivf_ann": q_ivf_ann,
+        "kmeans_fit_best": q_kmeans_fit_best,
+        "mllib_kmeans": q_mllib_kmeans,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -2436,6 +2488,25 @@ def oracle_sql() -> dict[str, str]:
             "from orders group by 1"
         ),
         "embed_covariance": cov_sql,
+        "range_frame": (
+            "with b as (select event_id, user_id, "
+            "epoch_ns(ts) // 1000000000 as es, "
+            "round(value * 100)::BIGINT as value_c from events) "
+            "select event_id, user_id, "
+            "count(*) over f as n_1h, sum(value_c) over f as sum_c_1h "
+            "from b window f as (partition by user_id order by es "
+            "range between 3600 preceding and current row)"
+        ),
+        "window_ranks": (
+            "with b as (select event_id, user_id, "
+            "round(value * 100)::BIGINT as value_c from events) "
+            "select event_id, user_id, value_c, "
+            "rank() over w as rnk, dense_rank() over w as drnk, "
+            "round(percent_rank() over w, 6) as prank, "
+            "round(cume_dist() over w, 6) as cdist, "
+            "ntile(4) over w as quartile from b "
+            "window w as (partition by user_id order by value_c, event_id)"
+        ),
         "correlated_min": (
             "select l_orderkey, l_linenumber, "
             "round(l_extendedprice, 2) as price "
