@@ -694,6 +694,32 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dimension matching: resolve misspelled nation names to
+    their closest catalog entry by Levenshtein distance (struct-min
+    argmin, tie → lexicographically first name) — the entity-
+    resolution join every messy upstream feed needs. The probe side
+    is a literal batch; the catalog side is the broadcast-sized dim
+    table, so the cross join is |probes| × |dim| — never data-scale."""
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    probes = spark.createDataFrame(
+        [("UNTED STATES",), ("BRAZYL",), ("JAPAM",), ("GERMANIE",), ("CHIMA",)],
+        "probe string",
+    )
+    d = F.levenshtein("probe", "n_name")
+    best = F.min(F.struct(d.alias("dist"), F.col("n_name").alias("name")))
+    return (
+        probes.crossJoin(F.broadcast(nation))
+        .groupBy("probe")
+        .agg(best.alias("b"))
+        .select(
+            "probe",
+            F.col("b.name").alias("best_name"),
+            F.col("b.dist").cast("int").alias("dist"),
+        )
+    )
+
+
 def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame over event time: per event, count and
     exact-cents sum of the SAME USER's events in the trailing hour
@@ -1959,7 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 90 entries, 40
+    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 91 entries, 41
     # sit in the tail each round, alternating between two groups so
     # every query gets a driver CORRECTNESS row at least every other
     # round:
@@ -1974,14 +2000,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     domain_kl, embed_covariance, moving_avg, funnel, retention,
     #     pivot_native, unpivot_events, near_dedup_incremental,
     #     data_quality, correlated_min, gap_fill, range_frame,
-    #     window_ranks, pq_ann
+    #     window_ranks, fuzzy_match, pq_ann
     #     (they join group A's cadence after their first driver row
     #     lands in r5)
     #   group B (tail on ODD rounds r5, r7, …): tfidf_top_terms,
     #     asof_join, sessionize, tpch_q3, limit_by_latest,
     #     silhouette_sums, decontaminate, pack_sequences, tpch_q5,
     #     ann_topk, tpch_q1, dedup_components, srp_ann, ivf_ann,
-    #     kmeans_fit_best, mllib_kmeans, lang_id,
+    #     kmeans_fit_best, mllib_kmeans, streaming_windows, lang_id,
     #     quality_scores, token_counts, doc_fingerprint,
     #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
     #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup,
@@ -1989,9 +2015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (90 entries: 11 fixed head + 39-entry group A + 40-entry group B.) This round (r5):
+    # (91 entries: 10 fixed head + 40-entry group A + 41-entry group B.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
-    # including first driver rows for the thirty NEW r5 queries
+    # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
     # weighted_sample, near_dedup, hll_incremental, formats_roundtrip,
     # tpch_q4, tpch_q18, histogram_incremental, curriculum,
@@ -1999,7 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # domain_kl, embed_covariance, moving_avg, funnel, retention,
     # pivot_native, unpivot_events, near_dedup_incremental,
     # data_quality, correlated_min, gap_fill, range_frame,
-    # window_ranks, pq_ann);
+    # window_ranks, fuzzy_match, pq_ann);
     # group B rotates out (every member has a green row in
     # CORRECTNESS_r04 and stays pytest-oracle-gated each round).
     return {
@@ -2014,7 +2040,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmeans": q_streaming_kmeans,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
-        "streaming_windows": q_streaming_windows,
         # --- group A: in the window this round (r5), tail on even ---
         "latest_two": q_latest_two,
         "anti_join": q_anti_join,
@@ -2040,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "range_frame": q_range_frame,
         "window_ranks": q_window_ranks,
+        "fuzzy_match": q_fuzzy_match,
         "quantiles": q_quantiles,
         "dedup_incremental": q_dedup_incremental,
         "mix_sources": q_mix_sources,
@@ -2058,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: group B, out of the driver's 50-row window this
         # round (all green in CORRECTNESS_r04; still oracle-gated in
         # pytest) ---
+        "streaming_windows": q_streaming_windows,
         "tfidf_top_terms": q_tfidf_top_terms,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
@@ -2488,6 +2515,16 @@ def oracle_sql() -> dict[str, str]:
             "from orders group by 1"
         ),
         "embed_covariance": cov_sql,
+        "fuzzy_match": (
+            "with p as (select unnest(['UNTED STATES', 'BRAZYL', 'JAPAM', "
+            "'GERMANIE', 'CHIMA']) as probe), "
+            "s as (select probe, n_name, "
+            "levenshtein(probe, n_name) as dist from p cross join nation), "
+            "m as (select probe, min(dist) as md from s group by 1) "
+            "select s.probe, min(s.n_name) as best_name, "
+            "any_value(s.dist)::INT as dist from s join m "
+            "on s.probe = m.probe and s.dist = m.md group by s.probe"
+        ),
         "range_frame": (
             "with b as (select event_id, user_id, "
             "epoch_ns(ts) // 1000000000 as es, "

@@ -219,3 +219,81 @@ def test_histogram_conserves_rows(spark, vals):
     h2.update(spark.createDataFrame([(v,) for v in vals[half:]] or [(None,)], "v double"), "v")
     two = {(r["bin"], r["cnt"]) for r in h2.merged(df.sparkSession).collect()}
     assert two == one
+
+
+words = st.lists(
+    st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+    min_size=0,
+    max_size=12,
+)
+docs_strategy = st.lists(words, min_size=1, max_size=6)
+
+
+@given(docs=docs_strategy)
+@SETTINGS
+def test_boilerplate_ratio_bounds_and_total(spark, docs):
+    """0 <= ratio <= 1, every input doc keeps exactly one row, and
+    n_frequent <= n_shingles."""
+    from clickhouse_k_means_spark.operators.textstats import boilerplate_ratio
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    rows = boilerplate_ratio(df, n=2, min_doc_freq=2).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert 0 <= r["n_frequent"] <= r["n_shingles"]
+        assert 0.0 <= r["boiler_ratio"] <= 1.0
+
+
+@given(docs=docs_strategy)
+@SETTINGS
+def test_domain_kl_nonnegative_and_zero_on_identity(spark, docs):
+    """KL(P_domain || P_corpus) >= 0 for every domain; a corpus with a
+    single domain has KL exactly 0."""
+    from clickhouse_k_means_spark.operators.textstats import domain_divergence
+
+    nonempty = [ws for ws in docs if ws]
+    if not nonempty:
+        return
+    multi = spark.createDataFrame(
+        [
+            (i, f"s{i % 2}", " ".join(ws))
+            for i, ws in enumerate(nonempty)
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    for r in domain_divergence(multi, group="source").collect():
+        assert r["kl_micro"] >= 0
+    single = spark.createDataFrame(
+        [(i, "only", " ".join(ws)) for i, ws in enumerate(nonempty)],
+        "doc_id bigint, source string, text string",
+    )
+    rows = domain_divergence(single, group="source").collect()
+    assert len(rows) == 1 and rows[0]["kl_micro"] == 0
+
+
+@given(
+    pts=st.lists(
+        st.tuples(coords, coords, coords), min_size=5, max_size=12, unique=True
+    )
+)
+@SETTINGS
+def test_pca_projection_variance_sums(spark, pts):
+    """Full-rank PCA preserves total variance (sum of eigenvalues ==
+    trace of covariance) and components stay orthonormal."""
+    import numpy as np
+
+    from clickhouse_k_means_spark.operators.pca import fit_pca
+
+    df = spark.createDataFrame(
+        [(list(map(float, p)),) for p in pts], "embedding array<double>"
+    )
+    model = fit_pca(df, n_components=3)
+    x = np.array(pts, dtype=float)
+    total_var = np.cov(x, rowvar=False, bias=True).trace()
+    assert np.allclose(model.explained_variance.sum(), total_var, atol=1e-8)
+    assert np.allclose(
+        model.components @ model.components.T, np.eye(3), atol=1e-8
+    )
