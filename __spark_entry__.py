@@ -1449,6 +1449,30 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_scores(docs)
 
 
+# chunking contract for the chunk_docs gate: 64-token windows
+# advancing by 48 (16-token overlap) — typical context-prep numbers
+# scaled down to fixture-sized docs
+CHUNK_BUDGET, CHUNK_OVERLAP = 64, 16
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget document chunking with overlap (map-only: no
+    shuffle — the plan is scan → sequence-explode → slice)."""
+    from clickhouse_k_means_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, budget=CHUNK_BUDGET, overlap=CHUNK_OVERLAP)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index postings statistics per term (df >= 2): doc
+    frequency, total tf, and an exact postings checksum."""
+    from clickhouse_k_means_spark.operators.chunking import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=2)
+
+
 def _planted_pii(docs: DataFrame):
     """text + synthetic PII derived from doc_id, so the scrub pass has
     something to scrub on every row (the fixture corpus contains none);
@@ -2015,7 +2039,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (91 entries: 10 fixed head + 40-entry group A + 41-entry group B.) This round (r5):
+    # (93 entries: 10 fixed head + 40-entry group A + 43-entry group B
+    # — chunk_docs and inverted_index, added late r5, join group B and
+    # take their first driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2125,6 +2151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agg_segment": q_join_agg_segment,
         "hash_split": q_hash_split,
         "sql_scalar_subquery": q_sql_scalar_subquery,
+        # --- new in late r5: join group B's cadence (window in r6) ---
+        "chunk_docs": q_chunk_docs,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -3096,6 +3125,34 @@ def oracle_sql() -> dict[str, str]:
         # multimodal fakes: the md5 hex chain is replayed value-for-value
         "multimodal_features": _multimodal_features_sql(),
         "multimodal_frames": _multimodal_frames_sql(),
+        # token-budget chunking: DuckDB list_slice is 1-based and
+        # end-INCLUSIVE, Spark slice is 1-based (start, length) — end
+        # = start + budget - 1; integral // keeps chunk counts exact
+        "chunk_docs": (
+            f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
+            "nz as (select doc_id, tk, len(tk)::BIGINT as n from tkc "
+            "where len(tk) > 0), "
+            "ch as (select doc_id, tk, unnest(range(0, 1 + greatest(0, "
+            f"(n - {CHUNK_BUDGET} + {CHUNK_BUDGET - CHUNK_OVERLAP - 1}) "
+            f"// {CHUNK_BUDGET - CHUNK_OVERLAP}))) as chunk_id from nz) "
+            "select doc_id, chunk_id::BIGINT as chunk_id, "
+            f"len(list_slice(tk, chunk_id * {CHUNK_BUDGET - CHUNK_OVERLAP} + 1, "
+            f"chunk_id * {CHUNK_BUDGET - CHUNK_OVERLAP} + {CHUNK_BUDGET}))::BIGINT "
+            "as n_tok, "
+            f"md5(array_to_string(list_slice(tk, "
+            f"chunk_id * {CHUNK_BUDGET - CHUNK_OVERLAP} + 1, "
+            f"chunk_id * {CHUNK_BUDGET - CHUNK_OVERLAP} + {CHUNK_BUDGET}), ' ')) "
+            "as chunk_md5 from ch"
+        ),
+        "inverted_index": (
+            f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
+            "tf0 as (select doc_id, unnest(tk) as term from tkc), "
+            "tfc as (select doc_id, term, count(*)::BIGINT as tf from tf0 "
+            "group by 1, 2) "
+            "select term, count(*)::BIGINT as df, sum(tf)::BIGINT as total_tf, "
+            "sum(doc_id)::BIGINT as postings_sum from tfc group by term "
+            "having count(*) >= 2"
+        ),
     }
 
 

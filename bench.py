@@ -211,6 +211,10 @@ def main() -> None:
         ("near_dedup_incremental", entry.q_near_dedup_incremental, 2),
         # one-scan declarative constraint validation
         ("data_quality", entry.q_data_quality, 2),
+        # map-only token-budget chunking (scan -> sequence-explode ->
+        # slice, zero shuffles) / term-postings stats (two-level agg)
+        ("chunk_docs", entry.q_chunk_docs, 2),
+        ("inverted_index", entry.q_inverted_index, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)
