@@ -1473,6 +1473,16 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(docs, min_df=2)
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc avg surprisal under the corpus's own add-one-smoothed
+    BIGRAM LM (micro-nats, exact BIGINT) — fluency scoring that
+    catches word-salad the unigram score misses."""
+    from clickhouse_k_means_spark.operators.textstats import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
 def _planted_pii(docs: DataFrame):
     """text + synthetic PII derived from doc_id, so the scrub pass has
     something to scrub on every row (the fixture corpus contains none);
@@ -2039,9 +2049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (93 entries: 10 fixed head + 40-entry group A + 43-entry group B
-    # — chunk_docs and inverted_index, added late r5, join group B and
-    # take their first driver rows in r6.) This round (r5):
+    # (94 entries: 10 fixed head + 40-entry group A + 44-entry group B
+    # — chunk_docs, inverted_index and bigram_lm, added late r5, join
+    # group B and take their first driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2154,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in late r5: join group B's cadence (window in r6) ---
         "chunk_docs": q_chunk_docs,
         "inverted_index": q_inverted_index,
+        "bigram_lm": q_bigram_lm,
     }
 
 
@@ -3152,6 +3163,29 @@ def oracle_sql() -> dict[str, str]:
             "select term, count(*)::BIGINT as df, sum(tf)::BIGINT as total_tf, "
             "sum(doc_id)::BIGINT as postings_sum from tfc group by term "
             "having count(*) >= 2"
+        ),
+        # bigram LM: ln once per distinct bigram on an integer ratio,
+        # fixed-pointed to micro-nats before any aggregation (the
+        # unigram_lm determinism rule); DuckDB tk[i] is 1-based
+        "bigram_lm": (
+            f"with tkc as (select doc_id, {_TOKS} as tk from documents), "
+            "bg0 as (select doc_id, tk, unnest(range(1, len(tk))) as i "
+            "from tkc where len(tk) >= 2), "
+            "bgc as (select doc_id, tk[i] as w1, tk[i+1] as w2, "
+            "count(*)::BIGINT as tf from bg0 group by 1, 2, 3), "
+            "cb as (select w1, w2, sum(tf)::BIGINT as cb from bgc "
+            "group by 1, 2), "
+            "cc as (select w1, sum(cb)::BIGINT as cc from cb group by 1), "
+            "v as (select count(distinct t)::BIGINT as v from "
+            "(select unnest(tk) as t from tkc)), "
+            "s as (select w1, w2, round(ln((cc + v)::DOUBLE / (cb + 1)) "
+            "* 1000000)::BIGINT as s from cb join cc using (w1) cross join v), "
+            "d as (select doc_id, sum(tf)::BIGINT as n_big, "
+            "sum(tf * s)::BIGINT as nll_sum from bgc join s using (w1, w2) "
+            "group by 1) "
+            "select documents.doc_id, coalesce(d.n_big, 0)::BIGINT as n_big, "
+            "coalesce(d.nll_sum // d.n_big, 0)::BIGINT as nll_micro "
+            "from documents left join d on documents.doc_id = d.doc_id"
         ),
     }
 

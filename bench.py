@@ -215,6 +215,8 @@ def main() -> None:
         # slice, zero shuffles) / term-postings stats (two-level agg)
         ("chunk_docs", entry.q_chunk_docs, 2),
         ("inverted_index", entry.q_inverted_index, 2),
+        # corpus bigram LM scoring (map-only bigram construction)
+        ("bigram_lm", entry.q_bigram_lm, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -382,3 +382,86 @@ def domain_divergence(
             F.expr("greatest(kl_sum, 0L) div t_s").alias("kl_micro"),
         )
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Per-document surprisal under the corpus's own BIGRAM language
+    model with add-one (Laplace) smoothing — the next step up from
+    ``unigram_lm_scores`` for fluency/outlier scoring: word-salad docs
+    (plausible tokens in implausible order) score high here while the
+    unigram score stays flat.
+
+    For each bigram instance (w1, w2):
+    ``surprisal = ln((c(w1·) + V) / (c(w1,w2) + 1))`` where ``c(w1·)``
+    is the corpus count of bigrams starting at w1, ``c(w1,w2)`` the
+    corpus bigram count, and ``V`` the corpus vocabulary size (the
+    Laplace denominator). Output per doc: ``(key, n_big, nll_micro)``
+    with ``nll_micro`` the average surprisal in micro-nats as exact
+    BIGINT (0 for docs with < 2 tokens).
+
+    Determinism follows the unigram_lm rule: ln() evaluates once per
+    DISTINCT bigram on a ratio of two integers, is fixed-pointed to
+    micro-nats immediately, and everything downstream (Σ tf·s,
+    integer div) is exact BIGINT — partition order cannot move it.
+
+    Plan shape at 100 TB: bigram rows come from
+    ``arrays_zip(slice(tk,1,n-1), slice(tk,2,n-1))`` over the staged
+    token array — MAP-ONLY construction (no posexplode+window shuffle,
+    no interpreted HOF lambda re-deriving tokenization). Then
+    (doc, w1, w2) partial-agg → checkpointed tf (feeds model AND
+    score), vocab-sized shuffle joins for c(w1,w2) ⋈ c(w1·) (never
+    broadcast — vocabulary is unbounded), a broadcast 1-row V, and a
+    final groupBy(doc).
+    """
+    base = docs.select(key, tokens(text).alias("tk"))
+    n = F.size("tk")
+    pairs = base.filter(n >= 2).select(
+        key,
+        F.explode(
+            F.arrays_zip(F.slice("tk", 1, n - 1), F.slice("tk", 2, n - 1))
+        ).alias("z"),
+    ).select(key, F.col("z")["0"].alias("w1"), F.col("z")["1"].alias("w2"))
+    # eager localCheckpoint, not persist(): tf feeds the corpus model
+    # and the per-doc score — runs once, leaves no cache entry behind
+    tf = (
+        pairs.groupBy(key, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    cc = cb.groupBy("w1").agg(F.sum("cb").alias("cc"))
+    vocab = base.select(F.explode("tk").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    s_micro = F.round(
+        F.log(
+            (F.col("cc") + F.col("v")).cast("double") / (F.col("cb") + 1)
+        )
+        * 1_000_000
+    ).cast("bigint")
+    surprisal = (
+        cb.join(cc, "w1")
+        .join(F.broadcast(vocab))
+        .select("w1", "w2", s_micro.alias("s"))
+    )
+    per_doc = (
+        tf.join(surprisal, ["w1", "w2"])
+        .groupBy(key)
+        .agg(
+            F.sum("tf").alias("n_big"),
+            F.sum(F.col("tf") * F.col("s")).alias("nll_sum"),
+        )
+    )
+    return (
+        docs.select(key)
+        .join(per_doc, key, "left")
+        .select(
+            key,
+            F.coalesce("n_big", F.lit(0)).cast("bigint").alias("n_big"),
+            F.coalesce(F.expr("nll_sum div n_big"), F.lit(0))
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )

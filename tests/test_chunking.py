@@ -123,3 +123,38 @@ def test_chunks_reassemble_to_document(spark):
     # and the operator's chunk count matches the closed form
     n_ops = chunk_documents(df, budget=budget, overlap=overlap).count()
     assert n_ops == len(chunks)
+
+
+def test_bigram_lm_scores_word_salad_higher(spark):
+    """Docs reusing the corpus's common bigrams score lower than a doc
+    of the same tokens in unseen order (the fluency property that
+    motivates a bigram LM over a unigram one)."""
+    from clickhouse_k_means_spark.operators.textstats import bigram_lm_scores
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(1, 9)]
+    rows.append((9, "mat the on sat cat the"))  # same tokens, shuffled
+    rows.append((10, "x"))  # single token: no bigrams
+    rows.append((11, ""))  # empty
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    assert out[1].n_big == 5 and out[9].n_big == 5
+    # every doc-1 bigram occurs 8x in the corpus; doc-9's occur once
+    assert out[9].nll_micro > out[1].nll_micro
+    assert out[10].n_big == 0 and out[10].nll_micro == 0
+    assert out[11].n_big == 0 and out[11].nll_micro == 0
+
+
+def test_bigram_lm_partition_invariant(spark, sf_dir):
+    """Micro-nat fixed-pointing before aggregation: repartitioning the
+    input cannot move any per-doc score."""
+    from clickhouse_k_means_spark.operators.textstats import bigram_lm_scores
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: (r.n_big, r.nll_micro) for r in bigram_lm_scores(docs).collect()}
+    b = {
+        r.doc_id: (r.n_big, r.nll_micro)
+        for r in bigram_lm_scores(docs.repartition(13)).collect()
+    }
+    assert a == b
