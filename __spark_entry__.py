@@ -1483,6 +1483,16 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs)
 
 
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Tukey-fence outlier stats with EXACT type-7
+    quantiles computed from the value-frequency table (never Spark's
+    memory-unbounded exact percentile aggregate)."""
+    from clickhouse_k_means_spark.operators.outliers import iqr_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return iqr_outliers(events, value="value", group="event_type")
+
+
 def _planted_pii(docs: DataFrame):
     """text + synthetic PII derived from doc_id, so the scrub pass has
     something to scrub on every row (the fixture corpus contains none);
@@ -2049,9 +2059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (94 entries: 10 fixed head + 40-entry group A + 44-entry group B
-    # — chunk_docs, inverted_index and bigram_lm, added late r5, join
-    # group B and take their first driver rows in r6.) This round (r5):
+    # (95 entries: 10 fixed head + 40-entry group A + 45-entry group B
+    # — chunk_docs, inverted_index, bigram_lm and outliers, added late
+    # r5, join group B and take their first driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2165,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "inverted_index": q_inverted_index,
         "bigram_lm": q_bigram_lm,
+        "outliers": q_outliers,
     }
 
 
@@ -3186,6 +3197,28 @@ def oracle_sql() -> dict[str, str]:
             "select documents.doc_id, coalesce(d.n_big, 0)::BIGINT as n_big, "
             "coalesce(d.nll_sum // d.n_big, 0)::BIGINT as nll_micro "
             "from documents left join d on documents.doc_id = d.doc_id"
+        ),
+        # Tukey fences on cents-quantized values; 4× the type-7
+        # quantile is always integral (interpolation fractions at
+        # p∈{.25,.75} are quarters), 8× makes the 1.5·IQR fence
+        # comparison pure BIGINT on both engines
+        "outliers": (
+            "with b as (select event_type, round(value * 100)::BIGINT as v "
+            "from events), "
+            "q as (select event_type, count(*)::BIGINT as n, "
+            "round(quantile_cont(v, 0.25) * 4)::BIGINT as q25_4, "
+            "round(quantile_cont(v, 0.75) * 4)::BIGINT as q75_4 "
+            "from b group by 1) "
+            "select b.event_type, any_value(n)::BIGINT as n, "
+            "any_value(q25_4)::BIGINT as q25_4, "
+            "any_value(q75_4)::BIGINT as q75_4, "
+            "count(case when 8 * v < 2 * q25_4 - 3 * (q75_4 - q25_4) "
+            "or 8 * v > 2 * q75_4 + 3 * (q75_4 - q25_4) then 1 end)::BIGINT "
+            "as n_outliers, "
+            "coalesce(sum(case when 8 * v < 2 * q25_4 - 3 * (q75_4 - q25_4) "
+            "or 8 * v > 2 * q75_4 + 3 * (q75_4 - q25_4) then v end), 0)::BIGINT "
+            "as outlier_sum_c "
+            "from b join q using (event_type) group by 1"
         ),
     }
 

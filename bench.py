@@ -217,6 +217,8 @@ def main() -> None:
         ("inverted_index", entry.q_inverted_index, 2),
         # corpus bigram LM scoring (map-only bigram construction)
         ("bigram_lm", entry.q_bigram_lm, 2),
+        # frequency-table exact quantiles + Tukey-fence flagging
+        ("outliers", entry.q_outliers, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -1,0 +1,122 @@
+"""Exact distributed IQR outlier detection.
+
+Per-group Tukey-fence outlier flagging (value outside
+``[q25 - 1.5·IQR, q75 + 1.5·IQR]``) with EXACT type-7 quantiles —
+the robust complement to z-score screening for metric-anomaly sweeps
+over event streams (extension beyond the reference; engine idiom:
+declarative plan, integer determinism, DuckDB oracle twin).
+
+Scale design — why not ``F.percentile``: Spark's exact percentile
+aggregate buffers every value of a group in executor memory, which
+dies at 100 TB. Instead quantiles are computed from the VALUE-
+FREQUENCY table: cents-quantized metrics have bounded distinct
+cardinality, so ``groupBy(group, value).count()`` shrinks the data by
+orders of magnitude in a map-side-combined shuffle, the cumulative
+window then runs over the compact frequency table (per-group
+partitions of distinct VALUES, not rows), and the quantile falls out
+of four covered-position lookups. One more broadcast join back (group
+cardinality is small by construction) flags the raw rows. Everything
+after cents quantization is BIGINT: quarter-unit quantile fixed-point
+(type-7 interpolation fractions at p∈{.25,.75} are quarters, so 4×
+the quantile is always integral) and eighth-unit fence comparisons —
+no float ULP can flip a flag between engines or partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _value_at(pos: Column, cum_prev: Column, cum: Column, v: Column) -> Column:
+    """The sorted-position lookup: this freq row covers positions
+    [cum_prev, cum); exactly one row per group covers ``pos``, so the
+    max-of-when aggregate extracts its value."""
+    return F.max(F.when((cum_prev <= pos) & (pos < cum), v))
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value: str = "value",
+    group: str = "event_type",
+    cents: int = 100,
+) -> DataFrame:
+    """Per-group Tukey-fence outlier stats over a metric column.
+
+    Returns ``(group, n, q25_4, q75_4, n_outliers, outlier_sum_c)``:
+    ``q25_4``/``q75_4`` are 4× the exact type-7 quantiles of the
+    cents-quantized metric (BIGINT — the ×4 absorbs the quarter
+    interpolation fractions), ``n_outliers`` counts rows outside
+    ``[q25 - 1.5·IQR, q75 + 1.5·IQR]`` and ``outlier_sum_c`` is their
+    exact cents sum (an order-free checksum of the flagged set).
+    """
+    b = df.select(
+        F.col(group).alias("g"),
+        F.round(F.col(value) * cents).cast("bigint").alias("v"),
+    )
+    freq = b.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = Window.partitionBy("g").orderBy("v")
+    wall = Window.partitionBy("g")
+    staged = freq.select(
+        "g",
+        "v",
+        "cnt",
+        F.sum("cnt").over(wo).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+
+    # type-7: p25 sits at quarter-position (n-1), p75 at 3(n-1)
+    i25 = F.expr("(n - 1) div 4")
+    f25 = F.expr("(n - 1) % 4")
+    i75 = F.expr("(3 * (n - 1)) div 4")
+    f75 = F.expr("(3 * (n - 1)) % 4")
+    cp, cu, v = F.col("cum_prev"), F.col("cum"), F.col("v")
+    q = staged.groupBy("g").agg(
+        F.first(F.col("n")).alias("n"),
+        _value_at(i25, cp, cu, v).alias("lo25"),
+        _value_at(i25 + 1, cp, cu, v).alias("hi25"),
+        _value_at(i75, cp, cu, v).alias("lo75"),
+        _value_at(i75 + 1, cp, cu, v).alias("hi75"),
+        F.first(f25).alias("f25"),
+        F.first(f75).alias("f75"),
+    )
+    # 4·quantile = 4·lo + frac4·(hi − lo); hi exists whenever frac > 0
+    bounds = q.select(
+        "g",
+        "n",
+        (
+            F.lit(4) * F.col("lo25")
+            + F.col("f25") * (F.coalesce("hi25", "lo25") - F.col("lo25"))
+        ).alias("q25_4"),
+        (
+            F.lit(4) * F.col("lo75")
+            + F.col("f75") * (F.coalesce("hi75", "lo75") - F.col("lo75"))
+        ).alias("q75_4"),
+    )
+    iqr4 = F.col("q75_4") - F.col("q25_4")
+    # v < q25 − 1.5·IQR  ⇔  8v < 2·q25_4 − 3·iqr_4 (and mirrored high)
+    flagged = b.join(F.broadcast(bounds), "g").withColumn(
+        "is_out",
+        (F.lit(8) * F.col("v") < F.lit(2) * F.col("q25_4") - F.lit(3) * iqr4)
+        | (F.lit(8) * F.col("v") > F.lit(2) * F.col("q75_4") + F.lit(3) * iqr4),
+    )
+    return (
+        flagged.groupBy("g")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("q25_4").alias("q25_4"),
+            F.first("q75_4").alias("q75_4"),
+            F.sum(F.col("is_out").cast("bigint")).alias("n_outliers"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_out"), F.col("v"))), F.lit(0)
+            ).alias("outlier_sum_c"),
+        )
+        .select(
+            F.col("g").alias(group),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("q25_4").cast("bigint").alias("q25_4"),
+            F.col("q75_4").cast("bigint").alias("q75_4"),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+            F.col("outlier_sum_c").cast("bigint").alias("outlier_sum_c"),
+        )
+    )
