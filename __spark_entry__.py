@@ -1493,6 +1493,43 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iqr_outliers(events, value="value", group="event_type")
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 iterations, BIGINT micro-ranks) over
+    the co-supplier graph (suppliers sharing an order); the oracle
+    unrolls the identical integer recurrence as chained CTEs."""
+    from clickhouse_k_means_spark.operators.graph import (
+        co_occurrence_edges,
+        pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = co_occurrence_edges(li, group="l_orderkey", node="l_suppkey")
+    return pagerank(edges, iters=3)
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    ctes = [
+        "e as (select distinct a.l_suppkey as src, b.l_suppkey as dst "
+        "from lineitem a join lineitem b on a.l_orderkey = b.l_orderkey "
+        "and a.l_suppkey != b.l_suppkey)",
+        "deg as (select src, count(*)::BIGINT as deg from e group by 1)",
+        "n as (select distinct src as node from e)",
+        "r0 as (select node, 1000000::BIGINT as r from n)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"r{i} as (select n.node, (150000 + (850000 * "
+            f"coalesce(sum(r{i-1}.r // deg.deg), 0)) // 1000000)::BIGINT as r "
+            "from n left join e on e.dst = n.node "
+            "left join deg on deg.src = e.src "
+            f"left join r{i-1} on r{i-1}.node = e.src group by n.node)"
+        )
+    return (
+        "with " + ", ".join(ctes)
+        + f" select node, r as rank_micro from r{iters}"
+    )
+
+
 def _planted_pii(docs: DataFrame):
     """text + synthetic PII derived from doc_id, so the scrub pass has
     something to scrub on every row (the fixture corpus contains none);
@@ -2059,9 +2096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (95 entries: 10 fixed head + 40-entry group A + 45-entry group B
-    # — chunk_docs, inverted_index, bigram_lm and outliers, added late
-    # r5, join group B and take their first driver rows in r6.) This round (r5):
+    # (96 entries: 10 fixed head + 40-entry group A + 46-entry group B
+    # — chunk_docs, inverted_index, bigram_lm, outliers and pagerank,
+    # added late r5, join group B and take their first driver rows in
+    # r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2176,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "bigram_lm": q_bigram_lm,
         "outliers": q_outliers,
+        "pagerank": q_pagerank,
     }
 
 
@@ -3220,6 +3259,9 @@ def oracle_sql() -> dict[str, str]:
             "as outlier_sum_c "
             "from b join q using (event_type) group by 1"
         ),
+        # PageRank: the exact integer recurrence unrolled one CTE per
+        # iteration — same div/damping arithmetic as operators/graph.py
+        "pagerank": _pagerank_sql(3),
     }
 
 

@@ -219,6 +219,8 @@ def main() -> None:
         ("bigram_lm", entry.q_bigram_lm, 2),
         # frequency-table exact quantiles + Tukey-fence flagging
         ("outliers", entry.q_outliers, 2),
+        # 3-iteration integer PageRank over the co-supplier graph
+        ("pagerank", entry.q_pagerank, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

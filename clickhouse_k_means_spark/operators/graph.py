@@ -1,0 +1,95 @@
+"""Iterative graph analytics: fixed-point PageRank.
+
+Extension beyond the reference (its only iterative surface is the
+k-means convergence loop, k-means.sh:16-33 — the same driver-side
+loop-over-declarative-steps idiom is applied here). Connected
+components live in ``operators/components.py``; this module adds the
+other canonical iterative-join workload, with the engine's exactness
+rule: ALL rank arithmetic is BIGINT micro-units (integer division for
+the per-edge split, integer damping), so results replay bit-for-bit
+against the unrolled-CTE DuckDB oracle and cannot drift with
+partitioning or iteration scheduling.
+
+Semantics: the simplified (no dangling-mass redistribution) PageRank
+``r'(v) = (1-d) + d · Σ_{u→v} r(u)/deg(u)`` — on a symmetric edge set
+(e.g. the co-occurrence graphs built below) every node has out-edges,
+so the dangling term is structurally zero anyway.
+
+Scale design: per iteration, one shuffle-join of edges⋈ranks on src
+(both sides partitioned by the join key; AQE handles skewed hubs) and
+one groupBy(dst) with map-side partial sums; ranks are eagerly
+localCheckpoint-ed each iteration so lineage stays O(1) and the next
+iteration re-reads a materialized relation instead of replaying the
+whole chain (the components.py large-star/small-star lesson).
+Fan-out of the co-supply edge builder is bounded by per-order line
+counts (TPC-H ≤ 7), not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ONE = 1_000_000  # rank fixed-point unit (micro-ranks)
+
+
+def co_occurrence_edges(
+    df: DataFrame, group: str, node: str
+) -> DataFrame:
+    """Symmetric directed edge set ``(src, dst)``: two distinct nodes
+    are connected iff they share a ``group`` value (e.g. suppliers
+    co-supplying an order). Deduplicated across groups."""
+    a = df.select(F.col(group).alias("g"), F.col(node).alias("src")).distinct()
+    b = df.select(F.col(group).alias("g"), F.col(node).alias("dst")).distinct()
+    return (
+        a.join(b, "g")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_ppm: int = 850_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact BIGINT micro-units.
+
+    Returns ``(node, rank_micro)`` for every node with out-edges.
+    Per iteration: ``contrib(u) = r(u) div deg(u)`` (integer split),
+    ``r'(v) = (ONE - d) + (d · Σ contrib) div ONE`` with ``d`` in ppm
+    — deterministic across engines and partitionings.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not (0 < damping_ppm < ONE):
+        raise ValueError(f"damping_ppm must be in (0, {ONE}), got {damping_ppm}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    ranks = nodes.withColumn("r", F.lit(ONE).cast("bigint"))
+    base = ONE - damping_ppm
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+        )
+        inbound = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(inbound.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_ppm} * coalesce(s, 0L)) div {ONE}")
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank_micro"))
