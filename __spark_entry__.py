@@ -1674,6 +1674,37 @@ def q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source fidelity: orders → ORC (partitioned by
+    priority, bloom filter on the key) → read back with a partition
+    filter → aggregate. Equals the oracle's direct-from-parquet
+    answer over the same partition subset."""
+    import tempfile
+
+    from clickhouse_k_means_spark.sources.formats import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    d = tempfile.mkdtemp(prefix="orc_rt_")
+    write_orc(
+        orders,
+        f"{d}/orc",
+        partition_by=["o_orderpriority"],
+        bloom_filter_cols=["o_orderkey"],
+    )
+    back = read_orc(spark, f"{d}/orc").filter(
+        F.col("o_orderpriority") != "1-URGENT"  # exercises partition pruning
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "sum_total_c"
+        ),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
 def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted incremental distinct counting (uniqState/uniqMerge
     parity): three batch sketches committed to a snapshot store, then
@@ -2096,10 +2127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (96 entries: 10 fixed head + 40-entry group A + 46-entry group B
-    # — chunk_docs, inverted_index, bigram_lm, outliers and pagerank,
-    # added late r5, join group B and take their first driver rows in
-    # r6.) This round (r5):
+    # (97 entries: 10 fixed head + 40-entry group A + 47-entry group B
+    # — chunk_docs, inverted_index, bigram_lm, outliers, pagerank and
+    # orc_roundtrip, added late r5, join group B and take their first
+    # driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2215,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "outliers": q_outliers,
         "pagerank": q_pagerank,
+        "orc_roundtrip": q_orc_roundtrip,
     }
 
 
@@ -3262,6 +3294,15 @@ def oracle_sql() -> dict[str, str]:
         # PageRank: the exact integer recurrence unrolled one CTE per
         # iteration — same div/damping arithmetic as operators/graph.py
         "pagerank": _pagerank_sql(3),
+        # ORC roundtrip: the oracle computes the rollup directly from
+        # parquet over the same partition subset (duckdb cannot read
+        # ORC — the parity IS the fidelity check)
+        "orc_roundtrip": (
+            "select o_orderpriority, count(*)::BIGINT as n, "
+            "sum(round(o_totalprice * 100)::BIGINT)::BIGINT as sum_total_c, "
+            "sum(o_orderkey)::BIGINT as key_sum from orders "
+            "where o_orderpriority != '1-URGENT' group by 1"
+        ),
     }
 
 

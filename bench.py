@@ -221,6 +221,8 @@ def main() -> None:
         ("outliers", entry.q_outliers, 2),
         # 3-iteration integer PageRank over the co-supplier graph
         ("pagerank", entry.q_pagerank, 2),
+        # ORC write (partitioned, bloom) + pruned read-back rollup
+        ("orc_roundtrip", entry.q_orc_roundtrip, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

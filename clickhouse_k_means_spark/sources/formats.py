@@ -119,3 +119,35 @@ def read_csv(
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str = "zlib",
+    bloom_filter_cols: list[str] | None = None,
+) -> None:
+    """Write ORC — the second columnar archive format next to parquet.
+
+    ORC stripes carry min/max statistics per column (row-group skipping
+    on read, like parquet) and ``bloom_filter_cols`` adds per-stripe
+    bloom filters for point-lookup keys — worth it for high-cardinality
+    equality predicates where min/max spans are too wide to skip.
+    Compression is splittable at stripe granularity regardless of
+    codec, so zlib (default) is safe for 100 TB scans — unlike gzip'd
+    JSONL/CSV.
+    """
+    w = df.write.mode("overwrite").option("compression", compression)
+    if bloom_filter_cols:
+        w = w.option("orc.bloom.filter.columns", ",".join(bloom_filter_cols))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC — schema rides in the file footer (no inference pass,
+    no explicit-schema requirement); partition directories prune and
+    predicates push down to the stripe level like parquet."""
+    return spark.read.orc(path)

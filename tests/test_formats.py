@@ -78,3 +78,32 @@ def test_partitioned_jsonl_prunes_on_read(spark, tmp_path):
     assert sub.count() == 25
     plan = sub._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan, plan
+
+
+def test_orc_roundtrip_preserves_values_and_nulls(spark, tmp_path):
+    from clickhouse_k_means_spark.sources.formats import read_orc, write_orc
+
+    df = _sample(spark)
+    write_orc(df, str(tmp_path / "orc"))
+    back = read_orc(spark, str(tmp_path / "orc"))
+    assert back.schema == df.schema  # footer schema, no inference drift
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_orc_prunes_and_pushes_down(spark, tmp_path):
+    from clickhouse_k_means_spark.sources.formats import read_orc, write_orc
+
+    df = spark.range(100).withColumn(
+        "part", (F.col("id") % 4).cast("string")
+    ).withColumn("v", F.col("id") * 2)
+    write_orc(df, str(tmp_path / "p"), partition_by=["part"],
+              bloom_filter_cols=["id"])
+    back = read_orc(spark, str(tmp_path / "p")).filter(
+        (F.col("part") == "2") & (F.col("id") > 50)
+    ).select("id")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter prunes directories; id predicate reaches the scan
+    assert "PartitionFilters: [" in plan and "part" in plan, plan
+    assert "PushedFilters: [" in plan and "GreaterThan(id,50)" in plan, plan
+    got = sorted(r.id for r in back.collect())
+    assert got == [i for i in range(51, 100) if i % 4 == 2]
