@@ -2070,6 +2070,34 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(spark, agg, name="q_streaming_windows")
 
 
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion: the events file stream lands
+    in a versioned SnapshotStateStore table via the batch-id-marker
+    sink (one atomic commit per micro-batch), then the committed
+    snapshot is rolled up — it must equal the oracle's direct batch
+    rollup, proving no row was lost or doubled."""
+    import tempfile
+
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.snapshot_sink import (
+        SnapshotStreamSink,
+    )
+    from clickhouse_k_means_spark.streaming.windows import stream_events
+
+    d = tempfile.mkdtemp(prefix="snap_ingest_")
+    store = SnapshotStateStore(f"{d}/store")
+    sink = SnapshotStreamSink(store, "events_ingest")
+    stream = stream_events(spark, sf_dir)
+    q = sink.attach(stream, checkpoint=f"{d}/ckpt", query_name="q_stream_ingest")
+    q.awaitTermination()
+    landed = store.read(spark, "events_ingest")
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
+        F.sum("user_id").alias("user_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2127,10 +2155,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (97 entries: 10 fixed head + 40-entry group A + 47-entry group B
-    # — chunk_docs, inverted_index, bigram_lm, outliers, pagerank and
-    # orc_roundtrip, added late r5, join group B and take their first
-    # driver rows in r6.) This round (r5):
+    # (98 entries: 10 fixed head + 40-entry group A + 48-entry group B
+    # — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
+    # orc_roundtrip and stream_ingest, added late r5, join group B and
+    # take their first driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2247,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers": q_outliers,
         "pagerank": q_pagerank,
         "orc_roundtrip": q_orc_roundtrip,
+        "stream_ingest": q_stream_ingest,
     }
 
 
@@ -3302,6 +3331,14 @@ def oracle_sql() -> dict[str, str]:
             "sum(round(o_totalprice * 100)::BIGINT)::BIGINT as sum_total_c, "
             "sum(o_orderkey)::BIGINT as key_sum from orders "
             "where o_orderpriority != '1-URGENT' group by 1"
+        ),
+        # exactly-once streaming ingest: the store snapshot must carry
+        # every event exactly once — the rollup equals a direct batch
+        # rollup of the source table
+        "stream_ingest": (
+            "select event_type, count(*)::BIGINT as n, "
+            "sum(round(value * 100)::BIGINT)::BIGINT as value_c, "
+            "sum(user_id)::BIGINT as user_sum from events group by 1"
         ),
     }
 

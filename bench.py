@@ -223,6 +223,8 @@ def main() -> None:
         ("pagerank", entry.q_pagerank, 2),
         # ORC write (partitioned, bloom) + pruned read-back rollup
         ("orc_roundtrip", entry.q_orc_roundtrip, 2),
+        # exactly-once stream -> snapshot-store ingest + read-back
+        ("stream_ingest", entry.q_stream_ingest, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

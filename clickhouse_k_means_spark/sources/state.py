@@ -139,6 +139,7 @@ class SnapshotStateStore:
         new_files: list[str],
         replace: bool = False,
         schema_json: str | None = None,
+        metadata: dict | None = None,
     ) -> int:
         """Claim the next version via exclusive create; retry on race.
 
@@ -181,6 +182,7 @@ class SnapshotStateStore:
                         "version": version,
                         "files": files,
                         "schema": schema_json or base_schema,
+                        "meta": metadata or {},
                     }
                 )
             )
@@ -195,7 +197,11 @@ class SnapshotStateStore:
     # ---- public surface ----
 
     def append(
-        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        metadata: dict | None = None,
     ) -> int:
         """Stage the batch as immutable data files, then commit
         latest-snapshot-files + new-files as the next version.
@@ -216,7 +222,9 @@ class SnapshotStateStore:
             os.replace(part, data / name)
             new_files.append(name)
         shutil.rmtree(staging)
-        return self._commit(table, new_files, schema_json=df.schema.json())
+        return self._commit(
+            table, new_files, schema_json=df.schema.json(), metadata=metadata
+        )
 
     def read(
         self, spark: SparkSession, table: str, version: int | None = None
@@ -244,6 +252,16 @@ class SnapshotStateStore:
 
     def exists(self, table: str) -> bool:
         return self.latest_version(table) is not None
+
+    def latest_metadata(self, table: str) -> dict:
+        """The ``metadata`` dict committed with the LATEST version
+        (empty if none) — e.g. the streaming sink's ``batch_id``
+        idempotence marker. Reading it costs one manifest read, no
+        data IO."""
+        v = self.latest_version(table)
+        if v is None:
+            return {}
+        return self._read_manifest(table, v).get("meta", {}) or {}
 
     def truncate(self, table: str) -> int:
         """LOGICAL truncate: commit an empty snapshot. Earlier versions

@@ -422,3 +422,74 @@ def test_snapshot_upsert_scd1(spark, tmp_path):
     # vacuum drops superseded files; latest still reads
     store.vacuum("t")
     assert {(r["k"], r["v"]) for r in store.read(spark, "t").collect()} == now
+
+
+# ---- exactly-once streaming sink (streaming/snapshot_sink.py) ----
+
+
+def test_snapshot_sink_commits_and_skips_replay(spark, tmp_path):
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.snapshot_sink import (
+        SnapshotStreamSink,
+    )
+
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    sink = SnapshotStreamSink(store, "t")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, s string")
+
+    assert sink.process_batch(b0, 0) is True
+    assert sink.process_batch(b1, 1) is True
+    # post-crash replay: same id re-delivered -> skipped, no dup rows
+    assert sink.process_batch(b1, 1) is False
+    assert sink.process_batch(b0, 0) is False  # older id also skipped
+    assert sink.n_committed == 2 and sink.n_skipped == 2
+    assert store.read(spark, "t").count() == 3
+    assert sink.last_batch_id() == 1
+    # marker rides in the manifest, readable without data IO
+    assert store.latest_metadata("t") == {"batch_id": 1}
+
+
+def test_snapshot_sink_empty_batch_not_committed(spark, tmp_path):
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.snapshot_sink import (
+        SnapshotStreamSink,
+    )
+
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    sink = SnapshotStreamSink(store, "t")
+    empty = spark.createDataFrame([], "id long")
+    assert sink.process_batch(empty, 0) is False
+    assert not store.exists("t")
+
+
+def test_snapshot_sink_end_to_end_stream(spark, tmp_path):
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.snapshot_sink import (
+        SnapshotStreamSink,
+    )
+
+    src = tmp_path / "src"
+    spark.range(50).selectExpr("id", "id % 5 as k").write.parquet(str(src))
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    sink = SnapshotStreamSink(store, "ingest")
+    stream = spark.readStream.schema("id long, k long").parquet(str(src))
+    q = sink.attach(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    got = store.read(spark, "ingest")
+    assert got.count() == 50
+    assert sink.n_committed >= 1
+    # rerunning the finished stream from the same checkpoint must not
+    # re-ingest anything (no new data, and markers guard replays)
+    q2 = sink.attach(stream, checkpoint=str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert store.read(spark, "ingest").count() == 50
+
+
+def test_latest_metadata_empty_for_plain_appends(spark, tmp_path):
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    store.append(spark.createDataFrame([(1,)], "id long"), "t")
+    assert store.latest_metadata("t") == {}
+    assert store.latest_metadata("missing") == {}
