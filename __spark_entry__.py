@@ -467,6 +467,46 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT
+    OUTER join customer→filtered orders, per-customer count
+    (zero-order customers KEPT — the outer-join point), then a
+    histogram over the counts. Two aggregations, the second over the
+    tiny count domain."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips nulls
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    supplier count per (brand, type, size) bucket, EXCLUDING suppliers
+    from a NOT-IN subquery (negative balance stands in for the spec's
+    complaints filter) — anti-join + distinct aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    kept = li.join(
+        bad, li.l_suppkey == bad.s_suppkey, "left_anti"
+    ).select("l_partkey", "l_suppkey")
+    return (
+        kept.join(F.broadcast(part), kept.l_partkey == part.p_partkey)
+        .filter(F.col("p_size").isin(1, 5, 9, 13))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q_join_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: broadcast equi-join orders→customer + segment rollup."""
     orders = load_table(spark, sf_dir, "orders")
@@ -2155,10 +2195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (98 entries: 10 fixed head + 40-entry group A + 48-entry group B
-    # — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
-    # orc_roundtrip and stream_ingest, added late r5, join group B and
-    # take their first driver rows in r6.) This round (r5):
+    # (100 entries: 10 fixed head + 40-entry group A + 50-entry group
+    # B — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
+    # orc_roundtrip, stream_ingest, tpch_q13 and tpch_q16, added late
+    # r5, join group B and take their first driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2276,6 +2316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "orc_roundtrip": q_orc_roundtrip,
         "stream_ingest": q_stream_ingest,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q16": q_tpch_q16,
     }
 
 
@@ -3339,6 +3381,22 @@ def oracle_sql() -> dict[str, str]:
             "select event_type, count(*)::BIGINT as n, "
             "sum(round(value * 100)::BIGINT)::BIGINT as value_c, "
             "sum(user_id)::BIGINT as user_sum from events group by 1"
+        ),
+        # Q13: zero-order customers must survive the outer join
+        "tpch_q13": (
+            "with pc as (select c_custkey, count(o_orderkey)::BIGINT as "
+            "c_count from customer left join orders on c_custkey = o_custkey "
+            "and o_orderpriority != '1-URGENT' group by 1) "
+            "select c_count, count(*)::BIGINT as custdist from pc group by 1"
+        ),
+        # Q16: NOT-IN supplier exclusion + distinct count per bucket
+        "tpch_q16": (
+            "select p_brand, p_type, p_size, "
+            "count(distinct l_suppkey)::BIGINT as supplier_cnt "
+            "from lineitem join part on l_partkey = p_partkey "
+            "where p_size in (1, 5, 9, 13) and l_suppkey not in "
+            "(select s_suppkey from supplier where s_acctbal < 0) "
+            "group by 1, 2, 3"
         ),
     }
 

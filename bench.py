@@ -225,6 +225,9 @@ def main() -> None:
         ("orc_roundtrip", entry.q_orc_roundtrip, 2),
         # exactly-once stream -> snapshot-store ingest + read-back
         ("stream_ingest", entry.q_stream_ingest, 2),
+        # outer-join histogram / anti-join distinct-count TPC-H shapes
+        ("tpch_q13", entry.q_tpch_q13, 2),
+        ("tpch_q16", entry.q_tpch_q16, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)
