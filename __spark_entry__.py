@@ -507,6 +507,30 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join: lineitem probe side pre-shrunk by a
+    bitmap of urgent-order keys before the shuffle join. Exact-join
+    semantics (no false negatives), so the oracle is the plain join."""
+    from clickhouse_k_means_spark.operators.bloomjoin import bloom_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity", "l_returnflag"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("okey"), "o_totalprice")
+    )
+    joined = bloom_join(li, urgent, key="okey", bits_per_key=10, k_hashes=2)
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_c"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "price_c"
+        ),
+    )
+
+
 def q_join_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: broadcast equi-join orders→customer + segment rollup."""
     orders = load_table(spark, sf_dir, "orders")
@@ -2195,10 +2219,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (100 entries: 10 fixed head + 40-entry group A + 50-entry group
+    # (101 entries: 10 fixed head + 40-entry group A + 51-entry group
     # B — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
-    # orc_roundtrip, stream_ingest, tpch_q13 and tpch_q16, added late
-    # r5, join group B and take their first driver rows in r6.) This round (r5):
+    # orc_roundtrip, stream_ingest, tpch_q13, tpch_q16 and bloom_join,
+    # added late r5, join group B and take their first driver rows in
+    # r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2318,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest": q_stream_ingest,
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
+        "bloom_join": q_bloom_join,
     }
 
 
@@ -3388,6 +3414,15 @@ def oracle_sql() -> dict[str, str]:
             "c_count from customer left join orders on c_custkey = o_custkey "
             "and o_orderpriority != '1-URGENT' group by 1) "
             "select c_count, count(*)::BIGINT as custdist from pc group by 1"
+        ),
+        # bloom prefilter admits only extra shuffle rows, never drops
+        # a match — the exact plain join IS the oracle
+        "bloom_join": (
+            "select l_returnflag, count(*)::BIGINT as n, "
+            "sum(round(l_quantity * 100)::BIGINT)::BIGINT as qty_c, "
+            "sum(round(o_totalprice * 100)::BIGINT)::BIGINT as price_c "
+            "from lineitem join orders on l_orderkey = o_orderkey "
+            "where o_orderpriority = '1-URGENT' group by 1"
         ),
         # Q16: NOT-IN supplier exclusion + distinct count per bucket
         "tpch_q16": (

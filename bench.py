@@ -228,6 +228,8 @@ def main() -> None:
         # outer-join histogram / anti-join distinct-count TPC-H shapes
         ("tpch_q13", entry.q_tpch_q13, 2),
         ("tpch_q16", entry.q_tpch_q16, 2),
+        # broadcast-bloom probe-side prefilter + exact shuffle join
+        ("bloom_join", entry.q_bloom_join, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)
