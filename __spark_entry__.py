@@ -531,6 +531,43 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# columns profiled by the profile gate: ints + strings only — float
+# and timestamp columns profile fine, but their rendered string form
+# (min_s/max_s/top_value) is engine-specific, so the cross-engine
+# gate sticks to types both engines render identically
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan table profile of orders: per-column nulls, exact NDV,
+    min/max, top value — the ANALYZE/data-audit operator."""
+    from clickhouse_k_means_spark.operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders, PROFILE_COLS)
+
+
+def _profile_sql(table: str, cols: list[str]) -> str:
+    parts = []
+    for c in cols:
+        parts.append(
+            f"(with tv as (select {c}::VARCHAR as v, count(*)::BIGINT as cnt "
+            f"from {table} where {c} is not null group by 1) "
+            f"select '{c}' as col_name, "
+            f"(select count(*) from {table})::BIGINT as n_rows, "
+            f"(select count(case when {c} is null then 1 end) from {table})"
+            "::BIGINT as n_null, "
+            "count(*)::BIGINT as n_distinct, "
+            f"(select min({c})::VARCHAR from {table}) as min_s, "
+            f"(select max({c})::VARCHAR from {table}) as max_s, "
+            "(select min(v) from tv where cnt = (select max(cnt) from tv)) "
+            "as top_value, "
+            "coalesce((select max(cnt) from tv), 0)::BIGINT as top_count "
+            "from tv)"
+        )
+    return " union all ".join(parts)
+
+
 def q_join_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: broadcast equi-join orders→customer + segment rollup."""
     orders = load_table(spark, sf_dir, "orders")
@@ -2219,11 +2256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (101 entries: 10 fixed head + 40-entry group A + 51-entry group
+    # (102 entries: 10 fixed head + 40-entry group A + 52-entry group
     # B — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
-    # orc_roundtrip, stream_ingest, tpch_q13, tpch_q16 and bloom_join,
-    # added late r5, join group B and take their first driver rows in
-    # r6.) This round (r5):
+    # orc_roundtrip, stream_ingest, tpch_q13, tpch_q16, bloom_join and
+    # profile, added late r5, join group B and take their first driver
+    # rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2344,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
         "bloom_join": q_bloom_join,
+        "profile": q_profile,
     }
 
 
@@ -3415,6 +3453,10 @@ def oracle_sql() -> dict[str, str]:
             "and o_orderpriority != '1-URGENT' group by 1) "
             "select c_count, count(*)::BIGINT as custdist from pc group by 1"
         ),
+        # per-column profile: min_s/max_s computed on the NATIVE type
+        # then rendered, so numeric ordering is preserved; top-value
+        # ties break to the smallest rendered value in both engines
+        "profile": _profile_sql("orders", PROFILE_COLS),
         # bloom prefilter admits only extra shuffle rows, never drops
         # a match — the exact plain join IS the oracle
         "bloom_join": (

@@ -230,6 +230,8 @@ def main() -> None:
         ("tpch_q16", entry.q_tpch_q16, 2),
         # broadcast-bloom probe-side prefilter + exact shuffle join
         ("bloom_join", entry.q_bloom_join, 2),
+        # one-scan min/max/null fold + per-column ndv/top aggregates
+        ("profile", entry.q_profile, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)
