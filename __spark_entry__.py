@@ -2199,6 +2199,38 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension history: two deterministic upsert batches over
+    customer balances (batch 2 bumps every third key), then the
+    interval-row rollup — the oracle reconstructs the exact same
+    history from the two static batch definitions."""
+    import tempfile
+
+    from clickhouse_k_means_spark.sources.state import (
+        SnapshotStateStore,
+        upsert_scd2,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="scd2_") + "/store")
+    upsert_scd2(store, spark, cust, "dim", key="k", seq=1)
+    batch2 = cust.filter(F.pmod("k", F.lit(3)) == 0).withColumn(
+        "bal_c", F.col("bal_c") + 500
+    )
+    upsert_scd2(store, spark, batch2, "dim", key="k", seq=2)
+    hist = store.read(spark, "dim")
+    return hist.groupBy(
+        F.col("valid_from_seq").alias("from_seq"),
+        F.coalesce("valid_to_seq", F.lit(0)).alias("to_seq"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bal_c").alias("bal_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2256,11 +2288,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (102 entries: 10 fixed head + 40-entry group A + 52-entry group
+    # (103 entries: 10 fixed head + 40-entry group A + 53-entry group
     # B — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
-    # orc_roundtrip, stream_ingest, tpch_q13, tpch_q16, bloom_join and
-    # profile, added late r5, join group B and take their first driver
-    # rows in r6.) This round (r5):
+    # orc_roundtrip, stream_ingest, tpch_q13, tpch_q16, bloom_join,
+    # profile and scd2, added late r5, join group B and take their
+    # first driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2382,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "bloom_join": q_bloom_join,
         "profile": q_profile,
+        "scd2": q_scd2,
     }
 
 
@@ -3452,6 +3485,19 @@ def oracle_sql() -> dict[str, str]:
             "c_count from customer left join orders on c_custkey = o_custkey "
             "and o_orderpriority != '1-URGENT' group by 1) "
             "select c_count, count(*)::BIGINT as custdist from pc group by 1"
+        ),
+        # SCD-2: the oracle reconstructs the interval rows the two
+        # upserts must produce — closed batch-1 rows for keys % 3 = 0,
+        # open batch-1 rows otherwise, open batch-2 rows for the bumps
+        "scd2": (
+            "with b as (select c_custkey as k, "
+            "round(c_acctbal * 100)::BIGINT as bal_c from customer), "
+            "h as (select k, bal_c, 1 as f, "
+            "case when k % 3 = 0 then 2 else 0 end as t from b "
+            "union all select k, bal_c + 500, 2, 0 from b where k % 3 = 0) "
+            "select f::BIGINT as from_seq, t::BIGINT as to_seq, "
+            "count(*)::BIGINT as n, sum(bal_c)::BIGINT as bal_sum "
+            "from h group by 1, 2"
         ),
         # per-column profile: min_s/max_s computed on the NATIVE type
         # then rendered, so numeric ordering is preserved; top-value

@@ -232,6 +232,8 @@ def main() -> None:
         ("bloom_join", entry.q_bloom_join, 2),
         # one-scan min/max/null fold + per-column ndv/top aggregates
         ("profile", entry.q_profile, 2),
+        # two SCD-2 upsert commits + interval-history rollup
+        ("scd2", entry.q_scd2, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

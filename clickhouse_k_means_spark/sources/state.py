@@ -327,3 +327,104 @@ class SnapshotStateStore:
         return self._commit(
             table, new_files, replace=True, schema_json=merged.schema.json()
         )
+
+
+# ---- SCD-2 history tracking over a SnapshotStateStore table ----------
+#
+# Type-2 slowly-changing-dimension semantics on top of the versioned
+# store: every key's history is preserved as interval rows
+# (valid_from_seq, valid_to_seq], with valid_to_seq NULL marking the
+# current row. Sequence numbers come from the CALLER (a batch id, an
+# ingest epoch) — never wall clock — so replays are deterministic and
+# the DuckDB oracle can reproduce the exact same intervals.
+#
+# Plan shape per upsert: one semi + one anti join of the OPEN rows
+# against the batch's key set (closed history carries over untouched),
+# then a replace-snapshot commit — copy-on-write like upsert(), right
+# for state-sized dimensions, not 100 TB facts.
+
+SCD2_FROM = "valid_from_seq"
+SCD2_TO = "valid_to_seq"
+
+
+def upsert_scd2(
+    store: SnapshotStateStore,
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key: str,
+    seq: int,
+) -> int:
+    """Apply one SCD-2 batch at sequence ``seq``.
+
+    Open rows whose key appears in ``df`` are closed
+    (``valid_to_seq = seq``); every ``df`` row is inserted open with
+    ``valid_from_seq = seq``. Returns the committed store version.
+    Same single-writer contract as the other ingest paths; ``seq``
+    must be strictly greater than any previously applied sequence.
+    """
+    from pyspark.sql import functions as F
+
+    if key in (SCD2_FROM, SCD2_TO):
+        raise ValueError(f"key column collides with SCD-2 column {key!r}")
+    incoming = df.withColumn(SCD2_FROM, F.lit(seq).cast("bigint")).withColumn(
+        SCD2_TO, F.lit(None).cast("bigint")
+    )
+    if not store.exists(table):
+        return _scd2_commit_replace(store, incoming, table)
+    cur = store.read(spark, table)
+    last = cur.agg(F.max(SCD2_FROM)).collect()[0][0]
+    if last is not None and seq <= last:
+        raise ValueError(
+            f"scd2 sequence must advance: got {seq}, latest is {last}"
+        )
+    keys = df.select(key).distinct()
+    open_rows = cur.filter(F.col(SCD2_TO).isNull())
+    closed_hist = cur.filter(F.col(SCD2_TO).isNotNull())
+    to_close = open_rows.join(keys, key, "leftsemi").withColumn(
+        SCD2_TO, F.lit(seq).cast("bigint")
+    )
+    keep_open = open_rows.join(keys, key, "left_anti")
+    snapshot = (
+        closed_hist.unionByName(to_close)
+        .unionByName(keep_open)
+        .unionByName(incoming)
+    )
+    return _scd2_commit_replace(store, snapshot, table)
+
+
+def _scd2_commit_replace(
+    store: SnapshotStateStore, df: DataFrame, table: str
+) -> int:
+    staging = store._table(table) / f".staging-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(str(staging))
+    data = store._data(table)
+    data.mkdir(parents=True, exist_ok=True)
+    batch = uuid.uuid4().hex
+    new_files: list[str] = []
+    for i, part in enumerate(sorted(staging.glob("part-*.parquet"))):
+        name = f"{batch}-part-{i}.parquet"
+        os.replace(part, data / name)
+        new_files.append(name)
+    shutil.rmtree(staging)
+    return store._commit(
+        table, new_files, replace=True, schema_json=df.schema.json()
+    )
+
+
+def scd2_current(history: DataFrame) -> DataFrame:
+    """The current view: open rows only, SCD-2 columns dropped."""
+    from pyspark.sql import functions as F
+
+    return history.filter(F.col(SCD2_TO).isNull()).drop(SCD2_FROM, SCD2_TO)
+
+
+def scd2_as_of(history: DataFrame, seq: int) -> DataFrame:
+    """Time travel BY SEQUENCE: rows valid just after batch ``seq``
+    applied (``valid_from_seq <= seq < valid_to_seq``)."""
+    from pyspark.sql import functions as F
+
+    return history.filter(
+        (F.col(SCD2_FROM) <= seq)
+        & (F.col(SCD2_TO).isNull() | (F.col(SCD2_TO) > seq))
+    ).drop(SCD2_FROM, SCD2_TO)

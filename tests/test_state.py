@@ -493,3 +493,68 @@ def test_latest_metadata_empty_for_plain_appends(spark, tmp_path):
     store.append(spark.createDataFrame([(1,)], "id long"), "t")
     assert store.latest_metadata("t") == {}
     assert store.latest_metadata("missing") == {}
+
+
+# ---- SCD-2 history tracking (sources/state.py) ----
+
+
+def test_scd2_two_batches_intervals_and_views(spark, tmp_path):
+    from clickhouse_k_means_spark.sources.state import (
+        SnapshotStateStore,
+        scd2_as_of,
+        scd2_current,
+        upsert_scd2,
+    )
+
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    b1 = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    upsert_scd2(store, spark, b1, "dim", key="k", seq=1)
+    b2 = spark.createDataFrame([(2, 99), (4, 40)], "k long, v long")
+    upsert_scd2(store, spark, b2, "dim", key="k", seq=2)
+
+    hist = store.read(spark, "dim")
+    rows = {(r.k, r.valid_from_seq): r for r in hist.collect()}
+    assert len(rows) == 5
+    assert rows[(2, 1)].valid_to_seq == 2  # superseded
+    assert rows[(2, 2)].valid_to_seq is None and rows[(2, 2)].v == 99
+    assert rows[(1, 1)].valid_to_seq is None  # untouched stays open
+    assert rows[(4, 2)].valid_to_seq is None  # fresh insert
+
+    cur = {r.k: r.v for r in scd2_current(hist).collect()}
+    assert cur == {1: 10, 2: 99, 3: 30, 4: 40}
+    asof1 = {r.k: r.v for r in scd2_as_of(hist, 1).collect()}
+    assert asof1 == {1: 10, 2: 20, 3: 30}
+
+
+def test_scd2_rejects_non_advancing_seq_and_colliding_key(spark, tmp_path):
+    import pytest
+
+    from clickhouse_k_means_spark.sources.state import (
+        SnapshotStateStore,
+        upsert_scd2,
+    )
+
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    b = spark.createDataFrame([(1, 10)], "k long, v long")
+    upsert_scd2(store, spark, b, "dim", key="k", seq=5)
+    with pytest.raises(ValueError, match="advance"):
+        upsert_scd2(store, spark, b, "dim", key="k", seq=5)
+    with pytest.raises(ValueError, match="collides"):
+        upsert_scd2(store, spark, b, "dim", key="valid_from_seq", seq=9)
+
+
+def test_scd2_history_survives_time_travel(spark, tmp_path):
+    """Each upsert is one store commit: store-level time travel plus
+    SCD-2 sequence travel compose."""
+    from clickhouse_k_means_spark.sources.state import (
+        SnapshotStateStore,
+        upsert_scd2,
+    )
+
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    b1 = spark.createDataFrame([(1, 10)], "k long, v long")
+    v1 = upsert_scd2(store, spark, b1, "dim", key="k", seq=1)
+    b2 = spark.createDataFrame([(1, 11)], "k long, v long")
+    upsert_scd2(store, spark, b2, "dim", key="k", seq=2)
+    old = store.read(spark, "dim", version=v1)
+    assert old.count() == 1 and old.collect()[0].v == 10
