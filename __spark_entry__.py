@@ -677,6 +677,37 @@ def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct users per day, EXACT and scalably: each
+    user's first-seen day via one groupBy (never a running
+    count-distinct window over raw events), per-day new-user counts,
+    then a cumulative sum over the DAY table — whose cardinality is
+    the time axis, bounded and tiny, so the ordered window is safe."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = event_epoch_seconds(ev)
+    days = ev.select(epoch.alias("es"), "user_id").select(
+        F.expr("es div 86400").alias("day_id"), "user_id"
+    )
+    first_seen = days.groupBy("user_id").agg(F.min("day_id").alias("d0"))
+    new_per_day = first_seen.groupBy("d0").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    per_day = days.groupBy("day_id").agg(F.count(F.lit(1)).alias("n_events"))
+    from pyspark.sql import Window
+
+    joined = per_day.join(
+        new_per_day.withColumnRenamed("d0", "day_id"), "day_id", "left"
+    ).select(
+        "day_id",
+        F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+    w = Window.orderBy("day_id").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.withColumn(
+        "cum_users", F.sum("new_users").over(w).cast("bigint")
+    )
+
+
 def q_latest_two(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 (`groupArray(2)` bounded collect): the last two order totals
     per customer as columns, via sorted collect + slice (the engine's
@@ -2171,6 +2202,39 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(spark, agg, name="q_streaming_windows")
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics over lineitem's supplier key: one
+    frequency-table pass, exact integer skew ratio."""
+    from clickhouse_k_means_spark.operators.skew import skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_suppkey")
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joins a
+    broadcast static dimension (per-user segment) BEFORE aggregation
+    — the lookup-table pattern every streaming pipeline needs; the
+    static side is re-broadcast per micro-batch by Spark, no state."""
+    from clickhouse_k_means_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+    )
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", F.pmod("user_id", F.lit(4)))
+    )
+    enriched = stream_events(spark, sf_dir).join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
+    )
+    return run_available_now(spark, agg, name="q_stream_enrich")
+
+
 def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming ingestion: the events file stream lands
     in a versioned SnapshotStateStore table via the batch-id-marker
@@ -2288,11 +2352,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (103 entries: 10 fixed head + 40-entry group A + 53-entry group
+    # (106 entries: 10 fixed head + 40-entry group A + 56-entry group
     # B — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
     # orc_roundtrip, stream_ingest, tpch_q13, tpch_q16, bloom_join,
-    # profile and scd2, added late r5, join group B and take their
-    # first driver rows in r6.) This round (r5):
+    # profile, scd2, cumulative_uniques, stream_enrich and
+    # skew_report, added late r5, join group B and take their first
+    # driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2415,6 +2480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": q_bloom_join,
         "profile": q_profile,
         "scd2": q_scd2,
+        "cumulative_uniques": q_cumulative_uniques,
+        "stream_enrich": q_stream_enrich,
+        "skew_report": q_skew_report,
     }
 
 
@@ -3485,6 +3553,41 @@ def oracle_sql() -> dict[str, str]:
             "c_count from customer left join orders on c_custkey = o_custkey "
             "and o_orderpriority != '1-URGENT' group by 1) "
             "select c_count, count(*)::BIGINT as custdist from pc group by 1"
+        ),
+        # skew diagnostics: exact integer ratio off the frequency table
+        "skew_report": (
+            "with f as (select l_suppkey::VARCHAR as k, count(*)::BIGINT "
+            "as c from lineitem group by 1), "
+            "s as (select sum(c)::BIGINT as n_rows, count(*)::BIGINT as "
+            "n_keys, max(c)::BIGINT as max_count from f) "
+            "select n_rows, n_keys, max_count, "
+            "(select min(k) from f where c = s.max_count) as top_key, "
+            "n_rows // n_keys as avg_count, "
+            "(100 * max_count * n_keys) // n_rows as skew_ratio_x100 from s"
+        ),
+        # stream-static join replayed availableNow == the batch join
+        "stream_enrich": (
+            "select user_id % 4 as segment, event_type, "
+            "count(*)::BIGINT as n, "
+            "sum(round(value * 100)::BIGINT)::BIGINT as value_c "
+            "from events group by 1, 2"
+        ),
+        # running distinct users: exact via first-seen day + cumsum
+        # over the bounded day table (epoch_ns mirrors time_buckets)
+        "cumulative_uniques": (
+            "with d as (select (epoch_ns(ts) // 1000000000) // 86400 as "
+            "day_id, user_id from events), "
+            "fs as (select user_id, min(day_id) as d0 from d group by 1), "
+            "nu as (select d0, count(*)::BIGINT as new_users from fs "
+            "group by 1), "
+            "pd as (select day_id, count(*)::BIGINT as n_events from d "
+            "group by 1) "
+            "select pd.day_id, coalesce(nu.new_users, 0)::BIGINT as "
+            "new_users, pd.n_events, "
+            "sum(coalesce(nu.new_users, 0)) over (order by pd.day_id "
+            "rows between unbounded preceding and current row)::BIGINT "
+            "as cum_users "
+            "from pd left join nu on pd.day_id = nu.d0"
         ),
         # SCD-2: the oracle reconstructs the interval rows the two
         # upserts must produce — closed batch-1 rows for keys % 3 = 0,

@@ -234,6 +234,10 @@ def main() -> None:
         ("profile", entry.q_profile, 2),
         # two SCD-2 upsert commits + interval-history rollup
         ("scd2", entry.q_scd2, 2),
+        # first-seen running uniques / stream-static enrich / skew scan
+        ("cumulative_uniques", entry.q_cumulative_uniques, 2),
+        ("stream_enrich", entry.q_stream_enrich, 2),
+        ("skew_report", entry.q_skew_report, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

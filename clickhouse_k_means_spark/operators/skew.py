@@ -45,3 +45,45 @@ def salted_join(
     )
     out = salted_fact.join(replicated_dim, keys + [_SALT], how)
     return out.drop(_SALT)
+
+
+def skew_report(df: DataFrame, key: str) -> DataFrame:
+    """Join-key skew diagnostics — the measurement that tells you
+    whether ``salted_join`` (above) or AQE skew handling is needed,
+    and at what factor.
+
+    One row: ``(n_rows, n_keys, max_count, top_key, avg_count,
+    skew_ratio_x100)`` where ``skew_ratio_x100`` is
+    ``100 · max_count / mean_count`` as exact BIGINT (100 = perfectly
+    uniform; a hot key at 50× mean reads 5000). ``top_key`` is the
+    hottest key rendered as string, ties to the smallest.
+
+    Plan: one map-side-combined groupBy(key), then a 1-row aggregate
+    over the (bounded-by-cardinality) frequency table — the same
+    frequency-table trick as the exact-quantile operator, so the
+    diagnostic never collects or windows raw rows. Run it on a
+    sample() for a quick read at 100 TB; exact mode is the gate.
+    """
+    freq = df.groupBy(F.col(key).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = freq.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_count"),
+        # struct-min over (inverted count, key): max count wins, ties
+        # break to the smallest rendered key (quirk-Q3 determinism)
+        F.min(
+            F.struct((-F.col("c")).alias("nc"), F.col("k").alias("k"))
+        ).alias("top"),
+    )
+    return stats.select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.col("max_count").cast("bigint").alias("max_count"),
+        F.col("top.k").alias("top_key"),
+        F.expr("n_rows div n_keys").cast("bigint").alias("avg_count"),
+        F.expr("(100 * max_count * n_keys) div n_rows")
+        .cast("bigint")
+        .alias("skew_ratio_x100"),
+    )

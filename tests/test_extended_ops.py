@@ -1443,3 +1443,39 @@ def test_check_constraints_counts_and_nulls(spark):
         check_constraints(df, [])
     with _pytest.raises(ValueError, match="duplicate"):
         check_constraints(df, [not_null("price"), not_null("price")])
+
+
+def test_skew_report_hand_computed(spark):
+    from clickhouse_k_means_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame(
+        [("hot",)] * 8 + [("a",), ("b",)], "k string"
+    )
+    r = skew_report(df, "k").collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_count, r.top_key) == (10, 3, 8, "hot")
+    assert r.avg_count == 3  # 10 div 3
+    assert r.skew_ratio_x100 == (100 * 8 * 3) // 10  # 240
+
+
+def test_skew_report_tie_breaks_to_smallest_key(spark):
+    from clickhouse_k_means_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame([("b",), ("a",), ("a",), ("b",)], "k string")
+    assert skew_report(df, "k").collect()[0].top_key == "a"
+
+
+def test_cumulative_uniques_invariants(spark, sf_dir):
+    import __spark_entry__ as entry
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    out = entry.q_cumulative_uniques(spark, sf_dir).orderBy("day_id").collect()
+    total_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.new_users for r in out) == total_users
+    assert out[-1].cum_users == total_users
+    # cum is the running sum of new, monotone non-decreasing
+    run = 0
+    for r in out:
+        run += r.new_users
+        assert r.cum_users == run
