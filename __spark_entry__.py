@@ -2202,6 +2202,18 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(spark, agg, name="q_streaming_windows")
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain hard cap (crawl hygiene): at most 20 docs per
+    source, chosen by seeded portable hash — WindowGroupLimit plan."""
+    from clickhouse_k_means_spark.operators.sampling import domain_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = domain_cap(docs, max_per_domain=20, domain="source", key="doc_id")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostics over lineitem's supplier key: one
     frequency-table pass, exact integer skew ratio."""
@@ -2352,11 +2364,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (106 entries: 10 fixed head + 40-entry group A + 56-entry group
+    # (107 entries: 10 fixed head + 40-entry group A + 57-entry group
     # B — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
     # orc_roundtrip, stream_ingest, tpch_q13, tpch_q16, bloom_join,
-    # profile, scd2, cumulative_uniques, stream_enrich and
-    # skew_report, added late r5, join group B and take their first
+    # profile, scd2, cumulative_uniques, stream_enrich, skew_report
+    # and domain_cap, added late r5, join group B and take their first
     # driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
@@ -2483,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_uniques": q_cumulative_uniques,
         "stream_enrich": q_stream_enrich,
         "skew_report": q_skew_report,
+        "domain_cap": q_domain_cap,
     }
 
 
@@ -3553,6 +3566,15 @@ def oracle_sql() -> dict[str, str]:
             "c_count from customer left join orders on c_custkey = o_custkey "
             "and o_orderpriority != '1-URGENT' group by 1) "
             "select c_count, count(*)::BIGINT as custdist from pc group by 1"
+        ),
+        # per-domain cap: same seeded hash priority + key tie-break
+        "domain_cap": (
+            f"with p as (select doc_id, source, "
+            f"{_hash64_sql('doc_id::VARCHAR', salt=7)} as pri from documents), "
+            "r as (select doc_id, source, row_number() over "
+            "(partition by source order by pri, doc_id) as rn from p) "
+            "select source, count(*)::BIGINT as n, sum(doc_id)::BIGINT as "
+            "id_sum from r where rn <= 20 group by 1"
         ),
         # skew diagnostics: exact integer ratio off the frequency table
         "skew_report": (

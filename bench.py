@@ -238,6 +238,8 @@ def main() -> None:
         ("cumulative_uniques", entry.q_cumulative_uniques, 2),
         ("stream_enrich", entry.q_stream_enrich, 2),
         ("skew_report", entry.q_skew_report, 2),
+        # WindowGroupLimit per-domain hard cap
+        ("domain_cap", entry.q_domain_cap, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

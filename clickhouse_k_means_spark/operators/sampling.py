@@ -229,3 +229,39 @@ def stratified_hash_sample(
     for s, r in sorted(rates.items()):
         gate = F.when(F.col(stratum) == s, F.lit(int(r * 1_000_000))).otherwise(gate)
     return df.filter(h < gate)
+
+
+def domain_cap(
+    df: DataFrame,
+    max_per_domain: int,
+    domain: str = "source",
+    key: str = "doc_id",
+    salt: int = 7,
+) -> DataFrame:
+    """Deterministic per-domain cap — the crawl-hygiene downsampler
+    that stops one over-represented site from dominating a training
+    mix (the hard-cap complement to ``mix_sources``' proportional
+    sampling).
+
+    Keeps at most ``max_per_domain`` rows per ``domain``, selected by
+    a seeded portable hash of the key (a reproducible uniform draw —
+    re-running on the same corpus keeps the SAME rows) with the key
+    as total-order tie-break.
+
+    Plan shape: Spark collapses the rank filter to WindowGroupLimit,
+    which truncates each group to the cap INSIDE the shuffle (per-
+    partition pre-limit before the exchange), so a pathological
+    million-doc domain never materializes a full sorted partition.
+    """
+    from clickhouse_k_means_spark.functions.hashing import hash64
+    from clickhouse_k_means_spark.operators.limit_by import limit_by
+
+    if max_per_domain < 1:
+        raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+    pri = hash64(F.col(key).cast("string"), salt=salt)
+    return limit_by(
+        df.withColumn("__pri", pri),
+        max_per_domain,
+        by=domain,
+        order=["__pri", key],
+    ).drop("__pri")

@@ -1479,3 +1479,40 @@ def test_cumulative_uniques_invariants(spark, sf_dir):
     for r in out:
         run += r.new_users
         assert r.cum_users == run
+
+
+def test_domain_cap_respects_cap_and_is_deterministic(spark):
+    from clickhouse_k_means_spark.operators.sampling import domain_cap
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    capped = domain_cap(df, max_per_domain=10)
+    by_src = {
+        r.source: r.n
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {"big": 10, "small": 3}  # under-cap domains intact
+    a = sorted(r.doc_id for r in capped.collect())
+    b = sorted(r.doc_id for r in domain_cap(df.repartition(7), 10).collect())
+    assert a == b  # seeded hash -> same survivors regardless of layout
+
+
+def test_domain_cap_plan_uses_window_group_limit(spark, sf_dir):
+    from clickhouse_k_means_spark.operators.sampling import domain_cap
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        domain_cap(docs, 20)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_domain_cap_validates(spark):
+    import pytest
+
+    from clickhouse_k_means_spark.operators.sampling import domain_cap
+
+    df = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        domain_cap(df, 0)
