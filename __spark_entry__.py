@@ -1936,6 +1936,23 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_corpus(corpus, jaccard_threshold=0.8).select("doc_id")
 
 
+def q_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE set-similarity self-join (prefix filtering — SSJoin/
+    PPJoin): every pair with word-set Jaccard ≥ 0.6, deterministically
+    — the exactness complement to the probabilistic LSH path. Planted
+    copies (doc_id % 101) make the gate non-vacuous; the oracle is the
+    brute-force all-pairs Jaccard, so completeness itself is gated."""
+    from clickhouse_k_means_spark.operators.ssjoin import similarity_self_join
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.pmod("doc_id", F.lit(101)) == 0).select(
+        (F.col("doc_id") + 9200000).alias("doc_id"), "text"
+    )
+    return similarity_self_join(
+        docs.unionByName(planted), threshold_ppm=600_000
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate GROUPS from MinHash-LSH candidate pairs: hash-min
     label propagation labels each paired doc with its component (min
@@ -2364,12 +2381,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (107 entries: 10 fixed head + 40-entry group A + 57-entry group
+    # (108 entries: 10 fixed head + 40-entry group A + 58-entry group
     # B — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
     # orc_roundtrip, stream_ingest, tpch_q13, tpch_q16, bloom_join,
-    # profile, scd2, cumulative_uniques, stream_enrich, skew_report
-    # and domain_cap, added late r5, join group B and take their first
-    # driver rows in r6.) This round (r5):
+    # profile, scd2, cumulative_uniques, stream_enrich, skew_report,
+    # domain_cap and ssjoin, added late r5, join group B and take
+    # their first driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2496,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": q_stream_enrich,
         "skew_report": q_skew_report,
         "domain_cap": q_domain_cap,
+        "ssjoin": q_ssjoin,
     }
 
 
@@ -3566,6 +3584,21 @@ def oracle_sql() -> dict[str, str]:
             "c_count from customer left join orders on c_custkey = o_custkey "
             "and o_orderpriority != '1-URGENT' group by 1) "
             "select c_count, count(*)::BIGINT as custdist from pc group by 1"
+        ),
+        # SSJoin: the oracle brute-forces ALL pairs, so the prefix
+        # filter's completeness guarantee is itself under test
+        "ssjoin": (
+            "with c as (select doc_id, text from documents union all "
+            "select doc_id + 9200000, text from documents "
+            "where doc_id % 101 = 0), "
+            f"s as (select doc_id, list_distinct({_TOKS}) as ts from c), "
+            "nz as (select * from s where len(ts) > 0), "
+            "p as (select a.doc_id as a, b.doc_id as b, "
+            "len(list_filter(a.ts, x -> list_contains(b.ts, x)))::BIGINT "
+            "as i, (len(a.ts) + len(b.ts))::BIGINT as ab "
+            "from nz a join nz b on a.doc_id < b.doc_id) "
+            "select a, b, ((i * 1000000) // (ab - i))::BIGINT as jacc_ppm "
+            "from p where i * 1000000 >= 600000 * (ab - i)"
         ),
         # per-domain cap: same seeded hash priority + key tie-break
         "domain_cap": (

@@ -48,6 +48,19 @@ def _materialize(df: DataFrame) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _ssjoin_bench(spark, sf_dir: str) -> DataFrame:
+    """Bounded SSJoin bench slice (see the bench-list comment)."""
+    from clickhouse_k_means_spark.operators.ssjoin import similarity_self_join
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 1000")
+    )
+    return similarity_self_join(docs, threshold_ppm=800_000)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -240,6 +253,14 @@ def main() -> None:
         ("skew_report", entry.q_skew_report, 2),
         # WindowGroupLimit per-domain hard cap
         ("domain_cap", entry.q_domain_cap, 2),
+        # complete prefix-filtered similarity self-join (SSJoin) —
+        # benched on a 1000-doc slice at t=0.8: the SYNTHETIC corpus
+        # is template-generated and pathologically self-similar, so
+        # the full-corpus qualifying-pair count grows quadratically
+        # (~42 s at sf0.1 for ~7M true pairs — an output-size cost no
+        # algorithm avoids, not a plan defect; real crawl corpora
+        # don't have 60% of all pairs above threshold)
+        ("ssjoin", _ssjoin_bench, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)
