@@ -2324,6 +2324,44 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resume_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit crash recovery: run a persisted fit, truncate its step log
+    after step 1 (the simulated crash), resume, and emit equality
+    flags vs the uninterrupted fit — Lloyd steps are deterministic
+    given a model and an identical working-set layout, so the resumed
+    result must be bit-identical."""
+    import tempfile
+
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+    from clickhouse_k_means_spark.sources.state import ParquetStateStore
+
+    yh = load_yh(spark, sf_dir, "lineitem")
+    d = tempfile.mkdtemp(prefix="resume_fit_")
+    full_store = ParquetStateStore(f"{d}/full")
+    full = KMeansEngine(k=3, seed=42, max_iter=6).fit(
+        yh, state_store=full_store, state_table="wcr"
+    )
+    crashed = ParquetStateStore(f"{d}/crashed")
+    crashed.append(
+        full_store.read(spark, "wcr").filter("step <= 1"),
+        "wcr",
+        partition_by=["step"],
+    )
+    resumed = KMeansEngine(k=3, seed=999, max_iter=6).resume_fit(
+        yh, crashed, state_table="wcr"
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(resumed.model == full.model),
+                int(resumed.n_iter == full.n_iter),
+                int(resumed.converged == full.converged),
+            )
+        ],
+        "models_match bigint, steps_match bigint, converged_match bigint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2381,12 +2419,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (108 entries: 10 fixed head + 40-entry group A + 58-entry group
+    # (109 entries: 10 fixed head + 40-entry group A + 59-entry group
     # B — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
     # orc_roundtrip, stream_ingest, tpch_q13, tpch_q16, bloom_join,
     # profile, scd2, cumulative_uniques, stream_enrich, skew_report,
-    # domain_cap and ssjoin, added late r5, join group B and take
-    # their first driver rows in r6.) This round (r5):
+    # domain_cap, ssjoin and resume_fit, added late r5, join group B
+    # and take their first driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2514,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "domain_cap": q_domain_cap,
         "ssjoin": q_ssjoin,
+        "resume_fit": q_resume_fit,
     }
 
 
@@ -3584,6 +3623,12 @@ def oracle_sql() -> dict[str, str]:
             "c_count from customer left join orders on c_custkey = o_custkey "
             "and o_orderpriority != '1-URGENT' group by 1) "
             "select c_count, count(*)::BIGINT as custdist from pc group by 1"
+        ),
+        # resume gate: all three equality flags must hold (the recall-
+        # gate pattern — the flags are computed from a real comparison)
+        "resume_fit": (
+            "select 1::BIGINT as models_match, 1::BIGINT as steps_match, "
+            "1::BIGINT as converged_match"
         ),
         # SSJoin: the oracle brute-forces ALL pairs, so the prefix
         # filter's completeness guarantee is itself under test

@@ -542,26 +542,100 @@ class KMeansEngine:
                 model = self.init_centroids(yh, rng)
             history = [(0, j, c) for j, c in model]
             _persist_step(0, model)
-            movements: list[float] = []
-            converged = False
-            step = 0
-            for step in range(1, self.max_iter + 1):
-                new_model = self.lloyd_step(yh, model, dim)
-                history.extend((step, j, c) for j, c in new_model)
-                _persist_step(step, new_model)
-                prev = dict(model)
-                # movement over ALL centroids present in both steps
-                # (deltaFinish intent; quirk Q5 fixed — the reference
-                # accidentally checks only 2 rows per step).
-                moved = sum(
-                    _euclid(prev[j], c) for j, c in new_model if j in prev
-                )
-                movements.append(moved)
-                model = new_model
-                if int(moved * self.one_delta) == 0:  # toUInt32 truncation
-                    converged = True
-                    break
-            return KMeansResult(model, history, step, converged, movements)
+            return self._run_lloyd(yh, dim, model, history, 1, _persist_step)
+        finally:
+            yh.unpersist()
+
+    def _run_lloyd(
+        self, yh, dim, model, history, start_step, persist_step
+    ) -> KMeansResult:
+        """The Lloyd convergence loop from ``start_step`` (shared by
+        ``fit`` and ``resume_fit`` — steps are deterministic given a
+        model, so a resumed loop replays the uninterrupted one)."""
+        movements: list[float] = []
+        converged = False
+        step = start_step - 1
+        for step in range(start_step, self.max_iter + 1):
+            new_model = self.lloyd_step(yh, model, dim)
+            history.extend((step, j, c) for j, c in new_model)
+            persist_step(step, new_model)
+            prev = dict(model)
+            # movement over ALL centroids present in both steps
+            # (deltaFinish intent; quirk Q5 fixed — the reference
+            # accidentally checks only 2 rows per step).
+            moved = sum(
+                _euclid(prev[j], c) for j, c in new_model if j in prev
+            )
+            movements.append(moved)
+            model = new_model
+            if int(moved * self.one_delta) == 0:  # toUInt32 truncation
+                converged = True
+                break
+        return KMeansResult(model, history, step, converged, movements)
+
+    def resume_fit(
+        self,
+        yh: DataFrame,
+        state_store,
+        state_table: str = "wcr",
+    ) -> KMeansResult:
+        """Crash recovery: continue a fit from its persisted step log.
+
+        Reads the ``(step, j, C)`` state ``fit(state_store=...)``
+        appends, restores the LATEST persisted model, and runs the
+        remaining Lloyd iterations (appending further steps to the
+        same table). Because Lloyd steps are deterministic given a
+        model, the resumed result is bit-identical to the fit that
+        would have run uninterrupted — the returned history includes
+        the restored prior steps, so ``delta_finish``/chart replays
+        see one continuous fit.
+        """
+        spark = yh.sparkSession
+        rows = state_store.read(spark, state_table).collect()
+        if not rows:
+            raise ValueError(f"resume_fit: state table {state_table!r} is empty")
+        by_step: dict[int, list] = {}
+        for r in rows:
+            by_step.setdefault(int(r["step"]), []).append(
+                (int(r["j"]), [float(x) for x in r["C"]])
+            )
+        last = max(by_step)
+        model = sorted(by_step[last])
+        if len(model) != self.k:
+            raise ValueError(
+                f"resume_fit: persisted model has k={len(model)}, engine k={self.k}"
+            )
+        history = [
+            (s, j, c) for s in sorted(by_step) for j, c in sorted(by_step[s])
+        ]
+
+        def _persist_step(step: int, m) -> None:
+            prows = [(int(step), int(j), [float(x) for x in c]) for j, c in m]
+            df = spark.createDataFrame(
+                prows, schema="step bigint, j int, C array<double>"
+            )
+            state_store.append(df, state_table, partition_by=["step"])
+
+        # identical working-set prep to fit() — same partition layout
+        # => same double-summation order => the resumed steps are
+        # bit-identical to the uninterrupted fit's
+        sc = spark.sparkContext
+        if yh.rdd.getNumPartitions() < sc.defaultParallelism:
+            yh = yh.repartition(sc.defaultParallelism)
+        yh = yh.select("i", "Y").cache()
+        try:
+            head = yh.select("Y").first()
+            if head is None:
+                raise ValueError("k-means: input DataFrame is empty")
+            dim = len(head[0])
+            n = yh.count()
+            width = yh.rdd.getNumPartitions()
+            target = max(4, min(width, (n // 50_000) + 1))
+            if target < width:
+                yh = yh.coalesce(target)
+            return self._run_lloyd(
+                yh, dim, model, history, last + 1, _persist_step
+            )
         finally:
             yh.unpersist()
 

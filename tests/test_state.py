@@ -558,3 +558,58 @@ def test_scd2_history_survives_time_travel(spark, tmp_path):
     upsert_scd2(store, spark, b2, "dim", key="k", seq=2)
     old = store.read(spark, "dim", version=v1)
     assert old.count() == 1 and old.collect()[0].v == 10
+
+
+# ---- fit crash recovery (plans/kmeans.resume_fit) ----
+
+
+def test_resume_fit_replays_uninterrupted_fit(spark, tmp_path):
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+    from clickhouse_k_means_spark.sources.dataset import load_yh
+    from clickhouse_k_means_spark.sources.state import ParquetStateStore
+
+    yh = load_yh(spark, "/root/testdata/sf0.001", "lineitem")
+    full_store = ParquetStateStore(str(tmp_path / "full"))
+    eng = KMeansEngine(k=3, seed=42, max_iter=8)
+    full = eng.fit(yh, state_store=full_store, state_table="wcr")
+    assert full.n_iter >= 2, "fixture fit too short to test resume"
+
+    # simulate a crash after step `cut`: copy only steps <= cut
+    cut = 1
+    crashed = ParquetStateStore(str(tmp_path / "crashed"))
+    log = full_store.read(spark, "wcr").filter(f"step <= {cut}")
+    crashed.append(log, "wcr", partition_by=["step"])
+
+    resumed = KMeansEngine(k=3, seed=999, max_iter=8).resume_fit(
+        yh, crashed, state_table="wcr"
+    )  # note: seed irrelevant after init — resume must not re-init
+    assert resumed.model == full.model
+    assert resumed.converged == full.converged
+    assert resumed.n_iter == full.n_iter
+    # the persisted log caught up to the full fit's step count
+    got_steps = {
+        r.step for r in crashed.read(spark, "wcr").select("step").collect()
+    }
+    want_steps = {
+        r.step for r in full_store.read(spark, "wcr").select("step").collect()
+    }
+    assert got_steps == want_steps
+    # history stitched: restored prefix + continued steps, one model per step
+    assert {s for s, _, _ in resumed.history} == want_steps
+
+
+def test_resume_fit_validates(spark, tmp_path):
+    import pytest
+
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+    from clickhouse_k_means_spark.sources.dataset import load_yh
+    from clickhouse_k_means_spark.sources.state import ParquetStateStore
+
+    yh = load_yh(spark, "/root/testdata/sf0.001", "lineitem")
+    store = ParquetStateStore(str(tmp_path / "s"))
+    with pytest.raises((ValueError, Exception)):
+        KMeansEngine(k=3).resume_fit(yh, store)
+    eng = KMeansEngine(k=3, seed=42, max_iter=2)
+    eng.fit(yh, state_store=store, state_table="wcr")
+    with pytest.raises(ValueError, match="k="):
+        KMeansEngine(k=5).resume_fit(yh, store, state_table="wcr")
