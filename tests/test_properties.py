@@ -297,3 +297,98 @@ def test_pca_projection_variance_sums(spark, pts):
     assert np.allclose(
         model.components @ model.components.T, np.eye(3), atol=1e-8
     )
+
+
+# ---- late-r5 operator invariants ----
+
+budgets = st.integers(min_value=2, max_value=12)
+ntoks = st.integers(min_value=0, max_value=40)
+
+
+@given(n=ntoks, budget=budgets, data=st.data())
+@SETTINGS
+def test_chunking_coverage_formula(spark, n, budget, data):
+    """Chunk count matches the closed form; chunk token counts sum to
+    n + overlap·(chunks−1); every chunk ≤ budget; only the last may
+    fall short of it."""
+    from clickhouse_k_means_spark.operators.chunking import chunk_documents
+
+    overlap = data.draw(st.integers(min_value=0, max_value=budget - 1))
+    stride = budget - overlap
+    text = " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = sorted(
+        chunk_documents(df, budget=budget, overlap=overlap).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    if n == 0:
+        assert rows == []
+        return
+    expect_chunks = 1 + max(0, -(-(n - budget) // stride))
+    assert len(rows) == expect_chunks
+    assert all(r.n_tok <= budget for r in rows)
+    assert all(r.n_tok == budget for r in rows[:-1])
+    covered = sum(r.n_tok for r in rows) - overlap * (len(rows) - 1)
+    # overlapped re-reads subtract out; the final chunk may re-read
+    # MORE than `overlap` tokens when it's clamped at the doc's end
+    assert covered <= n
+    assert rows[-1].chunk_id * stride + rows[-1].n_tok == n  # reaches the end
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=4, max_size=24
+    )
+)
+@SETTINGS
+def test_iqr_quartiles_match_numpy_type7(spark, vals):
+    import numpy as np
+
+    from clickhouse_k_means_spark.operators.outliers import iqr_outliers
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "event_type string, value double"
+    )
+    r = iqr_outliers(df).collect()[0]
+    q25, q75 = np.percentile([v * 100 for v in vals], [25, 75])
+    assert r.q25_4 == round(q25 * 4)
+    assert r.q75_4 == round(q75 * 4)
+    lo, hi = q25 - 1.5 * (q75 - q25), q75 + 1.5 * (q75 - q25)
+    want_out = [v * 100 for v in vals if v * 100 < lo or v * 100 > hi]
+    assert r.n_outliers == len(want_out)
+    assert r.outlier_sum_c == sum(want_out)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    t_ppm=st.sampled_from([500_000, 700_000, 900_000, 1_000_000]),
+)
+@SETTINGS
+def test_ssjoin_matches_brute_force_property(spark, docs, t_ppm):
+    from clickhouse_k_means_spark.operators.ssjoin import similarity_self_join
+
+    rows = [(i + 1, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.a, r.b): r.jacc_ppm
+        for r in similarity_self_join(df, threshold_ppm=t_ppm).collect()
+    }
+    sets = {i + 1: set(toks) for i, toks in enumerate(docs)}
+    want = {}
+    ks = sorted(sets)
+    for x in ks:
+        for y in ks:
+            if x < y and sets[x] and sets[y]:
+                i = len(sets[x] & sets[y])
+                u = len(sets[x] | sets[y])
+                if i * 1_000_000 >= t_ppm * u:
+                    want[(x, y)] = (i * 1_000_000) // u
+    assert got == want
