@@ -2324,6 +2324,41 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation the engine way: all five moment
+    sums are exact BIGINT over cents (partition-order invariant), and
+    only the FINAL closed-form combination runs in doubles — one
+    identical IEEE expression per engine, rounded to 6 places."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        F.col("n").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / den, 6).alias("corr_r"),
+    )
+
+
 def q_resume_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit crash recovery: run a persisted fit, truncate its step log
     after step 1 (the simulated crash), resume, and emit equality
@@ -2419,12 +2454,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (109 entries: 10 fixed head + 40-entry group A + 59-entry group
+    # (110 entries: 10 fixed head + 40-entry group A + 60-entry group
     # B — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
     # orc_roundtrip, stream_ingest, tpch_q13, tpch_q16, bloom_join,
     # profile, scd2, cumulative_uniques, stream_enrich, skew_report,
-    # domain_cap, ssjoin and resume_fit, added late r5, join group B
-    # and take their first driver rows in r6.) This round (r5):
+    # domain_cap, ssjoin, resume_fit and corr, added late r5, join
+    # group B and take their first driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2553,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "ssjoin": q_ssjoin,
         "resume_fit": q_resume_fit,
+        "corr": q_corr,
     }
 
 
@@ -3623,6 +3659,21 @@ def oracle_sql() -> dict[str, str]:
             "c_count from customer left join orders on c_custkey = o_custkey "
             "and o_orderpriority != '1-URGENT' group by 1) "
             "select c_count, count(*)::BIGINT as custdist from pc group by 1"
+        ),
+        # Pearson r: exact BIGINT moment sums, ONE double combination
+        "corr": (
+            "with b as (select l_returnflag, "
+            "round(l_quantity * 100)::BIGINT as x, "
+            "round(l_extendedprice * 100)::BIGINT as y from lineitem), "
+            "s as (select l_returnflag, count(*)::BIGINT as n, "
+            "sum(x)::BIGINT as sx, sum(y)::BIGINT as sy, "
+            "sum(x * x)::BIGINT as sxx, sum(y * y)::BIGINT as syy, "
+            "sum(x * y)::BIGINT as sxy from b group by 1) "
+            "select l_returnflag, n, "
+            "round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / "
+            "(sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * "
+            "sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) "
+            "as corr_r from s"
         ),
         # resume gate: all three equality flags must hold (the recall-
         # gate pattern — the flags are computed from a real comparison)

@@ -255,6 +255,8 @@ def main() -> None:
         ("domain_cap", entry.q_domain_cap, 2),
         # full fit + crash-cut + resumed fit (two fits by design)
         ("resume_fit", entry.q_resume_fit, 2),
+        # exact-moment grouped Pearson correlation
+        ("corr", entry.q_corr, 2),
         # complete prefix-filtered similarity self-join (SSJoin) —
         # benched on a 1000-doc slice at t=0.8: the SYNTHETIC corpus
         # is template-generated and pathologically self-similar, so
