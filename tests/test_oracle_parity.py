@@ -91,3 +91,27 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert {f.name for f in df.schema} == {"j", "n", "avg_dist"}
+
+
+def test_driver_window_contains_group_a_this_round():
+    """Rotation contract (VERDICT r4 item 3): the driver records rows
+    for the FIRST 50 registry entries only. This round (r5) the
+    window must hold the fixed head + group A (the r4-dark set and
+    the queries first gated in r5); every windowed entry must have an
+    oracle twin so its driver row is a full value-hash gate."""
+    keys = list(QUERIES)
+    window = keys[:50]
+    head = {
+        "yh_contract", "nearest_assign", "lloyd_recompute", "kmeanspp_pick",
+        "elbow_total", "kmeans_fit_history", "pq_ann", "streaming_kmeans",
+        "multimodal_features", "multimodal_frames",
+    }
+    assert head <= set(window), sorted(head - set(window))
+    # the ten r4-dark queries must be in this round's window
+    r4_dark = {
+        "latest_two", "anti_join", "pivot_events", "topk_global",
+        "offset_pick", "window_running", "json_extract", "set_ops",
+        "monthly_revenue", "quantiles",
+    }
+    assert r4_dark <= set(window), sorted(r4_dark - set(window))
+    assert all(k in ORACLES for k in window)
