@@ -1625,6 +1625,15 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iqr_outliers(events, value="value", group="event_type")
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p05/p95 winsorization stats per event type — exact type-7
+    quantiles from the frequency table, micro-cent integer clip."""
+    from clickhouse_k_means_spark.operators.outliers import winsorize_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return winsorize_stats(events, value="value", group="event_type")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank (3 iterations, BIGINT micro-ranks) over
     the co-supplier graph (suppliers sharing an order); the oracle
@@ -2454,12 +2463,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (110 entries: 10 fixed head + 40-entry group A + 60-entry group
+    # (111 entries: 10 fixed head + 40-entry group A + 61-entry group
     # B — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
     # orc_roundtrip, stream_ingest, tpch_q13, tpch_q16, bloom_join,
     # profile, scd2, cumulative_uniques, stream_enrich, skew_report,
-    # domain_cap, ssjoin, resume_fit and corr, added late r5, join
-    # group B and take their first driver rows in r6.) This round (r5):
+    # domain_cap, ssjoin, resume_fit, corr and winsorize, added late
+    # r5, join group B and take their first driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2589,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ssjoin": q_ssjoin,
         "resume_fit": q_resume_fit,
         "corr": q_corr,
+        "winsorize": q_winsorize,
     }
 
 
@@ -3659,6 +3669,26 @@ def oracle_sql() -> dict[str, str]:
             "c_count from customer left join orders on c_custkey = o_custkey "
             "and o_orderpriority != '1-URGENT' group by 1) "
             "select c_count, count(*)::BIGINT as custdist from pc group by 1"
+        ),
+        # winsorize: micro-cent units make ppm-grid type-7 quantiles
+        # integral, so clip sums are exact BIGINT in both engines
+        "winsorize": (
+            "with b as (select event_type, round(value * 100)::BIGINT as v "
+            "from events), "
+            "q as (select event_type, count(*)::BIGINT as n, "
+            "round(quantile_cont(v, 0.05) * 1000000)::BIGINT as q_lo_u, "
+            "round(quantile_cont(v, 0.95) * 1000000)::BIGINT as q_hi_u "
+            "from b group by 1) "
+            "select b.event_type, any_value(n)::BIGINT as n, "
+            "any_value(q_lo_u)::BIGINT as q_lo_u, "
+            "any_value(q_hi_u)::BIGINT as q_hi_u, "
+            "count(case when v * 1000000 < q_lo_u then 1 end)::BIGINT "
+            "as n_clipped_lo, "
+            "count(case when v * 1000000 > q_hi_u then 1 end)::BIGINT "
+            "as n_clipped_hi, "
+            "sum(greatest(q_lo_u, least(q_hi_u, v * 1000000)))::BIGINT "
+            "as wsum_u "
+            "from b join q using (event_type) group by 1"
         ),
         # Pearson r: exact BIGINT moment sums, ONE double combination
         "corr": (

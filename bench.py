@@ -257,6 +257,8 @@ def main() -> None:
         ("resume_fit", entry.q_resume_fit, 2),
         # exact-moment grouped Pearson correlation
         ("corr", entry.q_corr, 2),
+        # exact-quantile p05/p95 winsorization stats
+        ("winsorize", entry.q_winsorize, 2),
         # complete prefix-filtered similarity self-join (SSJoin) —
         # benched on a 1000-doc slice at t=0.8: the SYNTHETIC corpus
         # is template-generated and pathologically self-similar, so

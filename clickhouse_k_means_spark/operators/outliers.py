@@ -120,3 +120,93 @@ def iqr_outliers(
             F.col("outlier_sum_c").cast("bigint").alias("outlier_sum_c"),
         )
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    value: str = "value",
+    group: str = "event_type",
+    lo_ppm: int = 50_000,
+    hi_ppm: int = 950_000,
+    cents: int = 100,
+) -> DataFrame:
+    """Per-group winsorization at exact type-7 quantiles (default
+    p05/p95): the clipping cousin of the Tukey fences above — outliers
+    are pulled to the boundary instead of flagged, the standard
+    robust-mean preprocessing move.
+
+    Returns ``(group, n, q_lo_u, q_hi_u, n_clipped_lo, n_clipped_hi,
+    wsum_u)`` where ``_u`` values are micro-cent units (cents × 10⁶ —
+    the scale that makes type-7 interpolation at ppm-grid quantiles
+    integral) and ``wsum_u`` is the exact BIGINT sum of the clipped
+    values. Same frequency-table plan as ``iqr_outliers``: no
+    memory-unbounded percentile aggregate, no raw-row window.
+    """
+    if not (0 <= lo_ppm < hi_ppm <= 1_000_000):
+        raise ValueError(f"need 0 <= lo_ppm < hi_ppm <= 1e6, got {lo_ppm}, {hi_ppm}")
+    b = df.select(
+        F.col(group).alias("g"),
+        F.round(F.col(value) * cents).cast("bigint").alias("v"),
+    )
+    freq = b.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = Window.partitionBy("g").orderBy("v")
+    wall = Window.partitionBy("g")
+    staged = freq.select(
+        "g", "v", "cnt",
+        F.sum("cnt").over(wo).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    cp, cu, v = F.col("cum_prev"), F.col("cum"), F.col("v")
+
+    def _q(p_ppm: int, tag: str) -> list:
+        pos = F.expr(f"((n - 1) * {p_ppm}) div 1000000")
+        frac = F.expr(f"((n - 1) * {p_ppm}) % 1000000")
+        return [
+            _value_at(pos, cp, cu, v).alias(f"lo_{tag}"),
+            _value_at(pos + 1, cp, cu, v).alias(f"hi_{tag}"),
+            F.first(frac).alias(f"f_{tag}"),
+        ]
+
+    q = staged.groupBy("g").agg(
+        F.first("n").alias("n"), *_q(lo_ppm, "a"), *_q(hi_ppm, "b")
+    )
+    bounds = q.select(
+        "g", "n",
+        (
+            F.lit(1_000_000) * F.col("lo_a")
+            + F.col("f_a") * (F.coalesce("hi_a", "lo_a") - F.col("lo_a"))
+        ).alias("q_lo_u"),
+        (
+            F.lit(1_000_000) * F.col("lo_b")
+            + F.col("f_b") * (F.coalesce("hi_b", "lo_b") - F.col("lo_b"))
+        ).alias("q_hi_u"),
+    )
+    clipped = b.join(F.broadcast(bounds), "g").select(
+        "g", "n", "q_lo_u", "q_hi_u",
+        (F.col("v") * 1_000_000).alias("v_u"),
+    )
+    w = F.greatest(F.col("q_lo_u"), F.least(F.col("q_hi_u"), F.col("v_u")))
+    return (
+        clipped.groupBy("g")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("q_lo_u").alias("q_lo_u"),
+            F.first("q_hi_u").alias("q_hi_u"),
+            F.sum((F.col("v_u") < F.col("q_lo_u")).cast("bigint")).alias(
+                "n_clipped_lo"
+            ),
+            F.sum((F.col("v_u") > F.col("q_hi_u")).cast("bigint")).alias(
+                "n_clipped_hi"
+            ),
+            F.sum(w).alias("wsum_u"),
+        )
+        .select(
+            F.col("g").alias(group),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("q_lo_u").cast("bigint").alias("q_lo_u"),
+            F.col("q_hi_u").cast("bigint").alias("q_hi_u"),
+            F.col("n_clipped_lo").cast("bigint").alias("n_clipped_lo"),
+            F.col("n_clipped_hi").cast("bigint").alias("n_clipped_hi"),
+            F.col("wsum_u").cast("bigint").alias("wsum_u"),
+        )
+    )

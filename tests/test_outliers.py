@@ -59,3 +59,46 @@ def test_iqr_plan_has_no_exact_percentile(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plan = iqr_outliers(ev)._jdf.queryExecution().executedPlan().toString()
     assert "percentile" not in plan.lower(), plan
+
+
+def test_winsorize_hand_computed(spark):
+    from clickhouse_k_means_spark.operators.outliers import winsorize_stats
+
+    # 1..10 (cents 100..1000): p05 pos = 9*0.05 = 0.45 -> 100+0.45*100
+    # = 145c; p95 pos = 8.55 -> 900+0.55*100 = 955c
+    rows = [("a", float(v)) for v in range(1, 11)]
+    r = winsorize_stats(_ev(spark, rows)).collect()[0]
+    assert r.q_lo_u == 145_000_000 and r.q_hi_u == 955_000_000
+    assert r.n_clipped_lo == 1 and r.n_clipped_hi == 1  # 100c and 1000c
+    inner = sum(v * 100_000_000 for v in range(2, 10))
+    assert r.wsum_u == inner + 145_000_000 + 955_000_000
+
+
+def test_winsorize_matches_numpy(spark):
+    import numpy as np
+
+    from clickhouse_k_means_spark.operators.outliers import winsorize_stats
+
+    vals = [3.7, -1.2, 9.9, 0.0, 4.4, 4.4, 100.0, -50.0, 2.25, 8.8, 7.1]
+    r = winsorize_stats(_ev(spark, [("g", v) for v in vals])).collect()[0]
+    cents = [round(v * 100) for v in vals]
+    lo, hi = np.percentile(cents, [5, 95])
+    assert r.q_lo_u == round(lo * 1_000_000)
+    assert r.q_hi_u == round(hi * 1_000_000)
+    want = sum(
+        max(round(lo * 1e6), min(round(hi * 1e6), c * 1_000_000))
+        for c in cents
+    )
+    assert r.wsum_u == want
+
+
+def test_winsorize_validates(spark):
+    import pytest
+
+    from clickhouse_k_means_spark.operators.outliers import winsorize_stats
+
+    df = _ev(spark, [("a", 1.0)])
+    with pytest.raises(ValueError):
+        winsorize_stats(df, lo_ppm=500_000, hi_ppm=500_000)
+    with pytest.raises(ValueError):
+        winsorize_stats(df, lo_ppm=-1, hi_ppm=500_000)
