@@ -21,6 +21,11 @@ stdout (machine-parseable, shell-composable — the same contract as
     python -m clickhouse_k_means_spark.pipeline pack \
         --input scored.parquet --key doc_id --tokens n_tok \
         --budget 2048 --out packs.parquet
+    python -m clickhouse_k_means_spark.pipeline chunk \
+        --input docs.parquet --key doc_id --text text \
+        --budget 2048 --overlap 128 --out chunks.parquet
+    python -m clickhouse_k_means_spark.pipeline profile \
+        --input docs.parquet --columns doc_id,lang --out profile.parquet
 
 Every command is deterministic (hash-seeded operators), so re-runs
 produce identical outputs — the property that makes backfills and
@@ -82,6 +87,18 @@ def build_parser() -> argparse.ArgumentParser:
     common(pk)
     pk.add_argument("--tokens", required=True, help="token-count column")
     pk.add_argument("--budget", type=int, default=2048)
+
+    ch = sub.add_parser("chunk", help="token-budget document chunking")
+    common(ch, text=True)
+    ch.add_argument("--budget", type=int, default=2048)
+    ch.add_argument("--overlap", type=int, default=0)
+
+    pr = sub.add_parser("profile", help="one-scan table profile")
+    pr.add_argument("--input", required=True, help="input parquet path")
+    pr.add_argument("--out", required=True, help="output parquet path")
+    pr.add_argument(
+        "--columns", default=None, help="comma list (default: all columns)"
+    )
     return p
 
 
@@ -155,6 +172,23 @@ def main(argv: list[str] | None = None) -> int:
         out = pack_sequences(
             df, tokens=args.tokens, key=args.key, budget=args.budget
         )
+    elif args.cmd == "chunk":
+        from clickhouse_k_means_spark.operators.chunking import chunk_documents
+
+        out = chunk_documents(
+            df,
+            budget=args.budget,
+            overlap=args.overlap,
+            key=args.key,
+            text=args.text,
+        )
+    elif args.cmd == "profile":
+        from clickhouse_k_means_spark.operators.profile import profile_table
+
+        cols = (
+            [c.strip() for c in args.columns.split(",")] if args.columns else None
+        )
+        out = profile_table(df, cols)
     else:  # pragma: no cover - argparse enforces choices
         return 2
 

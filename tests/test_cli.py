@@ -132,3 +132,35 @@ def test_pipeline_cli_score_and_pack(tmp_path, capsys, spark):
     assert rc == 0
     pk = spark.read.parquet(packs)
     assert {r["doc_id"]: r["pack_id"] for r in pk.collect()} == {1: 0, 2: 1}
+
+
+def test_pipeline_cli_chunk_and_profile(tmp_path, capsys, spark):
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "chunks")
+    rc = pmain([
+        "chunk", "--input", src, "--out", out,
+        "--budget", "4", "--overlap", "1",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"doc_id", "chunk_id", "n_tok", "chunk_md5"}
+    # doc 1: starts 0,3,6 (start-6 chunk reaches token 9); doc 2: one
+    # chunk; doc 3 (empty): none
+    assert summary["rows_out"] == back.count() == 4
+
+    out2 = str(tmp_path / "prof")
+    rc = pmain(["profile", "--input", src, "--out", out2,
+                "--columns", "doc_id,text"])
+    assert rc == 0
+    prof = {r.col_name: r for r in spark.read.parquet(out2).collect()}
+    assert set(prof) == {"doc_id", "text"}
+    assert prof["doc_id"].n_rows == 3 and prof["doc_id"].n_distinct == 3
+    capsys.readouterr()
