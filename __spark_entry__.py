@@ -2368,6 +2368,37 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two store versions: v1 = customer balances, v2 =
+    upsert bumping every third key and adding shifted new keys. The
+    per-change-type rollup must match the oracle's reconstruction of
+    the same two deterministic batch definitions."""
+    import tempfile
+
+    from clickhouse_k_means_spark.sources.state import (
+        SnapshotStateStore,
+        snapshot_diff,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="cdc_") + "/store")
+    v1 = store.append(cust, "dim")
+    changes = cust.filter(F.pmod("k", F.lit(3)) == 0).withColumn(
+        "bal_c", F.col("bal_c") + 500
+    )
+    additions = cust.filter(F.pmod("k", F.lit(7)) == 0).select(
+        (F.col("k") + 1_000_000).alias("k"), "bal_c"
+    )
+    v2 = store.upsert(spark, changes.unionByName(additions), "dim", key="k")
+    diff = snapshot_diff(store, spark, "dim", v1, v2, key="k")
+    return diff.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("k").alias("key_sum")
+    )
+
+
 def q_resume_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit crash recovery: run a persisted fit, truncate its step log
     after step 1 (the simulated crash), resume, and emit equality
@@ -2463,12 +2494,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (111 entries: 10 fixed head + 40-entry group A + 61-entry group
+    # (112 entries: 10 fixed head + 40-entry group A + 62-entry group
     # B — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
     # orc_roundtrip, stream_ingest, tpch_q13, tpch_q16, bloom_join,
     # profile, scd2, cumulative_uniques, stream_enrich, skew_report,
-    # domain_cap, ssjoin, resume_fit, corr and winsorize, added late
-    # r5, join group B and take their first driver rows in r6.) This round (r5):
+    # domain_cap, ssjoin, resume_fit, corr, winsorize and
+    # snapshot_diff, added late r5, join group B and take their first
+    # driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2599,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_fit": q_resume_fit,
         "corr": q_corr,
         "winsorize": q_winsorize,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -3669,6 +3702,20 @@ def oracle_sql() -> dict[str, str]:
             "c_count from customer left join orders on c_custkey = o_custkey "
             "and o_orderpriority != '1-URGENT' group by 1) "
             "select c_count, count(*)::BIGINT as custdist from pc group by 1"
+        ),
+        # CDC: v1 = all keys; v2 changes k%3=0 rows (unless the +500
+        # bump collides with the original digest — it can't, bal_c is
+        # part of the row) and adds shifted k%7=0 keys; nothing removed
+        "snapshot_diff": (
+            "with b as (select c_custkey as k from customer) "
+            "select 'added' as change, count(*)::BIGINT as n, "
+            "sum(k + 1000000)::BIGINT as key_sum from b where k % 7 = 0 "
+            "union all "
+            "select 'changed', count(*)::BIGINT, sum(k)::BIGINT "
+            "from b where k % 3 = 0 "
+            "union all "
+            "select 'unchanged', count(*)::BIGINT, sum(k)::BIGINT "
+            "from b where k % 3 != 0"
         ),
         # winsorize: micro-cent units make ppm-grid type-7 quantiles
         # integral, so clip sums are exact BIGINT in both engines

@@ -259,6 +259,8 @@ def main() -> None:
         ("corr", entry.q_corr, 2),
         # exact-quantile p05/p95 winsorization stats
         ("winsorize", entry.q_winsorize, 2),
+        # append + upsert + full-outer CDC classification
+        ("snapshot_diff", entry.q_snapshot_diff, 2),
         # complete prefix-filtered similarity self-join (SSJoin) —
         # benched on a 1000-doc slice at t=0.8: the SYNTHETIC corpus
         # is template-generated and pathologically self-similar, so

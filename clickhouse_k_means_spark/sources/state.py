@@ -428,3 +428,47 @@ def scd2_as_of(history: DataFrame, seq: int) -> DataFrame:
         (F.col(SCD2_FROM) <= seq)
         & (F.col(SCD2_TO).isNull() | (F.col(SCD2_TO) > seq))
     ).drop(SCD2_FROM, SCD2_TO)
+
+
+def snapshot_diff(
+    store: SnapshotStateStore,
+    spark: SparkSession,
+    table: str,
+    v_old: int,
+    v_new: int,
+    key: str,
+) -> DataFrame:
+    """CDC between two committed versions: ``(key, change)`` with
+    ``change ∈ {added, removed, changed, unchanged}`` — the audit/
+    downstream-invalidation primitive version-pinned reads make
+    possible (Delta's CHANGE DATA FEED role, computed on demand).
+
+    Classification is one full-outer join on the key; 'changed' means
+    any non-key column differs, detected via a rendered-row digest
+    computed INSIDE each side's projection (no column-by-column
+    comparison explosion for wide tables). Assumes ``key`` is unique
+    per snapshot — the store's upsert/SCD surfaces maintain that.
+    """
+    from pyspark.sql import functions as F
+
+    def _keyed(version: int, tag: str) -> DataFrame:
+        df = store.read(spark, table, version=version)
+        cols = sorted(c for c in df.columns if c != key)
+        digest = (
+            F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+            if cols
+            else F.lit("")
+        )
+        return df.select(F.col(key), digest.alias(f"__h_{tag}"))
+
+    old = _keyed(v_old, "old")
+    new = _keyed(v_new, "new")
+    joined = old.join(new, key, "full_outer")
+    return joined.select(
+        key,
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )

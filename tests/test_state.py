@@ -613,3 +613,53 @@ def test_resume_fit_validates(spark, tmp_path):
     eng.fit(yh, state_store=store, state_table="wcr")
     with pytest.raises(ValueError, match="k="):
         KMeansEngine(k=5).resume_fit(yh, store, state_table="wcr")
+
+
+# ---- snapshot CDC diff (sources/state.snapshot_diff) ----
+
+
+def test_snapshot_diff_all_change_types(spark, tmp_path):
+    from clickhouse_k_means_spark.sources.state import (
+        SnapshotStateStore,
+        snapshot_diff,
+    )
+
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    v1 = store.append(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ),
+        "t",
+    )
+    # v2: key 1 unchanged, key 2 changed, key 3 removed, key 4 added
+    store.truncate("t")
+    v3 = store.append(
+        spark.createDataFrame(
+            [(1, 10), (2, 99), (4, 40)], "k long, v long"
+        ),
+        "t",
+    )
+    diff = {
+        r.k: r.change
+        for r in snapshot_diff(store, spark, "t", v1, v3, key="k").collect()
+    }
+    assert diff == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_key_only_table(spark, tmp_path):
+    """A table with ONLY the key column: no digest columns — presence
+    is the whole row, so only added/removed/unchanged can occur."""
+    from clickhouse_k_means_spark.sources.state import (
+        SnapshotStateStore,
+        snapshot_diff,
+    )
+
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    v1 = store.append(spark.createDataFrame([(1,), (2,)], "k long"), "t")
+    store.truncate("t")
+    v3 = store.append(spark.createDataFrame([(2,), (5,)], "k long"), "t")
+    diff = {
+        r.k: r.change
+        for r in snapshot_diff(store, spark, "t", v1, v3, key="k").collect()
+    }
+    assert diff == {1: "removed", 2: "unchanged", 5: "added"}
