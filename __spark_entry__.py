@@ -2368,6 +2368,40 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD-2 lookup: orders tagged with a sequence (1 or
+    2 by orderkey parity) join the customer-balance history built by
+    two upserts — seq-1 facts must see ORIGINAL balances even for keys
+    batch 2 rewrote; seq-2 facts see the bumps."""
+    import tempfile
+
+    from clickhouse_k_means_spark.sources.state import (
+        SnapshotStateStore,
+        scd2_temporal_join,
+        upsert_scd2,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="scd2_tj_") + "/store")
+    upsert_scd2(store, spark, cust, "dim", key="k", seq=1)
+    batch2 = cust.filter(F.pmod("k", F.lit(3)) == 0).withColumn(
+        "bal_c", F.col("bal_c") + 500
+    )
+    upsert_scd2(store, spark, batch2, "dim", key="k", seq=2)
+    hist = store.read(spark, "dim")
+    facts = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        (F.lit(1) + F.pmod("o_orderkey", F.lit(2))).alias("seq"),
+    )
+    joined = scd2_temporal_join(facts, F.broadcast(hist), key="k", seq_col="seq")
+    return joined.groupBy("seq").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bal_c").alias("bal_sum")
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC between two store versions: v1 = customer balances, v2 =
     upsert bumping every third key and adding shifted new keys. The
@@ -2494,13 +2528,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
     #     minhash_sigs, join_agg_segment, hash_split,
     #     sql_scalar_subquery
-    # (112 entries: 10 fixed head + 40-entry group A + 62-entry group
+    # (113 entries: 10 fixed head + 40-entry group A + 63-entry group
     # B — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
     # orc_roundtrip, stream_ingest, tpch_q13, tpch_q16, bloom_join,
     # profile, scd2, cumulative_uniques, stream_enrich, skew_report,
-    # domain_cap, ssjoin, resume_fit, corr, winsorize and
-    # snapshot_diff, added late r5, join group B and take their first
-    # driver rows in r6.) This round (r5):
+    # domain_cap, ssjoin, resume_fit, corr, winsorize, snapshot_diff
+    # and scd2_lookup, added late r5, join group B and take their
+    # first driver rows in r6.) This round (r5):
     # group A — dark since its r4 rotation — is in the window,
     # including first driver rows for the thirty-one NEW r5 queries
     # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
@@ -2632,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr": q_corr,
         "winsorize": q_winsorize,
         "snapshot_diff": q_snapshot_diff,
+        "scd2_lookup": q_scd2_lookup,
     }
 
 
@@ -3702,6 +3737,19 @@ def oracle_sql() -> dict[str, str]:
             "c_count from customer left join orders on c_custkey = o_custkey "
             "and o_orderpriority != '1-URGENT' group by 1) "
             "select c_count, count(*)::BIGINT as custdist from pc group by 1"
+        ),
+        # point-in-time lookup: seq-1 facts see original balances for
+        # every key; seq-2 facts see +500 on k%3=0 keys
+        "scd2_lookup": (
+            "with b as (select c_custkey as k, "
+            "round(c_acctbal * 100)::BIGINT as bal_c from customer), "
+            "f as (select o_custkey as k, "
+            "(1 + o_orderkey % 2)::BIGINT as seq from orders), "
+            "j as (select f.seq, b.bal_c "
+            "+ case when f.seq = 2 and b.k % 3 = 0 then 500 else 0 end "
+            "as bal from f join b on f.k = b.k) "
+            "select seq, count(*)::BIGINT as n, sum(bal)::BIGINT as bal_sum "
+            "from j group by 1"
         ),
         # CDC: v1 = all keys; v2 changes k%3=0 rows (unless the +500
         # bump collides with the original digest — it can't, bal_c is

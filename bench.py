@@ -261,6 +261,8 @@ def main() -> None:
         ("winsorize", entry.q_winsorize, 2),
         # append + upsert + full-outer CDC classification
         ("snapshot_diff", entry.q_snapshot_diff, 2),
+        # two SCD-2 upserts + broadcast point-in-time fact join
+        ("scd2_lookup", entry.q_scd2_lookup, 2),
         # complete prefix-filtered similarity self-join (SSJoin) —
         # benched on a 1000-doc slice at t=0.8: the SYNTHETIC corpus
         # is template-generated and pathologically self-similar, so

@@ -472,3 +472,39 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
         .alias("change"),
     )
+
+
+def scd2_temporal_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    seq_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each fact row to the dimension row that was CURRENT at the
+    fact's sequence — the point-in-time lookup that makes SCD-2
+    history useful (a fact from batch 1 must see batch-1 attributes
+    even after later upserts rewrote the key).
+
+    Match condition: same ``key`` and
+    ``valid_from_seq <= fact.seq < valid_to_seq`` (open rows match
+    everything from their insertion on). The equi-key part drives the
+    join (hash join; broadcast the history when it is state-sized —
+    the normal case) and the interval test rides as a residual
+    filter, so no interval-explosion or theta-join shuffle occurs.
+    Facts at sequences before the key existed drop out under
+    ``how='inner'`` (pass ``'left'`` to keep them with NULL dims).
+    """
+    from pyspark.sql import functions as F
+
+    if seq_col in (SCD2_FROM, SCD2_TO):
+        raise ValueError(f"seq_col collides with SCD-2 column {seq_col!r}")
+    cond = (
+        (facts[key] == history[key])
+        & (history[SCD2_FROM] <= facts[seq_col])
+        & (
+            history[SCD2_TO].isNull()
+            | (history[SCD2_TO] > facts[seq_col])
+        )
+    )
+    return facts.join(history, cond, how).drop(history[key])

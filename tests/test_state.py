@@ -663,3 +663,40 @@ def test_snapshot_diff_key_only_table(spark, tmp_path):
         for r in snapshot_diff(store, spark, "t", v1, v3, key="k").collect()
     }
     assert diff == {1: "removed", 2: "unchanged", 5: "added"}
+
+
+def test_scd2_temporal_join_point_in_time(spark, tmp_path):
+    from clickhouse_k_means_spark.sources.state import (
+        SnapshotStateStore,
+        scd2_temporal_join,
+        upsert_scd2,
+    )
+
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    upsert_scd2(
+        store, spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        "dim", key="k", seq=1,
+    )
+    upsert_scd2(
+        store, spark,
+        spark.createDataFrame([(2, 99), (3, 30)], "k long, v long"),
+        "dim", key="k", seq=2,
+    )
+    hist = store.read(spark, "dim")
+    facts = spark.createDataFrame(
+        [(2, 1), (2, 2), (1, 2), (3, 1), (3, 2)], "k long, seq long"
+    )
+    got = {
+        (r.k, r.seq): r.v
+        for r in scd2_temporal_join(facts, hist, "k", "seq").collect()
+    }
+    # key 2 at seq 1 sees the OLD value; at seq 2 the rewrite;
+    # key 3 did not exist at seq 1 -> inner join drops that fact
+    assert got == {(2, 1): 20, (2, 2): 99, (1, 2): 10, (3, 2): 30}
+    left = scd2_temporal_join(facts, hist, "k", "seq", how="left")
+    assert left.count() == 5  # the pre-existence fact kept with NULLs
+    import pytest
+
+    with pytest.raises(ValueError, match="collides"):
+        scd2_temporal_join(facts, hist, "k", "valid_from_seq")
