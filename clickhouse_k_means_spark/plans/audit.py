@@ -1,0 +1,79 @@
+"""Plan auditing — the engine's anti-pattern checks as a library.
+
+The test suite guards plan shapes ad hoc (no SinglePartition windows,
+broadcasts where expected, pushdown reaching the scan); this module
+makes those checks a public, reusable surface so PIPELINE code can
+assert its own plans before a 100 TB run — the "explain and iterate
+until it's the plan you'd want" rule as an executable contract:
+
+    report = audit_plan(df)
+    assert not report["single_partition"], report
+
+Everything reads the EXECUTED plan string — the same source of truth
+``df.explain`` prints — so audits see post-AQE physical reality, not
+the logical intent.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame) -> str:
+    """The executed physical plan as text (what ``explain`` prints)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit_plan(df: DataFrame) -> dict:
+    """Structural facts about a DataFrame's physical plan.
+
+    Returns a dict of:
+    - ``n_shuffles``: count of hash/range repartition exchanges
+    - ``shuffle_keys``: the partitioning expressions of each shuffle
+    - ``n_broadcasts``: broadcast exchanges (small-side ships, no
+      repartition of the big side)
+    - ``has_cartesian``: a CartesianProduct / BroadcastNestedLoopJoin
+      is in the plan — almost always an accident at scale
+    - ``single_partition``: window/sort operators forcing ALL rows
+      through one partition (the unbounded-data scale killer)
+    - ``pushed_filters``: predicates that reached the file scan
+    - ``read_schemas``: per-scan column projections (prune check)
+    - ``interpreted_hofs``: higher-order-function expressions that
+      evaluate interpreted per element (transform/aggregate/filter
+      lambdas) — fine on bounded arrays, a hot-path smell otherwise
+    """
+    plan = plan_string(df)
+    shuffles = re.findall(r"Exchange (hashpartitioning\([^\n]*?)(?:, \[plan_id)", plan)
+    shuffles += re.findall(r"Exchange (rangepartitioning\([^\n]*?)(?:, \[plan_id)", plan)
+    return {
+        "n_shuffles": len(shuffles),
+        "shuffle_keys": shuffles,
+        "n_broadcasts": plan.count("BroadcastExchange"),
+        "has_cartesian": (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ),
+        "single_partition": "SinglePartition" in plan,
+        "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+        "read_schemas": re.findall(r"ReadSchema: ([^\n,]+)", plan),
+        "interpreted_hofs": sorted(
+            set(re.findall(r"\b(transform|aggregate|zip_with|exists)\(", plan))
+        ),
+    }
+
+
+def assert_scales(df: DataFrame, allow_single_partition: bool = False) -> dict:
+    """Raise if the plan has a structural scale killer (cartesian
+    product, or a SinglePartition funnel unless explicitly allowed —
+    e.g. a bounded day-table cumsum). Returns the audit for further
+    checks."""
+    report = audit_plan(df)
+    problems = []
+    if report["has_cartesian"]:
+        problems.append("cartesian/nested-loop join")
+    if report["single_partition"] and not allow_single_partition:
+        problems.append("SinglePartition funnel")
+    if problems:
+        raise AssertionError(f"plan fails scale audit: {problems}\n{plan_string(df)}")
+    return report

@@ -1,0 +1,64 @@
+"""Plan-audit library (plans/audit.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_k_means_spark.plans.audit import assert_scales, audit_plan
+
+
+def test_audit_counts_shuffles_and_broadcasts(spark, sf_dir):
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r = audit_plan(agg)
+    assert r["n_broadcasts"] >= 1
+    assert r["n_shuffles"] >= 1  # the groupBy exchange
+    assert not r["has_cartesian"]
+    assert any("o_orderpriority" in k for k in r["shuffle_keys"])
+
+
+def test_audit_flags_cartesian_and_single_partition(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    cart = a.crossJoin(b)
+    assert audit_plan(cart)["has_cartesian"]
+    with pytest.raises(AssertionError, match="cartesian"):
+        assert_scales(cart)
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy("id")  # global order -> SinglePartition
+    funnel = a.withColumn("rn", F.row_number().over(w))
+    assert audit_plan(funnel)["single_partition"]
+    with pytest.raises(AssertionError, match="SinglePartition"):
+        assert_scales(funnel)
+    assert_scales(funnel, allow_single_partition=True)  # explicit opt-in
+
+
+def test_audit_sees_pushdown_and_pruning(spark, sf_dir):
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 30
+    ).select("l_orderkey")
+    r = audit_plan(li)
+    assert any("l_quantity" in p for p in r["pushed_filters"])
+    assert r["read_schemas"] and all(
+        "l_extendedprice" not in s for s in r["read_schemas"]
+    )
+
+
+def test_audit_clean_plans_pass(spark, sf_dir):
+    """The engine's own flagship operators pass the scale audit."""
+    import __spark_entry__ as entry
+
+    for key in ("nearest_assign", "chunk_docs", "dedup_exact", "tpch_q1"):
+        assert_scales(entry.queries()[key](spark, sf_dir))
