@@ -68,6 +68,13 @@ def bloom_prefilter(
     """Keep probe rows whose key MIGHT be in the bloom (all k bits
     set). k broadcast left joins — the probe side is never shuffled;
     a word id absent from the bitmap table means bits are all zero."""
+    reserved = {"__pos", "__word", "__bits"}
+    clash = reserved & set(probe.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_prefilter: probe columns {sorted(clash)} collide with "
+            "the operator's temp columns — rename them first"
+        )
     out = probe
     for i in range(k_hashes):
         pos = F.pmod(F.xxhash64(F.lit(seed + i), F.col(key)), F.lit(m_bits))

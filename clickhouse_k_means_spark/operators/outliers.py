@@ -35,6 +35,27 @@ def _value_at(pos: Column, cum_prev: Column, cum: Column, v: Column) -> Column:
     return F.max(F.when((cum_prev <= pos) & (pos < cum), v))
 
 
+def _staged_freq(
+    df: DataFrame, value: str, group: str, cents: int
+) -> DataFrame:
+    """Shared quantile staging: cents-quantize, build the per-group
+    VALUE-FREQUENCY table, and attach cumulative/total counts —
+    ``(g, v, cnt, cum, cum_prev, n)``. Both quantile operators below
+    interpolate off this relation."""
+    b = df.select(
+        F.col(group).alias("g"),
+        F.round(F.col(value) * cents).cast("bigint").alias("v"),
+    )
+    freq = b.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = Window.partitionBy("g").orderBy("v")
+    wall = Window.partitionBy("g")
+    return freq.select(
+        "g", "v", "cnt",
+        F.sum("cnt").over(wo).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+
+
 def iqr_outliers(
     df: DataFrame,
     value: str = "value",
@@ -54,16 +75,7 @@ def iqr_outliers(
         F.col(group).alias("g"),
         F.round(F.col(value) * cents).cast("bigint").alias("v"),
     )
-    freq = b.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    wo = Window.partitionBy("g").orderBy("v")
-    wall = Window.partitionBy("g")
-    staged = freq.select(
-        "g",
-        "v",
-        "cnt",
-        F.sum("cnt").over(wo).alias("cum"),
-        F.sum("cnt").over(wall).alias("n"),
-    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    staged = _staged_freq(df, value, group, cents)
 
     # type-7: p25 sits at quarter-position (n-1), p75 at 3(n-1)
     i25 = F.expr("(n - 1) div 4")
@@ -148,14 +160,7 @@ def winsorize_stats(
         F.col(group).alias("g"),
         F.round(F.col(value) * cents).cast("bigint").alias("v"),
     )
-    freq = b.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    wo = Window.partitionBy("g").orderBy("v")
-    wall = Window.partitionBy("g")
-    staged = freq.select(
-        "g", "v", "cnt",
-        F.sum("cnt").over(wo).alias("cum"),
-        F.sum("cnt").over(wall).alias("n"),
-    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    staged = _staged_freq(df, value, group, cents)
     cp, cu, v = F.col("cum_prev"), F.col("cum"), F.col("v")
 
     def _q(p_ppm: int, tag: str) -> list:

@@ -36,8 +36,13 @@ def audit_plan(df: DataFrame) -> dict:
       repartition of the big side)
     - ``has_cartesian``: a CartesianProduct / BroadcastNestedLoopJoin
       is in the plan — almost always an accident at scale
-    - ``single_partition``: window/sort operators forcing ALL rows
-      through one partition (the unbounded-data scale killer)
+    - ``single_partition``: a SinglePartition exchange whose CONSUMER
+      is a Sort/Window operator — ALL ROWS funnel through one task
+      (the unbounded-data scale killer). A SinglePartition exchange
+      feeding a final aggregate is NOT flagged: that is the benign
+      second phase of a two-phase scalar aggregate, carrying one
+      partial row per upstream partition, and virtually every query
+      with a global count/sum has one.
     - ``pushed_filters``: predicates that reached the file scan
     - ``read_schemas``: per-scan column projections (prune check)
     - ``interpreted_hofs``: higher-order-function expressions that
@@ -54,13 +59,43 @@ def audit_plan(df: DataFrame) -> dict:
         "has_cartesian": (
             "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
         ),
-        "single_partition": "SinglePartition" in plan,
+        "single_partition": _single_partition_funnel(plan),
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
         "read_schemas": re.findall(r"ReadSchema: ([^\n,]+)", plan),
         "interpreted_hofs": sorted(
-            set(re.findall(r"\b(transform|aggregate|zip_with|exists)\(", plan))
+            set(
+                re.findall(
+                    r"\b(transform|aggregate|zip_with|exists|filter)\(", plan
+                )
+            )
         ),
     }
+
+
+_OPERATOR = re.compile(r"[A-Za-z]")
+
+
+def _single_partition_funnel(plan: str) -> bool:
+    """True if a SinglePartition exchange feeds a Sort/Window consumer
+    (a genuine all-rows funnel). The consumer of an exchange is the
+    nearest PRECEDING tree line with shallower indentation; a
+    *Aggregate consumer is the benign scalar-agg final phase."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        depth = _OPERATOR.search(ln).start() if _OPERATOR.search(ln) else 0
+        for prev in reversed(lines[:i]):
+            m = _OPERATOR.search(prev)
+            if m is None or m.start() >= depth:
+                continue
+            consumer = prev.strip().lstrip("*:+- ").lstrip("(")
+            if "Aggregate" in consumer:
+                break  # benign two-phase scalar aggregate
+            if "Sort" in consumer or "Window" in consumer:
+                return True
+            break  # some other consumer (e.g. Limit) — not a funnel
+    return False
 
 
 def assert_scales(df: DataFrame, allow_single_partition: bool = False) -> dict:

@@ -608,6 +608,18 @@ class KMeansEngine:
         history = [
             (s, j, c) for s in sorted(by_step) for j, c in sorted(by_step[s])
         ]
+        # the log itself tells us whether the fit had already
+        # converged: replay the convergence test on the last two
+        # persisted models (driver-side, k rows each). Without this a
+        # crash AFTER convergence would replay an extra Lloyd step
+        # from the converged model — overshooting the original fit.
+        if last >= 1 and (last - 1) in by_step:
+            prev = dict(sorted(by_step[last - 1]))
+            moved = sum(
+                _euclid(prev[j], c) for j, c in model if j in prev
+            )
+            if int(moved * self.one_delta) == 0:
+                return KMeansResult(model, history, last, True, [moved])
 
         def _persist_step(step: int, m) -> None:
             prows = [(int(step), int(j), [float(x) for x in c]) for j, c in m]

@@ -286,6 +286,25 @@ class SnapshotStateStore:
             (self._manifests(table) / f"v{v:08d}.json").unlink()
         return removed
 
+    def _replace_snapshot(self, df: DataFrame, table: str) -> int:
+        """Stage ``df`` as immutable data files and commit them as the
+        WHOLE next snapshot (replace semantics) — the shared tail of
+        every copy-on-write rewrite (upsert, SCD-2 batches)."""
+        staging = self._table(table) / f".staging-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(str(staging))
+        data = self._data(table)
+        data.mkdir(parents=True, exist_ok=True)
+        batch = uuid.uuid4().hex
+        new_files: list[str] = []
+        for i, part in enumerate(sorted(staging.glob("part-*.parquet"))):
+            name = f"{batch}-part-{i}.parquet"
+            os.replace(part, data / name)
+            new_files.append(name)
+        shutil.rmtree(staging)
+        return self._commit(
+            table, new_files, replace=True, schema_json=df.schema.json()
+        )
+
     def upsert(
         self, spark: SparkSession, df: DataFrame, table: str, key: str
     ) -> int:
@@ -313,20 +332,7 @@ class SnapshotStateStore:
         merged = current.join(
             df.select(key).distinct(), key, "left_anti"
         ).unionByName(df)
-        staging = self._table(table) / f".staging-{uuid.uuid4().hex}"
-        merged.write.mode("overwrite").parquet(str(staging))
-        data = self._data(table)
-        data.mkdir(parents=True, exist_ok=True)
-        batch = uuid.uuid4().hex
-        new_files: list[str] = []
-        for i, part in enumerate(sorted(staging.glob("part-*.parquet"))):
-            name = f"{batch}-part-{i}.parquet"
-            os.replace(part, data / name)
-            new_files.append(name)
-        shutil.rmtree(staging)
-        return self._commit(
-            table, new_files, replace=True, schema_json=merged.schema.json()
-        )
+        return self._replace_snapshot(merged, table)
 
 
 # ---- SCD-2 history tracking over a SnapshotStateStore table ----------
@@ -396,20 +402,7 @@ def upsert_scd2(
 def _scd2_commit_replace(
     store: SnapshotStateStore, df: DataFrame, table: str
 ) -> int:
-    staging = store._table(table) / f".staging-{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(str(staging))
-    data = store._data(table)
-    data.mkdir(parents=True, exist_ok=True)
-    batch = uuid.uuid4().hex
-    new_files: list[str] = []
-    for i, part in enumerate(sorted(staging.glob("part-*.parquet"))):
-        name = f"{batch}-part-{i}.parquet"
-        os.replace(part, data / name)
-        new_files.append(name)
-    shutil.rmtree(staging)
-    return store._commit(
-        table, new_files, replace=True, schema_json=df.schema.json()
-    )
+    return store._replace_snapshot(df, table)
 
 
 def scd2_current(history: DataFrame) -> DataFrame:

@@ -62,3 +62,23 @@ def test_audit_clean_plans_pass(spark, sf_dir):
 
     for key in ("nearest_assign", "chunk_docs", "dedup_exact", "tpch_q1"):
         assert_scales(entry.queries()[key](spark, sf_dir))
+
+
+def test_audit_scalar_aggregate_not_flagged_as_funnel(spark, sf_dir):
+    """A global count/sum plans an Exchange SinglePartition feeding
+    the final aggregate — one partial row per partition, benign. Only
+    Sort/Window consumers are funnels."""
+    from clickhouse_k_means_spark.operators.skew import skew_report
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    assert not audit_plan(li.agg(F.count(F.lit(1))))["single_partition"]
+    # skew_report ends in a 1-row stats aggregate — must pass
+    assert_scales(skew_report(li, "l_suppkey"))
+
+
+def test_audit_detects_interpreted_filter_hof(spark):
+    df = spark.range(5).select(
+        F.expr("filter(sequence(1, id + 1), x -> x % 2 = 0)").alias("evens")
+    )
+    assert "filter" in audit_plan(df)["interpreted_hofs"]

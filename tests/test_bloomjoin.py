@@ -87,3 +87,11 @@ def test_bloom_validates_params(spark):
         bloom_build(df, "k", 100)  # not a multiple of 64
     with pytest.raises(ValueError):
         bloom_build(df, "k", 128, k_hashes=0)
+
+
+def test_bloom_prefilter_rejects_reserved_column_collision(spark):
+    build = spark.range(10).selectExpr("id as k")
+    probe = spark.range(10).selectExpr("id as k", "id as __word")
+    bloom = bloom_build(build, "k", 128)
+    with pytest.raises(ValueError, match="collide"):
+        bloom_prefilter(probe, bloom, "k", 128)

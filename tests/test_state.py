@@ -700,3 +700,33 @@ def test_scd2_temporal_join_point_in_time(spark, tmp_path):
 
     with pytest.raises(ValueError, match="collides"):
         scd2_temporal_join(facts, hist, "k", "valid_from_seq")
+
+
+def test_resume_fit_after_convergence_is_noop(spark, tmp_path):
+    """Crash AFTER the fit converged: resume must recognize
+    convergence from the log's last two steps and return WITHOUT
+    replaying an extra Lloyd step or appending spurious state."""
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+    from clickhouse_k_means_spark.sources.dataset import load_yh
+    from clickhouse_k_means_spark.sources.state import ParquetStateStore
+
+    yh = load_yh(spark, "/root/testdata/sf0.001", "lineitem")
+    store = ParquetStateStore(str(tmp_path / "s"))
+    # k=1 converges by construction: step 1 lands on the global mean,
+    # step 2 recomputes the identical mean -> movement 0
+    full = KMeansEngine(k=1, seed=42, max_iter=6).fit(
+        yh, state_store=store, state_table="wcr"
+    )
+    assert full.converged, "k=1 fit must converge at the global mean"
+    steps_before = {
+        r.step for r in store.read(spark, "wcr").select("step").collect()
+    }
+    resumed = KMeansEngine(k=1, seed=1, max_iter=6).resume_fit(
+        yh, store, state_table="wcr"
+    )
+    assert resumed.converged and resumed.model == full.model
+    assert resumed.n_iter == full.n_iter
+    steps_after = {
+        r.step for r in store.read(spark, "wcr").select("step").collect()
+    }
+    assert steps_after == steps_before  # nothing appended
