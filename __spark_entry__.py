@@ -2498,153 +2498,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver gate row that round (they stay oracle-checked by
     # tests/test_oracle_parity.py, which iterates the WHOLE registry).
     #
-    # ROTATION SCHEDULE (r5+, VERDICT r4 item 3): with 91 entries, 41
-    # sit in the tail each round, alternating between two groups so
-    # every query gets a driver CORRECTNESS row at least every other
-    # round:
-    #   group A (tail on EVEN rounds r6, r8, …): latest_two, anti_join,
-    #     pivot_events, topk_global, offset_pick, window_running,
-    #     json_extract, set_ops, monthly_revenue, quantiles,
-    #     dedup_incremental, mix_sources, bucketed_join, unigram_lm,
-    #     weighted_sample, near_dedup, hll_incremental,
-    #     formats_roundtrip, tpch_q4, tpch_q18, histogram_incremental,
-    #     curriculum, hashed_features, doc_clusters — PLUS the twelve
-    #     first-gated-this-round queries cube_revenue, boilerplate,
-    #     domain_kl, embed_covariance, moving_avg, funnel, retention,
-    #     pivot_native, unpivot_events, near_dedup_incremental,
-    #     data_quality, correlated_min, gap_fill, range_frame,
-    #     window_ranks, fuzzy_match, pq_ann
-    #     (they join group A's cadence after their first driver row
-    #     lands in r5)
-    #   group B (tail on ODD rounds r5, r7, …): tfidf_top_terms,
-    #     asof_join, sessionize, tpch_q3, limit_by_latest,
-    #     silhouette_sums, decontaminate, pack_sequences, tpch_q5,
-    #     ann_topk, tpch_q1, dedup_components, srp_ann, ivf_ann,
-    #     kmeans_fit_best, mllib_kmeans, streaming_windows, lang_id,
-    #     quality_scores, token_counts, doc_fingerprint,
-    #     repetition_stats, pii_redact, stratified_sample, approx_ndv,
-    #     approx_quantiles, jaccard_pairs, simhash_pairs, hll_rollup,
-    #     simhash_docs, embed_neardup, silhouette_sampled, lsh_pairs,
-    #     embed_neardup_lsh, time_buckets, range_join, dedup_exact,
-    #     minhash_sigs, join_agg_segment, hash_split,
-    #     sql_scalar_subquery
-    # (113 entries: 10 fixed head + 40-entry group A + 63-entry group
-    # B — chunk_docs, inverted_index, bigram_lm, outliers, pagerank,
-    # orc_roundtrip, stream_ingest, tpch_q13, tpch_q16, bloom_join,
-    # profile, scd2, cumulative_uniques, stream_enrich, skew_report,
-    # domain_cap, ssjoin, resume_fit, corr, winsorize, snapshot_diff
-    # and scd2_lookup, added late r5, join group B and take their
-    # first driver rows in r6.) This round (r5):
-    # group A — dark since its r4 rotation — is in the window,
-    # including first driver rows for the thirty-one NEW r5 queries
-    # (dedup_incremental, mix_sources, bucketed_join, unigram_lm,
-    # weighted_sample, near_dedup, hll_incremental, formats_roundtrip,
-    # tpch_q4, tpch_q18, histogram_incremental, curriculum,
-    # hashed_features, doc_clusters, cube_revenue, boilerplate,
-    # domain_kl, embed_covariance, moving_avg, funnel, retention,
-    # pivot_native, unpivot_events, near_dedup_incremental,
-    # data_quality, correlated_min, gap_fill, range_frame,
-    # window_ranks, fuzzy_match, pq_ann);
-    # group B rotates out (every member has a green row in
-    # CORRECTNESS_r04 and stays pytest-oracle-gated each round).
+    # ROTATION SCHEDULE (r6+, VERDICT r5 item 2 — the r5 two-group
+    # cadence stopped closing at 113 entries, so this is now a
+    # CIRCULAR rotation with honest arithmetic):
+    #   * fixed head (6): the flagship k-means pipeline queries
+    #     (yh_contract .. kmeans_fit_history) stay in the window every
+    #     round. The four formerly-fixed entries pq_ann,
+    #     streaming_kmeans, multimodal_features, multimodal_frames are
+    #     demoted into the rotation (VERDICT r5 item 2), leaving
+    #     44 rotating slots per round.
+    #   * rotating list R (107 entries, order = this dict's order
+    #     after the head): each round the window takes the next 44
+    #     entries of R, advancing a pointer by 44 (mod 107), so every
+    #     query gets a driver CORRECTNESS row at least every
+    #     ceil(107/44) = 3 rounds.
+    #   * red rows jump the queue: any query whose last driver row
+    #     was not fully green re-enters the next window regardless of
+    #     the pointer (this round: range_frame, whose r5 hash-fail was
+    #     a DuckDB HUGEINT rendering artifact — oracle now casts).
+    #   * new queries added mid-round are appended so they land in the
+    #     NEXT round's window slice.
+    # This round (r6), pointer = 0: window = 6 fixed + range_frame +
+    # the 22 late-r5 queries that have never had a driver row
+    # (chunk_docs .. scd2_lookup, VERDICT r5 item 2) + the first 21 of
+    # group B (streaming_windows .. doc_fingerprint, last green r4).
+    # r7 window will be R[44:88] (rest of group B + most of group A);
+    # r8 wraps.
     return {
-        # --- fixed head: in the driver window every round (35) ---
         "yh_contract": q_yh_contract,
         "nearest_assign": q_nearest_assign,
         "lloyd_recompute": q_lloyd_recompute,
         "kmeanspp_pick": q_kmeanspp_pick,
         "elbow_total": q_elbow_total,
         "kmeans_fit_history": q_kmeans_fit_history,
-        "pq_ann": q_pq_ann,
-        "streaming_kmeans": q_streaming_kmeans,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        # --- group A: in the window this round (r5), tail on even ---
-        "latest_two": q_latest_two,
-        "anti_join": q_anti_join,
-        "pivot_events": q_pivot_events,
-        "topk_global": q_topk_global,
-        "offset_pick": q_offset_pick,
-        "window_running": q_window_running,
-        "json_extract": q_json_extract,
-        "set_ops": q_set_ops,
-        "monthly_revenue": q_monthly_revenue,
-        "cube_revenue": q_cube_revenue,
-        "boilerplate": q_boilerplate,
-        "domain_kl": q_domain_kl,
-        "embed_covariance": q_embed_covariance,
-        "moving_avg": q_moving_avg,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "pivot_native": q_pivot_native,
-        "unpivot_events": q_unpivot_events,
-        "near_dedup_incremental": q_near_dedup_incremental,
-        "data_quality": q_data_quality,
-        "correlated_min": q_correlated_min,
-        "gap_fill": q_gap_fill,
+        # --- rotating list R: r6 window (44) — range_frame red-row
+        # redo, the 22 late-r5 first-gates, first 21 of group B ---
         "range_frame": q_range_frame,
-        "window_ranks": q_window_ranks,
-        "fuzzy_match": q_fuzzy_match,
-        "quantiles": q_quantiles,
-        "dedup_incremental": q_dedup_incremental,
-        "mix_sources": q_mix_sources,
-        "bucketed_join": q_bucketed_join,
-        "unigram_lm": q_unigram_lm,
-        "weighted_sample": q_weighted_sample,
-        "near_dedup": q_near_dedup,
-        "hll_incremental": q_hll_incremental,
-        "formats_roundtrip": q_formats_roundtrip,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q18": q_tpch_q18,
-        "histogram_incremental": q_histogram_incremental,
-        "curriculum": q_curriculum,
-        "hashed_features": q_hashed_features,
-        "doc_clusters": q_doc_clusters,
-        # --- tail: group B, out of the driver's 50-row window this
-        # round (all green in CORRECTNESS_r04; still oracle-gated in
-        # pytest) ---
-        "streaming_windows": q_streaming_windows,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
-        "tpch_q3": q_tpch_q3,
-        "limit_by_latest": q_limit_by_latest,
-        "silhouette_sums": q_silhouette_sums,
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
-        "tpch_q5": q_tpch_q5,
-        "ann_topk": q_ann_topk,
-        "tpch_q1": q_tpch_q1,
-        "dedup_components": q_dedup_components,
-        "srp_ann": q_srp_ann,
-        "ivf_ann": q_ivf_ann,
-        "kmeans_fit_best": q_kmeans_fit_best,
-        "mllib_kmeans": q_mllib_kmeans,
-        "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "repetition_stats": q_repetition_stats,
-        "pii_redact": q_pii_redact,
-        "stratified_sample": q_stratified_sample,
-        "approx_ndv": q_approx_ndv,
-        "approx_quantiles": q_approx_quantiles,
-        "jaccard_pairs": q_jaccard_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "hll_rollup": q_hll_rollup,
-        "simhash_docs": q_simhash_docs,
-        "embed_neardup": q_embed_neardup,
-        "silhouette_sampled": q_silhouette_sampled,
-        "lsh_pairs": q_lsh_pairs,
-        "embed_neardup_lsh": q_embed_neardup_lsh,
-        "time_buckets": q_time_buckets,
-        "range_join": q_range_join,
-        "dedup_exact": q_dedup_exact,
-        "minhash_sigs": q_minhash_sigs,
-        "join_agg_segment": q_join_agg_segment,
-        "hash_split": q_hash_split,
-        "sql_scalar_subquery": q_sql_scalar_subquery,
-        # --- new in late r5: join group B's cadence (window in r6) ---
         "chunk_docs": q_chunk_docs,
         "inverted_index": q_inverted_index,
         "bigram_lm": q_bigram_lm,
@@ -2667,6 +2556,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "snapshot_diff": q_snapshot_diff,
         "scd2_lookup": q_scd2_lookup,
+        "streaming_windows": q_streaming_windows,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "tpch_q3": q_tpch_q3,
+        "limit_by_latest": q_limit_by_latest,
+        "silhouette_sums": q_silhouette_sums,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "tpch_q5": q_tpch_q5,
+        "ann_topk": q_ann_topk,
+        "tpch_q1": q_tpch_q1,
+        "dedup_components": q_dedup_components,
+        "srp_ann": q_srp_ann,
+        "ivf_ann": q_ivf_ann,
+        "kmeans_fit_best": q_kmeans_fit_best,
+        "mllib_kmeans": q_mllib_kmeans,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        # --- R tail: out of the driver window in r6, r7 window
+        # starts here (rest of group B, then group A, then the four
+        # demoted head entries) ---
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
+        "approx_ndv": q_approx_ndv,
+        "approx_quantiles": q_approx_quantiles,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "hll_rollup": q_hll_rollup,
+        "simhash_docs": q_simhash_docs,
+        "embed_neardup": q_embed_neardup,
+        "silhouette_sampled": q_silhouette_sampled,
+        "lsh_pairs": q_lsh_pairs,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
+        "time_buckets": q_time_buckets,
+        "range_join": q_range_join,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sigs": q_minhash_sigs,
+        "join_agg_segment": q_join_agg_segment,
+        "hash_split": q_hash_split,
+        "sql_scalar_subquery": q_sql_scalar_subquery,
+        "latest_two": q_latest_two,
+        "anti_join": q_anti_join,
+        "pivot_events": q_pivot_events,
+        "topk_global": q_topk_global,
+        "offset_pick": q_offset_pick,
+        "window_running": q_window_running,
+        "json_extract": q_json_extract,
+        "set_ops": q_set_ops,
+        "monthly_revenue": q_monthly_revenue,
+        "cube_revenue": q_cube_revenue,
+        "boilerplate": q_boilerplate,
+        "domain_kl": q_domain_kl,
+        "embed_covariance": q_embed_covariance,
+        "moving_avg": q_moving_avg,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "pivot_native": q_pivot_native,
+        "unpivot_events": q_unpivot_events,
+        "near_dedup_incremental": q_near_dedup_incremental,
+        "data_quality": q_data_quality,
+        "correlated_min": q_correlated_min,
+        "gap_fill": q_gap_fill,
+        "window_ranks": q_window_ranks,
+        "fuzzy_match": q_fuzzy_match,
+        "quantiles": q_quantiles,
+        "dedup_incremental": q_dedup_incremental,
+        "mix_sources": q_mix_sources,
+        "bucketed_join": q_bucketed_join,
+        "unigram_lm": q_unigram_lm,
+        "weighted_sample": q_weighted_sample,
+        "near_dedup": q_near_dedup,
+        "hll_incremental": q_hll_incremental,
+        "formats_roundtrip": q_formats_roundtrip,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q18": q_tpch_q18,
+        "histogram_incremental": q_histogram_incremental,
+        "curriculum": q_curriculum,
+        "hashed_features": q_hashed_features,
+        "doc_clusters": q_doc_clusters,
+        "pq_ann": q_pq_ann,
+        "streaming_kmeans": q_streaming_kmeans,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -3072,7 +3048,12 @@ def oracle_sql() -> dict[str, str]:
             "epoch_ns(ts) // 1000000000 as es, "
             "round(value * 100)::BIGINT as value_c from events) "
             "select event_id, user_id, "
-            "count(*) over f as n_1h, sum(value_c) over f as sum_c_1h "
+            # ::BIGINT — DuckDB's windowed sum(BIGINT) yields HUGEINT,
+            # which pandas renders as float ('123.0'); Spark's int64
+            # renders '123', so the driver's value hash diverged in r5
+            # on identical values (VERDICT r5 item 1).
+            "count(*) over f as n_1h, "
+            "(sum(value_c) over f)::BIGINT as sum_c_1h "
             "from b window f as (partition by user_id order by es "
             "range between 3600 preceding and current row)"
         ),
