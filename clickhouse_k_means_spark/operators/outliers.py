@@ -45,7 +45,11 @@ def _staged_freq(
     b = df.select(
         F.col(group).alias("g"),
         F.round(F.col(value) * cents).cast("bigint").alias("v"),
-    )
+    ).filter(F.col("v").isNotNull())
+    # NULL metrics are excluded from both the frequency table AND n —
+    # quantile positions must match DuckDB's quantile_cont, which
+    # ignores NULLs; an unfiltered NULL group would sort first and
+    # shift every position (ADVICE r5).
     freq = b.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
     wo = Window.partitionBy("g").orderBy("v")
     wall = Window.partitionBy("g")

@@ -72,24 +72,39 @@ def audit_plan(df: DataFrame) -> dict:
     }
 
 
-_OPERATOR = re.compile(r"[A-Za-z]")
+# Tree prefix = the drawing characters (spaces, ':', '+', '-') before
+# the operator; an optional '*(n) ' whole-stage-codegen marker follows
+# it. Depth must be the PREFIX width, not the first-letter column:
+# '*(2) Sort' puts its first letter 5 columns right of where the bare
+# 'Sort' would sit, which made a codegen'd consumer directly above an
+# exchange look deeper-or-equal and be skipped (ADVICE r5).
+_TREE_LINE = re.compile(r"^([ :+\-]*)(?:\*\(\d+\) )?(\S.*)$")
+
+
+def _depth_and_op(ln: str) -> tuple[int, str] | None:
+    m = _TREE_LINE.match(ln)
+    if m is None:
+        return None
+    return len(m.group(1)), m.group(2)
 
 
 def _single_partition_funnel(plan: str) -> bool:
     """True if a SinglePartition exchange feeds a Sort/Window consumer
     (a genuine all-rows funnel). The consumer of an exchange is the
-    nearest PRECEDING tree line with shallower indentation; a
+    nearest PRECEDING tree line with a shallower tree prefix; a
     *Aggregate consumer is the benign scalar-agg final phase."""
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
             continue
-        depth = _OPERATOR.search(ln).start() if _OPERATOR.search(ln) else 0
+        here = _depth_and_op(ln)
+        if here is None:
+            continue
         for prev in reversed(lines[:i]):
-            m = _OPERATOR.search(prev)
-            if m is None or m.start() >= depth:
+            p = _depth_and_op(prev)
+            if p is None or p[0] >= here[0]:
                 continue
-            consumer = prev.strip().lstrip("*:+- ").lstrip("(")
+            consumer = p[1]
             if "Aggregate" in consumer:
                 break  # benign two-phase scalar aggregate
             if "Sort" in consumer or "Window" in consumer:

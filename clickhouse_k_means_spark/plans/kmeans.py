@@ -514,7 +514,12 @@ class KMeansEngine:
         sc = yh.sparkSession.sparkContext
         if yh.rdd.getNumPartitions() < sc.defaultParallelism:
             yh = yh.repartition(sc.defaultParallelism)
-        yh = yh.select("i", "Y").cache()
+        # keep the CACHED handle separate from the (possibly coalesced)
+        # working handle: unpersisting the coalesced plan would miss
+        # the cache entry and leak the working set after every fit on
+        # small inputs (ADVICE r5)
+        cached = yh.select("i", "Y").cache()
+        yh = cached
         try:
             head = yh.select("Y").first()
             if head is None:
@@ -544,7 +549,7 @@ class KMeansEngine:
             _persist_step(0, model)
             return self._run_lloyd(yh, dim, model, history, 1, _persist_step)
         finally:
-            yh.unpersist()
+            cached.unpersist()
 
     def _run_lloyd(
         self, yh, dim, model, history, start_step, persist_step
@@ -634,7 +639,10 @@ class KMeansEngine:
         sc = spark.sparkContext
         if yh.rdd.getNumPartitions() < sc.defaultParallelism:
             yh = yh.repartition(sc.defaultParallelism)
-        yh = yh.select("i", "Y").cache()
+        # cached handle kept separate from the coalesced working handle
+        # so the finally-unpersist hits the real cache entry (ADVICE r5)
+        cached = yh.select("i", "Y").cache()
+        yh = cached
         try:
             head = yh.select("Y").first()
             if head is None:
@@ -649,7 +657,7 @@ class KMeansEngine:
                 yh, dim, model, history, last + 1, _persist_step
             )
         finally:
-            yh.unpersist()
+            cached.unpersist()
 
     def fit_best(self, yh: DataFrame, n_init: int = 3) -> KMeansResult:
         """Multi-restart fit: run ``n_init`` seeded fits, keep the one

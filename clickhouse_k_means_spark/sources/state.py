@@ -263,6 +263,24 @@ class SnapshotStateStore:
             return {}
         return self._read_manifest(table, v).get("meta", {}) or {}
 
+    def latest_metadata_value(self, table: str, key: str):
+        """The most recent committed value of one metadata key,
+        scanning manifests BACKWARD until a manifest carries it.
+
+        ``latest_metadata`` reads only the newest manifest, so any
+        interleaved non-sink commit (upsert, truncate, manual append)
+        would erase a marker like the streaming sink's ``batch_id``
+        and let a crash-replay double-commit (ADVICE r5). Backward
+        scan makes the marker survive accidental mixing; manifests are
+        tiny JSON so the scan costs one file read per intervening
+        commit, and streams normally find it in the newest one.
+        Returns None if no manifest carries the key."""
+        for v in reversed(self._versions(table)):
+            meta = self._read_manifest(table, v).get("meta", {}) or {}
+            if key in meta:
+                return meta[key]
+        return None
+
     def truncate(self, table: str) -> int:
         """LOGICAL truncate: commit an empty snapshot. Earlier versions
         stay readable (time travel) until ``vacuum``."""
@@ -373,6 +391,23 @@ def upsert_scd2(
 
     if key in (SCD2_FROM, SCD2_TO):
         raise ValueError(f"key column collides with SCD-2 column {key!r}")
+    # One open row per key per snapshot is the invariant snapshot_diff
+    # and scd2 temporal joins rely on; duplicate keys in a single batch
+    # would insert multiple open rows and fan out every downstream fact
+    # join, so reject them up front (ADVICE r5), mirroring the
+    # seq-monotonicity check below.
+    dup = (
+        df.groupBy(key)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"scd2 batch has duplicate key {dup[0][0]!r}: one row per "
+            f"key per batch (pre-aggregate or dedupe before upsert)"
+        )
     incoming = df.withColumn(SCD2_FROM, F.lit(seq).cast("bigint")).withColumn(
         SCD2_TO, F.lit(None).cast("bigint")
     )

@@ -42,7 +42,10 @@ class SnapshotStreamSink:
         self.n_skipped = 0
 
     def last_batch_id(self) -> int | None:
-        b = self.store.latest_metadata(self.table).get("batch_id")
+        # Backward manifest scan, not latest-only: an interleaved
+        # non-sink commit (upsert/truncate) must not erase the marker
+        # and open a double-commit window on replay (ADVICE r5).
+        b = self.store.latest_metadata_value(self.table, "batch_id")
         return int(b) if b is not None else None
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> bool:

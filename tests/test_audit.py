@@ -82,3 +82,34 @@ def test_audit_detects_interpreted_filter_hof(spark):
         F.expr("filter(sequence(1, id + 1), x -> x % 2 = 0)").alias("evens")
     )
     assert "filter" in audit_plan(df)["interpreted_hofs"]
+
+
+def test_audit_funnel_detected_under_codegen_consumer():
+    """A whole-stage-codegen consumer ('*(n) Sort') sits textually
+    5 columns right of where the bare operator would, which the old
+    first-letter depth heuristic read as deeper-than-the-exchange and
+    skipped (ADVICE r5). Depth now comes from the tree-prefix width
+    with the codegen marker stripped."""
+    from clickhouse_k_means_spark.plans.audit import (
+        _single_partition_funnel,
+    )
+
+    codegen_sort = (
+        "*(2) Sort [a ASC NULLS FIRST], true, 0\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]\n"
+        "   +- *(1) Project [a]\n"
+    )
+    assert _single_partition_funnel(codegen_sort) is True
+    nested = (
+        "Project [a]\n"
+        "+- *(3) Sort [a ASC NULLS FIRST], true, 0\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]\n"
+        "      +- Scan parquet [a]\n"
+    )
+    assert _single_partition_funnel(nested) is True
+    benign_agg = (
+        "*(2) HashAggregate(keys=[], functions=[sum(x)])\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]\n"
+        "   +- *(1) HashAggregate(keys=[], functions=[partial_sum(x)])\n"
+    )
+    assert _single_partition_funnel(benign_agg) is False

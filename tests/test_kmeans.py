@@ -255,3 +255,21 @@ def test_parallel_init_large_k_arrow_path(spark):
         assert assigned.select("j").distinct().count() == 16
     finally:
         yh.unpersist()
+
+
+def test_fit_unpersists_cached_working_set_on_small_input(spark):
+    """fit/resume_fit coalesce small inputs AFTER caching; the
+    finally-unpersist must target the CACHED handle, not the coalesced
+    plan, or the working set leaks after every fit (ADVICE r5)."""
+    # the cache manager tracks .cache()d plans only (localCheckpoint
+    # residue from init is ContextCleaner-managed and out of scope)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "another test leaked a cached plan"
+    yh = from_table(
+        golden_points(spark, n_clusters=3, points_per_cluster=200, seed=7),
+        "i",
+        ["x", "y"],
+    )
+    res = KMeansEngine(k=3, seed=7).fit(yh)
+    assert len(res.model) == 3
+    assert cm.isEmpty()

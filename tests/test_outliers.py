@@ -102,3 +102,18 @@ def test_winsorize_validates(spark):
         winsorize_stats(df, lo_ppm=500_000, hi_ppm=500_000)
     with pytest.raises(ValueError):
         winsorize_stats(df, lo_ppm=-1, hi_ppm=500_000)
+
+
+def test_iqr_null_metrics_excluded_from_quantiles(spark):
+    """NULL metric values must not form a nulls-first frequency group
+    or inflate n — quantile positions must match DuckDB's
+    quantile_cont, which ignores NULLs (ADVICE r5)."""
+    base = [("a", float(v)) for v in (10.0, 20.0, 40.0, 100.0)]
+    with_nulls = base + [("a", None), ("a", None), ("a", None)]
+    got = iqr_outliers(_ev(spark, with_nulls)).collect()[0]
+    want = iqr_outliers(_ev(spark, base)).collect()[0]
+    assert (got.n, got.q25_4, got.q75_4) == (want.n, want.q25_4, want.q75_4)
+    assert (got.n_outliers, got.outlier_sum_c) == (
+        want.n_outliers,
+        want.outlier_sum_c,
+    )

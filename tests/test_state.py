@@ -730,3 +730,50 @@ def test_resume_fit_after_convergence_is_noop(spark, tmp_path):
         r.step for r in store.read(spark, "wcr").select("step").collect()
     }
     assert steps_after == steps_before  # nothing appended
+
+
+def test_scd2_rejects_duplicate_keys_in_batch(spark, tmp_path):
+    """One open row per key per batch is the invariant every SCD-2
+    consumer (snapshot_diff, temporal joins) relies on; a duplicate
+    key in one batch must be rejected, not silently fan out
+    (ADVICE r5)."""
+    import pytest
+
+    from clickhouse_k_means_spark.sources.state import (
+        SnapshotStateStore,
+        upsert_scd2,
+    )
+
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    dup = spark.createDataFrame([(1, 10), (1, 11)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate key"):
+        upsert_scd2(store, spark, dup, "dim", key="k", seq=1)
+    assert not store.exists("dim")  # nothing committed
+    # clean batch still works, including against an existing table
+    ok = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    upsert_scd2(store, spark, ok, "dim", key="k", seq=1)
+    with pytest.raises(ValueError, match="duplicate key"):
+        upsert_scd2(store, spark, dup, "dim", key="k", seq=2)
+
+
+def test_snapshot_sink_marker_survives_interleaved_commit(spark, tmp_path):
+    """An upsert/append from OUTSIDE the sink between two micro-batches
+    must not erase the batch_id idempotence marker: replay after such
+    a mix would double-commit (ADVICE r5 — marker now found by
+    backward manifest scan, not latest-manifest-only)."""
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.snapshot_sink import (
+        SnapshotStreamSink,
+    )
+
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    sink = SnapshotStreamSink(store, "t")
+    b0 = spark.createDataFrame([(1, "a")], "id long, s string")
+    assert sink.process_batch(b0, 7) is True
+    # accidental non-sink commit on the same table (no batch_id meta)
+    store.append(spark.createDataFrame([(9, "z")], "id long, s string"), "t")
+    assert store.latest_metadata("t") == {}  # newest manifest lacks it
+    assert sink.last_batch_id() == 7  # but the marker is still found
+    # crash-replay of batch 7 is therefore still skipped
+    assert sink.process_batch(b0, 7) is False
+    assert store.read(spark, "t").count() == 2
