@@ -275,6 +275,31 @@ def main() -> None:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)
 
+    # candidate-pair count for the ssjoin slice, with and without the
+    # PPJoin positional filter — the candidate distinct() is the
+    # operator's dominant shuffle, so rows pruned here are the scale
+    # story (VERDICT r5 item 7)
+    from clickhouse_k_means_spark.operators.ssjoin import (
+        _candidate_pairs,
+        _ordered_sets,
+    )
+    from clickhouse_k_means_spark.sources.dataset import load_table as _lt
+
+    _sj_docs = (
+        _lt(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 1000")
+    )
+    _sj_ordered = _ordered_sets(_sj_docs, "doc_id", "text")
+    detail.setdefault("ssjoin", {})["candidates"] = {
+        "with_position_filter": _candidate_pairs(
+            _sj_ordered, 800_000, position_filter=True
+        ).count(),
+        "prefix_only": _candidate_pairs(
+            _sj_ordered, 800_000, position_filter=False
+        ).count(),
+    }
+
     # ---- kscale: large-k fit (VERDICT r3 item 5) ----------------------
     # k=64 with k-means|| init + Arrow matmul Lloyd assignment, vs the
     # r2-recorded 187.7 s sequential-++ fit at the same (k, sf,

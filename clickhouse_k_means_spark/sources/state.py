@@ -74,6 +74,44 @@ class ParquetStateStore:
             shutil.rmtree(p)
 
 
+class CommitProtocol:
+    """The ONE filesystem-specific primitive of the snapshot store's
+    optimistic commit: publish ``content`` under the exact name
+    ``final`` only if that name is absent. Returns True when this
+    writer claimed the name, False when another writer got there
+    first (caller recomputes its base and retries at the next
+    version).
+
+    Implementations: ``HardLinkCommitProtocol`` (local filesystems,
+    the default) uses write-to-temp + ``os.link`` — atomic and
+    fails-if-present on POSIX. An object-store implementation maps to
+    the store's conditional write — S3 ``PutObject`` with
+    ``If-None-Match: *``, GCS ``x-goog-if-generation-match: 0``,
+    Azure ``If-None-Match: *`` — or a DynamoDB-style lock table where
+    the store lacks one (the pre-conditional-write Delta-on-S3
+    design). Everything else in the store is immutable uuid-named
+    data files needing no coordination.
+    """
+
+    def put_if_absent(self, final: Path, content: str) -> bool:
+        raise NotImplementedError
+
+
+class HardLinkCommitProtocol(CommitProtocol):
+    """Local-filesystem conditional put: temp write + atomic link."""
+
+    def put_if_absent(self, final: Path, content: str) -> bool:
+        tmp = final.parent / f".tmp-{uuid.uuid4().hex}.json"
+        tmp.write_text(content)
+        try:
+            os.link(tmp, final)  # atomic, fails if the name is taken
+            tmp.unlink()
+            return True
+        except FileExistsError:
+            tmp.unlink()  # lost the race
+            return False
+
+
 class SnapshotStateStore:
     """Versioned state tables with snapshot isolation and time travel —
     the Delta/Iceberg log design in dependency-free form.
@@ -101,8 +139,9 @@ class SnapshotStateStore:
     atomic link, independent of table size.
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, commit_protocol: CommitProtocol | None = None):
         self.root = Path(root)
+        self._protocol = commit_protocol or HardLinkCommitProtocol()
 
     # ---- paths ----
 
@@ -151,15 +190,11 @@ class SnapshotStateStore:
         carried forward otherwise) so an EMPTY snapshot — a fresh
         truncate — still reads back with the real column types.
 
-        Commit primitive note (object stores): ``os.link`` onto the
-        final name is the local-filesystem spelling of "create this
-        exact key only if absent". On S3-class stores the same protocol
-        swaps in the store's conditional write — S3 ``PutObject`` with
-        ``If-None-Match: *``, GCS ``x-goog-if-generation-match: 0``,
-        Azure ``If-None-Match: *`` — or a DynamoDB-style lock table
-        where the store lacks one (the pre-conditional-write Delta-on-S3
-        design). Only this one primitive is filesystem-specific; data
-        files are immutable uuid-named objects needing no coordination.
+        The filesystem-specific "create this exact key only if
+        absent" primitive lives behind the injectable
+        ``CommitProtocol`` (see its docstring for the object-store
+        mappings); this method owns only the retry loop and base
+        recomputation.
         """
         mdir = self._manifests(table)
         mdir.mkdir(parents=True, exist_ok=True)
@@ -175,24 +210,18 @@ class SnapshotStateStore:
             seen = set(base)
             files = base + [f for f in new_files if f not in seen]
             version = (latest or 0) + 1
-            tmp = mdir / f".tmp-{uuid.uuid4().hex}.json"
-            tmp.write_text(
-                json.dumps(
-                    {
-                        "version": version,
-                        "files": files,
-                        "schema": schema_json or base_schema,
-                        "meta": metadata or {},
-                    }
-                )
+            payload = json.dumps(
+                {
+                    "version": version,
+                    "files": files,
+                    "schema": schema_json or base_schema,
+                    "meta": metadata or {},
+                }
             )
             final = mdir / f"v{version:08d}.json"
-            try:
-                os.link(tmp, final)  # atomic, fails if version taken
-                tmp.unlink()
+            if self._protocol.put_if_absent(final, payload):
                 return version
-            except FileExistsError:
-                tmp.unlink()  # lost the race — recompute base and retry
+            # lost the race — recompute base and retry
 
     # ---- public surface ----
 

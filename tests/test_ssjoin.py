@@ -72,3 +72,38 @@ def test_ssjoin_validates_threshold(spark):
         similarity_self_join(df, threshold_ppm=0)
     with pytest.raises(ValueError):
         similarity_self_join(df, threshold_ppm=PPM + 1)
+
+
+def test_position_filter_prunes_without_losing_pairs(spark, sf_dir):
+    """PPJoin positional pruning (VERDICT r5 item 7): same final pairs,
+    strictly fewer candidate rows entering the verify join on a real
+    corpus slice."""
+    from clickhouse_k_means_spark.operators.ssjoin import (
+        _candidate_pairs,
+        _ordered_sets,
+    )
+
+    ordered = _ordered_sets(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400),
+        "doc_id",
+        "text",
+    )
+    t = 600_000
+    with_pos = _candidate_pairs(ordered, t, position_filter=True)
+    without = _candidate_pairs(ordered, t, position_filter=False)
+    n_with, n_without = with_pos.count(), without.count()
+    assert n_with < n_without, (n_with, n_without)
+    # soundness: pruned candidates are all below-threshold pairs
+    kept = {(r.ka, r.kb) for r in with_pos.collect()}
+    verify = (
+        without.join(ordered.select(F.col("k").alias("ka"), F.col("ts").alias("ta")), "ka")
+        .join(ordered.select(F.col("k").alias("kb"), F.col("ts").alias("tb")), "kb")
+        .select(
+            "ka", "kb",
+            F.size(F.array_intersect("ta", "tb")).cast("bigint").alias("i"),
+            (F.size("ta") + F.size("tb")).cast("bigint").alias("ab"),
+        )
+        .filter(F.col("i") * PPM >= t * (F.col("ab") - F.col("i")))
+    )
+    true_pairs = {(r.ka, r.kb) for r in verify.collect()}
+    assert true_pairs <= kept

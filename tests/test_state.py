@@ -777,3 +777,74 @@ def test_snapshot_sink_marker_survives_interleaved_commit(spark, tmp_path):
     # crash-replay of batch 7 is therefore still skipped
     assert sink.process_batch(b0, 7) is False
     assert store.read(spark, "t").count() == 2
+
+
+# ---- injectable commit protocol (VERDICT r5 item 8) ----
+
+
+class _FakeConditionalPut:
+    """Object-store-style conditional put backed by plain writes, with
+    a scripted number of initial losses to simulate a racing writer."""
+
+    def __init__(self, lose_first: int = 0):
+        self.lose_first = lose_first
+        self.attempts = 0
+        self.committed = []
+
+    def put_if_absent(self, final, content) -> bool:
+        self.attempts += 1
+        if self.attempts <= self.lose_first:
+            # the "other writer" claims this version
+            final.write_text(
+                content.replace('"meta": {}', '"meta": {"winner": "other"}')
+            )
+            return False
+        if final.exists():
+            return False
+        final.write_text(content)
+        self.committed.append(final.name)
+        return True
+
+
+def test_snapshot_store_accepts_injected_commit_protocol(spark, tmp_path):
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    proto = _FakeConditionalPut()
+    store = SnapshotStateStore(str(tmp_path / "s"), commit_protocol=proto)
+    v1 = store.append(spark.createDataFrame([(1,)], "id long"), "t")
+    v2 = store.append(spark.createDataFrame([(2,)], "id long"), "t")
+    assert (v1, v2) == (1, 2)
+    assert proto.committed == ["v00000001.json", "v00000002.json"]
+    assert store.read(spark, "t").count() == 2
+
+
+def test_snapshot_commit_retries_when_protocol_loses_race(spark, tmp_path):
+    """A lost conditional put must re-read the winner's manifest as the
+    new base and land at the next version with no lost update."""
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    proto = _FakeConditionalPut(lose_first=1)
+    store = SnapshotStateStore(str(tmp_path / "s"), commit_protocol=proto)
+    v = store.append(spark.createDataFrame([(1,)], "id long"), "t")
+    # attempt 1 lost v1 to the scripted "other writer"; retry won v2
+    assert v == 2
+    assert proto.attempts == 2
+    got = store.read(spark, "t")
+    assert got.count() == 1  # own batch applied exactly once
+    assert store.latest_metadata("t") == {}
+
+
+def test_default_protocol_is_hard_link(tmp_path):
+    from clickhouse_k_means_spark.sources.state import (
+        HardLinkCommitProtocol,
+        SnapshotStateStore,
+    )
+
+    store = SnapshotStateStore(str(tmp_path / "s"))
+    assert isinstance(store._protocol, HardLinkCommitProtocol)
+    final = tmp_path / "m.json"
+    assert store._protocol.put_if_absent(final, "a") is True
+    assert store._protocol.put_if_absent(final, "b") is False
+    assert final.read_text() == "a"
+    # no temp litter either way
+    assert list(tmp_path.glob(".tmp-*")) == []
