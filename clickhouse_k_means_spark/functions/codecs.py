@@ -1,0 +1,219 @@
+"""Dependency-free media codecs for the multimodal pipeline.
+
+The container ships no PIL/soundfile/ffmpeg, but two real formats are
+decodable with the standard library alone, which turns the multimodal
+operators from plumbing-with-stubs into a real (if narrow) capability
+(VERDICT r5 item 6):
+
+- PNG (ISO/IEC 15948): signature + chunk walk, concatenated IDAT
+  zlib-inflate, and per-scanline unfiltering (None/Sub/Up/Average/
+  Paeth) — bit depth 8, color types gray / gray+alpha / RGB / RGBA,
+  no interlacing. That covers everything ``encode_png`` (and most ML
+  preprocessing dumps) produce.
+- WAV (RIFF PCM) via the stdlib ``wave`` module — 8/16-bit PCM, any
+  rate/channels.
+- FSEQ, a minimal length-prefixed frame-sequence container
+  (``FSEQ<u32 count>(<u32 len><png bytes>)*``) standing in for a video
+  bitstream: real frame SAMPLING over real PNG frames without an
+  H.264 decoder. Real video codecs remain out of scope and raise
+  ``NotImplementedError`` loudly.
+
+Encoders exist so tests and fixtures can round-trip without any
+external tool; they emit filter-0 scanlines (valid, universally
+readable PNG).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+FSEQ_MAGIC = b"FSEQ"
+
+# PNG color type -> channel count (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def is_png(data: bytes) -> bool:
+    return bool(data) and data[:8] == PNG_SIG
+
+
+def is_wav(data: bytes) -> bool:
+    return bool(data) and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+def is_frame_seq(data: bytes) -> bool:
+    return bool(data) and data[:4] == FSEQ_MAGIC
+
+
+# ---- PNG ----
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """``(width, height, channels, pixels)`` — pixels are row-major
+    interleaved bytes, ``width * height * channels`` long."""
+    if not is_png(data):
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + body + crc (crc not verified)
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {color}")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG data length mismatch")
+    out = bytearray(stride * height)
+    prev_start = -1
+    for y in range(height):
+        fbyte = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if fbyte == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif fbyte == 2:  # Up
+            if prev_start >= 0:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev_start + i]) & 0xFF
+        elif fbyte == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif fbyte == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                ul = (
+                    out[prev_start + i - channels]
+                    if (prev_start >= 0 and i >= channels)
+                    else 0
+                )
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                if pa <= pb and pa <= pc:
+                    pred = left
+                elif pb <= pc:
+                    pred = up
+                else:
+                    pred = ul
+                line[i] = (line[i] + pred) & 0xFF
+        elif fbyte != 0:
+            raise ValueError(f"PNG filter type {fbyte}")
+        start = y * stride
+        out[start : start + stride] = line
+        prev_start = start
+    return width, height, channels, bytes(out)
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal PNG writer (filter 0 on every scanline)."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color is None:
+        raise ValueError(f"channels must be 1..4, got {channels}")
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer length mismatch")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---- WAV ----
+
+
+def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """``(sample_rate, n_channels, samples)`` — samples interleaved,
+    8-bit unsigned re-centered to signed, 16-bit as-is."""
+    if not is_wav(data):
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    with wave.open(io.BytesIO(data), "rb") as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if sw == 2:
+        samples = list(struct.unpack(f"<{len(frames) // 2}h", frames))
+    elif sw == 1:
+        samples = [b - 128 for b in frames]
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} (only 1 or 2)")
+    return rate, nch, samples
+
+
+def encode_wav(rate: int, n_channels: int, samples: list[int]) -> bytes:
+    """16-bit PCM writer (samples interleaved)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+# ---- FSEQ frame-sequence container ----
+
+
+def encode_frame_seq(frames: list[bytes]) -> bytes:
+    """``FSEQ<u32 count>(<u32 len><bytes>)*`` — each entry a full PNG."""
+    out = bytearray(FSEQ_MAGIC)
+    out.extend(struct.pack(">I", len(frames)))
+    for f in frames:
+        out.extend(struct.pack(">I", len(f)))
+        out.extend(f)
+    return bytes(out)
+
+
+def decode_frame_seq(data: bytes) -> list[bytes]:
+    if not is_frame_seq(data):
+        raise ValueError("not an FSEQ container")
+    (count,) = struct.unpack(">I", data[4:8])
+    pos = 8
+    frames: list[bytes] = []
+    for _ in range(count):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        frames.append(data[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    if pos != len(data):
+        raise ValueError("FSEQ trailing bytes")
+    return frames

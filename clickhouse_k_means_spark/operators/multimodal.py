@@ -9,11 +9,13 @@ Design (the 100 TB-pipeline shape):
   ``mapInPandas`` stages: Arrow-batched, one Python worker per
   partition, no per-row pickling. The Spark-side plumbing (schemas,
   batch iteration, partitioning) is real and tested.
-- The actual media codecs are NOT in this container: ``decode_payload``
-  raises ``NotImplementedError`` unless ``deterministic_fake=True``,
-  which derives features/frames from the payload bytes' digest — a
-  clearly-marked stand-in with the same shapes and dtypes a real
-  decoder would produce.
+- Codecs (r6): PNG and RIFF/WAV decode for real via the stdlib
+  (``functions/codecs.py`` — zlib inflate + scanline unfiltering,
+  ``wave``), and the FSEQ frame-sequence container gives real frame
+  sampling over real PNG frames. Formats beyond those (JPEG, MP3,
+  H.264, …) raise ``NotImplementedError`` loudly —
+  ``deterministic_fake=True`` remains the digest-derived stand-in the
+  DuckDB oracle replays (the oracle can hash, not inflate).
 
 Scale notes: mapInPandas is a narrow transformation — partitioning of
 the source is preserved, no shuffle; Arrow transfer is the only
@@ -71,19 +73,34 @@ def synth_multimodal(
 
 
 def decode_payload(payload: bytes, modality: str, deterministic_fake: bool = False):
-    """Decode one payload. STUB: real image/audio/video codecs are not
-    available in this container.
+    """Decode one payload by content sniffing.
+
+    Real path: PNG → ``(width, height, channels, pixels)``, WAV →
+    ``(rate, n_channels, samples)``, FSEQ → ``list[png bytes]``.
+    Unrecognized bitstreams (JPEG, MP3, H.264, …) raise
+    ``NotImplementedError`` — no silent wrong answers.
 
     With ``deterministic_fake`` it returns the payload's md5 digest
     bytes — a stand-in decoded buffer that is stable across runs so
-    tests can assert end-to-end determinism.
+    the DuckDB oracle (which can hash but not inflate) can replay the
+    pipeline.
     """
-    if not deterministic_fake:
-        raise NotImplementedError(
-            f"no {modality} codec in this environment; pass "
-            "deterministic_fake=True for the test stand-in"
-        )
-    return hashlib.md5(payload or b"").digest()
+    if deterministic_fake:
+        return hashlib.md5(payload or b"").digest()
+    from clickhouse_k_means_spark.functions import codecs
+
+    p = payload or b""
+    if codecs.is_png(p):
+        return codecs.decode_png(p)
+    if codecs.is_wav(p):
+        return codecs.decode_wav(p)
+    if codecs.is_frame_seq(p):
+        return codecs.decode_frame_seq(p)
+    raise NotImplementedError(
+        f"unsupported {modality} bitstream (PNG/WAV/FSEQ decode for "
+        "real; other codecs are not in this environment); pass "
+        "deterministic_fake=True for the digest stand-in"
+    )
 
 
 def _fake_features(payload: bytes, dim: int) -> list[float]:
@@ -100,27 +117,83 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
+def _pad(vals: list[float], dim: int) -> list[float]:
+    return (vals + [0.0] * dim)[:dim]
+
+
+def _real_features(payload: bytes, dim: int) -> list[float]:
+    """Decoded-content features, normalized to roughly [-1, 1]:
+
+    - PNG: ``[w/1024, h/1024, channels/4, mean, std, ch0_mean..]``
+      over pixel bytes / 255;
+    - WAV: ``[rate/48k, channels/4, log10(n)/6, rms, peak, zcr]``
+      over samples / 32768;
+    - FSEQ: mean of the per-frame PNG feature vectors.
+    Zero-padded/truncated to ``dim``. numpy does the per-buffer math —
+    vectorized inside the Arrow batch, no per-pixel Python.
+    """
+    import math
+
+    import numpy as np
+
+    from clickhouse_k_means_spark.functions import codecs
+
+    p = payload or b""
+    if codecs.is_png(p):
+        w, h, ch, pix = codecs.decode_png(p)
+        a = np.frombuffer(pix, dtype=np.uint8).astype(np.float64) / 255.0
+        per_ch = a.reshape(-1, ch).mean(axis=0)
+        return _pad(
+            [w / 1024.0, h / 1024.0, ch / 4.0, float(a.mean()), float(a.std())]
+            + [float(x) for x in per_ch],
+            dim,
+        )
+    if codecs.is_wav(p):
+        rate, nch, samples = codecs.decode_wav(p)
+        a = np.asarray(samples, dtype=np.float64) / 32768.0
+        zcr = float(np.mean(np.signbit(a[1:]) != np.signbit(a[:-1]))) if len(a) > 1 else 0.0
+        return _pad(
+            [
+                rate / 48000.0,
+                nch / 4.0,
+                math.log10(max(len(a), 1)) / 6.0,
+                float(np.sqrt(np.mean(a * a))) if len(a) else 0.0,
+                float(np.abs(a).max()) if len(a) else 0.0,
+                zcr,
+            ],
+            dim,
+        )
+    if codecs.is_frame_seq(p):
+        frames = codecs.decode_frame_seq(p)
+        if not frames:
+            return _pad([], dim)
+        acc = np.zeros(dim)
+        for f in frames:
+            acc += np.asarray(_real_features(f, dim))
+        return [float(x) for x in acc / len(frames)]
+    raise NotImplementedError(
+        "unsupported bitstream (PNG/WAV/FSEQ decode for real)"
+    )
+
+
 def extract_features(
     df: DataFrame, dim: int = 8, deterministic_fake: bool = True
 ) -> DataFrame:
     """payload → ``features array<double>`` via Arrow-batched mapInPandas.
 
-    The real pipeline would run the model/codec inside ``_batches``;
-    the fake path keeps identical schema, batching, and determinism.
+    Real path: decode (PNG/WAV/FSEQ) + normalized content features per
+    payload inside the batch loop. Fake path: digest-derived vector
+    with identical schema/batching — the oracle-replayable stand-in.
     """
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        make = _fake_features if deterministic_fake else _real_features
         for pdf in it:
-            if not deterministic_fake:
-                # fail loudly per batch, same as decode_payload
-                raise NotImplementedError("no codecs in this environment")
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "modality": pdf["modality"],
-                    "features": [
-                        _fake_features(p, dim) for p in pdf["payload"]
-                    ],
+                    "features": [make(p, dim) for p in pdf["payload"]],
                 }
             )
 
@@ -139,21 +212,34 @@ def sample_frames(
     """
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from clickhouse_k_means_spark.functions.codecs import decode_frame_seq
+
         for pdf in it:
             ids, idxs, frames = [], [], []
             for rid, payload in zip(pdf["id"], pdf["payload"]):
-                for k in range(n_frames):
-                    if not deterministic_fake:
-                        raise NotImplementedError("no codecs in this environment")
-                    fidx = k * every_n
-                    # hex-string hash (not raw bytes) so the oracle can
-                    # recompute the frame digest — see _fake_features
-                    frame = hashlib.md5(
-                        ((payload or b"").hex() + str(fidx)).encode("ascii")
-                    ).digest()
-                    ids.append(rid)
-                    idxs.append(fidx)
-                    frames.append(frame)
+                if deterministic_fake:
+                    for k in range(n_frames):
+                        fidx = k * every_n
+                        # hex-string hash (not raw bytes) so the oracle
+                        # can recompute the digest — see _fake_features
+                        frame = hashlib.md5(
+                            ((payload or b"").hex() + str(fidx)).encode("ascii")
+                        ).digest()
+                        ids.append(rid)
+                        idxs.append(fidx)
+                        frames.append(frame)
+                else:
+                    # real path: sample every_n-th PNG out of the FSEQ
+                    # container (raises on non-FSEQ — real video
+                    # bitstreams have no decoder here)
+                    seq = decode_frame_seq(payload or b"")
+                    for k in range(n_frames):
+                        fidx = k * every_n
+                        if fidx >= len(seq):
+                            break
+                        ids.append(rid)
+                        idxs.append(fidx)
+                        frames.append(seq[fidx])
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.filter(F.col("modality") == "video").mapInPandas(
