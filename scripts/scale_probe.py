@@ -1,0 +1,122 @@
+"""One-shot sf1 scale probe (VERDICT r5 item 5).
+
+Runs the flagship scale claims — kmeans_fit, near_dedup, ssjoin,
+pagerank, pq_ann — on the 10x fixture from ``make_sf1.py`` and prints
+wall time + total shuffle read/write bytes per query, so BASELINE.md
+can carry a measured 10x datapoint instead of a plan-shape argument.
+
+Usage: python scripts/scale_probe.py [sf_dir]  (default .scale/sf1)
+Run SOLO (bench noise protocol): contended runs inflate ~30%.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+UI_PORT = 4057
+
+
+def get_spark_with_ui():
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-probe")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "true")  # REST API = shuffle metrics
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
+        .getOrCreate()
+    )
+
+
+def shuffle_totals(app_id: str) -> tuple[int, int]:
+    url = f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        stages = json.load(r)
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".scale", "sf1")
+    spark = get_spark_with_ui()
+    app_id = spark.sparkContext.applicationId
+
+    import __spark_entry__ as entry
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+    from clickhouse_k_means_spark.sources.dataset import load_table, load_yh
+
+    def _noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    def q_kmeans_fit():
+        # bench contract: k=4 parallel-init fit on lineitem features
+        yh = load_yh(spark, sf_dir, "lineitem")
+        res = KMeansEngine(k=4, seed=42, init="parallel").fit(yh)
+        assert res.converged or len(res.model) == 4
+
+    def q_near_dedup():
+        _noop(entry.q_near_dedup(spark, sf_dir))
+
+    def q_ssjoin():
+        # 10x the bench slice: first 1000 docs of EACH replica
+        from clickhouse_k_means_spark.operators.ssjoin import (
+            similarity_self_join,
+        )
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter("doc_id % 1000000 < 1000")
+        )
+        _noop(similarity_self_join(docs, threshold_ppm=800_000))
+
+    def q_pagerank():
+        _noop(entry.q_pagerank(spark, sf_dir))
+
+    def q_pq_ann():
+        _noop(entry.q_pq_ann(spark, sf_dir))
+
+    results = {}
+    for name, fn in [
+        ("kmeans_fit", q_kmeans_fit),
+        ("near_dedup", q_near_dedup),
+        ("ssjoin", q_ssjoin),
+        ("pagerank", q_pagerank),
+        ("pq_ann", q_pq_ann),
+    ]:
+        r0, w0 = shuffle_totals(app_id)
+        t0 = time.perf_counter()
+        fn()
+        sec = round(time.perf_counter() - t0, 2)
+        r1, w1 = shuffle_totals(app_id)
+        results[name] = {
+            "sec": sec,
+            "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+            "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+    print(json.dumps({"metric": "scale_probe", "sf_dir": sf_dir, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
