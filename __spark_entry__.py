@@ -2492,6 +2492,316 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# r6 batch: TPC-H coverage widening + ClickHouse sequence-analytics parity
+# ---------------------------------------------------------------------------
+
+
+def _rev_cents():
+    """Exact-integer revenue: per-row cents BEFORE summing (the
+    order-free determinism idiom every TPC-H query here shares)."""
+    return F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "bigint"
+        )
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): lineitem→supplier→nation and
+    order→customer→nation double-dimension join, nation-pair filter,
+    per-(supp, cust, ship-year) revenue. All four dims broadcast
+    (bounded); the only shuffle is lineitem⋈orders and the final
+    3-key aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_rev_cents().alias("revenue_c"))
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returns per customer, top 20. Returnflag filter pushes to the
+    lineitem scan; customer/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_rev_cents().alias("revenue_c"))
+        .orderBy(F.col("revenue_c").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): promo revenue share as
+    exact integer PPM of total — one broadcast join, one scalar
+    aggregate, the ratio computed in BIGINT after the sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0)).alias(
+                "promo_c"
+            ),
+            F.sum(cents).alias("total_c"),
+        )
+        .select(
+            "promo_c",
+            "total_c",
+            F.expr("promo_c * 1000000 div total_c").alias("promo_ppm"),
+        )
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive brackets):
+    three brand/size/quantity OR-branches — the classic test that the
+    optimizer pushes a disjunction into the join instead of a
+    cartesian filter. One broadcast join + scalar aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brackets = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 40)
+            & F.col("l_quantity").between(20, 45)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(brackets)
+        .agg(
+            _rev_cents().alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q2a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape ADAPTED to this schema (no partsupp table —
+    cited reference has none either): per STANDARD-type part, the
+    best supplier (max acctbal, min-name tiebreak) among ASIA-region
+    suppliers that shipped it. Correlated-max decorrelated into a
+    groupBy + equality join back — the same rewrite Q2's MIN(ps_cost)
+    subquery needs at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asupp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name")
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_partkey").alias("p_partkey"), "l_suppkey")
+        .distinct()
+    )
+    cand = shipped.join(
+        F.broadcast(asupp), shipped.l_suppkey == asupp.s_suppkey
+    ).select("p_partkey", "s_acctbal", "s_name")
+    best = (
+        cand.groupBy("p_partkey")
+        .agg(F.max("s_acctbal").alias("best_bal"))
+        .withColumnRenamed("p_partkey", "bk")  # disambiguate self-join
+    )
+    return (
+        cand.join(
+            best,
+            (F.col("p_partkey") == F.col("bk"))
+            & (F.col("s_acctbal") == F.col("best_bal")),
+        )
+        .groupBy("p_partkey", "best_bal")
+        .agg(F.min("s_name").alias("s_name"))
+    )
+
+
+def q_running_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``runningDifference`` parity, done right: a proper
+    per-user lag window (the CH function is block-local and
+    order-fragile — reference-class engines replaced it with window
+    functions, as here). Integer cents; ties broken by event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    value_c = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        event_epoch_micros(ev).alias("us"),
+        value_c.alias("value_c"),
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "value_c",
+        (F.col("value_c") - F.lag("value_c").over(w)).alias("diff_c"),
+    )
+
+
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)')`` parity: per-user
+    existence of ordered event chains, aggregated to pattern counts.
+    Two patterns: view→…→purchase, and view→…→click→…→purchase
+    (the 3-step one needs a middle event strictly inside the outer
+    pair's span). No self-join explosion: one conditional-min/max
+    aggregate per user + one bounded probe for the middle event."""
+    ev = load_table(spark, sf_dir, "events")
+    us = ev.select(
+        "user_id", F.col("event_type").alias("et"), event_epoch_micros(ev).alias("us")
+    )
+    span = us.groupBy("user_id").agg(
+        F.min(F.when(F.col("et") == "view", F.col("us"))).alias("min_v"),
+        F.max(F.when(F.col("et") == "purchase", F.col("us"))).alias("max_p"),
+    )
+    vp = span.filter(F.col("min_v") < F.col("max_p"))
+    vcp = (
+        us.filter(F.col("et") == "click")
+        .join(vp, "user_id")
+        .filter((F.col("us") > F.col("min_v")) & (F.col("us") < F.col("max_p")))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        vp.agg(F.count(F.lit(1)).alias("users"))
+        .select(F.lit("view_then_purchase").alias("pattern"), "users")
+        .unionByName(
+            vcp.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit("view_click_purchase").alias("pattern"), "users"
+            )
+        )
+    )
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(3600)`` parity: max funnel depth
+    view→click→purchase where the WHOLE chain fits in 1 hour from the
+    first view. Same conditional-min join chain as ``q_funnel`` plus
+    the window bound carried through — output is the depth histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    us = ev.select(
+        "user_id", F.col("event_type").alias("et"), event_epoch_seconds(ev).alias("s")
+    )
+    win = 3600
+    v = us.filter(F.col("et") == "view").groupBy("user_id").agg(
+        F.min("s").alias("t1")
+    )
+    c = (
+        us.filter(F.col("et") == "click")
+        .join(v, "user_id")
+        .filter((F.col("s") > F.col("t1")) & (F.col("s") <= F.col("t1") + win))
+        .groupBy("user_id", "t1")
+        .agg(F.min("s").alias("t2"))
+    )
+    p = (
+        us.filter(F.col("et") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("s") > F.col("t2")) & (F.col("s") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t3"))
+    )
+
+    def _n(df: DataFrame, depth: int) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(depth).alias("depth"), "users"
+        )
+
+    return _n(v, 1).unionByName(_n(c, 2)).unionByName(_n(p, 3))
+
+
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution Shannon entropy in exact integer
+    micro-nats (operators/textstats.token_entropy)."""
+    from clickhouse_k_means_spark.operators.textstats import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs, group="source")
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency analysis event_type × day-of-week: observed count,
+    expected count (milli, exact BIGINT), and the per-cell chi-squared
+    term (3 dp). Per-CELL output on purpose: a single chi² scalar
+    would sum 35 doubles in engine-dependent order; per-cell terms
+    round once from exact-integer-valued doubles, so both engines
+    agree bit-for-bit. Day index from integer epoch math — never
+    timezone-dependent date parts."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = F.pmod(F.floor(event_epoch_seconds(ev) / 86400).cast("bigint"), F.lit(7))
+    obs = (
+        ev.select(F.col("event_type").alias("et"), dow.alias("dow"))
+        .groupBy("et", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)  # feeds marginals AND the cell join
+    )
+    row = obs.groupBy("et").agg(F.sum("o").alias("r"))
+    col = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(row), "et")
+        .join(F.broadcast(col), "dow")
+        .join(F.broadcast(tot))
+    )
+    dev = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    return cells.select(
+        "et",
+        "dow",
+        "o",
+        F.expr("r * c * 1000 div n").alias("expected_milli"),
+        F.round(
+            (dev.cast("double") * dev.cast("double"))
+            / (F.col("r").cast("double") * F.col("c") * F.col("n")),
+            3,
+        ).alias("chi_term"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the verification driver's CORRECTNESS
     # artifact carries exactly 50 rows — entries past position 50 get
@@ -2580,6 +2890,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- R tail: out of the driver window in r6, r7 window
         # starts here (rest of group B, then group A, then the four
         # demoted head entries) ---
+        # (added r6 — inserted at the head of the tail so they take
+        # their first driver rows in the r7 window slice)
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q2a": q_tpch_q2a,
+        "running_diff": q_running_diff,
+        "sequence_match": q_sequence_match,
+        "window_funnel": q_window_funnel,
+        "entropy": q_entropy,
+        "chi_square": q_chi_square,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
@@ -3880,6 +4202,137 @@ def oracle_sql() -> dict[str, str]:
             "where p_size in (1, 5, 9, 13) and l_suppkey not in "
             "(select s_suppkey from supplier where s_acctbal < 0) "
             "group by 1, 2, 3"
+        ),
+        # ---- r6 batch ----
+        "tpch_q7": (
+            "select ns.n_name as supp_nation, nc.n_name as cust_nation, "
+            "year(l_shipdate)::BIGINT as l_year, "
+            "sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)"
+            "::BIGINT as revenue_c "
+            "from lineitem "
+            "join supplier on l_suppkey = s_suppkey "
+            "join nation ns on s_nationkey = ns.n_nationkey "
+            "join orders on l_orderkey = o_orderkey "
+            "join customer on o_custkey = c_custkey "
+            "join nation nc on c_nationkey = nc.n_nationkey "
+            "where (ns.n_name = 'NATION_1' and nc.n_name = 'NATION_2') "
+            "or (ns.n_name = 'NATION_2' and nc.n_name = 'NATION_1') "
+            "group by 1, 2, 3"
+        ),
+        "tpch_q10": (
+            "select c_custkey, c_name, n_name, "
+            "sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)"
+            "::BIGINT as revenue_c "
+            "from lineitem join orders on l_orderkey = o_orderkey "
+            "join customer on o_custkey = c_custkey "
+            "join nation on c_nationkey = n_nationkey "
+            "where l_returnflag = 'R' "
+            "group by 1, 2, 3 order by revenue_c desc, c_custkey limit 20"
+        ),
+        "tpch_q14": (
+            "with b as (select p_type, "
+            "round(l_extendedprice * (1 - l_discount) * 100)::BIGINT as cents "
+            "from lineitem join part on l_partkey = p_partkey) "
+            "select sum(case when p_type = 'PROMO' then cents else 0 end)"
+            "::BIGINT as promo_c, sum(cents)::BIGINT as total_c, "
+            "(sum(case when p_type = 'PROMO' then cents else 0 end) * 1000000)"
+            " // sum(cents) as promo_ppm from b"
+        ),
+        "tpch_q19": (
+            "select sum(round(l_extendedprice * (1 - l_discount) * 100)"
+            "::BIGINT)::BIGINT as revenue_c, count(*)::BIGINT as n_items "
+            "from lineitem join part on l_partkey = p_partkey "
+            "where (p_brand = 'Brand#1' and p_size between 1 and 15 "
+            "and l_quantity between 1 and 15) "
+            "or (p_brand = 'Brand#2' and p_size between 1 and 25 "
+            "and l_quantity between 10 and 30) "
+            "or (p_brand = 'Brand#3' and p_size between 1 and 40 "
+            "and l_quantity between 20 and 45)"
+        ),
+        "tpch_q2a": (
+            "with asupp as (select s_suppkey, s_acctbal, s_name "
+            "from supplier join nation on s_nationkey = n_nationkey "
+            "join region on n_regionkey = r_regionkey "
+            "where r_name = 'ASIA'), "
+            "shipped as (select distinct l_partkey as p_partkey, l_suppkey "
+            "from lineitem join part on l_partkey = p_partkey "
+            "where p_type = 'STANDARD'), "
+            "cand as (select p_partkey, s_acctbal, s_name "
+            "from shipped join asupp on l_suppkey = s_suppkey), "
+            "best as (select p_partkey, max(s_acctbal) as best_bal "
+            "from cand group by 1) "
+            "select cand.p_partkey, best_bal, min(s_name) as s_name "
+            "from cand join best on cand.p_partkey = best.p_partkey "
+            "and s_acctbal = best_bal group by 1, 2"
+        ),
+        "running_diff": (
+            "with b as (select event_id, user_id, ts, "
+            "round(value * 100)::BIGINT as value_c from events) "
+            "select event_id, user_id, value_c, "
+            "value_c - lag(value_c) over "
+            "(partition by user_id order by ts, event_id) as diff_c from b"
+        ),
+        "sequence_match": (
+            "with span as (select user_id, "
+            "min(case when event_type = 'view' then ts end) as min_v, "
+            "max(case when event_type = 'purchase' then ts end) as max_p "
+            "from events group by 1), "
+            "vp as (select user_id, min_v, max_p from span "
+            "where min_v < max_p), "
+            "vcp as (select distinct e.user_id from events e "
+            "join vp on e.user_id = vp.user_id "
+            "where e.event_type = 'click' and e.ts > vp.min_v "
+            "and e.ts < vp.max_p) "
+            "select 'view_then_purchase' as pattern, "
+            "count(*)::BIGINT as users from vp "
+            "union all select 'view_click_purchase', count(*)::BIGINT "
+            "from vcp"
+        ),
+        "window_funnel": (
+            "with b as (select user_id, event_type as et, "
+            "epoch_ns(ts) // 1000000000 as s from events), "
+            "v as (select user_id, min(s) as t1 from b "
+            "where et = 'view' group by 1), "
+            "c as (select b.user_id, t1, min(s) as t2 from b "
+            "join v on b.user_id = v.user_id "
+            "where et = 'click' and s > t1 and s <= t1 + 3600 "
+            "group by 1, 2), "
+            "p as (select b.user_id, min(s) as t3 from b "
+            "join c on b.user_id = c.user_id "
+            "where et = 'purchase' and s > t2 and s <= t1 + 3600 "
+            "group by 1) "
+            "select 1 as depth, count(*)::BIGINT as users from v "
+            "union all select 2, count(*)::BIGINT from c "
+            "union all select 3, count(*)::BIGINT from p"
+        ),
+        "entropy": (
+            "with tkc as (select source, case when "
+            "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) "
+            "= '' then []::VARCHAR[] else string_split(trim(regexp_replace("
+            "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') end as tk "
+            "from documents), "
+            "tok as (select source, unnest(tk) as term from tkc), "
+            "cnt as (select source, term, count(*)::BIGINT as c from tok "
+            "group by 1, 2), "
+            "g as (select source, sum(c)::BIGINT as n_tok, "
+            "sum(c * round(ln(c) * 1000000)::BIGINT)::BIGINT as sum_cl "
+            "from cnt group by 1) "
+            "select source, n_tok, "
+            "round(ln(n_tok) * 1000000)::BIGINT - (sum_cl // n_tok) "
+            "as entropy_micro from g"
+        ),
+        "chi_square": (
+            "with b as (select event_type as et, "
+            "(epoch_ns(ts) // 1000000000 // 86400) % 7 as dow from events), "
+            "obs as (select et, dow, count(*)::BIGINT as o from b "
+            "group by 1, 2), "
+            "r as (select et, sum(o)::BIGINT as r from obs group by 1), "
+            "c as (select dow, sum(o)::BIGINT as c from obs group by 1), "
+            "n as (select sum(o)::BIGINT as n from obs) "
+            "select et, dow, o, (r * c * 1000) // n as expected_milli, "
+            "round(((o * n - r * c)::DOUBLE * (o * n - r * c)::DOUBLE) "
+            "/ (r::DOUBLE * c * n), 3) as chi_term "
+            "from obs join r using (et) join c using (dow) cross join n"
         ),
     }
 

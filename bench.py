@@ -271,6 +271,17 @@ def main() -> None:
         # algorithm avoids, not a plan defect; real crawl corpora
         # don't have 60% of all pairs above threshold)
         ("ssjoin", _ssjoin_bench, 2),
+        # r6 batch (first anchors from BENCH_r06)
+        ("tpch_q7", entry.q_tpch_q7, 2),
+        ("tpch_q10", entry.q_tpch_q10, 2),
+        ("tpch_q14", entry.q_tpch_q14, 2),
+        ("tpch_q19", entry.q_tpch_q19, 2),
+        ("tpch_q2a", entry.q_tpch_q2a, 2),
+        ("running_diff", entry.q_running_diff, 2),
+        ("sequence_match", entry.q_sequence_match, 2),
+        ("window_funnel", entry.q_window_funnel, 2),
+        ("entropy", entry.q_entropy, 2),
+        ("chi_square", entry.q_chi_square, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

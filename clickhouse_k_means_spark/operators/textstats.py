@@ -465,3 +465,43 @@ def bigram_lm_scores(
             .alias("nll_micro"),
         )
     )
+
+
+def token_entropy(
+    docs: DataFrame, group: str = "source", text: str = "text"
+) -> DataFrame:
+    """Per-group Shannon entropy of the unigram token distribution —
+    the diversity twin of ``domain_divergence`` (a template-stamped or
+    looping source shows low entropy long before eyeballing catches
+    it). Output: ``(group, n_tok, entropy_micro)``, entropy in
+    MICRO-NATS as exact BIGINT.
+
+    H = ln(N) − (1/N)·Σ c·ln(c) over per-group term counts c (the
+    count form avoids materializing probabilities). Determinism
+    follows the unigram_lm rule: ONE well-conditioned ln() per
+    distinct (group, term) count, fixed-pointed to micro-nats before
+    any summation; everything after is exact BIGINT (Σ c·s, floor div
+    by N), so fold/partition order cannot move the result.
+
+    Plan shape at 100 TB: explode → groupBy(group, term) with map-side
+    combine absorbing hot terms, then a |groups|-row aggregate — one
+    shuffle on (group, term), one on group. No vocab broadcast, no
+    window.
+    """
+    base = docs.select(group, F.explode(tokens(text)).alias("term"))
+    cnt = base.groupBy(group, "term").agg(F.count(F.lit(1)).alias("c"))
+    ln_c_micro = F.round(F.log(F.col("c").cast("double")) * 1_000_000).cast(
+        "bigint"
+    )
+    per_g = cnt.groupBy(group).agg(
+        F.sum("c").alias("n_tok"),
+        F.sum(F.col("c") * ln_c_micro).alias("sum_cl"),
+    )
+    ln_n_micro = F.round(
+        F.log(F.col("n_tok").cast("double")) * 1_000_000
+    ).cast("bigint")
+    return per_g.select(
+        group,
+        "n_tok",
+        (ln_n_micro - F.expr("sum_cl div n_tok")).alias("entropy_micro"),
+    )
