@@ -22,7 +22,9 @@ SEPARATED_ANCHORS = [(0.0, 0.0), (65.0, 0.0), (0.0, 110.0), (65.0, 110.0)]
 def golden(spark):
     # explicit far-apart anchors → blobs are separable by construction
     # (random anchors can overlap, exactly like the reference's data gen)
-    return golden_points(spark, seed=7, anchors=SEPARATED_ANCHORS).cache()
+    df = golden_points(spark, seed=7, anchors=SEPARATED_ANCHORS).cache()
+    yield df
+    df.unpersist()
 
 
 def test_golden_shape(golden):
@@ -262,9 +264,13 @@ def test_fit_unpersists_cached_working_set_on_small_input(spark):
     finally-unpersist must target the CACHED handle, not the coalesced
     plan, or the working set leaks after every fit (ADVICE r5)."""
     # the cache manager tracks .cache()d plans only (localCheckpoint
-    # residue from init is ContextCleaner-managed and out of scope)
+    # residue from init is ContextCleaner-managed and out of scope).
+    # Clear residue from OTHER tests' live module fixtures first: this
+    # test owns no cached input, so an empty manager afterwards proves
+    # fit itself released everything it pinned.
+    spark.catalog.clearCache()
     cm = spark._jsparkSession.sharedState().cacheManager()
-    assert cm.isEmpty(), "another test leaked a cached plan"
+    assert cm.isEmpty(), "clearCache left a cached plan"
     yh = from_table(
         golden_points(spark, n_clusters=3, points_per_cluster=200, seed=7),
         "i",
