@@ -2802,6 +2802,263 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure filter +
+    scalar aggregate — the canonical pushdown benchmark. All three
+    predicates reach the parquet scan (PushedFilters), the projection
+    prunes to three columns, and the aggregate is one map-side-combined
+    pass with no shuffle beyond the final single partial merge."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                "bigint"
+            )
+        ).alias("revenue_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_tpch_q12a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority classes; the fixture has no
+    shipmode, so the grouping dimension is the ship year): lineitem ⋈
+    orders with conditional counts of urgent/high vs lower priority —
+    the classic join-then-CASE-aggregate. One join shuffle on the
+    order key, broadcast nothing (both sides data-scale)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1999-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier quarterly revenue,
+    then the supplier(s) hitting the maximum — the revenue-view +
+    scalar-max-subquery pattern. The max is a one-row aggregate
+    broadcast back over the (supplier-sized) revenue relation; the
+    supplier dim is broadcast. Exact integer cents make the ties and
+    the max bit-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(_rev_cents().alias("total_revenue_c"))
+    mx = rev.agg(F.max("total_revenue_c").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue_c") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_c")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): per-part average
+    quantity as a correlated threshold — decorrelated to a groupBy over
+    the SAME broadcast-filtered lineitem slice, joined back. The
+    ``l_quantity < 0.2 · avg`` cut is cross-multiplied into exact
+    integers (deci-quantity units: ``5·qd·cnt < sum_qd``), so no float
+    ratio can flip a row between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL")
+    )
+    sel = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 10).cast("bigint").alias("qd"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    stats = sel.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qd").alias("sum_qd"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        sel.join(F.broadcast(stats), sel.l_partkey == stats.pk)
+        .filter(F.lit(5) * F.col("qd") * F.col("cnt") < F.col("sum_qd"))
+        .agg(
+            F.sum("cents").alias("sum_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "sum_c",
+            "n",
+            F.expr("sum_c div 7").alias("avg_weekly_c"),
+        )
+    )
+
+
+def q_tpch_q22a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): customers with
+    above-average positive balances and NO orders, rolled up by nation
+    (the fixture's stand-in for the phone country code). The global
+    average is a one-row aggregate broadcast into the filter with the
+    comparison cross-multiplied to exact integers; the no-orders cut
+    is a left-anti join against the distinct customer keys of RECENT
+    orders (every fixture customer has some historic order, so the
+    recency cut is what makes the lapsed-customer set non-empty)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    pos = cust.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1998-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("__n") > F.col("__s"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_c").alias("totacctbal_c"),
+        )
+    )
+
+
+def q_topk_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the corpus token stream
+    (operators/topk.frequent_terms): Misra-Gries per-partition
+    candidate summaries prune the vocabulary-wide shuffle down to the
+    few genuinely frequent terms, then an exact recount + threshold
+    keeps the output sketch-independent (ClickHouse topK, made exact)."""
+    from clickhouse_k_means_spark.operators.topk import frequent_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    return frequent_terms(tok, "term", support=50)
+
+
+def q_ema_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed value stats at the corpus
+    as-of instant (operators/timeseries.decayed_stats — ClickHouse
+    exponentialTimeDecayedSum/Avg parity), tau = 30 days. Weights are
+    per-row fixed-pointed micro-units, so the decayed sums are exact
+    BIGINT aggregations."""
+    from clickhouse_k_means_spark.operators.timeseries import decayed_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        event_epoch_seconds(ev).alias("s"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    return decayed_stats(base, "user_id", "s", "value_c", tau_s=30 * 86400)
+
+
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user LTTB downsampling of the event-value series to 12
+    buckets (operators/timeseries.lttb_downsample — ClickHouse
+    largestTriangleThreeBuckets, parallel bucket-centroid-anchor
+    variant). Exact integer triangle areas over rebased epoch/cents."""
+    from clickhouse_k_means_spark.operators.timeseries import lttb_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        event_epoch_seconds(ev).alias("s"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    return lttb_downsample(
+        base, "user_id", "s", "value_c", "event_id", n_buckets=12
+    )
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse array-function parity (functions/arrays): cumsum,
+    difference, consecutive-dedup compact, distinct-sort — all JVM
+    HOFs over the integerized embedding head, serialized to strings so
+    the cross-engine comparison is representation-free."""
+    from clickhouse_k_means_spark.functions.arrays import (
+        array_compact,
+        array_cumsum,
+        array_difference,
+        array_distinct_sorted,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = F.transform(
+        F.slice(F.col("embedding"), 1, 8),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    sgn = F.transform(a, lambda x: F.signum(x.cast("double")).cast("long"))
+    base = emb.select("vec_id", a.alias("a"), sgn.alias("g"))
+    j = ","
+    return base.select(
+        "vec_id",
+        F.array_join(array_cumsum(F.col("a")), j).alias("cumsum_s"),
+        F.array_join(array_difference(F.col("a")), j).alias("diff_s"),
+        F.array_join(array_compact(F.col("g")), j).alias("compact_sign_s"),
+        F.array_join(array_distinct_sorted(F.col("g")), j).alias("sign_set_s"),
+    )
+
+
+def q_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sumMap parity: per-user map of event_type → exact cents total,
+    rendered as aligned key/value CSV strings (map columns hash
+    differently across engines; the sorted-entry string form is
+    representation-free). Two-level aggregate — the map shuffle
+    carries (user, type) partials, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sc")
+        )
+    )
+    entries = per.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("event_type").alias("k"), F.col("sc")))
+        ).alias("es")
+    )
+    return entries.select(
+        "user_id",
+        F.array_join(
+            F.transform(F.col("es"), lambda e: e["k"]), ","
+        ).alias("keys_s"),
+        F.array_join(
+            F.transform(F.col("es"), lambda e: e["sc"].cast("string")), ","
+        ).alias("vals_s"),
+    )
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience intersection cardinalities over event types
+    (operators/segments.audience_overlap — ClickHouse
+    bitmapAndCardinality parity as exact relational set algebra)."""
+    from clickhouse_k_means_spark.operators.segments import audience_overlap
+
+    ev = load_table(spark, sf_dir, "events")
+    return audience_overlap(ev, "user_id", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the verification driver's CORRECTNESS
     # artifact carries exactly 50 rows — entries past position 50 get
@@ -2817,11 +3074,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     streaming_kmeans, multimodal_features, multimodal_frames are
     #     demoted into the rotation (VERDICT r5 item 2), leaving
     #     44 rotating slots per round.
-    #   * rotating list R (107 entries, order = this dict's order
-    #     after the head): each round the window takes the next 44
-    #     entries of R, advancing a pointer by 44 (mod 107), so every
-    #     query gets a driver CORRECTNESS row at least every
-    #     ceil(107/44) = 3 rounds.
+    #   * rotating list R (128 entries after the r6 additions, order =
+    #     this dict's order after the head): each round the window
+    #     takes the next 44 entries of R, advancing a pointer by 44
+    #     (mod len(R)), so every query gets a driver CORRECTNESS row
+    #     at least every ceil(128/44) = 3 rounds.
     #   * red rows jump the queue: any query whose last driver row
     #     was not fully green re-enters the next window regardless of
     #     the pointer (this round: range_frame, whose r5 hash-fail was
@@ -2832,7 +3089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 22 late-r5 queries that have never had a driver row
     # (chunk_docs .. scd2_lookup, VERDICT r5 item 2) + the first 21 of
     # group B (streaming_windows .. doc_fingerprint, last green r4).
-    # r7 window will be R[44:88] (rest of group B + most of group A);
+    # r7 window will be R[44:88]: rest of group B, the 11 new-in-r6
+    # queries (tpch_q6 .. audience_overlap — inserted inside that
+    # slice so they first-gate in r7), and the front of group A;
     # r8 wraps.
     return {
         "yh_contract": q_yh_contract,
@@ -2902,6 +3161,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel": q_window_funnel,
         "entropy": q_entropy,
         "chi_square": q_chi_square,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q12a": q_tpch_q12a,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22a": q_tpch_q22a,
+        "topk_heavy": q_topk_heavy,
+        "ema_decay": q_ema_decay,
+        "lttb": q_lttb,
+        "array_funcs": q_array_funcs,
+        "map_agg": q_map_agg,
+        "audience_overlap": q_audience_overlap,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
@@ -4333,6 +4603,155 @@ def oracle_sql() -> dict[str, str]:
             "round(((o * n - r * c)::DOUBLE * (o * n - r * c)::DOUBLE) "
             "/ (r::DOUBLE * c * n), 3) as chi_term "
             "from obs join r using (et) join c using (dow) cross join n"
+        ),
+        "tpch_q6": (
+            "select sum(round(l_extendedprice * l_discount * 100)::BIGINT)"
+            "::BIGINT as revenue_c, count(*)::BIGINT as n from lineitem "
+            "where l_shipdate >= '1996-01-01' and l_shipdate < '1997-01-01' "
+            "and l_discount >= 0.05 and l_discount <= 0.07 "
+            "and l_quantity < 24"
+        ),
+        "tpch_q12a": (
+            "select year(l_shipdate)::BIGINT as ship_year, "
+            "sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') "
+            "then 1 else 0 end)::BIGINT as high_line_count, "
+            "sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') "
+            "then 0 else 1 end)::BIGINT as low_line_count "
+            "from lineitem join orders on l_orderkey = o_orderkey "
+            "where l_shipdate >= '1996-01-01' and l_shipdate < '1999-01-01' "
+            "group by 1"
+        ),
+        "tpch_q15": (
+            "with rev as (select l_suppkey, "
+            "sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)"
+            "::BIGINT as total_revenue_c from lineitem "
+            "where l_shipdate >= '1996-01-01' and l_shipdate < '1996-04-01' "
+            "group by 1) "
+            "select s_suppkey, s_name, total_revenue_c "
+            "from rev join supplier on l_suppkey = s_suppkey "
+            "where total_revenue_c = (select max(total_revenue_c) from rev)"
+        ),
+        "tpch_q17": (
+            "with sel as (select l_partkey, "
+            "round(l_quantity * 10)::BIGINT as qd, "
+            "round(l_extendedprice * 100)::BIGINT as cents "
+            "from lineitem join part on l_partkey = p_partkey "
+            "where p_brand = 'Brand#1' and p_type = 'SMALL'), "
+            "st as (select l_partkey as pk, sum(qd)::BIGINT as sum_qd, "
+            "count(*)::BIGINT as cnt from sel group by 1) "
+            "select sum(cents)::BIGINT as sum_c, count(*)::BIGINT as n, "
+            "(sum(cents) // 7)::BIGINT as avg_weekly_c "
+            "from sel join st on l_partkey = pk "
+            "where 5 * qd * cnt < sum_qd"
+        ),
+        "tpch_q22a": (
+            "with c as (select c_custkey, c_nationkey, "
+            "round(c_acctbal * 100)::BIGINT as bal_c from customer), "
+            "p as (select sum(bal_c)::BIGINT as s, count(*)::BIGINT as n "
+            "from c where bal_c > 0) "
+            "select c_nationkey, count(*)::BIGINT as numcust, "
+            "sum(bal_c)::BIGINT as totacctbal_c from c cross join p "
+            "where bal_c * n > s and c_custkey not in "
+            "(select o_custkey from orders "
+            "where o_orderdate >= '1998-01-01') "
+            "group by 1"
+        ),
+        "topk_heavy": (
+            # exact heavy hitters: the Misra-Gries stage only PRUNES, so
+            # the oracle is the plain count + threshold
+            "with tkc as (select case when "
+            "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) "
+            "= '' then []::VARCHAR[] else string_split(trim(regexp_replace("
+            "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') end as tk "
+            "from documents), "
+            "tok as (select unnest(tk) as term from tkc), "
+            "cnt as (select term, count(*)::BIGINT as cnt from tok "
+            "group by 1), "
+            "n as (select count(*)::BIGINT as n from tok) "
+            "select term, cnt from cnt cross join n where cnt * 50 > n"
+        ),
+        "ema_decay": (
+            # t_max, not "asof": ASOF is a DuckDB join keyword
+            "with b as (select user_id, epoch_ns(ts) // 1000000000 as s, "
+            "round(value * 100)::BIGINT as vc from events), "
+            "a as (select max(s) as t_max from b), "
+            "w as (select user_id, "
+            "round(exp(-((t_max - s)::DOUBLE) / 2592000.0) * 1000000)"
+            "::BIGINT as w, vc from b cross join a) "
+            "select user_id, count(*)::BIGINT as n, "
+            "sum(w)::BIGINT as weight_micro, "
+            "sum(w * vc)::BIGINT as decayed_sum_micro, "
+            "case when sum(w) > 0 then (sum(w * vc) // sum(w))::BIGINT end "
+            "as decayed_avg_c from w group by 1"
+        ),
+        "lttb": (
+            "with b as (select event_id, user_id, "
+            "epoch_ns(ts) // 1000000000 as s, "
+            "round(value * 100)::BIGINT as vc from events), "
+            "r as (select event_id, user_id, s, vc, "
+            "row_number() over (partition by user_id order by s, event_id) "
+            "as rk, count(*) over (partition by user_id) as n, "
+            "min(s) over (partition by user_id) as t0, "
+            "min(vc) over (partition by user_id) as v0 from b), "
+            "p as (select user_id, event_id, "
+            "case when rk = 1 then 0 when rk = n then 11 "
+            "else least((rk - 2) * 10 // (n - 2) + 1, 10) end as bk, "
+            "s - t0 as rt, vc - v0 as rv, n from r), "
+            "lp as (select * from p where n >= 12), "
+            "c as (select user_id, bk, "
+            "(sum(rt) * 100) // count(*) as ct, "
+            "(sum(rv) * 100) // count(*) as cv from lp group by 1, 2), "
+            "an as (select user_id, bk, lag(ct) over w as lt, "
+            "lag(cv) over w as lv, lead(ct) over w as nt, "
+            "lead(cv) over w as nv from c "
+            "window w as (partition by user_id order by bk)), "
+            "j as (select lp.user_id, lp.bk, lp.event_id, "
+            "case when lt is not null and nt is not null then "
+            "-abs((lt - nt) * (lp.rv * 100 - lv) "
+            "- (lt - lp.rt * 100) * (nv - lv)) else 0 end as na "
+            "from lp join an on lp.user_id = an.user_id and lp.bk = an.bk), "
+            "sel as (select user_id, bk, event_id from "
+            "(select user_id, bk, event_id, row_number() over "
+            "(partition by user_id, bk order by na, event_id) as rn from j) "
+            "where rn = 1), "
+            "k as (select * from sel union all "
+            "select user_id, bk, event_id from p where n < 12) "
+            "select b.user_id, k.bk::BIGINT as bucket, b.event_id, b.s, "
+            "b.vc as value_c from b join k "
+            "on b.user_id = k.user_id and b.event_id = k.event_id"
+        ),
+        "array_funcs": (
+            # DuckDB lambdas index 1-based (Spark 0-based); slicing is
+            # inclusive, so a[1:i] is the i-element prefix
+            "with b as (select vec_id, list_transform(embedding[1:8], "
+            "x -> round(x::DOUBLE * 1000)::BIGINT) as a from embeddings), "
+            "g as (select vec_id, a, "
+            "list_transform(a, x -> sign(x)::BIGINT) as s from b) "
+            "select vec_id, "
+            "array_to_string(list_transform(generate_series(1, len(a)), "
+            "i -> list_sum(a[1:i])::BIGINT), ',') as cumsum_s, "
+            "array_to_string(list_transform(generate_series(1, len(a)), "
+            "i -> case when i = 1 then 0 else a[i] - a[i-1] end), ',') "
+            "as diff_s, "
+            "array_to_string(list_filter(s, (x, i) -> i = 1 or "
+            "s[i-1] != x), ',') as compact_sign_s, "
+            "array_to_string(list_sort(list_distinct(s)), ',') "
+            "as sign_set_s from g"
+        ),
+        "map_agg": (
+            "with s as (select user_id, event_type as et, "
+            "sum(round(value * 100)::BIGINT)::BIGINT as sc from events "
+            "group by 1, 2) "
+            "select user_id, string_agg(et, ',' order by et) as keys_s, "
+            "string_agg(sc::VARCHAR, ',' order by et) as vals_s "
+            "from s group by 1"
+        ),
+        "audience_overlap": (
+            "with m as (select distinct user_id as e, event_type as c "
+            "from events) "
+            "select a.c as cat_a, b.c as cat_b, "
+            "count(*)::BIGINT as entities_both from m a "
+            "join m b on a.e = b.e and a.c <= b.c group by 1, 2"
         ),
     }
 

@@ -36,3 +36,64 @@ def top_k_by_group(
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def frequent_terms(
+    df: DataFrame, term: str, support: int
+) -> DataFrame:
+    """EXACT heavy hitters: every distinct ``term`` value whose count
+    exceeds ``n / support``, with its exact count (ClickHouse ``topK``
+    / ``anyHeavy`` parity — but exact where those are approximate).
+
+    Scale design — why not plain ``groupBy(term).count()`` + filter:
+    that shuffles the FULL vocabulary (trillions of distinct shingles
+    at corpus scale) to answer a question about at most ``support``
+    terms. Instead:
+
+    1. **Per-partition Misra-Gries summaries** (one Arrow-batched
+       ``mapInPandas`` pass, the engine's partial-aggregation
+       exception to the no-Python rule — same category as the PCA
+       partials). Each partition keeps ``support`` counters using the
+       mergeable-summaries reduction (Agarwal et al., PODS'12): fold
+       a batch's value counts in, then if more than ``support``
+       counters survive subtract the (support+1)-th largest count from
+       all and drop the non-positive. Pigeonhole guarantee: a term
+       with global count > n/support has partition count
+       > n_p/support on some partition, and Misra-Gries error is
+       bounded by n_p/(support+1) < n_p/support, so every true heavy
+       hitter survives in at least one partition's candidate set.
+    2. **Exact recount of candidates only**: the candidate union is
+       ≤ partitions × support rows — broadcast it as a semi-join
+       filter so the big scan's groupBy shuffles only heavy-candidate
+       occurrences.
+    3. **Exact threshold**: ``count · support > n`` with the one-row
+       total broadcast. Output is exact and partition-independent —
+       the sketch only ever prunes, never decides.
+    """
+    if support < 1:
+        raise ValueError(f"support must be >= 1, got {support}")
+    import pandas as pd
+
+    def mg_partials(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for t, c in pdf[term].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > support:
+                kth = sorted(counters.values(), reverse=True)[support]
+                counters = {
+                    t: c - kth for t, c in counters.items() if c - kth > 0
+                }
+        yield pd.DataFrame({term: list(counters.keys())})
+
+    tok = df.select(F.col(term).alias(term)).filter(F.col(term).isNotNull())
+    cands = tok.mapInPandas(mg_partials, schema=f"{term} string").distinct()
+    total = tok.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        tok.join(F.broadcast(cands), term, "left_semi")
+        .groupBy(term)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(total))
+        .filter(F.col("cnt") * support > F.col("__n"))
+        .select(term, "cnt")
+    )

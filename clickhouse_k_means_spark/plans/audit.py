@@ -22,8 +22,21 @@ from pyspark.sql import DataFrame
 
 
 def plan_string(df: DataFrame) -> str:
-    """The executed physical plan as text (what ``explain`` prints)."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    """The executed physical plan as text (what ``explain`` prints).
+
+    ``spark.sql.maxMetadataStringLength`` (default 100) truncates long
+    PushedFilters/ReadSchema lists mid-bracket, which silently blinds
+    the regex extraction below — a 4-predicate pushdown read as "no
+    pushdown". Widen it for the duration of the render.
+    """
+    conf = df.sparkSession.conf
+    key = "spark.sql.maxMetadataStringLength"
+    old = conf.get(key, "100")
+    try:
+        conf.set(key, "10000")
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        conf.set(key, old)
 
 
 def audit_plan(df: DataFrame) -> dict:

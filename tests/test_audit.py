@@ -113,3 +113,33 @@ def test_audit_funnel_detected_under_codegen_consumer():
         "   +- *(1) HashAggregate(keys=[], functions=[partial_sum(x)])\n"
     )
     assert _single_partition_funnel(benign_agg) is False
+
+
+def test_new_r6_queries_scale_audit(spark, sf_dir):
+    """The r6 additions pass the structural scale audit: no funnels,
+    no accidental cartesians, pushdown where expected, and LTTB's
+    shuffles all keyed by the series key."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    # fully-clean plans: full audit (cartesian + funnel)
+    for key in (
+        "tpch_q6", "tpch_q12a", "lttb", "map_agg",
+        "audience_overlap", "array_funcs",
+    ):
+        assert_scales(qs[key](spark, sf_dir))
+    # these join a ONE-ROW broadcast aggregate (scalar threshold /
+    # as-of), which plans a BroadcastNestedLoopJoin by construction —
+    # benign at any scale; still must not funnel
+    for key in ("tpch_q15", "tpch_q17", "tpch_q22a", "topk_heavy", "ema_decay"):
+        assert not audit_plan(qs[key](spark, sf_dir))["single_partition"]
+    # Q6: predicates reach the scan, projection pruned to 3 columns
+    r = audit_plan(qs["tpch_q6"](spark, sf_dir))
+    assert any("l_shipdate" in p for p in r["pushed_filters"])
+    assert all("l_orderkey" not in s for s in r["read_schemas"])
+    # LTTB: every exchange keyed by the series key — embarrassingly
+    # parallel over series at any corpus size
+    r = audit_plan(qs["lttb"](spark, sf_dir))
+    assert r["shuffle_keys"] and all(
+        "user_id" in k for k in r["shuffle_keys"]
+    )

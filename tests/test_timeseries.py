@@ -1,0 +1,197 @@
+"""Unit tests: timeseries operators, heavy hitters, array HOFs, segments."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_k_means_spark.functions.arrays import (
+    array_compact,
+    array_cumsum,
+    array_difference,
+    array_distinct_sorted,
+)
+from clickhouse_k_means_spark.operators.segments import audience_overlap
+from clickhouse_k_means_spark.operators.timeseries import (
+    MICRO,
+    decayed_stats,
+    lttb_downsample,
+)
+from clickhouse_k_means_spark.operators.topk import frequent_terms
+
+
+# ---------------------------------------------------------------- decayed
+
+
+def test_decayed_stats_hand_computed(spark):
+    # asof = 100; weights exp(0)=1, exp(-50/50)=e^-1, exp(-100/50)=e^-2
+    rows = [(1, 100, 10), (1, 50, 20), (1, 0, 30)]
+    df = spark.createDataFrame(rows, "k int, s bigint, v bigint")
+    out = decayed_stats(df, "k", "s", "v", tau_s=50).collect()[0]
+    w1, w2, w3 = (
+        round(math.exp(0) * MICRO),
+        round(math.exp(-1) * MICRO),
+        round(math.exp(-2) * MICRO),
+    )
+    assert out["n"] == 3
+    assert out["weight_micro"] == w1 + w2 + w3
+    assert out["decayed_sum_micro"] == 10 * w1 + 20 * w2 + 30 * w3
+    assert out["decayed_avg_c"] == (10 * w1 + 20 * w2 + 30 * w3) // (
+        w1 + w2 + w3
+    )
+
+
+def test_decayed_stats_recent_dominates(spark):
+    # same values, one key recent, one stale — recent avg tracks the
+    # recent value, stale weights collapse toward zero
+    rows = [(1, 1000, 100), (2, 0, 100)]
+    df = spark.createDataFrame(rows, "k int, s bigint, v bigint")
+    got = {
+        r["k"]: r for r in decayed_stats(df, "k", "s", "v", tau_s=10).collect()
+    }
+    assert got[1]["weight_micro"] == MICRO
+    assert got[2]["weight_micro"] == 0  # exp(-100) rounds to 0 micro
+    assert got[2]["decayed_avg_c"] is None
+
+
+def test_decayed_stats_validation(spark):
+    df = spark.createDataFrame([(1, 1, 1)], "k int, s bigint, v bigint")
+    with pytest.raises(ValueError, match="tau_s"):
+        decayed_stats(df, "k", "s", "v", tau_s=0)
+
+
+# ------------------------------------------------------------------ lttb
+
+
+def _series(spark, pts, key=1):
+    rows = [(key, i, t, v) for i, (t, v) in enumerate(pts)]
+    return spark.createDataFrame(
+        rows, "user_id int, event_id bigint, s bigint, value_c bigint"
+    )
+
+
+def test_lttb_short_series_pass_through(spark):
+    pts = [(i * 10, i * 5) for i in range(7)]
+    out = lttb_downsample(
+        _series(spark, pts), "user_id", "s", "value_c", "event_id", 12
+    )
+    assert out.count() == 7  # n < buckets → untouched
+
+
+def test_lttb_keeps_endpoints_and_bucket_count(spark):
+    pts = [(i, (i * 37) % 100) for i in range(100)]
+    out = lttb_downsample(
+        _series(spark, pts), "user_id", "s", "value_c", "event_id", 12
+    ).collect()
+    assert len(out) == 12  # every bucket non-empty at n=100
+    ids = {r["event_id"] for r in out}
+    assert 0 in ids and 99 in ids  # endpoints verbatim
+    buckets = sorted(r["bucket"] for r in out)
+    assert buckets == list(range(12))
+
+
+def test_lttb_picks_spike(spark):
+    # flat line with one huge spike mid-series: the spike's bucket must
+    # select the spike (largest triangle against flat neighbors)
+    pts = [(i, 10) for i in range(100)]
+    pts[47] = (47, 10_000)
+    out = lttb_downsample(
+        _series(spark, pts), "user_id", "s", "value_c", "event_id", 12
+    ).collect()
+    assert 47 in {r["event_id"] for r in out}
+
+
+def test_lttb_partition_invariance(spark):
+    pts = [((i * 13) % 997, (i * 41) % 500) for i in range(200)]
+    df = _series(spark, pts)
+    a = sorted(
+        (r["bucket"], r["event_id"])
+        for r in lttb_downsample(
+            df.coalesce(1), "user_id", "s", "value_c", "event_id", 10
+        ).collect()
+    )
+    b = sorted(
+        (r["bucket"], r["event_id"])
+        for r in lttb_downsample(
+            df.repartition(7), "user_id", "s", "value_c", "event_id", 10
+        ).collect()
+    )
+    assert a == b
+
+
+def test_lttb_validation(spark):
+    df = _series(spark, [(0, 0)])
+    with pytest.raises(ValueError, match="n_buckets"):
+        lttb_downsample(df, "user_id", "s", "value_c", "event_id", 2)
+
+
+# --------------------------------------------------------- heavy hitters
+
+
+def test_frequent_terms_exact_vs_bruteforce(spark):
+    rng = random.Random(7)
+    # zipf-ish: term_0 very hot, long tail
+    terms = [f"t{min(int(rng.paretovariate(0.7)), 40)}" for _ in range(5000)]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    support = 20
+    got = {
+        (r["term"], r["cnt"])
+        for r in frequent_terms(df.repartition(9), "term", support).collect()
+    }
+    n = len(terms)
+    counts: dict = {}
+    for t in terms:
+        counts[t] = counts.get(t, 0) + 1
+    want = {(t, c) for t, c in counts.items() if c * support > n}
+    assert got == want  # exact — the MG stage only prunes
+
+
+def test_frequent_terms_validation(spark):
+    df = spark.createDataFrame([("a",)], "term string")
+    with pytest.raises(ValueError, match="support"):
+        frequent_terms(df, "term", 0)
+
+
+# ------------------------------------------------------------ array HOFs
+
+
+def test_array_functions_hand_computed(spark):
+    df = spark.createDataFrame(
+        [([3, -1, -1, 0, 2],)], "a array<bigint>"
+    ).select(
+        array_cumsum(F.col("a")).alias("cum"),
+        array_difference(F.col("a")).alias("diff"),
+        array_compact(F.col("a")).alias("cpt"),
+        array_distinct_sorted(F.col("a")).alias("ds"),
+    )
+    r = df.collect()[0]
+    assert r["cum"] == [3, 2, 1, 1, 3]
+    assert r["diff"] == [0, -4, 0, 1, 2]
+    assert r["cpt"] == [3, -1, 0, 2]
+    assert r["ds"] == [-1, 0, 2, 3]
+
+
+# -------------------------------------------------------------- segments
+
+
+def test_audience_overlap_hand_computed(spark):
+    rows = [
+        (1, "a"), (1, "b"), (1, "a"),  # duplicate membership ignored
+        (2, "a"),
+        (3, "b"), (3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "e int, c string")
+    got = {
+        (r["cat_a"], r["cat_b"]): r["entities_both"]
+        for r in audience_overlap(df, "e", "c").collect()
+    }
+    assert got == {
+        ("a", "a"): 2,
+        ("a", "b"): 1,
+        ("b", "b"): 2,
+        ("b", "c"): 1,
+        ("c", "c"): 1,
+    }
