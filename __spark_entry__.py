@@ -3049,6 +3049,34 @@ def q_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance (SummingMergeTree analog,
+    functions/sketches.IncrementalRollup): three partial-aggregate
+    batch commits over events split by event_id mod, then compact,
+    then the merged per-type rollup — exactly equal to the oracle's
+    one-shot aggregate over the full table (BIGINT merge: sums add,
+    mins min, maxes max)."""
+    import tempfile
+
+    from clickhouse_k_means_spark.functions.sketches import IncrementalRollup
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    roll = IncrementalRollup(
+        SnapshotStateStore(tempfile.mkdtemp(prefix="rollup_inc_")),
+        keys=["event_type"],
+        metrics=["value_c"],
+    )
+    for i in range(3):
+        roll.update(ev.filter(F.pmod("event_id", F.lit(3)) == i))
+    roll.compact(spark)  # collapse history; merged view must not change
+    return roll.merged(spark)
+
+
 def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience intersection cardinalities over event types
     (operators/segments.audience_overlap — ClickHouse
@@ -3172,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_funcs": q_array_funcs,
         "map_agg": q_map_agg,
         "audience_overlap": q_audience_overlap,
+        "rollup_incremental": q_rollup_incremental,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
@@ -4745,6 +4774,13 @@ def oracle_sql() -> dict[str, str]:
             "select user_id, string_agg(et, ',' order by et) as keys_s, "
             "string_agg(sc::VARCHAR, ',' order by et) as vals_s "
             "from s group by 1"
+        ),
+        "rollup_incremental": (
+            "select event_type, count(*)::BIGINT as cnt, "
+            "sum(round(value * 100)::BIGINT)::BIGINT as value_c_sum, "
+            "min(round(value * 100)::BIGINT)::BIGINT as value_c_min, "
+            "max(round(value * 100)::BIGINT)::BIGINT as value_c_max "
+            "from events group by 1"
         ),
         "audience_overlap": (
             "with m as (select distinct user_id as e, event_type as c "

@@ -282,6 +282,18 @@ def main() -> None:
         ("window_funnel", entry.q_window_funnel, 2),
         ("entropy", entry.q_entropy, 2),
         ("chi_square", entry.q_chi_square, 2),
+        # r6 batch 2: pushdown scalar agg, MG heavy hitters (Arrow
+        # partials + exact recount), time decay, per-series LTTB,
+        # array HOFs, map-agg rendering, membership self-join,
+        # 3-commit rollup maintenance + compaction
+        ("tpch_q6", entry.q_tpch_q6, 2),
+        ("topk_heavy", entry.q_topk_heavy, 2),
+        ("ema_decay", entry.q_ema_decay, 2),
+        ("lttb", entry.q_lttb, 2),
+        ("array_funcs", entry.q_array_funcs, 2),
+        ("map_agg", entry.q_map_agg, 2),
+        ("audience_overlap", entry.q_audience_overlap, 2),
+        ("rollup_incremental", entry.q_rollup_incremental, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -260,3 +260,83 @@ class IncrementalHistogram:
             if cum >= target:
                 return self.lo + (b + 1) * self.width
         return self.lo + self.n_bins * self.width
+
+
+class IncrementalRollup:
+    """Persisted mergeable GROUP BY rollup — the SummingMergeTree /
+    AggregatingMergeTree idea (ClickHouse's materialized-view
+    maintenance) on the engine's own state store.
+
+    Each ``update(batch)`` commits ONE narrow partial-aggregate
+    relation: per key, the batch's count plus sum/min/max of every
+    metric — all exactly mergeable in BIGINT, so ``merged()`` (one
+    combine aggregate over the compact state table) is bit-identical
+    to a direct aggregate over the union of every batch ever
+    committed. At 100 TB/day this is the difference between scanning
+    the day's increment and re-scanning the corpus: the state table
+    grows by |keys| rows per batch, not by data volume, and a
+    periodic ``compact()`` collapses history down to |keys| rows.
+
+    Metrics must be exact integers (cents/micro fixed-point, the
+    engine-wide rule); averages are derived at read time
+    (``sum div cnt``), never stored. Exactly-once wrapping for
+    streaming ingest is ``streaming/snapshot_sink``'s job — this
+    class is the mergeable-state core.
+    """
+
+    def __init__(self, store, keys: list[str], metrics: list[str],
+                 table: str = "rollup"):
+        if not keys or not metrics:
+            raise ValueError("IncrementalRollup: keys and metrics required")
+        self.store = store
+        self.keys = list(keys)
+        self.metrics = list(metrics)
+        self.table = table
+
+    def _schema(self) -> str:
+        cols = [f"{k} string" for k in self.keys] + ["cnt bigint"] + [
+            f"{m}_{a} bigint"
+            for m in self.metrics
+            for a in ("sum", "min", "max")
+        ]
+        return ", ".join(cols)
+
+    def update(self, df: DataFrame) -> None:
+        """Commit one batch's partial aggregates (map-side combined —
+        the shuffle carries |keys| partials, not rows)."""
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("cnt")]
+        for m in self.metrics:
+            aggs += [
+                F.sum(m).cast("bigint").alias(f"{m}_sum"),
+                F.min(m).cast("bigint").alias(f"{m}_min"),
+                F.max(m).cast("bigint").alias(f"{m}_max"),
+            ]
+        self.store.append(df.groupBy(*self.keys).agg(*aggs), self.table)
+
+    def merged(self, spark) -> DataFrame:
+        """Per-key combined state — bit-identical to aggregating all
+        committed batches in one shot (sums add, mins min, maxes max)."""
+        if not self.store.exists(self.table):
+            return spark.createDataFrame([], self._schema())
+        aggs = [F.sum("cnt").cast("bigint").alias("cnt")]
+        for m in self.metrics:
+            aggs += [
+                F.sum(f"{m}_sum").cast("bigint").alias(f"{m}_sum"),
+                F.min(f"{m}_min").cast("bigint").alias(f"{m}_min"),
+                F.max(f"{m}_max").cast("bigint").alias(f"{m}_max"),
+            ]
+        return (
+            self.store.read(spark, self.table).groupBy(*self.keys).agg(*aggs)
+        )
+
+    def compact(self, spark) -> None:
+        """Collapse the state history to |keys| rows (the merge a
+        MergeTree background thread would do). Requires a store with
+        ``replace`` (snapshot semantics); append-only stores keep
+        history."""
+        if not hasattr(self.store, "replace"):
+            raise ValueError(
+                "IncrementalRollup.compact needs a snapshot store with "
+                "replace(); append-only stores retain per-batch history"
+            )
+        self.store.replace(self.merged(spark), self.table)

@@ -352,6 +352,14 @@ class SnapshotStateStore:
             table, new_files, replace=True, schema_json=df.schema.json()
         )
 
+    def replace(self, df: DataFrame, table: str) -> int:
+        """Commit ``df`` as the whole next snapshot (atomic replace).
+        ``df`` may derive from reading this same table — it is staged
+        to new immutable files before the commit, so self-rewrites
+        (e.g. IncrementalRollup.compact) are safe. Earlier versions
+        stay time-travelable until ``vacuum``."""
+        return self._replace_snapshot(df, table)
+
     def upsert(
         self, spark: SparkSession, df: DataFrame, table: str, key: str
     ) -> int:

@@ -195,3 +195,65 @@ def test_audience_overlap_hand_computed(spark):
         ("b", "c"): 1,
         ("c", "c"): 1,
     }
+
+
+# ----------------------------------------------------- incremental rollup
+
+
+def test_incremental_rollup_merge_equals_single_shot(spark, tmp_path):
+    from clickhouse_k_means_spark.functions.sketches import IncrementalRollup
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    rows = [(i, f"k{i % 3}", (i * 37) % 1000 - 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, k string, v bigint")
+    roll = IncrementalRollup(
+        SnapshotStateStore(str(tmp_path)), keys=["k"], metrics=["v"]
+    )
+    for b in range(4):
+        roll.update(df.filter(F.pmod("id", F.lit(4)) == b))
+    direct = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("v_sum"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+        .collect()
+    }
+    merged = {r["k"]: r for r in roll.merged(spark).collect()}
+    assert set(merged) == set(direct)
+    for k in direct:
+        for c in ("cnt", "v_sum", "v_min", "v_max"):
+            assert merged[k][c] == direct[k][c], (k, c)
+    # compact collapses history to |keys| rows without changing the view
+    roll.compact(spark)
+    assert roll.store.read(spark, roll.table).count() == 3
+    merged2 = {r["k"]: r for r in roll.merged(spark).collect()}
+    for k in direct:
+        assert merged2[k]["v_sum"] == direct[k]["v_sum"]
+    # further batches keep merging after compaction
+    roll.update(df.limit(10))
+    assert roll.merged(spark).agg(F.sum("cnt")).collect()[0][0] == 510
+
+
+def test_incremental_rollup_empty_and_validation(spark, tmp_path):
+    from clickhouse_k_means_spark.functions.sketches import IncrementalRollup
+    from clickhouse_k_means_spark.sources.state import (
+        ParquetStateStore,
+        SnapshotStateStore,
+    )
+
+    roll = IncrementalRollup(
+        SnapshotStateStore(str(tmp_path / "a")), keys=["k"], metrics=["v"]
+    )
+    assert roll.merged(spark).count() == 0  # empty store → empty relation
+    with pytest.raises(ValueError, match="keys and metrics"):
+        IncrementalRollup(None, keys=[], metrics=["v"])
+    ap = IncrementalRollup(
+        ParquetStateStore(str(tmp_path / "b")), keys=["k"], metrics=["v"]
+    )
+    ap.update(spark.createDataFrame([("a", 1)], "k string, v bigint"))
+    with pytest.raises(ValueError, match="snapshot store"):
+        ap.compact(spark)  # append-only store cannot replace
