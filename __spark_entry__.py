@@ -3049,6 +3049,21 @@ def q_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join
+    (streaming/joins.stream_stream_pairs): every view joined to the
+    same user's purchases within 24 h, both sides buffered in the
+    state store bounded by watermark + range condition. availableNow
+    replay must emit exactly the batch interval-join pairs."""
+    from clickhouse_k_means_spark.streaming.joins import stream_stream_pairs
+    from clickhouse_k_means_spark.streaming.windows import run_available_now
+
+    pairs = stream_stream_pairs(spark, sf_dir)
+    return run_available_now(
+        spark, pairs, name="q_stream_join", output_mode="append"
+    )
+
+
 def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-aggregate maintenance (SummingMergeTree analog,
     functions/sketches.IncrementalRollup): three partial-aggregate
@@ -3201,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_agg": q_map_agg,
         "audience_overlap": q_audience_overlap,
         "rollup_incremental": q_rollup_incremental,
+        "stream_join": q_stream_join,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
@@ -4774,6 +4790,17 @@ def oracle_sql() -> dict[str, str]:
             "select user_id, string_agg(et, ',' order by et) as keys_s, "
             "string_agg(sc::VARCHAR, ',' order by et) as vals_s "
             "from s group by 1"
+        ),
+        "stream_join": (
+            "with b as (select event_id, user_id, event_type, "
+            "epoch_ns(ts) // 1000000000 as s, "
+            "round(value * 100)::BIGINT as vc from events) "
+            "select v.user_id, v.event_id as left_id, "
+            "p.event_id as right_id, (p.s - v.s)::BIGINT as delta_s, "
+            "p.vc as right_c from b v join b p "
+            "on v.user_id = p.user_id "
+            "where v.event_type = 'view' and p.event_type = 'purchase' "
+            "and p.s >= v.s and p.s <= v.s + 86400"
         ),
         "rollup_incremental": (
             "select event_type, count(*)::BIGINT as cnt, "

@@ -294,6 +294,8 @@ def main() -> None:
         ("map_agg", entry.q_map_agg, 2),
         ("audience_overlap", entry.q_audience_overlap, 2),
         ("rollup_incremental", entry.q_rollup_incremental, 2),
+        # two watermarked file-stream sides + interval-state join
+        ("stream_join", entry.q_stream_join, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

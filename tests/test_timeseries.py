@@ -257,3 +257,45 @@ def test_incremental_rollup_empty_and_validation(spark, tmp_path):
     ap.update(spark.createDataFrame([("a", 1)], "k string, v bigint"))
     with pytest.raises(ValueError, match="snapshot store"):
         ap.compact(spark)  # append-only store cannot replace
+
+
+# ---------------------------------------------------- stream-stream join
+
+
+def test_stream_stream_pairs_equal_batch_interval_join(spark, sf_dir):
+    from clickhouse_k_means_spark.sources.dataset import (
+        event_epoch_seconds,
+        load_table,
+    )
+    from clickhouse_k_means_spark.streaming.joins import stream_stream_pairs
+    from clickhouse_k_means_spark.streaming.windows import run_available_now
+
+    got = {
+        (r["user_id"], r["left_id"], r["right_id"])
+        for r in run_available_now(
+            spark,
+            stream_stream_pairs(spark, sf_dir),
+            name="t_ssp",
+            output_mode="append",
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id", "user_id", "event_type", event_epoch_seconds(ev).alias("s")
+    )
+    v = b.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("lid"),
+        F.col("s").alias("vs"),
+    )
+    p = b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("rid"),
+        F.col("s").alias("ps"),
+    )
+    want = {
+        (r["u"], r["lid"], r["rid"])
+        for r in v.join(
+            p,
+            (v.u == p.u) & (p.ps >= v.vs) & (p.ps <= v.vs + 86400),
+        ).collect()
+    }
+    assert got == want and got  # identical pair set, non-empty
