@@ -217,3 +217,34 @@ def decode_frame_seq(data: bytes) -> list[bytes]:
     if pos != len(data):
         raise ValueError("FSEQ trailing bytes")
     return frames
+
+
+def resize_nearest(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    out_w: int,
+    out_h: int,
+) -> bytes:
+    """Nearest-neighbor resample of row-major interleaved pixels.
+
+    Source index per output coordinate is ``(i * src) // dst`` —
+    pure integer math, deterministic on any platform. Vectorized as
+    two numpy gather passes; no interpolation (the standard cheap
+    pre-filter before feature extraction at corpus scale, where the
+    model's own preprocessing does the high-quality resample)."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"bad target size {out_w}x{out_h}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
+        )
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    ys = (np.arange(out_h) * height) // out_h
+    xs = (np.arange(out_w) * width) // out_w
+    return a[ys][:, xs].tobytes()

@@ -265,3 +265,60 @@ def resize_meta(df: DataFrame, max_side: int = 224) -> DataFrame:
         F.round(w * scale).cast("int").alias("resized_w"),
         F.round(h * scale).cast("int").alias("resized_h"),
     )
+
+
+RESIZED_SCHEMA = (
+    "id bigint, orig_w int, orig_h int, out_w int, out_h int, "
+    "payload binary"
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 224) -> DataFrame:
+    """REAL pixel resize: decode PNG payloads, nearest-neighbor
+    resample so the longer side is ``max_side`` (aspect preserved,
+    never upscaled), re-encode PNG — the batch-preprocessing stage of
+    an image-training pipeline, Arrow-batched like the other
+    multimodal operators (map-only: partitioning of the source is
+    preserved, no shuffle, no driver involvement).
+
+    Non-PNG payloads are dropped (the caller filters modalities);
+    integer-only coordinate math keeps output bytes bit-identical on
+    any platform/partitioning.
+    """
+    if max_side <= 0:
+        raise ValueError(f"max_side must be positive, got {max_side}")
+
+    from clickhouse_k_means_spark.functions import codecs
+
+    def _one(p: bytes):
+        w, h, c, pix = codecs.decode_png(p)
+        if max(w, h) <= max_side:
+            ow, oh = w, h
+        elif w >= h:
+            ow = max_side
+            oh = max(1, (h * max_side) // w)
+        else:
+            oh = max_side
+            ow = max(1, (w * max_side) // h)
+        out = codecs.resize_nearest(w, h, c, pix, ow, oh)
+        return w, h, ow, oh, codecs.encode_png(ow, oh, c, out)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "id": [], "orig_w": [], "orig_h": [],
+                "out_w": [], "out_h": [], "payload": [],
+            }
+            for rid, p in zip(pdf["id"], pdf["payload"]):
+                if not codecs.is_png(p):
+                    continue
+                w, h, ow, oh, enc = _one(p)
+                rows["id"].append(rid)
+                rows["orig_w"].append(w)
+                rows["orig_h"].append(h)
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+                rows["payload"].append(enc)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_batches, schema=RESIZED_SCHEMA)

@@ -145,3 +145,52 @@ def test_sample_frames_real_fseq(spark):
         ).collect()
     )
     assert got == [(0, frames[0]), (3, frames[3]), (6, frames[6])]
+
+
+def test_resize_nearest_hand_computed():
+    from clickhouse_k_means_spark.functions.codecs import resize_nearest
+
+    # 4x2 single-channel gradient; downsample to 2x1: nearest picks
+    # src rows/cols (i*src)//dst = rows [0], cols [0, 2]
+    pixels = bytes([0, 10, 20, 30, 40, 50, 60, 70])
+    out = resize_nearest(4, 2, 1, pixels, 2, 1)
+    assert list(out) == [0, 20]
+    # identity resize is a byte-for-byte no-op
+    assert resize_nearest(4, 2, 1, pixels, 4, 2) == pixels
+    import pytest
+
+    with pytest.raises(ValueError, match="bad target"):
+        resize_nearest(4, 2, 1, pixels, 0, 1)
+    with pytest.raises(ValueError, match="pixel buffer"):
+        resize_nearest(4, 2, 1, pixels[:-1], 2, 1)
+
+
+def test_resize_images_roundtrip(spark):
+    from clickhouse_k_means_spark.functions.codecs import (
+        decode_png,
+        encode_png,
+    )
+    from clickhouse_k_means_spark.operators.multimodal import resize_images
+
+    # 8x4 RGB ramp + one already-small image + one non-PNG payload
+    big = encode_png(
+        8, 4, 3, bytes((x * 7 + ch) % 256 for y in range(4) for x in range(8) for ch in range(3))
+    )
+    small = encode_png(2, 2, 3, bytes(range(12)))
+    rows = [(1, "image", bytearray(big)), (2, "image", bytearray(small)),
+            (3, "audio", bytearray(b"RIFFnotapng"))]
+    df = spark.createDataFrame(rows, "id bigint, modality string, payload binary")
+    got = {r["id"]: r for r in resize_images(df, max_side=4).collect()}
+    assert set(got) == {1, 2}  # non-PNG dropped
+    r1 = got[1]
+    assert (r1["orig_w"], r1["orig_h"], r1["out_w"], r1["out_h"]) == (8, 4, 4, 2)
+    w, h, c, pix = decode_png(bytes(r1["payload"]))
+    assert (w, h, c) == (4, 2, 3)
+    # nearest-neighbor: output (x,y) samples source (2x, 2y)
+    src = bytes((x * 7 + ch) % 256 for y in range(4) for x in range(8) for ch in range(3))
+    for y in range(2):
+        for x in range(4):
+            for ch in range(3):
+                assert pix[(y * 4 + x) * 3 + ch] == src[(2 * y * 8 + 2 * x) * 3 + ch]
+    # under-max image passes through untouched (same dims)
+    assert (got[2]["out_w"], got[2]["out_h"]) == (2, 2)
