@@ -3049,6 +3049,44 @@ def q_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse quantileExactWeighted parity
+    (operators/outliers.weighted_quantiles): step quantiles over the
+    per-group weight-frequency table, all-BIGINT covered-position
+    tests. Weight = deterministic per-event replication factor."""
+    from clickhouse_k_means_spark.operators.outliers import weighted_quantiles
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.pmod("event_id", F.lit(5)) + 1).alias("w"),
+    )
+    return weighted_quantiles(
+        ev, "value", "w", "event_type",
+        ps_ppm=[250_000, 500_000, 900_000],
+    )
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection per user
+    (operators/timeseries.rolling_zscore): exact BIGINT window moments,
+    one IEEE sqrt/divide on identical integer inputs → bit-identical
+    milli-scores and flags across engines."""
+    from clickhouse_k_means_spark.operators.timeseries import rolling_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        event_epoch_seconds(ev).alias("s"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    return rolling_zscore(
+        base, "user_id", "s", "value_c", "event_id",
+        window_rows=20, min_rows=5, z_threshold=3.0,
+    )
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join
     (streaming/joins.stream_stream_pairs): every view joined to the
@@ -3217,6 +3255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap": q_audience_overlap,
         "rollup_incremental": q_rollup_incremental,
         "stream_join": q_stream_join,
+        "weighted_quantiles": q_weighted_quantiles,
+        "anomaly_zscore": q_anomaly_zscore,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
@@ -4790,6 +4830,35 @@ def oracle_sql() -> dict[str, str]:
             "select user_id, string_agg(et, ',' order by et) as keys_s, "
             "string_agg(sc::VARCHAR, ',' order by et) as vals_s "
             "from s group by 1"
+        ),
+        "weighted_quantiles": (
+            "with b as (select event_type as g, "
+            "round(value * 100)::BIGINT as v, "
+            "(event_id % 5 + 1)::BIGINT as w from events), "
+            "f as (select g, v, sum(w)::BIGINT as cnt from b group by 1, 2), "
+            "s as (select g, v, "
+            "sum(cnt) over (partition by g order by v) as cum, "
+            "sum(cnt) over (partition by g) as tot from f), "
+            "p as (select unnest([250000, 500000, 900000]) as p_ppm) "
+            "select g, p_ppm::BIGINT as p_ppm, min(v)::BIGINT as q_c "
+            "from s cross join p "
+            "where cum * 1000000 >= p_ppm * tot group by 1, 2"
+        ),
+        "anomaly_zscore": (
+            "with b as (select event_id, user_id, "
+            "epoch_ns(ts) // 1000000000 as s, "
+            "round(value * 100)::BIGINT as vc from events), "
+            "w as (select event_id, user_id, s, vc, "
+            "count(vc) over win as n, sum(vc) over win as sm, "
+            "sum(vc * vc) over win as s2 from b "
+            "window win as (partition by user_id order by s, event_id "
+            "rows between 20 preceding and 1 preceding)), "
+            "z as (select event_id, user_id, s, vc, "
+            "case when n >= 5 and (n * s2 - sm * sm) > 0 then "
+            "round((vc * n - sm)::DOUBLE / sqrt((n * s2 - sm * sm)::DOUBLE) "
+            "* 1000)::BIGINT end as z_milli from w) "
+            "select event_id, user_id, s, vc as value_c, z_milli, "
+            "coalesce(abs(z_milli) > 3000, false) as is_anomaly from z"
         ),
         "stream_join": (
             "with b as (select event_id, user_id, event_type, "

@@ -296,6 +296,8 @@ def main() -> None:
         ("rollup_incremental", entry.q_rollup_incremental, 2),
         # two watermarked file-stream sides + interval-state join
         ("stream_join", entry.q_stream_join, 2),
+        ("weighted_quantiles", entry.q_weighted_quantiles, 2),
+        ("anomaly_zscore", entry.q_anomaly_zscore, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

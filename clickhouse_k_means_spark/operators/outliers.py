@@ -219,3 +219,50 @@ def winsorize_stats(
             F.col("wsum_u").cast("bigint").alias("wsum_u"),
         )
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value: str,
+    weight: str,
+    group: str,
+    ps_ppm: list[int],
+    cents: int = 100,
+) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted`` parity: per group, the
+    FIRST value whose cumulative weight reaches ``p · W`` (step
+    quantile, no interpolation — exactly ClickHouse's definition).
+
+    Same scale shape as the unweighted quantile operators above: the
+    shuffle carries the per-(group, value) weight-frequency table
+    (map-side combined), the cumulative window runs over distinct
+    values, and the |groups| × |ps| probe grid rides a broadcast.
+    Everything is BIGINT (cents quantization × integer weights ×
+    ppm thresholds) — no float can flip a covered-position test.
+    """
+    if not ps_ppm:
+        raise ValueError("ps_ppm must be non-empty")
+    if any(p < 0 or p > 1_000_000 for p in ps_ppm):
+        raise ValueError(f"ps_ppm must be within [0, 1e6]: {ps_ppm}")
+    b = df.select(
+        F.col(group).alias("g"),
+        F.round(F.col(value) * cents).cast("bigint").alias("v"),
+        F.col(weight).cast("bigint").alias("w"),
+    ).filter(F.col("v").isNotNull() & (F.col("w") > 0))
+    freq = b.groupBy("g", "v").agg(F.sum("w").alias("cnt"))
+    wv = Window.partitionBy("g").orderBy("v")
+    staged = freq.select(
+        "g",
+        "v",
+        F.sum("cnt").over(wv).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("g")).alias("tot"),
+    )
+    ps = df.sparkSession.createDataFrame(
+        [(int(p),) for p in sorted(set(ps_ppm))], "p_ppm bigint"
+    )
+    return (
+        staged.join(F.broadcast(ps))
+        .filter(F.col("cum") * 1_000_000 >= F.col("p_ppm") * F.col("tot"))
+        .groupBy("g", "p_ppm")
+        .agg(F.min("v").alias("q_c"))
+    )

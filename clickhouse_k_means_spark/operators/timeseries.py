@@ -208,3 +208,60 @@ def lttb_downsample(
         F.col("__t").alias(time_s),
         F.col("__v").alias(value_c),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key: str,
+    time_s: str,
+    value_c: str,
+    id_col: str,
+    window_rows: int = 20,
+    min_rows: int = 5,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection per series.
+
+    Each point is scored against the PRECEDING ``window_rows`` points
+    (self excluded — a spike must not dilute its own baseline):
+    ``z = (v·n − Σv) / sqrt(n·Σv² − (Σv)²)``, the algebraic form whose
+    numerator and radicand are exact BIGINT window sums — the only
+    float ops are one IEEE sqrt and one division on identical integer
+    inputs, so the score (rounded to milli) and the flag are
+    bit-deterministic across engines and partitionings. Rows with
+    fewer than ``min_rows`` of history or zero variance score NULL.
+
+    Plan: one windowed pass partitioned by the series key — the same
+    single shuffle any per-key rolling statistic pays.
+    """
+    if window_rows < 1 or min_rows < 2:
+        raise ValueError(
+            f"window_rows >= 1 and min_rows >= 2 required, got "
+            f"{window_rows}/{min_rows}"
+        )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(time_s, id_col)
+        .rowsBetween(-window_rows, -1)
+    )
+    v = F.col(value_c)
+    n = F.count(v).over(w)
+    s = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    rad = (n * s2 - s * s).cast("double")
+    z = (v * n - s).cast("double") / F.sqrt(rad)
+    z_milli = F.when(
+        (n >= min_rows) & (rad > 0), F.round(z * 1000).cast("bigint")
+    )
+    return df.select(
+        key,
+        F.col(id_col),
+        F.col(time_s),
+        v.alias(value_c),
+        z_milli.alias("z_milli"),
+        # coalesce: insufficient history is NOT an anomaly (and a
+        # NULL boolean renders engine-specifically — None vs NaN)
+        F.coalesce(
+            F.abs(z_milli) > int(z_threshold * 1000), F.lit(False)
+        ).alias("is_anomaly"),
+    )

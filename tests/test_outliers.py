@@ -117,3 +117,57 @@ def test_iqr_null_metrics_excluded_from_quantiles(spark):
         want.n_outliers,
         want.outlier_sum_c,
     )
+
+
+def test_weighted_quantiles_hand_computed(spark):
+    from clickhouse_k_means_spark.operators.outliers import weighted_quantiles
+
+    # values 1..4 with weights 1, 2, 3, 4 (total 10):
+    # cum: 1→1, 2→3, 3→6, 4→10. p=.30 → first cum≥3 = value 2;
+    # p=.60 → value 3; p=.61 → value 4; p=1.0 → value 4
+    rows = [("a", float(v), v) for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "g string, value double, w int")
+    got = {
+        r["p_ppm"]: r["q_c"]
+        for r in weighted_quantiles(
+            df, "value", "w", "g",
+            ps_ppm=[300_000, 600_000, 610_000, 1_000_000],
+        ).collect()
+    }
+    assert got == {300_000: 200, 600_000: 300, 610_000: 400, 1_000_000: 400}
+
+
+def test_weighted_quantiles_weight_one_matches_unweighted_step(spark):
+    from clickhouse_k_means_spark.operators.outliers import weighted_quantiles
+
+    import random
+
+    rng = random.Random(3)
+    vals = [rng.randint(0, 500) for _ in range(400)]
+    df = spark.createDataFrame(
+        [("g", float(v), 1) for v in vals], "g string, value double, w int"
+    )
+    got = {
+        r["p_ppm"]: r["q_c"]
+        for r in weighted_quantiles(
+            df, "value", "w", "g", ps_ppm=[500_000]
+        ).collect()
+    }
+    sv = sorted(v * 100 for v in vals)
+    # step quantile: first value whose cum count reaches half
+    import math
+
+    want = sv[math.ceil(0.5 * len(sv)) - 1]
+    assert got[500_000] == want
+
+
+def test_weighted_quantiles_validation(spark):
+    from clickhouse_k_means_spark.operators.outliers import weighted_quantiles
+
+    df = spark.createDataFrame([("g", 1.0, 1)], "g string, value double, w int")
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        weighted_quantiles(df, "value", "w", "g", ps_ppm=[])
+    with pytest.raises(ValueError, match="within"):
+        weighted_quantiles(df, "value", "w", "g", ps_ppm=[2_000_000])

@@ -299,3 +299,58 @@ def test_stream_stream_pairs_equal_batch_interval_join(spark, sf_dir):
         ).collect()
     }
     assert got == want and got  # identical pair set, non-empty
+
+
+# ------------------------------------------------------- rolling z-score
+
+
+def test_rolling_zscore_hand_computed(spark):
+    from clickhouse_k_means_spark.operators.timeseries import rolling_zscore
+
+    # history [10, 20, 30, 40, 50] then a probe value 60:
+    # n=5, sum=150, sumsq=5500 → z = (60*5-150)/sqrt(5*5500-150^2)
+    vals = [10, 20, 30, 40, 50, 60]
+    df = spark.createDataFrame(
+        [(1, i, i, v) for i, v in enumerate(vals)],
+        "k int, id bigint, s bigint, v bigint",
+    )
+    out = {
+        r["id"]: r
+        for r in rolling_zscore(
+            df, "k", "s", "v", "id", window_rows=20, min_rows=5
+        ).collect()
+    }
+    import math
+
+    want = round((60 * 5 - 150) / math.sqrt(5 * 5500 - 150 * 150) * 1000)
+    assert out[5]["z_milli"] == want
+    assert out[0]["z_milli"] is None  # no history
+    assert out[4]["z_milli"] is None  # only 4 predecessors < min_rows
+    assert not out[5]["is_anomaly"]  # z ≈ 2.12 < 3
+    assert not out[0]["is_anomaly"]  # insufficient history → False
+
+
+def test_rolling_zscore_flags_spike_and_constant_history(spark):
+    from clickhouse_k_means_spark.operators.timeseries import rolling_zscore
+
+    rows = [(1, i, i, 100 + (i % 3)) for i in range(30)]  # tame series
+    rows.append((1, 99, 99, 100000))  # spike at the end
+    rows += [(2, i, i, 7) for i in range(10)]  # zero variance series
+    df = spark.createDataFrame(rows, "k int, id bigint, s bigint, v bigint")
+    out = {
+        (r["k"], r["id"]): r
+        for r in rolling_zscore(
+            df, "k", "s", "v", "id", window_rows=20, min_rows=5
+        ).collect()
+    }
+    assert out[(1, 99)]["is_anomaly"]
+    assert out[(2, 9)]["z_milli"] is None  # zero variance → NULL score
+    assert not out[(2, 9)]["is_anomaly"]
+
+
+def test_rolling_zscore_validation(spark):
+    from clickhouse_k_means_spark.operators.timeseries import rolling_zscore
+
+    df = spark.createDataFrame([(1, 1, 1, 1)], "k int, id bigint, s bigint, v bigint")
+    with pytest.raises(ValueError, match="window_rows"):
+        rolling_zscore(df, "k", "s", "v", "id", window_rows=0)
