@@ -61,6 +61,26 @@ def _ssjoin_bench(spark, sf_dir: str) -> DataFrame:
     return similarity_self_join(docs, threshold_ppm=800_000)
 
 
+def _triangles_bench(spark, sf_dir: str):
+    """Bounded triangle-census bench slice: the SYNTHETIC fixture's
+    co-supplier graph is COMPLETE (every supplier pair shares an
+    order at sf0.1), so the full census output is C(n,3) ≈ 1.7e8 —
+    an output-size cost no algorithm avoids, same situation as the
+    ssjoin slice. 300 vertices keep the measurement about the plan
+    (distinct + orientation + wedge join), not the degenerate
+    corpus."""
+    from clickhouse_k_means_spark.operators.graph import (
+        co_occurrence_edges,
+        triangle_count,
+    )
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter("l_suppkey < 300")
+    return triangle_count(
+        co_occurrence_edges(li, group="l_orderkey", node="l_suppkey")
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -287,6 +307,10 @@ def main() -> None:
         # array HOFs, map-agg rendering, membership self-join,
         # 3-commit rollup maintenance + compaction
         ("tpch_q6", entry.q_tpch_q6, 2),
+        ("tpch_q12a", entry.q_tpch_q12a, 2),
+        ("tpch_q15", entry.q_tpch_q15, 2),
+        ("tpch_q17", entry.q_tpch_q17, 2),
+        ("tpch_q22a", entry.q_tpch_q22a, 2),
         ("topk_heavy", entry.q_topk_heavy, 2),
         ("ema_decay", entry.q_ema_decay, 2),
         ("lttb", entry.q_lttb, 2),
@@ -298,6 +322,10 @@ def main() -> None:
         ("stream_join", entry.q_stream_join, 2),
         ("weighted_quantiles", entry.q_weighted_quantiles, 2),
         ("anomaly_zscore", entry.q_anomaly_zscore, 2),
+        # degree-ordered triangle census (bounded 300-vertex slice —
+        # the synthetic co-supplier graph is complete; see helper)
+        ("triangles", _triangles_bench, 2),
+        ("array_set_ops", entry.q_array_set_ops, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

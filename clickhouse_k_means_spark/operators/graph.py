@@ -99,3 +99,75 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count (one row: n_vertices / n_edges /
+    n_triangles) — the canonical graph-locality metric.
+
+    Algorithm: degree-ordered edge orientation (the MapReduce
+    triangle-counting scheme of Suri & Vassilvitskii, WWW'11). Every
+    undirected edge is directed from its (degree, node)-smaller
+    endpoint to the larger; each triangle then has exactly ONE apex
+    with two out-edges, so counting wedge-closures counts each
+    triangle once. The orientation is what makes this scale: a
+    vertex's out-degree is bounded by ~sqrt(2m) regardless of how hot
+    a hub is, so the wedge join (the quadratic step) is
+    sum-of-out-deg² — dramatically smaller than the raw deg² a hub
+    would generate, and the reason this plan survives power-law
+    graphs at corpus scale.
+
+    Plan: one distinct (canonical edges), one degree aggregate
+    (broadcast back — degree table is |V|, state-sized for
+    co-occurrence graphs; swap to a shuffle join for web-scale |V|),
+    one self-join on the apex, one left-semi closure probe.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    wd = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    # orient: lo = (deg, id)-smaller endpoint
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = wd.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("d_hi"),
+    ).localCheckpoint(eager=True)  # wedge join + closure probe reuse it
+    x = oriented.select(
+        F.col("lo"), F.col("hi").alias("h1"), F.col("d_hi").alias("dh1")
+    )
+    y = oriented.select(
+        F.col("lo"), F.col("hi").alias("h2"), F.col("d_hi").alias("dh2")
+    )
+    wedges = x.join(y, "lo").filter(
+        F.struct(F.col("dh1"), F.col("h1")) < F.struct(F.col("dh2"), F.col("h2"))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("lo").alias("h1"), F.col("hi").alias("h2")),
+        ["h1", "h2"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = und.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    ).join(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_vertices"))))
+    return stats.join(F.broadcast(tri)).select(
+        "n_vertices", "n_edges", "n_triangles"
+    )

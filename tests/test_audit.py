@@ -125,13 +125,17 @@ def test_new_r6_queries_scale_audit(spark, sf_dir):
     # fully-clean plans: full audit (cartesian + funnel)
     for key in (
         "tpch_q6", "tpch_q12a", "lttb", "map_agg",
-        "audience_overlap", "array_funcs",
+        "audience_overlap", "array_funcs", "array_set_ops",
+        "anomaly_zscore",
     ):
         assert_scales(qs[key](spark, sf_dir))
     # these join a ONE-ROW broadcast aggregate (scalar threshold /
     # as-of), which plans a BroadcastNestedLoopJoin by construction —
     # benign at any scale; still must not funnel
-    for key in ("tpch_q15", "tpch_q17", "tpch_q22a", "topk_heavy", "ema_decay"):
+    for key in (
+        "tpch_q15", "tpch_q17", "tpch_q22a", "topk_heavy", "ema_decay",
+        "weighted_quantiles", "triangles",
+    ):
         assert not audit_plan(qs[key](spark, sf_dir))["single_partition"]
     # Q6: predicates reach the scan, projection pruned to 3 columns
     r = audit_plan(qs["tpch_q6"](spark, sf_dir))

@@ -74,3 +74,27 @@ def test_co_occurrence_edges_symmetric_no_self_loops(spark):
     )
     pairs = {(r.src, r.dst) for r in co_occurrence_edges(df, "g", "s").collect()}
     assert pairs == {(1, 2), (2, 1), (2, 3), (3, 2)}
+
+
+def test_triangle_count_hand_computed(spark):
+    from clickhouse_k_means_spark.operators.graph import triangle_count
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "src bigint, dst bigint")
+        return triangle_count(df).collect()[0]
+
+    # one triangle, given with duplicate + reversed edges
+    r = run([(1, 2), (2, 1), (2, 3), (1, 3), (1, 3)])
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == (3, 3, 1)
+    # square: 4 edges, no triangle
+    r = run([(1, 2), (2, 3), (3, 4), (4, 1)])
+    assert r["n_triangles"] == 0
+    # K4: every 3-subset closes → 4 triangles
+    r = run([(a, b) for a in range(1, 5) for b in range(1, 5) if a < b])
+    assert (r["n_edges"], r["n_triangles"]) == (6, 4)
+    # star hub: many wedges, zero closures (the orientation stress)
+    r = run([(0, i) for i in range(1, 20)])
+    assert (r["n_vertices"], r["n_triangles"]) == (20, 0)
+    # self-loops ignored
+    r = run([(1, 1), (1, 2), (2, 3), (1, 3)])
+    assert r["n_triangles"] == 1
