@@ -95,14 +95,56 @@ def main() -> None:
     def q_pq_ann():
         _noop(entry.q_pq_ann(spark, sf_dir))
 
+    def q_lttb():
+        _noop(entry.q_lttb(spark, sf_dir))
+
+    def q_topk_heavy():
+        _noop(entry.q_topk_heavy(spark, sf_dir))
+
+    def q_anomaly_zscore():
+        _noop(entry.q_anomaly_zscore(spark, sf_dir))
+
+    def q_rollup_incremental():
+        _noop(entry.q_rollup_incremental(spark, sf_dir))
+
+    def q_triangles():
+        # 10x the bench slice: 300 suppliers of EACH key-offset replica
+        # (replica order-key spaces are disjoint, so this is 10 disjoint
+        # 300-vertex co-supply graphs — 10x the edges AND the output)
+        from clickhouse_k_means_spark.operators.graph import (
+            co_occurrence_edges,
+            triangle_count,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem").filter(
+            "l_suppkey % 1000000 < 300"
+        )
+        _noop(
+            triangle_count(
+                co_occurrence_edges(li, group="l_orderkey", node="l_suppkey")
+            )
+        )
+
+    sets = {
+        "r5": [
+            ("kmeans_fit", q_kmeans_fit),
+            ("near_dedup", q_near_dedup),
+            ("ssjoin", q_ssjoin),
+            ("pagerank", q_pagerank),
+            ("pq_ann", q_pq_ann),
+        ],
+        "r6": [
+            ("lttb", q_lttb),
+            ("topk_heavy", q_topk_heavy),
+            ("anomaly_zscore", q_anomaly_zscore),
+            ("rollup_incremental", q_rollup_incremental),
+            ("triangles", q_triangles),
+        ],
+    }
+    which = os.environ.get("SPARK_GRAFT_PROBE_SET", "r5")
+
     results = {}
-    for name, fn in [
-        ("kmeans_fit", q_kmeans_fit),
-        ("near_dedup", q_near_dedup),
-        ("ssjoin", q_ssjoin),
-        ("pagerank", q_pagerank),
-        ("pq_ann", q_pq_ann),
-    ]:
+    for name, fn in sets[which]:
         r0, w0 = shuffle_totals(app_id)
         t0 = time.perf_counter()
         fn()
