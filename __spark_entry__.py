@@ -2825,6 +2825,61 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q8a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_2 suppliers'
+    share of STANDARD-part revenue sold to ASIA customers per order
+    year — the two-level conditional-share pattern. Four broadcast
+    dims; the only data-scale shuffles are lineitem ⋈ orders and the
+    per-year aggregate; the share is a BIGINT ppm ratio computed
+    AFTER the exact cents sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nc = (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", cents).otherwise(0)
+            ).alias("nation_c"),
+            F.sum(cents).alias("total_c"),
+        )
+        .select(
+            "o_year",
+            "nation_c",
+            "total_c",
+            F.expr("nation_c * 1000000 div total_c").alias("mkt_share_ppm"),
+        )
+    )
+
+
 def q_tpch_q12a(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (shipping-priority classes; the fixture has no
     shipmode, so the grouping dimension is the ship year): lineitem ⋈
@@ -3295,6 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy": q_entropy,
         "chi_square": q_chi_square,
         "tpch_q6": q_tpch_q6,
+        "tpch_q8a": q_tpch_q8a,
         "tpch_q12a": q_tpch_q12a,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
@@ -4749,6 +4805,26 @@ def oracle_sql() -> dict[str, str]:
             "where l_shipdate >= '1996-01-01' and l_shipdate < '1997-01-01' "
             "and l_discount >= 0.05 and l_discount <= 0.07 "
             "and l_quantity < 24"
+        ),
+        "tpch_q8a": (
+            "with b as (select year(o_orderdate)::BIGINT as o_year, "
+            "n2.n_name as supp_nation, "
+            "round(l_extendedprice * (1 - l_discount) * 100)::BIGINT as cents "
+            "from lineitem "
+            "join part on l_partkey = p_partkey "
+            "join orders on l_orderkey = o_orderkey "
+            "join customer on o_custkey = c_custkey "
+            "join nation n1 on c_nationkey = n1.n_nationkey "
+            "join region on n1.n_regionkey = r_regionkey "
+            "join supplier on l_suppkey = s_suppkey "
+            "join nation n2 on s_nationkey = n2.n_nationkey "
+            "where p_type = 'STANDARD' and r_name = 'ASIA' "
+            "and o_orderdate >= '1996-01-01' and o_orderdate < '1998-01-01') "
+            "select o_year, "
+            "sum(case when supp_nation = 'NATION_2' then cents else 0 end)"
+            "::BIGINT as nation_c, sum(cents)::BIGINT as total_c, "
+            "(sum(case when supp_nation = 'NATION_2' then cents else 0 end) "
+            "* 1000000) // sum(cents) as mkt_share_ppm from b group by 1"
         ),
         "tpch_q12a": (
             "select year(l_shipdate)::BIGINT as ship_year, "

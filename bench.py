@@ -307,6 +307,7 @@ def main() -> None:
         # array HOFs, map-agg rendering, membership self-join,
         # 3-commit rollup maintenance + compaction
         ("tpch_q6", entry.q_tpch_q6, 2),
+        ("tpch_q8a", entry.q_tpch_q8a, 2),
         ("tpch_q12a", entry.q_tpch_q12a, 2),
         ("tpch_q15", entry.q_tpch_q15, 2),
         ("tpch_q17", entry.q_tpch_q17, 2),
