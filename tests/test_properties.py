@@ -392,3 +392,111 @@ def test_ssjoin_matches_brute_force_property(spark, docs, t_ppm):
                 if i * 1_000_000 >= t_ppm * u:
                     want[(x, y)] = (i * 1_000_000) // u
     assert got == want
+
+
+# ---- r6 operators ----------------------------------------------------
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),       # t
+            st.integers(0, 5_000),        # v (cents)
+        ),
+        min_size=1, max_size=60, unique_by=lambda p: p[0],
+    ),
+    buckets=st.integers(3, 10),
+)
+@SETTINGS
+def test_lttb_size_and_endpoint_properties(spark, pts, buckets):
+    from clickhouse_k_means_spark.operators.timeseries import lttb_downsample
+
+    df = spark.createDataFrame(
+        [(1, i, t, v) for i, (t, v) in enumerate(pts)],
+        "user_id int, event_id bigint, s bigint, value_c bigint",
+    )
+    out = lttb_downsample(
+        df, "user_id", "s", "value_c", "event_id", buckets
+    ).collect()
+    n = len(pts)
+    if n < buckets:
+        assert len(out) == n  # pass-through
+    else:
+        assert len(out) <= buckets
+        ids = {r["event_id"] for r in out}
+        by_t = sorted(range(n), key=lambda i: (pts[i][0], i))
+        assert by_t[0] in ids and by_t[-1] in ids  # endpoints kept
+        # one point per non-empty bucket
+        assert len(ids) == len(out)
+
+
+@given(
+    terms=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=10, max_size=300,
+    ),
+    support=st.integers(2, 12),
+)
+@SETTINGS
+def test_frequent_terms_always_exact(spark, terms, support):
+    from clickhouse_k_means_spark.operators.topk import frequent_terms
+
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        (r["term"], r["cnt"])
+        for r in frequent_terms(df.repartition(5), "term", support).collect()
+    }
+    counts: dict = {}
+    for t in terms:
+        counts[t] = counts.get(t, 0) + 1
+    want = {(t, c) for t, c in counts.items() if c * support > len(terms)}
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(1, 9)),
+        min_size=1, max_size=80,
+    ),
+)
+@SETTINGS
+def test_weighted_quantiles_monotone_in_p(spark, vals):
+    from clickhouse_k_means_spark.operators.outliers import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [("g", float(v), w) for v, w in vals], "g string, value double, w int"
+    )
+    ps = [100_000, 400_000, 700_000, 1_000_000]
+    got = {
+        r["p_ppm"]: r["q_c"]
+        for r in weighted_quantiles(df, "value", "w", "g", ps_ppm=ps).collect()
+    }
+    qs = [got[p] for p in ps]
+    assert qs == sorted(qs)  # monotone in p
+    # p=1.0 is the max value
+    assert qs[-1] == max(v * 100 for v, _ in vals)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.sampled_from("xyz")),
+        min_size=1, max_size=100,
+    ),
+)
+@SETTINGS
+def test_audience_overlap_diagonal_and_symmetry_bounds(spark, rows):
+    from clickhouse_k_means_spark.operators.segments import audience_overlap
+
+    df = spark.createDataFrame(rows, "e int, c string")
+    got = {
+        (r["cat_a"], r["cat_b"]): r["entities_both"]
+        for r in audience_overlap(df, "e", "c").collect()
+    }
+    members: dict = {}
+    for e, c in rows:
+        members.setdefault(c, set()).add(e)
+    for (a, b), n in got.items():
+        assert a <= b
+        assert n == len(members[a] & members[b])  # exact intersections
+    for c, s in members.items():
+        assert got[(c, c)] == len(s)  # diagonal = cardinality
