@@ -285,16 +285,26 @@ class IncrementalRollup:
     """
 
     def __init__(self, store, keys: list[str], metrics: list[str],
-                 table: str = "rollup"):
+                 table: str = "rollup", key_types: dict[str, str] | None = None):
         if not keys or not metrics:
             raise ValueError("IncrementalRollup: keys and metrics required")
         self.store = store
         self.keys = list(keys)
         self.metrics = list(metrics)
         self.table = table
+        # empty-store merged() must still return a TYPED relation; key
+        # dtypes aren't recoverable from nowhere, so non-string keys
+        # declare theirs here (the r4 placeholder-schema lesson: a
+        # guessed schema diverges silently once real commits land)
+        self.key_types = dict(key_types or {})
+        bad = set(self.key_types) - set(self.keys)
+        if bad:
+            raise ValueError(f"key_types for unknown keys: {sorted(bad)}")
 
     def _schema(self) -> str:
-        cols = [f"{k} string" for k in self.keys] + ["cnt bigint"] + [
+        cols = [
+            f"{k} {self.key_types.get(k, 'string')}" for k in self.keys
+        ] + ["cnt bigint"] + [
             f"{m}_{a} bigint"
             for m in self.metrics
             for a in ("sum", "min", "max")

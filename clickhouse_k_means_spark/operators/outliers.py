@@ -233,6 +233,12 @@ def weighted_quantiles(
     FIRST value whose cumulative weight reaches ``p · W`` (step
     quantile, no interpolation — exactly ClickHouse's definition).
 
+    Rows with NULL values or non-positive weights are EXCLUDED
+    (ClickHouse drops weight-0 rows; negative weights have no
+    quantile semantics) — callers wanting a hard failure on negative
+    weights should validate upstream, this operator will not shuffle
+    the corpus twice to check.
+
     Same scale shape as the unweighted quantile operators above: the
     shuffle carries the per-(group, value) weight-frequency table
     (map-side combined), the cumulative window runs over distinct

@@ -257,6 +257,16 @@ def test_incremental_rollup_empty_and_validation(spark, tmp_path):
     ap.update(spark.createDataFrame([("a", 1)], "k string, v bigint"))
     with pytest.raises(ValueError, match="snapshot store"):
         ap.compact(spark)  # append-only store cannot replace
+    # empty-store merged() honors declared non-string key dtypes
+    typed = IncrementalRollup(
+        SnapshotStateStore(str(tmp_path / "c")),
+        keys=["k"], metrics=["v"], key_types={"k": "bigint"},
+    )
+    assert dict(typed.merged(spark).dtypes)["k"] == "bigint"
+    with pytest.raises(ValueError, match="unknown keys"):
+        IncrementalRollup(
+            None, keys=["k"], metrics=["v"], key_types={"zz": "int"}
+        )
 
 
 # ---------------------------------------------------- stream-stream join
