@@ -3191,6 +3191,76 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ngramDistance parity: trigram-set Jaccard entity
+    resolution (the n-gram complement to q_fuzzy_match's edit
+    distance). Trigram sets come from a codegen'd
+    sequence→substring transform — no UDF; similarity is an exact
+    integer ppm; best match = struct-min argmax with tie →
+    lexicographically first name. Probe side literal, catalog side
+    broadcast-sized — the cross join is |probes| × |dim|."""
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    probes = spark.createDataFrame(
+        [("UNTED STATES",), ("BRAZYL",), ("NATON_3",), ("NATIION_12",),
+         ("XXYYZZ",)],
+        "probe string",
+    )
+
+    def tri(col: str) -> F.Column:
+        return F.expr(
+            f"array_distinct(transform(sequence(1, greatest("
+            f"length(lower({col})) - 2, 1)), i -> substring(lower({col}), i, 3)))"
+        )
+
+    scored = probes.crossJoin(F.broadcast(nation)).select(
+        "probe",
+        "n_name",
+        tri("probe").alias("ta"),
+        tri("n_name").alias("tb"),
+    ).select(
+        "probe",
+        "n_name",
+        F.expr(
+            "size(array_intersect(ta, tb)) * 1000000 div "
+            "size(array_distinct(concat(ta, tb)))"
+        ).alias("sim_ppm"),
+    )
+    return (
+        scored.groupBy("probe")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("sim_ppm")).alias("ns"), F.col("n_name").alias("nm")
+                )
+            ).alias("b")
+        )
+        .select(
+            "probe",
+            F.col("b.nm").alias("best_name"),
+            (-F.col("b.ns")).alias("sim_ppm"),
+        )
+    )
+
+
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse intervalLengthSum parity
+    (operators/timeseries.interval_union_length): per-user total
+    seconds covered by the union of 1-hour activity intervals —
+    overlaps count once. Exact BIGINT island analysis."""
+    from clickhouse_k_means_spark.operators.timeseries import (
+        interval_union_length,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    s_col = event_epoch_seconds(ev)
+    base = ev.select(
+        "user_id",
+        s_col.alias("s"),
+        (s_col + 3600).alias("e"),
+    )
+    return interval_union_length(base, "user_id", "s", "e")
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join
     (streaming/joins.stream_stream_pairs): every view joined to the
@@ -3362,6 +3432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_agg": q_map_agg,
         "audience_overlap": q_audience_overlap,
         "rollup_incremental": q_rollup_incremental,
+        "ngram_sim": q_ngram_sim,
+        "interval_union": q_interval_union,
         "stream_join": q_stream_join,
         "array_set_ops": q_array_set_ops,
         "triangles": q_triangles,
@@ -5021,6 +5093,41 @@ def oracle_sql() -> dict[str, str]:
             "* 1000)::BIGINT end as z_milli from w) "
             "select event_id, user_id, s, vc as value_c, z_milli, "
             "coalesce(abs(z_milli) > 3000, false) as is_anomaly from z"
+        ),
+        "ngram_sim": (
+            "with p as (select unnest(['UNTED STATES', 'BRAZYL', "
+            "'NATON_3', 'NATIION_12', 'XXYYZZ']) as probe), "
+            "t as (select probe, n_name, "
+            "list_distinct(list_transform(generate_series(1, greatest("
+            "len(lower(probe)) - 2, 1)), i -> substr(lower(probe), i, 3))) "
+            "as ta, "
+            "list_distinct(list_transform(generate_series(1, greatest("
+            "len(lower(n_name)) - 2, 1)), i -> substr(lower(n_name), i, 3))) "
+            "as tb from p cross join nation), "
+            "sc as (select probe, n_name, "
+            "(len(list_intersect(ta, tb)) * 1000000) // "
+            "len(list_distinct(ta || tb)) as sim_ppm from t), "
+            "m as (select probe, max(sim_ppm) as ms from sc group by 1) "
+            "select sc.probe, min(sc.n_name) as best_name, "
+            "any_value(sc.sim_ppm)::BIGINT as sim_ppm from sc join m "
+            "on sc.probe = m.probe and sc.sim_ppm = m.ms group by sc.probe"
+        ),
+        "interval_union": (
+            "with b as (select user_id, "
+            "epoch_ns(ts) // 1000000000 as s, "
+            "epoch_ns(ts) // 1000000000 + 3600 as e from events), "
+            "w as (select user_id, s, e, max(e) over "
+            "(partition by user_id order by s, e rows between "
+            "unbounded preceding and 1 preceding) as pm from b), "
+            "f as (select user_id, s, e, case when pm is null or s > pm "
+            "then 1 else 0 end as o from w), "
+            "i as (select user_id, s, e, sum(o) over "
+            "(partition by user_id order by s, e rows between "
+            "unbounded preceding and current row) as isl from f), "
+            "g as (select user_id, isl, max(e) - min(s) as len "
+            "from i group by 1, 2) "
+            "select user_id, count(*)::BIGINT as n_islands, "
+            "sum(len)::BIGINT as covered from g group by 1"
         ),
         "stream_join": (
             "with b as (select event_id, user_id, event_type, "

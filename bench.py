@@ -322,6 +322,8 @@ def main() -> None:
         # two watermarked file-stream sides + interval-state join
         ("stream_join", entry.q_stream_join, 2),
         ("weighted_quantiles", entry.q_weighted_quantiles, 2),
+        ("interval_union", entry.q_interval_union, 2),
+        ("ngram_sim", entry.q_ngram_sim, 2),
         ("anomaly_zscore", entry.q_anomaly_zscore, 2),
         # degree-ordered triangle census (bounded 300-vertex slice —
         # the synthetic co-supplier graph is complete; see helper)

@@ -265,3 +265,44 @@ def rolling_zscore(
             F.abs(z_milli) > int(z_threshold * 1000), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def interval_union_length(
+    df: DataFrame, key: str, start: str, end: str
+) -> DataFrame:
+    """Total length of the UNION of [start, end) intervals per key
+    (ClickHouse ``intervalLengthSum`` parity) — overlapping and
+    nested intervals count once.
+
+    Classic island analysis, fully windowed: an interval opens a new
+    island iff its start exceeds the running max end of every earlier
+    interval (ties/adjacency merge); islands are numbered by a running
+    sum of those flags; each island contributes ``max(end) −
+    min(start)``. Exact BIGINT end-to-end. Plan: two window passes and
+    one aggregate, all partitioned by the key — the standard per-key
+    shuffle and nothing else.
+    """
+    if start == end:
+        raise ValueError("start and end must be distinct columns")
+    wp = Window.partitionBy(key).orderBy(start, end)
+    prev_max = F.max(end).over(wp.rowsBetween(Window.unboundedPreceding, -1))
+    opens = F.when(
+        prev_max.isNull() | (F.col(start) > prev_max), 1
+    ).otherwise(0)
+    islands = df.select(
+        F.col(key),
+        F.col(start).alias("__s"),
+        F.col(end).alias("__e"),
+        F.sum(opens)
+        .over(wp.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__isl"),
+    )
+    return (
+        islands.groupBy(key, "__isl")
+        .agg((F.max("__e") - F.min("__s")).alias("__len"))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("__len").alias("covered"),
+        )
+    )

@@ -364,3 +364,37 @@ def test_rolling_zscore_validation(spark):
     df = spark.createDataFrame([(1, 1, 1, 1)], "k int, id bigint, s bigint, v bigint")
     with pytest.raises(ValueError, match="window_rows"):
         rolling_zscore(df, "k", "s", "v", "id", window_rows=0)
+
+
+# ------------------------------------------------------- interval union
+
+
+def test_interval_union_hand_computed(spark):
+    from clickhouse_k_means_spark.operators.timeseries import (
+        interval_union_length,
+    )
+
+    rows = [
+        # key 1: [0,10) ∪ [5,20) ∪ [30,40) → 2 islands, 20+10=30
+        (1, 0, 10), (1, 5, 20), (1, 30, 40),
+        # key 2: nested [0,100) ⊇ [10,20) → 1 island, 100
+        (2, 0, 100), (2, 10, 20),
+        # key 3: adjacency [0,5)+[5,9) merges → 1 island, 9
+        (3, 0, 5), (3, 5, 9),
+    ]
+    df = spark.createDataFrame(rows, "k int, s bigint, e bigint")
+    got = {
+        r["k"]: (r["n_islands"], r["covered"])
+        for r in interval_union_length(df, "k", "s", "e").collect()
+    }
+    assert got == {1: (2, 30), 2: (1, 100), 3: (1, 9)}
+
+
+def test_interval_union_validation(spark):
+    from clickhouse_k_means_spark.operators.timeseries import (
+        interval_union_length,
+    )
+
+    df = spark.createDataFrame([(1, 1, 2)], "k int, s bigint, e bigint")
+    with pytest.raises(ValueError, match="distinct columns"):
+        interval_union_length(df, "k", "s", "s")
