@@ -945,6 +945,44 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with last-observation-carried-forward (the
+    WITH FILL INTERPOLATE companion to q_gap_fill's zero-fill): daily
+    per-user cents totals, missing days inherit the last observed
+    day's total via an IGNORE NULLS last_value window over the
+    sequence()-generated calendar. One per-user window after the
+    calendar join — same shuffle as any per-key rolling op."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(event_epoch_seconds(ev) / 86400).cast("bigint")
+    daily = (
+        ev.select(
+            "user_id",
+            day.alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("vc").alias("vc"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        (F.col("vc").isNotNull()).alias("observed"),
+        F.last("vc", ignorenulls=True).over(w).alias("vc_filled"),
+    )
+
+
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint validation over orders — five checks
     (nullability, key uniqueness, range, value set, format) folded
@@ -3433,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap": q_audience_overlap,
         "rollup_incremental": q_rollup_incremental,
         "ngram_sim": q_ngram_sim,
+        "locf_fill": q_locf_fill,
         "interval_union": q_interval_union,
         "stream_join": q_stream_join,
         "array_set_ops": q_array_set_ops,
@@ -5111,6 +5150,22 @@ def oracle_sql() -> dict[str, str]:
             "select sc.probe, min(sc.n_name) as best_name, "
             "any_value(sc.sim_ppm)::BIGINT as sim_ppm from sc join m "
             "on sc.probe = m.probe and sc.sim_ppm = m.ms group by sc.probe"
+        ),
+        "locf_fill": (
+            "with daily as (select user_id, "
+            "(epoch_ns(ts) // 1000000000) // 86400 as day, "
+            "sum(round(value * 100)::BIGINT)::BIGINT as vc "
+            "from events group by 1, 2), "
+            "span as (select user_id, min(day) as d0, max(day) as d1 "
+            "from daily group by 1), "
+            "cal as (select user_id, unnest(range(d0, d1 + 1)) as day "
+            "from span), "
+            "j as (select cal.user_id, cal.day::BIGINT as day, daily.vc "
+            "from cal left join daily using (user_id, day)) "
+            "select user_id, day, vc is not null as observed, "
+            "(last_value(vc ignore nulls) over (partition by user_id "
+            "order by day rows between unbounded preceding and "
+            "current row))::BIGINT as vc_filled from j"
         ),
         "interval_union": (
             "with b as (select user_id, "
