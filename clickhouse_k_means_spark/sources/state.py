@@ -352,6 +352,38 @@ class SnapshotStateStore:
             table, new_files, replace=True, schema_json=df.schema.json()
         )
 
+    def optimize(
+        self, spark: SparkSession, table: str, target_bytes: int = 128 << 20
+    ) -> int:
+        """Bin-pack the current snapshot's small files into
+        ~``target_bytes`` files (Delta OPTIMIZE / the MergeTree
+        background merge, as an explicit maintenance call).
+
+        Incremental ingest leaves one small file per commit; a reader
+        of a 10k-commit table then pays 10k file opens per scan. This
+        rewrites the CURRENT snapshot — coalesced to
+        ``ceil(bytes/target)`` output files — as ONE atomic
+        replace-snapshot commit; concurrent readers keep their
+        snapshot (old versions stay time-travelable until vacuum),
+        and the OCC manifest commit makes a racing append lose
+        cleanly and retry. Returns the new version (or the current
+        one if the table already meets the target).
+        """
+        if target_bytes <= 0:
+            raise ValueError(f"target_bytes must be positive: {target_bytes}")
+        latest = self.latest_version(table)
+        if latest is None:
+            raise ValueError(f"optimize: no such table {table!r}")
+        files = self._read_manifest(table, latest)["files"]
+        total = sum(
+            (self._data(table) / f).stat().st_size for f in files
+        )
+        n_out = max(1, -(-total // target_bytes))
+        if len(files) <= n_out:
+            return latest  # already packed
+        current = self.read(spark, table).coalesce(int(n_out))
+        return self._replace_snapshot(current, table)
+
     def replace(self, df: DataFrame, table: str) -> int:
         """Commit ``df`` as the whole next snapshot (atomic replace).
         ``df`` may derive from reading this same table — it is staged

@@ -398,3 +398,41 @@ def test_interval_union_validation(spark):
     df = spark.createDataFrame([(1, 1, 2)], "k int, s bigint, e bigint")
     with pytest.raises(ValueError, match="distinct columns"):
         interval_union_length(df, "k", "s", "s")
+
+
+# -------------------------------------------------------- file OPTIMIZE
+
+
+def test_snapshot_optimize_bin_packs_small_files(spark, tmp_path):
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path))
+    for i in range(8):  # 8 tiny single-file commits
+        store.append(
+            spark.createDataFrame([(i, i * 10)], "k bigint, v bigint")
+            .coalesce(1),
+            "t",
+        )
+    v_before = store.latest_version("t")
+    files_before = len(store._read_manifest("t", v_before)["files"])
+    assert files_before == 8
+    rows_before = sorted(
+        (r["k"], r["v"]) for r in store.read(spark, "t").collect()
+    )
+    v_new = store.optimize(spark, "t", target_bytes=128 << 20)
+    assert v_new == v_before + 1
+    files_after = len(store._read_manifest("t", v_new)["files"])
+    assert files_after == 1  # bin-packed
+    assert sorted(
+        (r["k"], r["v"]) for r in store.read(spark, "t").collect()
+    ) == rows_before  # same data
+    # time travel still reaches the pre-optimize snapshot
+    assert store.read(spark, "t", version=v_before).count() == 8
+    # idempotent: already packed → no new version
+    assert store.optimize(spark, "t", target_bytes=128 << 20) == v_new
+    import pytest
+
+    with pytest.raises(ValueError, match="no such table"):
+        store.optimize(spark, "zz")
+    with pytest.raises(ValueError, match="target_bytes"):
+        store.optimize(spark, "t", target_bytes=0)
