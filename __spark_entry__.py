@@ -3229,6 +3229,28 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pyds_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered Python Data Source (sources/pyds.SynthSeq — the
+    reference's numbers(N) generator as spark.read.format("synthseq")
+    with partition planning + range-filter pushdown): per-bucket
+    rollup of 10k generated rows; the oracle regenerates the
+    identical md5-derived relation in SQL."""
+    from clickhouse_k_means_spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthseq")
+        .option("n", 10_000)
+        .option("numpartitions", 8)
+        .load()
+        .filter("id >= 1000")  # exercises the pushed range bound
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").alias("sum_c"),
+    )
+
+
 def q_ngram_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ngramDistance parity: trigram-set Jaccard entity
     resolution (the n-gram complement to q_fuzzy_match's edit
@@ -3470,6 +3492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_agg": q_map_agg,
         "audience_overlap": q_audience_overlap,
         "rollup_incremental": q_rollup_incremental,
+        "pyds_read": q_pyds_read,
         "ngram_sim": q_ngram_sim,
         "locf_fill": q_locf_fill,
         "interval_union": q_interval_union,
@@ -5132,6 +5155,14 @@ def oracle_sql() -> dict[str, str]:
             "* 1000)::BIGINT end as z_milli from w) "
             "select event_id, user_id, s, vc as value_c, z_milli, "
             "coalesce(abs(z_milli) > 3000, false) as is_anomaly from z"
+        ),
+        "pyds_read": (
+            "with ids as (select range as i from range(1000, 10000)), "
+            "h as (select i, md5('synthseq#' || i::VARCHAR) as h from ids), "
+            "r as (select ('0x' || substr(h, 1, 2))::INT % 10 as bucket, "
+            "('0x' || substr(h, 3, 8))::BIGINT % 100000 as vc from h) "
+            "select bucket, count(*)::BIGINT as n, "
+            "sum(vc)::BIGINT as sum_c from r group by 1"
         ),
         "ngram_sim": (
             "with p as (select unnest(['UNTED STATES', 'BRAZYL', "

@@ -38,6 +38,9 @@ def get_spark(app_name: str = "clickhouse-k-means-spark") -> SparkSession:
         # which dispatch on the loaded dtype (bigint nanos, TIMESTAMP,
         # or TIMESTAMP_NTZ) with timezone-independent math.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python Data Source API: let sources/pyds.py fold range
+        # predicates into partition planning (off by default in 4.1)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # Codegen-heavy sessions (k-branch distance unrolls, wide
