@@ -3229,6 +3229,26 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType JSON path (the binary-encoded semi-
+    structured type, vs q_json_extract's string functions):
+    parse_json once, typed variant_get extraction, per-k-bucket
+    rollup — the pattern that replaces repeated get_json_object
+    string re-parsing on wide semi-structured columns."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return parsed.groupBy(
+        F.expr("k div 10").alias("k_decade")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
 def q_pyds_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered Python Data Source (sources/pyds.SynthSeq — the
     reference's numbers(N) generator as spark.read.format("synthseq")
@@ -3492,6 +3512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_agg": q_map_agg,
         "audience_overlap": q_audience_overlap,
         "rollup_incremental": q_rollup_incremental,
+        "variant_json": q_variant_json,
         "pyds_read": q_pyds_read,
         "ngram_sim": q_ngram_sim,
         "locf_fill": q_locf_fill,
@@ -5155,6 +5176,13 @@ def oracle_sql() -> dict[str, str]:
             "* 1000)::BIGINT end as z_milli from w) "
             "select event_id, user_id, s, vc as value_c, z_milli, "
             "coalesce(abs(z_milli) > 3000, false) as is_anomaly from z"
+        ),
+        "variant_json": (
+            "with b as (select event_id, "
+            "json_extract_string(props, '$.k')::BIGINT as k from events) "
+            "select k // 10 as k_decade, count(*)::BIGINT as n, "
+            "sum(k)::BIGINT as sum_k, min(event_id)::BIGINT as first_event "
+            "from b group by 1"
         ),
         "pyds_read": (
             "with ids as (select range as i from range(1000, 10000)), "

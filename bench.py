@@ -325,6 +325,7 @@ def main() -> None:
         ("interval_union", entry.q_interval_union, 2),
         ("locf_fill", entry.q_locf_fill, 2),
         ("pyds_read", entry.q_pyds_read, 2),
+        ("variant_json", entry.q_variant_json, 2),
         ("ngram_sim", entry.q_ngram_sim, 2),
         ("anomaly_zscore", entry.q_anomaly_zscore, 2),
         # degree-ordered triangle census (bounded 300-vertex slice —
