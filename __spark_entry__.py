@@ -3229,6 +3229,63 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sequenceCount('(?1).*(?2)') parity — GREEDY
+    non-overlapping view→purchase matches per user. The scan
+    automaton (arm on view, fire+disarm on purchase) has a closed
+    relational form: restrict to the two event types in time order
+    and count A-run → B-run boundaries (each maximal view-run fires
+    exactly once, on its first following purchase). One lag window
+    per user — no state machine, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_type",
+        event_epoch_micros(ev).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = b.select(
+        "user_id",
+        (
+            (F.col("event_type") == "purchase")
+            & (F.lag("event_type").over(w) == "view")
+        ).cast("bigint").alias("fire"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("fire").alias("n_matches")
+    )
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (ClickHouse medianExact over a moving
+    frame): per user, the type-1 (lower) median of the trailing
+    21-row value window — collect_list over the bounded frame +
+    array_sort + positional pick, all JVM-side; exact integers so
+    both engines agree bit-for-bit (type-7 interpolation would
+    halve on even counts engine-dependently)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        "user_id",
+        event_epoch_seconds(ev).alias("s"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(-20, 0)
+    )
+    arr = F.array_sort(F.collect_list("vc").over(w))
+    return b.select(
+        "event_id",
+        "user_id",
+        F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")).alias(
+            "median_c"
+        ),
+    )
+
+
 def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType JSON path (the binary-encoded semi-
     structured type, vs q_json_extract's string functions):
@@ -3512,6 +3569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_agg": q_map_agg,
         "audience_overlap": q_audience_overlap,
         "rollup_incremental": q_rollup_incremental,
+        "sequence_count": q_sequence_count,
+        "rolling_median": q_rolling_median,
         "variant_json": q_variant_json,
         "pyds_read": q_pyds_read,
         "ngram_sim": q_ngram_sim,
@@ -5176,6 +5235,28 @@ def oracle_sql() -> dict[str, str]:
             "* 1000)::BIGINT end as z_milli from w) "
             "select event_id, user_id, s, vc as value_c, z_milli, "
             "coalesce(abs(z_milli) > 3000, false) as is_anomaly from z"
+        ),
+        "sequence_count": (
+            "with b as (select user_id, event_type, "
+            "epoch_ns(ts) // 1000 as us, event_id from events "
+            "where event_type in ('view', 'purchase')), "
+            "f as (select user_id, case when event_type = 'purchase' "
+            "and lag(event_type) over (partition by user_id "
+            "order by us, event_id) = 'view' then 1 else 0 end as fire "
+            "from b) "
+            "select user_id, sum(fire)::BIGINT as n_matches "
+            "from f group by 1"
+        ),
+        "rolling_median": (
+            "with b as (select event_id, user_id, "
+            "epoch_ns(ts) // 1000000000 as s, "
+            "round(value * 100)::BIGINT as vc from events), "
+            "w as (select event_id, user_id, "
+            "list_sort(list(vc) over (partition by user_id "
+            "order by s, event_id rows between 20 preceding "
+            "and current row)) as a from b) "
+            "select event_id, user_id, "
+            "a[((len(a) + 1) // 2)::INT]::BIGINT as median_c from w"
         ),
         "variant_json": (
             "with b as (select event_id, "

@@ -326,6 +326,8 @@ def main() -> None:
         ("locf_fill", entry.q_locf_fill, 2),
         ("pyds_read", entry.q_pyds_read, 2),
         ("variant_json", entry.q_variant_json, 2),
+        ("sequence_count", entry.q_sequence_count, 2),
+        ("rolling_median", entry.q_rolling_median, 2),
         ("ngram_sim", entry.q_ngram_sim, 2),
         ("anomaly_zscore", entry.q_anomaly_zscore, 2),
         # degree-ordered triangle census (bounded 300-vertex slice —
