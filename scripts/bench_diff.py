@@ -1,0 +1,126 @@
+"""Mechanical bench-vs-anchor gate (closes the VERDICT r5 ambiguity
+about WHICH number each query is compared against).
+
+Reads the AUTHORITATIVE ANCHOR TABLE from BASELINE.md and a bench
+artifact (the one-line JSON bench.py prints, or a driver
+BENCH_r{N}.json whose ``raw_tail`` carries it), joins them per query,
+and prints one ratio row per query plus a gate summary:
+
+    python scripts/bench_diff.py BENCH_r06.json [--gate 2.0]
+
+Exit status 1 if any query exceeds the gate ratio — usable directly
+in CI. Queries present in only one side are listed, never silently
+dropped (the no-silent-caps rule).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_anchors(baseline_path: str) -> dict[str, float]:
+    """Anchor seconds per query from the authoritative table rows
+    (``| name | 1.23 s ... | SRC |``), bounded to the section between
+    the AUTHORITATIVE header and the kscale paragraph."""
+    text = open(baseline_path).read()
+    m = re.search(
+        r"## AUTHORITATIVE.*?\n(.*?)\nkscale \(k=64", text, re.S
+    )
+    if not m:
+        raise SystemExit("BASELINE.md: authoritative table not found")
+    anchors: dict[str, float] = {}
+    for row in re.finditer(
+        r"^\| (\w+) \| (\d+(?:\.\d+)?) s[^|]* \| [^|]+ \|$",
+        m.group(1),
+        re.M,
+    ):
+        anchors[row.group(1)] = float(row.group(2))
+    return anchors
+
+
+def load_bench(path: str) -> dict[str, float]:
+    """Per-query seconds from a bench artifact: either bench.py's own
+    JSON line(s) or a driver BENCH_r{N}.json wrapper."""
+    timings: dict[str, float] = {}
+
+    def absorb(obj: dict) -> None:
+        if obj.get("metric") == "headline_total":
+            timings.update(obj.get("queries", {}))
+            timings.update(obj.get("extended", {}))
+        elif "queries" in obj and isinstance(obj["queries"], dict):
+            timings.update(obj["queries"])
+
+    raw = open(path).read()
+    try:
+        doc = json.loads(raw)
+        if isinstance(doc, dict):
+            if "parsed" in doc and isinstance(doc["parsed"], dict):
+                absorb(doc["parsed"])
+            absorb(doc)
+            tail = doc.get("raw_tail") or doc.get("stdout_tail") or ""
+        else:
+            tail = ""
+    except json.JSONDecodeError:
+        tail = raw
+    for line in str(tail).splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                absorb(json.loads(line))
+            except json.JSONDecodeError:
+                continue
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bench", help="bench output / BENCH_r{N}.json path")
+    ap.add_argument("--gate", type=float, default=2.0)
+    ap.add_argument(
+        "--baseline", default=os.path.join(REPO, "BASELINE.md")
+    )
+    args = ap.parse_args()
+
+    anchors = load_anchors(args.baseline)
+    bench = load_bench(args.bench)
+    shared = sorted(set(anchors) & set(bench))
+    rows = []
+    for q in shared:
+        ratio = bench[q] / anchors[q] if anchors[q] > 0 else float("inf")
+        rows.append((ratio, q))
+    rows.sort(reverse=True)
+    fails = [(r, q) for r, q in rows if r > args.gate]
+    for ratio, q in rows:
+        flag = " FAIL" if ratio > args.gate else ""
+        print(f"{q:28s} {bench[q]:8.3f}s  anchor {anchors[q]:8.3f}s  "
+              f"x{ratio:5.2f}{flag}")
+    only_anchor = sorted(set(anchors) - set(bench))
+    only_bench = sorted(set(bench) - set(anchors))
+    if only_anchor:
+        print(f"anchored but not measured: {only_anchor}")
+    if only_bench:
+        print(f"measured but not anchored: {only_bench}")
+    print(
+        json.dumps(
+            {
+                "metric": "bench_diff",
+                "gate": args.gate,
+                "n_compared": len(shared),
+                "n_fail": len(fails),
+                "worst": rows[0][1] if rows else None,
+                "worst_ratio": round(rows[0][0], 3) if rows else None,
+                "unanchored": only_bench,
+            }
+        )
+    )
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

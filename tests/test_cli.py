@@ -164,3 +164,53 @@ def test_pipeline_cli_chunk_and_profile(tmp_path, capsys, spark):
     assert set(prof) == {"doc_id", "text"}
     assert prof["doc_id"].n_rows == 3 and prof["doc_id"].n_distinct == 3
     capsys.readouterr()
+
+
+def test_bench_diff_gate(tmp_path):
+    """scripts/bench_diff.py joins the BASELINE anchor table with a
+    bench artifact and flags >gate ratios mechanically."""
+    import json
+    import subprocess
+    import sys
+
+    baseline = tmp_path / "BASELINE.md"
+    baseline.write_text(
+        "## AUTHORITATIVE ANCHOR TABLE\n\n"
+        "| query | anchor | source |\n|---|---|---|\n"
+        "| fast_q | 1.00 s | R6 |\n"
+        "| slow_q | 0.50 s (BY DESIGN note) | R6 |\n"
+        "| missing_q | 2.00 s | R6 |\n"
+        "\nkscale (k=64, etc)\n"
+    )
+    bench = tmp_path / "bench.json"
+    bench.write_text(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "queries": {"fast_q": 1.1},
+                "extended": {"slow_q": 1.6, "new_q": 0.2},
+            }
+        )
+        + "\n"
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "scripts/bench_diff.py",
+            str(bench),
+            "--baseline",
+            str(baseline),
+            "--gate",
+            "2.0",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 1  # slow_q at 3.2x fails the gate
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_compared"] == 2
+    assert summary["n_fail"] == 1
+    assert summary["worst"] == "slow_q"
+    assert summary["unanchored"] == ["new_q"]
+    assert "missing_q" in proc.stdout  # never silently dropped
