@@ -3048,6 +3048,21 @@ def q_topk_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_terms(tok, "term", support=50)
 
 
+def q_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact topKWeighted (operators/topk.frequent_terms with a
+    weight column): heavy terms by WEIGHTED mass — each occurrence
+    carries a deterministic per-doc weight, the Misra-Gries pruning
+    and the exact recount both run on weight sums."""
+    from clickhouse_k_means_spark.operators.topk import frequent_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(tokens(F.col("text"))).alias("term"),
+        (F.pmod("doc_id", F.lit(7)) + 1).alias("w"),
+    )
+    return frequent_terms(tok, "term", support=50, weight="w")
+
+
 def q_ema_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially time-decayed value stats at the corpus
     as-of instant (operators/timeseries.decayed_stats — ClickHouse
@@ -3563,6 +3578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q22a": q_tpch_q22a,
         "topk_heavy": q_topk_heavy,
+        "topk_weighted": q_topk_weighted,
         "ema_decay": q_ema_decay,
         "lttb": q_lttb,
         "array_funcs": q_array_funcs,
@@ -5097,6 +5113,18 @@ def oracle_sql() -> dict[str, str]:
             "cnt as (select term, count(*)::BIGINT as cnt from tok "
             "group by 1), "
             "n as (select count(*)::BIGINT as n from tok) "
+            "select term, cnt from cnt cross join n where cnt * 50 > n"
+        ),
+        "topk_weighted": (
+            "with tkc as (select doc_id % 7 + 1 as w, case when "
+            "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) "
+            "= '' then []::VARCHAR[] else string_split(trim(regexp_replace("
+            "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') end as tk "
+            "from documents), "
+            "tok as (select w, unnest(tk) as term from tkc), "
+            "cnt as (select term, sum(w)::BIGINT as cnt from tok "
+            "group by 1), "
+            "n as (select sum(w)::BIGINT as n from tok) "
             "select term, cnt from cnt cross join n where cnt * 50 > n"
         ),
         "ema_decay": (

@@ -313,6 +313,7 @@ def main() -> None:
         ("tpch_q17", entry.q_tpch_q17, 2),
         ("tpch_q22a", entry.q_tpch_q22a, 2),
         ("topk_heavy", entry.q_topk_heavy, 2),
+        ("topk_weighted", entry.q_topk_weighted, 2),
         ("ema_decay", entry.q_ema_decay, 2),
         ("lttb", entry.q_lttb, 2),
         ("array_funcs", entry.q_array_funcs, 2),

@@ -39,7 +39,7 @@ def top_k_by_group(
 
 
 def frequent_terms(
-    df: DataFrame, term: str, support: int
+    df: DataFrame, term: str, support: int, weight: str | None = None
 ) -> DataFrame:
     """EXACT heavy hitters: every distinct ``term`` value whose count
     exceeds ``n / support``, with its exact count (ClickHouse ``topK``
@@ -69,6 +69,12 @@ def frequent_terms(
     3. **Exact threshold**: ``count · support > n`` with the one-row
        total broadcast. Output is exact and partition-independent —
        the sketch only ever prunes, never decides.
+    With ``weight`` (a positive integer column), this is exact
+    ``topKWeighted``: thresholds, summaries, and the recount all run
+    on weighted mass — Misra-Gries generalizes to weighted increments
+    unchanged (Berinde et al., PODS'09), so the pruning guarantee
+    holds against total weight.
+
     """
     if support < 1:
         raise ValueError(f"support must be >= 1, got {support}")
@@ -77,7 +83,11 @@ def frequent_terms(
     def mg_partials(batches):
         counters: dict = {}
         for pdf in batches:
-            for t, c in pdf[term].value_counts().items():
+            if weight is None:
+                items = pdf[term].value_counts().items()
+            else:
+                items = pdf.groupby(term)["__w"].sum().items()
+            for t, c in items:
                 counters[t] = counters.get(t, 0) + int(c)
             if len(counters) > support:
                 kth = sorted(counters.values(), reverse=True)[support]
@@ -86,13 +96,18 @@ def frequent_terms(
                 }
         yield pd.DataFrame({term: list(counters.keys())})
 
-    tok = df.select(F.col(term).alias(term)).filter(F.col(term).isNotNull())
-    cands = tok.mapInPandas(mg_partials, schema=f"{term} string").distinct()
-    total = tok.agg(F.count(F.lit(1)).alias("__n"))
+    w = F.lit(1).cast("bigint") if weight is None else F.col(weight).cast("bigint")
+    tok = df.select(F.col(term).alias(term), w.alias("__w")).filter(
+        F.col(term).isNotNull()
+    )
+    cands = tok.mapInPandas(
+        mg_partials, schema=f"{term} string"
+    ).distinct()
+    total = tok.agg(F.sum("__w").alias("__n"))
     return (
         tok.join(F.broadcast(cands), term, "left_semi")
         .groupBy(term)
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__w").alias("cnt"))
         .join(F.broadcast(total))
         .filter(F.col("cnt") * support > F.col("__n"))
         .select(term, "cnt")

@@ -495,3 +495,27 @@ def test_synthseq_stream_offsets_resume_across_runs(spark, tmp_path):
     assert totals == [120, 240, 300]
     ids = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert ids == list(range(300))
+
+
+def test_frequent_terms_weighted_exact(spark):
+    from clickhouse_k_means_spark.operators.topk import frequent_terms
+
+    rng = random.Random(11)
+    rows = [
+        (f"t{min(int(rng.paretovariate(0.8)), 25)}", rng.randint(1, 9))
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "term string, w int")
+    support = 15
+    got = {
+        (r["term"], r["cnt"])
+        for r in frequent_terms(
+            df.repartition(7), "term", support, weight="w"
+        ).collect()
+    }
+    tot: dict = {}
+    for t, w in rows:
+        tot[t] = tot.get(t, 0) + w
+    n = sum(tot.values())
+    want = {(t, c) for t, c in tot.items() if c * support > n}
+    assert got == want  # exact weighted heavy hitters
