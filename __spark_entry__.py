@@ -3301,6 +3301,30 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): BFS over the implicit binary
+    hierarchy on supplier keys (children of k are 2k and 2k+1 — a
+    deterministic org-chart over the fixture), rolled up to per-depth
+    counts and exact balance sums. The DuckDB oracle runs the
+    IDENTICAL recursion; integer keys make levels unambiguous.
+    Iterative-join traversals (BOM explosion, reporting chains) no
+    longer need a driver loop."""
+    from clickhouse_k_means_spark.sources.dataset import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "WITH RECURSIVE h(k, depth, bal_c) AS ("
+        " SELECT s_suppkey, 0, CAST(round(s_acctbal * 100) AS BIGINT)"
+        " FROM supplier WHERE s_suppkey = 1"
+        " UNION ALL"
+        " SELECT s.s_suppkey, h.depth + 1,"
+        " CAST(round(s.s_acctbal * 100) AS BIGINT)"
+        " FROM supplier s JOIN h ON s.s_suppkey div 2 = h.k"
+        ") SELECT depth, count(*) AS n, sum(bal_c) AS bal_sum_c"
+        " FROM h GROUP BY depth"
+    )
+
+
 def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType JSON path (the binary-encoded semi-
     structured type, vs q_json_extract's string functions):
@@ -3587,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "sequence_count": q_sequence_count,
         "rolling_median": q_rolling_median,
+        "recursive_cte": q_recursive_cte,
         "variant_json": q_variant_json,
         "pyds_read": q_pyds_read,
         "ngram_sim": q_ngram_sim,
@@ -5285,6 +5310,17 @@ def oracle_sql() -> dict[str, str]:
             "and current row)) as a from b) "
             "select event_id, user_id, "
             "a[((len(a) + 1) // 2)::INT]::BIGINT as median_c from w"
+        ),
+        "recursive_cte": (
+            "WITH RECURSIVE h(k, depth, bal_c) AS ("
+            " SELECT s_suppkey, 0, round(s_acctbal * 100)::BIGINT"
+            " FROM supplier WHERE s_suppkey = 1"
+            " UNION ALL"
+            " SELECT s.s_suppkey, h.depth + 1,"
+            " round(s.s_acctbal * 100)::BIGINT"
+            " FROM supplier s JOIN h ON s.s_suppkey // 2 = h.k"
+            ") SELECT depth::BIGINT as depth, count(*)::BIGINT AS n, "
+            "sum(bal_c)::BIGINT AS bal_sum_c FROM h GROUP BY depth"
         ),
         "variant_json": (
             "with b as (select event_id, "

@@ -327,6 +327,7 @@ def main() -> None:
         ("locf_fill", entry.q_locf_fill, 2),
         ("pyds_read", entry.q_pyds_read, 2),
         ("variant_json", entry.q_variant_json, 2),
+        ("recursive_cte", entry.q_recursive_cte, 2),
         ("sequence_count", entry.q_sequence_count, 2),
         ("rolling_median", entry.q_rolling_median, 2),
         ("ngram_sim", entry.q_ngram_sim, 2),
