@@ -3301,6 +3301,45 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (the SQL-standard spelling of
+    top-n-per-group): for each nation, its two richest customers.
+    Catalyst decorrelates the lateral limit into the same
+    WindowGroupLimit plan the limit_by operator uses — the point is
+    the SQL surface, certified against DuckDB's native LATERAL."""
+    from clickhouse_k_means_spark.sources.dataset import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT n.n_name, t.c_name,"
+        " CAST(round(t.c_acctbal * 100) AS BIGINT) AS bal_c"
+        " FROM nation n,"
+        " LATERAL (SELECT c_name, c_acctbal FROM customer"
+        "  WHERE c_nationkey = n.n_nationkey"
+        "  ORDER BY c_acctbal DESC, c_name LIMIT 2) t"
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind q_cube_revenue's
+    full cube): revenue by (year), (priority), and grand total —
+    three rollups in ONE scan via the Expand operator, with
+    GROUPING() flags disambiguating the null dimension values."""
+    from clickhouse_k_means_spark.sources.dataset import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT year(o_orderdate) AS yr, o_orderpriority AS prio,"
+        " grouping(year(o_orderdate)) AS g_yr,"
+        " grouping(o_orderpriority) AS g_prio,"
+        " count(*) AS n,"
+        " sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c"
+        " FROM orders"
+        " GROUP BY GROUPING SETS ((year(o_orderdate)),"
+        " (o_orderpriority), ())"
+    )
+
+
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (new in Spark 4): BFS over the implicit binary
     hierarchy on supplier keys (children of k are 2k and 2k+1 — a
@@ -3611,6 +3650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "sequence_count": q_sequence_count,
         "rolling_median": q_rolling_median,
+        "lateral_topn": q_lateral_topn,
+        "grouping_sets": q_grouping_sets,
         "recursive_cte": q_recursive_cte,
         "variant_json": q_variant_json,
         "pyds_read": q_pyds_read,
@@ -5310,6 +5351,25 @@ def oracle_sql() -> dict[str, str]:
             "and current row)) as a from b) "
             "select event_id, user_id, "
             "a[((len(a) + 1) // 2)::INT]::BIGINT as median_c from w"
+        ),
+        "lateral_topn": (
+            "SELECT n.n_name, t.c_name, "
+            "round(t.c_acctbal * 100)::BIGINT AS bal_c "
+            "FROM nation n, "
+            "LATERAL (SELECT c_name, c_acctbal FROM customer "
+            "WHERE c_nationkey = n.n_nationkey "
+            "ORDER BY c_acctbal DESC, c_name LIMIT 2) t"
+        ),
+        "grouping_sets": (
+            "SELECT year(o_orderdate)::BIGINT AS yr, "
+            "o_orderpriority AS prio, "
+            "grouping(year(o_orderdate))::BIGINT AS g_yr, "
+            "grouping(o_orderpriority)::BIGINT AS g_prio, "
+            "count(*)::BIGINT AS n, "
+            "sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_c "
+            "FROM orders "
+            "GROUP BY GROUPING SETS ((year(o_orderdate)), "
+            "(o_orderpriority), ())"
         ),
         "recursive_cte": (
             "WITH RECURSIVE h(k, depth, bal_c) AS ("

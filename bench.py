@@ -328,6 +328,8 @@ def main() -> None:
         ("pyds_read", entry.q_pyds_read, 2),
         ("variant_json", entry.q_variant_json, 2),
         ("recursive_cte", entry.q_recursive_cte, 2),
+        ("lateral_topn", entry.q_lateral_topn, 2),
+        ("grouping_sets", entry.q_grouping_sets, 2),
         ("sequence_count", entry.q_sequence_count, 2),
         ("rolling_median", entry.q_rolling_median, 2),
         ("ngram_sim", entry.q_ngram_sim, 2),
