@@ -147,3 +147,54 @@ def test_new_r6_queries_scale_audit(spark, sf_dir):
     assert r["shuffle_keys"] and all(
         "user_id" in k for k in r["shuffle_keys"]
     )
+
+
+# Builders that EXECUTE jobs at construction (stateful commits,
+# streaming replays, iterative fits) — their plan shapes are guarded
+# by their own dedicated tests; sweeping them here would re-run
+# minutes of state machinery for no new signal.
+_SWEEP_SKIP = (
+    "incremental", "stream", "kmeans", "resume_fit", "scd2",
+    "snapshot", "multimodal", "doc_clusters", "silhouette",
+    "pq_ann", "ivf_ann", "srp_ann", "embed_neardup", "pagerank",
+    "dedup", "near_dedup", "ssjoin", "bucketed", "formats",
+    "orc", "histogram", "hll", "fit", "lloyd", "kmeanspp",
+    "elbow", "nearest",
+)
+
+# ONE-ROW (or literal-probe) broadcast joins: Spark plans a
+# BroadcastNestedLoopJoin for a join with no equi-key; with a
+# scalar/probe-sized build side that is benign at any scale. Every
+# entry here must be exactly that pattern — a data-scale nested loop
+# is a bug and must NOT be added to this list.
+_SCALAR_BNLJ_OK = {
+    "ann_topk", "bigram_lm", "chi_square", "domain_kl", "ema_decay",
+    "fuzzy_match", "ngram_sim", "tfidf_top_terms", "topk_heavy",
+    "topk_weighted", "tpch_q22a", "triangles", "unigram_lm",
+    "weighted_quantiles",
+}
+
+# Documented SinglePartition funnels: cumulative_uniques runs its
+# ordered cumsum over the BOUNDED first-seen-day table (≤ corpus
+# day-count rows), the explicitly-allowed exception class.
+_SP_FUNNEL_OK = {"cumulative_uniques"}
+
+
+def test_registry_wide_plan_sweep(spark, sf_dir):
+    """Blanket structural audit: EVERY plan-only registry query must
+    be free of cartesian joins and SinglePartition funnels except the
+    explicitly documented scalar-broadcast / bounded-table cases.
+    A new query that accidentally plans a data-scale nested loop or
+    a global-sort funnel fails here by default."""
+    import __spark_entry__ as entry
+
+    bad = []
+    for name, fn in entry.queries().items():
+        if any(x in name for x in _SWEEP_SKIP):
+            continue
+        r = audit_plan(fn(spark, sf_dir))
+        if r["has_cartesian"] and name not in _SCALAR_BNLJ_OK:
+            bad.append((name, "cartesian/nested-loop"))
+        if r["single_partition"] and name not in _SP_FUNNEL_OK:
+            bad.append((name, "SinglePartition funnel"))
+    assert not bad, bad
