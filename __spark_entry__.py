@@ -3301,6 +3301,22 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bisect_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisecting hierarchical k-means (plans/kmeans.bisecting_fit —
+    Steinbach et al.'s divisive algorithm on the engine's own fit
+    loop): k=4 over lineitem features, structural oracle (k leaves,
+    every row assigned exactly once — the doc_clusters contract
+    shape)."""
+    from clickhouse_k_means_spark.plans.kmeans import bisecting_fit
+
+    yh = load_yh(spark, sf_dir, "lineitem")
+    assigned, model = bisecting_fit(yh, k=4, seed=42, max_iter=10)
+    return assigned.agg(
+        F.count_distinct("j").cast("bigint").alias("k_clusters"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
 def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATERAL correlated subquery (the SQL-standard spelling of
     top-n-per-group): for each nation, its two richest customers.
@@ -3650,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "sequence_count": q_sequence_count,
         "rolling_median": q_rolling_median,
+        "bisect_kmeans": q_bisect_kmeans,
         "lateral_topn": q_lateral_topn,
         "grouping_sets": q_grouping_sets,
         "recursive_cte": q_recursive_cte,
@@ -5351,6 +5368,10 @@ def oracle_sql() -> dict[str, str]:
             "and current row)) as a from b) "
             "select event_id, user_id, "
             "a[((len(a) + 1) // 2)::INT]::BIGINT as median_c from w"
+        ),
+        "bisect_kmeans": (
+            "select 4::BIGINT as k_clusters, "
+            "count(*)::BIGINT as n_rows from lineitem"
         ),
         "lateral_topn": (
             "SELECT n.n_name, t.c_name, "

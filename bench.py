@@ -329,6 +329,8 @@ def main() -> None:
         ("variant_json", entry.q_variant_json, 2),
         ("recursive_cte", entry.q_recursive_cte, 2),
         ("lateral_topn", entry.q_lateral_topn, 2),
+        # 3 recursive k=2 engine fits over shrinking subsets
+        ("bisect_kmeans", entry.q_bisect_kmeans, 2),
         ("grouping_sets", entry.q_grouping_sets, 2),
         ("sequence_count", entry.q_sequence_count, 2),
         ("rolling_median", entry.q_rolling_median, 2),

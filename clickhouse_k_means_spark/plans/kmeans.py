@@ -788,3 +788,114 @@ def mllib_kmeans(yh: DataFrame, k: int = 4, seed: int = 42, max_iter: int = 100)
     # (MLlib's own assignment is argmin, so nearest == assigned):
     s = nearest_centroid_struct("Y", centers)
     return arr.select("i", "j", s["dist"].alias("dist")), centers
+
+
+def bisecting_fit(
+    yh: DataFrame,
+    k: int,
+    seed: int = 42,
+    max_iter: int = 20,
+    min_rows: int = 2,
+) -> tuple[DataFrame, Model]:
+    """Bisecting (divisive hierarchical) k-means — the second
+    clustering algorithm, built entirely from the engine's own fit
+    loop (Steinbach/Karypis/Kumar's "bisecting k-means", the
+    algorithm behind MLlib's BisectingKMeans).
+
+    Start with one cluster; repeatedly split the cluster with the
+    largest squared WCSS via a k=2 engine fit over ONLY that
+    cluster's rows, until ``k`` leaves exist (or no splittable
+    cluster remains). Large-cluster bias plus local refits give the
+    well-known quality/robustness trade vs flat k-means at large k —
+    and at 100 TB each split scans one shrinking subset, never the
+    corpus.
+
+    Determinism: split seeds derive from (seed, split index); every
+    subset is localCheckpoint-ed so lineage stays O(1) across the
+    k−1 driver-loop rounds (the components.py lesson). Returns
+    ``(assignments (i, j, dist), model)`` with leaves renumbered
+    1..n_leaves in split order; ``dist`` is the distance to the
+    leaf's own center (same contract as ``assign``).
+    """
+    from clickhouse_k_means_spark.plans.optimal_k import elbow
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = yh.select("i", "Y").localCheckpoint(eager=True)
+    if base.first() is None:
+        raise ValueError("bisecting k-means: input DataFrame is empty")
+    # leaves: list of (df, squared WCSS)
+    leaves: list[tuple[DataFrame, float]] = [
+        (base, elbow(base, _mean_model(base), squared=True))
+    ]
+    split_no = 0
+    while len(leaves) < k:
+        # pick the largest-WCSS leaf that still has >= min_rows rows
+        order = sorted(
+            range(len(leaves)), key=lambda idx: leaves[idx][1], reverse=True
+        )
+        picked = None
+        for idx in order:
+            if leaves[idx][0].limit(min_rows).count() >= min_rows:
+                picked = idx
+                break
+        if picked is None:
+            break  # nothing splittable
+        df, _ = leaves.pop(picked)
+        split_no += 1
+        eng = KMeansEngine(k=2, seed=seed + split_no, max_iter=max_iter)
+        res = eng.fit(df)
+        # split by DIRECT assignment projection — never a join back on
+        # the key: the YH contract allows duplicate (i, Y) rows
+        # (lineitem keys repeat per line), and a semi-join would
+        # multiply or misroute them
+        jcol = nearest_centroid_struct("Y", res.model)["j"]
+        tagged = df.select("i", "Y", jcol.alias("__j"))
+        halves = []
+        for j, _c in res.model:
+            part = (
+                tagged.filter(F.col("__j") == j)
+                .select("i", "Y")
+                .localCheckpoint(eager=True)
+            )
+            if part.first() is not None:
+                halves.append(
+                    (part, elbow(part, _mean_model(part), squared=True))
+                )
+        if len(halves) <= 1:
+            # degenerate split (duplicate points) — leaf is final
+            leaves.append((df, -1.0))
+            continue
+        leaves.extend(halves)
+    # final model: per-leaf mean center; assignments by membership
+    model: Model = []
+    out = None
+    for li, (df, _w) in enumerate(leaves, start=1):
+        center = _mean_model(df)[0][1]
+        model.append((li, center))
+        part = df.select(
+            "i",
+            F.lit(li).alias("j"),
+            _dist_to("Y", center).alias("dist"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out, model
+
+
+def _mean_model(df: DataFrame) -> Model:
+    """Single-cluster model: the per-dimension mean of ``Y``."""
+    head = df.select("Y").first()
+    dim = len(head[0])
+    row = df.agg(
+        *[F.avg(F.col("Y")[d]).alias(f"m{d}") for d in range(dim)]
+    ).first()
+    return [(1, [float(row[f"m{d}"]) for d in range(dim)])]
+
+
+def _dist_to(col: str, center: list[float]):
+    """Euclidean distance to a literal center (unrolled, codegen)."""
+    expr = None
+    for d, c in enumerate(center):
+        t = (F.col(col)[d] - F.lit(float(c))) ** 2
+        expr = t if expr is None else expr + t
+    return F.sqrt(expr)

@@ -279,3 +279,41 @@ def test_fit_unpersists_cached_working_set_on_small_input(spark):
     res = KMeansEngine(k=3, seed=7).fit(yh)
     assert len(res.model) == 3
     assert cm.isEmpty()
+
+
+def test_bisecting_fit_recovers_golden_blobs(spark, golden):
+    from clickhouse_k_means_spark.plans.kmeans import bisecting_fit
+    from clickhouse_k_means_spark.plans.optimal_k import elbow
+    from clickhouse_k_means_spark.sources.dataset import from_table
+
+    yh = from_table(golden, "i", ["x", "y"])
+    assigned, model = bisecting_fit(yh, k=4, seed=7)
+    assert len(model) == 4
+    assert assigned.count() == yh.count()  # every point exactly once
+    assert assigned.select("i").distinct().count() == yh.count()
+    # separable blobs: bisecting WCSS within 15% of a flat fit_best
+    flat = KMeansEngine(k=4, seed=7).fit_best(yh, n_init=2)
+    w_bis = elbow(yh, model, squared=True)
+    w_flat = elbow(yh, flat.model, squared=True)
+    assert w_bis <= 1.15 * w_flat, (w_bis, w_flat)
+
+
+def test_bisecting_fit_edges(spark):
+    from clickhouse_k_means_spark.plans.kmeans import bisecting_fit
+    from clickhouse_k_means_spark.sources.dataset import from_table
+
+    tiny = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 10.0)], "i long, x double, y double"
+    )
+    yh = from_table(tiny, "i", ["x", "y"])
+    # k larger than splittable leaves → stops early with 2 leaves
+    assigned, model = bisecting_fit(yh, k=5, seed=1)
+    assert len(model) == 2
+    assert assigned.count() == 2
+    # k=1 → single mean cluster
+    _, m1 = bisecting_fit(yh, k=1, seed=1)
+    assert len(m1) == 1 and m1[0][1] == [5.0, 5.0]
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        bisecting_fit(yh, k=0)
