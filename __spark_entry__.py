@@ -3301,6 +3301,22 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN over the first two embedding dimensions
+    (operators/density.grid_dbscan): eps-sided cells, dense-cell
+    connected components, border attachment, noise. FULL per-point
+    label parity — the oracle replays the cell pipeline including
+    the component merge as a recursive reachability closure."""
+    from clickhouse_k_means_spark.operators.density import grid_dbscan
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("e0"),
+        F.col("embedding")[1].cast("double").alias("e1"),
+    )
+    return grid_dbscan(emb, "vec_id", ["e0", "e1"], eps=0.1, min_pts=10)
+
+
 def q_bisect_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bisecting hierarchical k-means (plans/kmeans.bisecting_fit —
     Steinbach et al.'s divisive algorithm on the engine's own fit
@@ -3666,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "sequence_count": q_sequence_count,
         "rolling_median": q_rolling_median,
+        "grid_dbscan": q_grid_dbscan,
         "bisect_kmeans": q_bisect_kmeans,
         "lateral_topn": q_lateral_topn,
         "grouping_sets": q_grouping_sets,
@@ -5368,6 +5385,42 @@ def oracle_sql() -> dict[str, str]:
             "and current row)) as a from b) "
             "select event_id, user_id, "
             "a[((len(a) + 1) // 2)::INT]::BIGINT as median_c from w"
+        ),
+        "grid_dbscan": (
+            "WITH RECURSIVE "
+            "p AS (SELECT vec_id, "
+            "floor(embedding[1]::DOUBLE / 0.1)::BIGINT AS c0, "
+            "floor(embedding[2]::DOUBLE / 0.1)::BIGINT AS c1 "
+            "FROM embeddings), "
+            "pc AS (SELECT *, c0::VARCHAR || ':' || c1::VARCHAR AS cell "
+            "FROM p), "
+            "cnt AS (SELECT c0, c1, cell, count(*) AS n FROM pc "
+            "GROUP BY 1, 2, 3), "
+            "dense AS (SELECT * FROM cnt WHERE n >= 10), "
+            "off AS (SELECT a.x AS dx, b.x AS dy FROM "
+            "(SELECT unnest([-1, 0, 1]) AS x) a, "
+            "(SELECT unnest([-1, 0, 1]) AS x) b), "
+            "e AS (SELECT d.cell AS a, "
+            "(d.c0 + dx)::VARCHAR || ':' || (d.c1 + dy)::VARCHAR AS b "
+            "FROM dense d CROSS JOIN off WHERE EXISTS "
+            "(SELECT 1 FROM dense d2 WHERE d2.c0 = d.c0 + dx "
+            "AND d2.c1 = d.c1 + dy)), "
+            "reach(cell, lbl) AS (SELECT a, a FROM e UNION "
+            "SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.cell), "
+            "comp AS (SELECT cell, min(lbl) AS lbl FROM reach "
+            "GROUP BY 1), "
+            "core AS (SELECT vec_id, lbl AS label FROM pc "
+            "JOIN comp ON pc.cell = comp.cell), "
+            "sparse AS (SELECT * FROM pc WHERE cell NOT IN "
+            "(SELECT cell FROM comp)), "
+            "border AS (SELECT vec_id, min(comp.lbl) AS label "
+            "FROM sparse CROSS JOIN off JOIN comp ON comp.cell = "
+            "(sparse.c0 + dx)::VARCHAR || ':' || (sparse.c1 + dy)::VARCHAR "
+            "GROUP BY vec_id), "
+            "noise AS (SELECT vec_id, '' AS label FROM sparse "
+            "WHERE vec_id NOT IN (SELECT vec_id FROM border)) "
+            "SELECT * FROM core UNION ALL SELECT * FROM border "
+            "UNION ALL SELECT * FROM noise"
         ),
         "bisect_kmeans": (
             "select 4::BIGINT as k_clusters, "

@@ -331,6 +331,8 @@ def main() -> None:
         ("lateral_topn", entry.q_lateral_topn, 2),
         # 3 recursive k=2 engine fits over shrinking subsets
         ("bisect_kmeans", entry.q_bisect_kmeans, 2),
+        # cell-quantize -> dense-cell components -> border attach
+        ("grid_dbscan", entry.q_grid_dbscan, 2),
         ("grouping_sets", entry.q_grouping_sets, 2),
         ("sequence_count", entry.q_sequence_count, 2),
         ("rolling_median", entry.q_rolling_median, 2),

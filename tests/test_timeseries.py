@@ -519,3 +519,43 @@ def test_frequent_terms_weighted_exact(spark):
     n = sum(tot.values())
     want = {(t, c) for t, c in tot.items() if c * support > n}
     assert got == want  # exact weighted heavy hitters
+
+
+# ----------------------------------------------------------- grid DBSCAN
+
+
+def test_grid_dbscan_hand_computed(spark):
+    from clickhouse_k_means_spark.operators.density import grid_dbscan
+
+    rows = []
+    # dense cell (0,0) + adjacent dense cell (1,0) → one cluster "0:0"
+    rows += [(i, 0.1 + 0.01 * i, 0.5) for i in range(10)]
+    rows += [(100 + i, 1.1 + 0.01 * i, 0.5) for i in range(10)]
+    # far dense cell (5,5) → its own cluster "5:5"
+    rows += [(200 + i, 5.5, 5.1 + 0.01 * i) for i in range(10)]
+    # border: sparse cell (2,0), Chebyshev-adjacent to dense (1,0)
+    rows.append((300, 2.5, 0.5))
+    # noise: isolated
+    rows.append((400, 8.5, 8.5))
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    got = {
+        r["id"]: r["label"]
+        for r in grid_dbscan(df, "id", ["x", "y"], eps=1.0, min_pts=5).collect()
+    }
+    assert len(got) == len(rows)  # every point labeled exactly once
+    for i in range(10):
+        assert got[i] == "0:0"
+        assert got[100 + i] == "0:0"  # adjacent dense cells merged
+        assert got[200 + i] == "5:5"
+    assert got[300] == "0:0"  # border point attaches to the cluster
+    assert got[400] == ""  # noise
+
+
+def test_grid_dbscan_validation(spark):
+    from clickhouse_k_means_spark.operators.density import grid_dbscan
+
+    df = spark.createDataFrame([(1, 0.0)], "id bigint, x double")
+    with pytest.raises(ValueError, match="eps"):
+        grid_dbscan(df, "id", ["x"], eps=0, min_pts=1)
+    with pytest.raises(ValueError, match="features"):
+        grid_dbscan(df, "id", [], eps=1.0, min_pts=1)
