@@ -3301,6 +3301,52 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN self-join (operators/similarity.knn_join):
+    top-5 cosine neighbors for EVERY embedding via SRP buckets, gated
+    in-query on recall@5 ≥ 3 against the exact brute-force answer for
+    the deterministic 1%-sample points (vec_id % 100 == 0; measured
+    hits 4-5/5 at 4 bits × 16 tables — denser buckets than the
+    query-batch ANN ops because kNN on near-uniform fixture vectors
+    is a LOW-similarity recall regime, where fewer bits per table is
+    the right trade)."""
+    from clickhouse_k_means_spark.functions.distance import cosine_fixed
+    from clickhouse_k_means_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    knn = knn_join(emb, k=5, n_bits=4, n_tables=16, seed=42)
+    samp = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q"), F.col("embedding").alias("eq")
+    )
+    dim = EMB_DIM
+    exact = (
+        samp.crossJoin(
+            emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+        )
+        .filter("q != b")
+        .select(
+            "q", "b", F.round(cosine_fixed("eq", "eb", dim), 4).alias("sim")
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("b"))
+    top = exact.withColumn("r", F.row_number().over(w)).filter("r <= 5")
+    hits = (
+        top.select("q", "b")
+        .join(
+            knn.select(F.col("a").alias("q"), "b"), ["q", "b"], "left_semi"
+        )
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return samp.select("q").join(hits, "q", "left").select(
+        "q",
+        F.lit(3).cast("bigint").alias("hits_floor"),
+        (F.coalesce("hits", F.lit(0)) >= 3).cast("bigint").alias("recall_pass"),
+    )
+
+
 def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid DBSCAN over the first two embedding dimensions
     (operators/density.grid_dbscan): eps-sided cells, dense-cell
@@ -3682,6 +3728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "sequence_count": q_sequence_count,
         "rolling_median": q_rolling_median,
+        "knn_join": q_knn_join,
         "grid_dbscan": q_grid_dbscan,
         "bisect_kmeans": q_bisect_kmeans,
         "lateral_topn": q_lateral_topn,
@@ -5385,6 +5432,13 @@ def oracle_sql() -> dict[str, str]:
             "and current row)) as a from b) "
             "select event_id, user_id, "
             "a[((len(a) + 1) // 2)::INT]::BIGINT as median_c from w"
+        ),
+        "knn_join": (
+            # range() can't take a subquery — derive sample ids from
+            # the table itself
+            "select vec_id::BIGINT as q, 3::BIGINT as hits_floor, "
+            "1::BIGINT as recall_pass from embeddings "
+            "where vec_id % 100 = 0"
         ),
         "grid_dbscan": (
             "WITH RECURSIVE "

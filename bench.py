@@ -333,6 +333,8 @@ def main() -> None:
         ("bisect_kmeans", entry.q_bisect_kmeans, 2),
         # cell-quantize -> dense-cell components -> border attach
         ("grid_dbscan", entry.q_grid_dbscan, 2),
+        # all-points SRP kNN graph + in-query sampled recall gate
+        ("knn_join", entry.q_knn_join, 2),
         ("grouping_sets", entry.q_grouping_sets, 2),
         ("sequence_count", entry.q_sequence_count, 2),
         ("rolling_median", entry.q_rolling_median, 2),

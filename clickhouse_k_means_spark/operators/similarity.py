@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from clickhouse_k_means_spark.functions.distance import (
@@ -413,3 +413,65 @@ def pq_topk(
 
     w = Window.partitionBy("q").orderBy(*order)
     return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def knn_join(
+    df: DataFrame,
+    k: int = 5,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN SELF-join: for EVERY point, its top-``k``
+    cosine neighbors — the all-points companion to the query-batch ANN
+    operators (the building block of kNN-graph construction, dedup
+    clustering, and label propagation over embeddings).
+
+    Same scale anatomy as ``embed_neardup_bucketed``: candidates from
+    multi-table SRP bucket collisions (directed, a ≠ b), exact-cosine
+    scoring of candidates only, then top-k per point through the
+    rank-filter that compiles to WindowGroupLimit — so only k rows per
+    point per partition reach the final shuffle. Precision is exact on
+    the candidate set; recall is the bucketed approximation, gated
+    in-query by the registry entry.
+    """
+    head = df.select(vec).first()
+    if head is None:
+        return df.sparkSession.createDataFrame(
+            [], f"a bigint, b bigint, sim double, rank int"
+        )
+    dim = len(head[0])
+    tables = [
+        srp_hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+    buckets = srp_buckets_batch(tables)
+    banded = df.select(
+        F.col(key).alias("kk"), buckets(F.col(vec)).alias("bks")
+    ).select("kk", F.posexplode("bks").alias("t", "bucket"))
+    cand = (
+        banded.select(F.col("kk").alias("a"), "t", "bucket")
+        .join(
+            banded.select(F.col("kk").alias("b"), "t", "bucket"),
+            ["t", "bucket"],
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = df.select(F.col(key).alias("a"), F.col(vec).alias("ea"))
+    vb = df.select(F.col(key).alias("b"), F.col(vec).alias("eb"))
+    sim = F.round(cosine_fixed("ea", "eb", dim), 4)
+    scored = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", sim.alias("sim"))
+        .localCheckpoint(eager=True)  # same 64 KB-codegen barrier
+    )
+    w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
