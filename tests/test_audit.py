@@ -172,6 +172,10 @@ _SCALAR_BNLJ_OK = {
     "fuzzy_match", "ngram_sim", "tfidf_top_terms", "topk_heavy",
     "topk_weighted", "tpch_q22a", "triangles", "unigram_lm",
     "weighted_quantiles",
+    # knn_join's cross join is its RECALL GATE: the deterministic 1%
+    # sample brute-forced against the corpus — sample-bounded by
+    # construction, and the gated operator itself is bucket-joined
+    "knn_join",
 }
 
 # Documented SinglePartition funnels: cumulative_uniques runs its
