@@ -559,3 +559,61 @@ def test_grid_dbscan_validation(spark):
         grid_dbscan(df, "id", ["x"], eps=0, min_pts=1)
     with pytest.raises(ValueError, match="features"):
         grid_dbscan(df, "id", [], eps=1.0, min_pts=1)
+
+
+# --------------------------------------- transformWithStateInPandas
+
+
+def test_transform_with_state_running_stats(spark, sf_dir):
+    # transformWithStateInPandas speaks protobuf between the JVM and
+    # the Python state server; this container ships no google.protobuf
+    # (no pip allowed), so the runtime path can only execute on a
+    # full installation. The module itself stays import-clean and the
+    # semantics mirror stateful_user_counts, which IS runtime-tested.
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState requires protobuf (absent here)",
+    )
+    from clickhouse_k_means_spark.sources.dataset import load_table
+    from clickhouse_k_means_spark.streaming.tws import running_user_stats
+    from clickhouse_k_means_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+    )
+
+    out = run_available_now(
+        spark,
+        running_user_stats(stream_events(spark, sf_dir)),
+        name="t_tws",
+        output_mode="update",
+    )
+    # update mode: take each user's LAST emitted row (= final state)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    got = {
+        r["user_id"]: (r["n"], r["value_c"], r["max_c"])
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("value_c").alias("value_c"),
+            F.max("max_c").alias("max_c"),
+        )
+        .collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["n"], r["value_c"], r["max_c"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_c"
+            ),
+            F.max(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "max_c"
+            ),
+        )
+        .collect()
+    }
+    assert got == want and got  # replay ends at the batch answer
