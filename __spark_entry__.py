@@ -3301,6 +3301,60 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline in ONE lineage: exact dedup →
+    token-count quality cut → deterministic hash split → token-budget
+    packing of the train split, summarized as per-stage (rows, tokens)
+    — the composed flow a real corpus build runs, each stage the
+    already-certified operator, the oracle replaying all four stages
+    in SQL. Every stage is narrow or single-shuffle; nothing here
+    adds plan shapes beyond the components'."""
+    from clickhouse_k_means_spark.operators.dedup import exact_dedup
+    from clickhouse_k_means_spark.operators.packing import (
+        hash_split,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ntok = docs.select(
+        "doc_id", "text", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    keep = exact_dedup(docs).filter(F.col("keep") == 1).select("doc_id")
+    dd = ntok.join(keep, "doc_id")
+    qual = dd.filter(F.col("n_tok") >= 20)
+    split = hash_split(qual.select("doc_id"), key="doc_id")
+    staged = qual.join(split, "doc_id")
+    train = staged.filter(F.col("split") == "train")
+    packs = pack_sequences(
+        train.select("doc_id", "n_tok"), tokens="n_tok", budget=2048
+    )
+
+    def stage(name, df):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+        )
+
+    pack_row = packs.agg(
+        F.lit("packs").alias("stage"),
+        F.count_distinct("pack_id").cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("n_tokens"),
+    )
+    out = stage("raw", ntok)
+    for name, df in [
+        ("deduped", dd),
+        ("quality", qual),
+        ("train", train),
+        ("val", staged.filter(F.col("split") == "val")),
+        ("test", staged.filter(F.col("split") == "test")),
+    ]:
+        out = out.unionByName(stage(name, df))
+    return out.unionByName(pack_row)
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN self-join (operators/similarity.knn_join):
     top-5 cosine neighbors for EVERY embedding via SRP buckets, gated
@@ -3728,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "sequence_count": q_sequence_count,
         "rolling_median": q_rolling_median,
+        "pipeline_e2e": q_pipeline_e2e,
         "knn_join": q_knn_join,
         "grid_dbscan": q_grid_dbscan,
         "bisect_kmeans": q_bisect_kmeans,
@@ -5432,6 +5487,38 @@ def oracle_sql() -> dict[str, str]:
             "and current row)) as a from b) "
             "select event_id, user_id, "
             "a[((len(a) + 1) // 2)::INT]::BIGINT as median_c from w"
+        ),
+        "pipeline_e2e": (
+            f"with nt as (select doc_id, len({_TOKS}) as n_tok "
+            "from documents), "
+            "dd as (select nt.* from nt join (select doc_id, "
+            "row_number() over (partition by md5(text) order by doc_id) "
+            "as rn from documents) k on nt.doc_id = k.doc_id "
+            "where k.rn = 1), "
+            "q as (select * from dd where n_tok >= 20), "
+            f"sp as (select doc_id, {_hash64_sql('doc_id::VARCHAR', salt=42)}"
+            " / 1152921504606846976.0 as u from q), "
+            "st as (select q.doc_id, q.n_tok, case when u < 0.90 then "
+            "'train' when u < 0.95 then 'val' else 'test' end as split "
+            "from q join sp using (doc_id)), "
+            "tr as (select doc_id, n_tok from st where split = 'train'), "
+            "pk as (select doc_id, n_tok, coalesce(sum(n_tok) over "
+            "(order by doc_id rows between unbounded preceding and 1 "
+            "preceding), 0) // 2048 as pack_id from tr) "
+            "select 'raw' as stage, count(*)::BIGINT as n_rows, "
+            "coalesce(sum(n_tok), 0)::BIGINT as n_tokens from nt "
+            "union all select 'deduped', count(*)::BIGINT, "
+            "coalesce(sum(n_tok), 0)::BIGINT from dd "
+            "union all select 'quality', count(*)::BIGINT, "
+            "coalesce(sum(n_tok), 0)::BIGINT from q "
+            "union all select 'train', count(*)::BIGINT, "
+            "coalesce(sum(n_tok), 0)::BIGINT from st where split = 'train' "
+            "union all select 'val', count(*)::BIGINT, "
+            "coalesce(sum(n_tok), 0)::BIGINT from st where split = 'val' "
+            "union all select 'test', count(*)::BIGINT, "
+            "coalesce(sum(n_tok), 0)::BIGINT from st where split = 'test' "
+            "union all select 'packs', count(distinct pack_id)::BIGINT, "
+            "coalesce(sum(n_tok), 0)::BIGINT from pk"
         ),
         "knn_join": (
             # range() can't take a subquery — derive sample ids from

@@ -335,6 +335,8 @@ def main() -> None:
         ("grid_dbscan", entry.q_grid_dbscan, 2),
         # all-points SRP kNN graph + in-query sampled recall gate
         ("knn_join", entry.q_knn_join, 2),
+        # the composed 4-stage corpus build, one lineage
+        ("pipeline_e2e", entry.q_pipeline_e2e, 2),
         ("grouping_sets", entry.q_grouping_sets, 2),
         ("sequence_count", entry.q_sequence_count, 2),
         ("rolling_median", entry.q_rolling_median, 2),
