@@ -3301,6 +3301,51 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator
+    (streaming/sessions.stateful_user_counts via
+    applyInPandasWithState): per-user cumulative count + exact cents
+    sum across micro-batches; the availableNow replay's final state
+    must equal the batch aggregate the oracle computes."""
+    from clickhouse_k_means_spark.streaming.sessions import (
+        stateful_user_counts,
+    )
+    from clickhouse_k_means_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+    )
+
+    out = run_available_now(
+        spark,
+        stateful_user_counts(stream_events(spark, sf_dir)),
+        name="q_stateful_stats",
+        output_mode="update",
+    )
+    # update mode re-emits a key per batch; the final state is the max
+    return out.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("value_c").cast("bigint").alias("value_c"),
+    )
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar regex surface (§2.8): regexp_extract_all pulls every
+    integer literal out of the raw props JSON text, per-event count +
+    exact sum — the string-mining primitive for semi-structured
+    scrapes (the typed path is q_variant_json)."""
+    ev = load_table(spark, sf_dir, "events")
+    nums = F.expr(r"regexp_extract_all(props, '(\\d+)', 1)")
+    return ev.select(
+        "event_id",
+        F.size(nums).alias("n_nums"),
+        F.aggregate(
+            F.transform(nums, lambda x: x.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("num_sum"),
+    )
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-data pipeline in ONE lineage: exact dedup →
     token-count quality cut → deterministic hash split → token-budget
@@ -3782,6 +3827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "sequence_count": q_sequence_count,
         "rolling_median": q_rolling_median,
+        "stateful_stats": q_stateful_stats,
+        "regex_extract": q_regex_extract,
         "pipeline_e2e": q_pipeline_e2e,
         "knn_join": q_knn_join,
         "grid_dbscan": q_grid_dbscan,
@@ -5487,6 +5534,18 @@ def oracle_sql() -> dict[str, str]:
             "and current row)) as a from b) "
             "select event_id, user_id, "
             "a[((len(a) + 1) // 2)::INT]::BIGINT as median_c from w"
+        ),
+        "stateful_stats": (
+            "select user_id, count(*)::BIGINT as n, "
+            "sum(round(value * 100)::BIGINT)::BIGINT as value_c "
+            "from events group by 1"
+        ),
+        "regex_extract": (
+            "select event_id, "
+            "len(regexp_extract_all(props, '(\\d+)', 1))::INT as n_nums, "
+            "coalesce(list_sum(list_transform(regexp_extract_all(props, "
+            "'(\\d+)', 1), x -> x::BIGINT)), 0)::BIGINT as num_sum "
+            "from events"
         ),
         "pipeline_e2e": (
             f"with nt as (select doc_id, len({_TOKS}) as n_tok "

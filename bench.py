@@ -337,6 +337,8 @@ def main() -> None:
         ("knn_join", entry.q_knn_join, 2),
         # the composed 4-stage corpus build, one lineage
         ("pipeline_e2e", entry.q_pipeline_e2e, 2),
+        ("stateful_stats", entry.q_stateful_stats, 2),
+        ("regex_extract", entry.q_regex_extract, 2),
         ("grouping_sets", entry.q_grouping_sets, 2),
         ("sequence_count", entry.q_sequence_count, 2),
         ("rolling_median", entry.q_rolling_median, 2),
