@@ -3721,12 +3721,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     streaming_kmeans, multimodal_features, multimodal_frames are
     #     demoted into the rotation (VERDICT r5 item 2), leaving
     #     44 rotating slots per round.
-    #   * rotating list R (149 entries after the r6 additions, order =
+    #   * rotating list R (152 entries after the r6 additions, order =
     #     this dict's order after the head): each round the window
     #     takes the next 44 entries of R, advancing a pointer by 44
     #     (mod len(R)), so every query gets a driver CORRECTNESS row
     #     at least every ceil(len(R)/44) rounds — currently
-    #     ceil(149/44) = 4. Between driver rows, every entry stays
+    #     ceil(152/44) = 4. Between driver rows, every entry stays
     #     certified each round by tests/test_oracle_parity.py (the
     #     identical comparison, judge-re-runnable).
     #   * red rows jump the queue: any query whose last driver row
