@@ -1206,6 +1206,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_seconds=1800)
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session windows (F.session_window, the built-in form
+    beside q_sessionize's lag/cumsum construction): 30-min-gap user
+    sessions with counts and bounds. Semantics note the oracle
+    mirrors: the built-in merges on strict overlap, so a gap of
+    EXACTLY 30 min starts a new session (the lag form's > becomes
+    >=), and the window end is last_event + gap."""
+    from clickhouse_k_means_spark.sources.dataset import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_dt = ev.schema["ts"].dataType
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            epoch_seconds("w.start", ts_dt).alias("start_s"),
+            epoch_seconds("w.end", ts_dt).alias("end_s"),
+            "n_events",
+        )
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each view event matched to the
     user's latest prior-or-simultaneous purchase. Oracle: DuckDB's
@@ -3721,12 +3746,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     streaming_kmeans, multimodal_features, multimodal_frames are
     #     demoted into the rotation (VERDICT r5 item 2), leaving
     #     44 rotating slots per round.
-    #   * rotating list R (152 entries after the r6 additions, order =
+    #   * rotating list R (153 entries after the r6 additions, order =
     #     this dict's order after the head): each round the window
     #     takes the next 44 entries of R, advancing a pointer by 44
     #     (mod len(R)), so every query gets a driver CORRECTNESS row
     #     at least every ceil(len(R)/44) rounds — currently
-    #     ceil(152/44) = 4. Between driver rows, every entry stays
+    #     ceil(153/44) = 4. Between driver rows, every entry stays
     #     certified each round by tests/test_oracle_parity.py (the
     #     identical comparison, judge-re-runnable).
     #   * red rows jump the queue: any query whose last driver row
@@ -3779,6 +3804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "session_window": q_session_window,
         "tpch_q3": q_tpch_q3,
         "limit_by_latest": q_limit_by_latest,
         "silhouette_sums": q_silhouette_sums,
@@ -4469,6 +4495,19 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(l_extendedprice, 0.5), 4) as p50, "
             "round(quantile_cont(l_extendedprice, 0.9), 4) as p90 "
             "from lineitem group by 1"
+        ),
+        "session_window": (
+            "with e as (select user_id, epoch_ns(ts) // 1000000000 as s, "
+            "ts from events), "
+            "t as (select user_id, s, ts, case when lag(s) over w is null "
+            "or s - lag(s) over w >= 1800 then 1 else 0 end as ns from e "
+            "window w as (partition by user_id order by ts)), "
+            "g as (select user_id, ts, s, sum(ns) over "
+            "(partition by user_id order by ts rows between unbounded "
+            "preceding and current row) as sid from t) "
+            "select user_id, min(s)::BIGINT as start_s, "
+            "(max(s) + 1800)::BIGINT as end_s, "
+            "count(*)::BIGINT as n_events from g group by user_id, sid"
         ),
         "sessionize": (
             "with e as (select user_id, epoch_ns(ts) // 1000000000 as s, ts "

@@ -339,6 +339,7 @@ def main() -> None:
         ("pipeline_e2e", entry.q_pipeline_e2e, 2),
         ("stateful_stats", entry.q_stateful_stats, 2),
         ("regex_extract", entry.q_regex_extract, 2),
+        ("session_window", entry.q_session_window, 2),
         ("grouping_sets", entry.q_grouping_sets, 2),
         ("sequence_count", entry.q_sequence_count, 2),
         ("rolling_median", entry.q_rolling_median, 2),
