@@ -1206,6 +1206,43 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_seconds=1800)
 
 
+def q_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's adaptive histogram aggregate (histogram_numeric — the
+    ClickHouse ``histogram(N)`` analog) under the engine's sketch-gate
+    pattern: the centroid masses must conserve the exact row count
+    (integer identity), and the mass-weighted centroid mean must land
+    within 1% of the exact mean — the oracle asserts the gate flags
+    and re-derives the exact values."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.expr("histogram_numeric(value, 20)").alias("h"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_c"),
+    )
+    mass = F.aggregate(
+        F.col("h"),
+        F.lit(0.0),
+        lambda acc, b: acc + b["y"],
+    )
+    wmean = (
+        F.aggregate(
+            F.col("h"), F.lit(0.0), lambda acc, b: acc + b["x"] * b["y"]
+        )
+        / mass
+    )
+    exact_mean = F.col("sum_c").cast("double") / 100.0 / F.col("n")
+    return agg.select(
+        F.col("n").cast("bigint").alias("exact_n"),
+        F.col("sum_c").alias("sum_c"),
+        (F.round(mass).cast("bigint") == F.col("n"))
+        .cast("bigint")
+        .alias("mass_conserved"),
+        (
+            F.abs(wmean - exact_mean) <= F.abs(exact_mean) * 0.01
+        ).cast("bigint").alias("mean_within_tol"),
+    )
+
+
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NATIVE session windows (F.session_window, the built-in form
     beside q_sessionize's lag/cumsum construction): 30-min-gap user
@@ -3746,12 +3783,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     streaming_kmeans, multimodal_features, multimodal_frames are
     #     demoted into the rotation (VERDICT r5 item 2), leaving
     #     44 rotating slots per round.
-    #   * rotating list R (153 entries after the r6 additions, order =
+    #   * rotating list R (154 entries after the r6 additions, order =
     #     this dict's order after the head): each round the window
     #     takes the next 44 entries of R, advancing a pointer by 44
     #     (mod len(R)), so every query gets a driver CORRECTNESS row
     #     at least every ceil(len(R)/44) rounds — currently
-    #     ceil(153/44) = 4. Between driver rows, every entry stays
+    #     ceil(154/44) = 4. Between driver rows, every entry stays
     #     certified each round by tests/test_oracle_parity.py (the
     #     identical comparison, judge-re-runnable).
     #   * red rows jump the queue: any query whose last driver row
@@ -3804,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "histogram_numeric": q_histogram_numeric,
         "session_window": q_session_window,
         "tpch_q3": q_tpch_q3,
         "limit_by_latest": q_limit_by_latest,
@@ -4495,6 +4533,12 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(l_extendedprice, 0.5), 4) as p50, "
             "round(quantile_cont(l_extendedprice, 0.9), 4) as p90 "
             "from lineitem group by 1"
+        ),
+        "histogram_numeric": (
+            "select count(*)::BIGINT as exact_n, "
+            "sum(round(value * 100)::BIGINT)::BIGINT as sum_c, "
+            "1::BIGINT as mass_conserved, 1::BIGINT as mean_within_tol "
+            "from events"
         ),
         "session_window": (
             "with e as (select user_id, epoch_ns(ts) // 1000000000 as s, "

@@ -200,3 +200,21 @@ def test_embed_neardup_verify_filter_not_pushed_into_join(spark):
     # cosine arithmetic duplicated into a join condition
     assert "Join" not in plan, plan
     assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan, plan
+
+
+def test_join_strategy_hints_take_effect(spark, sf_dir):
+    """§2.3 join-strategy control: broadcast / shuffle_hash / merge
+    hints must change the planned join operator — the manual override
+    when AQE's choice isn't wanted."""
+    from clickhouse_k_means_spark.plans.audit import plan_string
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = lambda o: li.join(o, li.l_orderkey == o.o_orderkey)
+    p_b = plan_string(joined(orders.hint("broadcast")))
+    assert "BroadcastHashJoin" in p_b
+    p_h = plan_string(joined(orders.hint("shuffle_hash")))
+    assert "ShuffledHashJoin" in p_h
+    p_m = plan_string(joined(orders.hint("merge")))
+    assert "SortMergeJoin" in p_m
