@@ -1206,6 +1206,38 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_seconds=1800)
 
 
+def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse greatCircleDistance parity: haversine meters from a
+    deterministic per-user synthetic location (md5-derived lat/lon —
+    the fixture has no geo columns, the FUNCTION is the surface) to a
+    fixed reference point, aggregated per distance band. Identical
+    double expression on both engines, rounded to whole meters; band
+    edges are >=100km apart so a sub-micrometer ULP wiggle cannot
+    flip a band."""
+    ev = load_table(spark, sf_dir, "events")
+    # synthetic geo: lat in [-60, 60), lon in [-180, 180) from md5
+    h = F.md5(F.col("user_id").cast("string"))
+    lat = (F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % 1_200_000)
+    lat = (lat / 10_000.0 - 60.0)
+    lon = (F.conv(F.substring(h, 7, 6), 16, 10).cast("bigint") % 3_600_000)
+    lon = (lon / 10_000.0 - 180.0)
+    rlat, rlon = F.radians(lat), F.radians(lon)
+    rlat0, rlon0 = F.radians(F.lit(52.52)), F.radians(F.lit(13.405))
+    a = (
+        F.pow(F.sin((rlat - rlat0) / 2), 2)
+        + F.cos(rlat0) * F.cos(rlat) * F.pow(F.sin((rlon - rlon0) / 2), 2)
+    )
+    dist_m = F.round(
+        2.0 * 6371000.0 * F.asin(F.sqrt(a))
+    ).cast("bigint")
+    return (
+        ev.select("user_id").distinct()
+        .select((dist_m / 1_000_000).cast("bigint").alias("band_1000km"))
+        .groupBy("band_1000km")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def q_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's adaptive histogram aggregate (histogram_numeric — the
     ClickHouse ``histogram(N)`` analog) under the engine's sketch-gate
@@ -3783,12 +3815,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     streaming_kmeans, multimodal_features, multimodal_frames are
     #     demoted into the rotation (VERDICT r5 item 2), leaving
     #     44 rotating slots per round.
-    #   * rotating list R (154 entries after the r6 additions, order =
+    #   * rotating list R (155 entries after the r6 additions, order =
     #     this dict's order after the head): each round the window
     #     takes the next 44 entries of R, advancing a pointer by 44
     #     (mod len(R)), so every query gets a driver CORRECTNESS row
     #     at least every ceil(len(R)/44) rounds — currently
-    #     ceil(154/44) = 4. Between driver rows, every entry stays
+    #     ceil(155/44) = 4. Between driver rows, every entry stays
     #     certified each round by tests/test_oracle_parity.py (the
     #     identical comparison, judge-re-runnable).
     #   * red rows jump the queue: any query whose last driver row
@@ -3841,6 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "geo_distance": q_geo_distance,
         "histogram_numeric": q_histogram_numeric,
         "session_window": q_session_window,
         "tpch_q3": q_tpch_q3,
@@ -4533,6 +4566,21 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(l_extendedprice, 0.5), 4) as p50, "
             "round(quantile_cont(l_extendedprice, 0.9), 4) as p90 "
             "from lineitem group by 1"
+        ),
+        "geo_distance": (
+            "with u as (select distinct user_id from events), "
+            "g as (select user_id, "
+            "(('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT "
+            "% 1200000) / 10000.0 - 60.0 as lat, "
+            "(('0x' || substr(md5(user_id::VARCHAR), 7, 6))::BIGINT "
+            "% 3600000) / 10000.0 - 180.0 as lon from u), "
+            "d as (select round(2.0 * 6371000.0 * asin(sqrt("
+            "pow(sin((radians(lat) - radians(52.52)) / 2), 2) "
+            "+ cos(radians(52.52)) * cos(radians(lat)) "
+            "* pow(sin((radians(lon) - radians(13.405)) / 2), 2)"
+            ")))::BIGINT as dist_m from g) "
+            "select (dist_m // 1000000)::BIGINT as band_1000km, "
+            "count(*)::BIGINT as n_users from d group by 1"
         ),
         "histogram_numeric": (
             "select count(*)::BIGINT as exact_n, "

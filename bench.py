@@ -341,6 +341,7 @@ def main() -> None:
         ("regex_extract", entry.q_regex_extract, 2),
         ("session_window", entry.q_session_window, 2),
         ("histogram_numeric", entry.q_histogram_numeric, 2),
+        ("geo_distance", entry.q_geo_distance, 2),
         ("grouping_sets", entry.q_grouping_sets, 2),
         ("sequence_count", entry.q_sequence_count, 2),
         ("rolling_median", entry.q_rolling_median, 2),
