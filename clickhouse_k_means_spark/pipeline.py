@@ -26,6 +26,9 @@ stdout (machine-parseable, shell-composable — the same contract as
         --budget 2048 --overlap 128 --out chunks.parquet
     python -m clickhouse_k_means_spark.pipeline profile \
         --input docs.parquet --columns doc_id,lang --out profile.parquet
+    python -m clickhouse_k_means_spark.pipeline cluster \
+        --input pts.parquet --key id --features x,y \
+        --algo dbscan --eps 0.1 --min-pts 10 --out labels.parquet
 
 Every command is deterministic (hash-seeded operators), so re-runs
 produce identical outputs — the property that makes backfills and
@@ -99,6 +102,24 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument(
         "--columns", default=None, help="comma list (default: all columns)"
     )
+    cl = sub.add_parser(
+        "cluster", help="cluster rows on numeric feature columns"
+    )
+    cl.add_argument("--input", required=True, help="input parquet path")
+    cl.add_argument("--out", required=True, help="output parquet path")
+    cl.add_argument("--key", required=True, help="unique row key column")
+    cl.add_argument(
+        "--features", required=True, help="comma list of numeric columns"
+    )
+    cl.add_argument(
+        "--algo", choices=["kmeans", "bisecting", "dbscan"], default="kmeans"
+    )
+    cl.add_argument("--k", type=int, default=4, help="clusters (k-means)")
+    cl.add_argument("--eps", type=float, default=1.0, help="dbscan cell side")
+    cl.add_argument(
+        "--min-pts", type=int, default=10, help="dbscan density threshold"
+    )
+    cl.add_argument("--seed", type=int, default=42)
     return p
 
 
@@ -182,6 +203,28 @@ def main(argv: list[str] | None = None) -> int:
             key=args.key,
             text=args.text,
         )
+    elif args.cmd == "cluster":
+        feats = [c.strip() for c in args.features.split(",")]
+        if args.algo == "dbscan":
+            from clickhouse_k_means_spark.operators.density import grid_dbscan
+
+            out = grid_dbscan(
+                df, args.key, feats, eps=args.eps, min_pts=args.min_pts
+            )
+        else:
+            from clickhouse_k_means_spark.plans.kmeans import (
+                KMeansEngine,
+                bisecting_fit,
+            )
+            from clickhouse_k_means_spark.sources.dataset import from_table
+
+            yh = from_table(df, args.key, feats)
+            if args.algo == "bisecting":
+                assigned, _model = bisecting_fit(yh, k=args.k, seed=args.seed)
+            else:
+                eng = KMeansEngine(k=args.k, seed=args.seed)
+                assigned = eng.assign(yh, eng.fit(yh).model)
+            out = assigned.withColumnRenamed("i", args.key)
     elif args.cmd == "profile":
         from clickhouse_k_means_spark.operators.profile import profile_table
 

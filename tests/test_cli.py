@@ -214,3 +214,32 @@ def test_bench_diff_gate(tmp_path):
     assert summary["worst"] == "slow_q"
     assert summary["unanchored"] == ["new_q"]
     assert "missing_q" in proc.stdout  # never silently dropped
+
+
+def test_pipeline_cluster_subcommand(spark, sf_dir, tmp_path):
+    """cluster subcommand: all three algorithms label every input row
+    deterministically, parquet-in → parquet-out."""
+    import json
+
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    src = str(tmp_path / "pts.parquet")
+    rows = [(i, float(i % 7) + (60.0 if i % 2 else 0.0), float(i % 5))
+            for i in range(300)]
+    spark.createDataFrame(rows, "id bigint, x double, y double").write.parquet(src)
+    for algo, extra in [
+        ("kmeans", ["--k", "2"]),
+        ("bisecting", ["--k", "2"]),
+        ("dbscan", ["--eps", "10", "--min-pts", "5"]),
+    ]:
+        out = str(tmp_path / f"out_{algo}.parquet")
+        rc = pmain([
+            "cluster", "--input", src, "--out", out, "--key", "id",
+            "--features", "x,y", "--algo", algo, *extra,
+        ])
+        assert rc == 0
+        got = spark.read.parquet(out)
+        assert got.count() == 300
+        assert got.select("id").distinct().count() == 300
+        lblcol = "label" if algo == "dbscan" else "j"
+        assert got.select(lblcol).distinct().count() == 2, algo
