@@ -1206,6 +1206,35 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_seconds=1800)
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (operators/skew.salted_join): lineitem
+    heavily skewed onto one synthetic hot key joined to a small dim —
+    the salted form must equal the plain join ROW-FOR-ROW, which is
+    exactly what the oracle computes with the plain join. The salt is
+    a partitioning device only; the aggregate rollup makes the
+    equality a value gate."""
+    from clickhouse_k_means_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # synthetic skew: ~1/3 of rows collapse onto key 0
+    fact = li.select(
+        F.when(F.pmod("l_orderkey", F.lit(3)) == 0, 0)
+        .otherwise(F.pmod("l_orderkey", F.lit(50)))
+        .cast("bigint")
+        .alias("hk"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("hk"),
+        (F.col("id") * 7 + 1).alias("dim_w"),
+    )
+    joined = salted_join(fact, dim, on="hk", n_salts=8)
+    return joined.groupBy("hk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents") * F.col("dim_w")).alias("weighted_c"),
+    )
+
+
 def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse greatCircleDistance parity: haversine meters from a
     deterministic per-user synthetic location (md5-derived lat/lon —
@@ -3815,12 +3844,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     streaming_kmeans, multimodal_features, multimodal_frames are
     #     demoted into the rotation (VERDICT r5 item 2), leaving
     #     44 rotating slots per round.
-    #   * rotating list R (155 entries after the r6 additions, order =
+    #   * rotating list R (156 entries after the r6 additions, order =
     #     this dict's order after the head): each round the window
     #     takes the next 44 entries of R, advancing a pointer by 44
     #     (mod len(R)), so every query gets a driver CORRECTNESS row
     #     at least every ceil(len(R)/44) rounds — currently
-    #     ceil(155/44) = 4. Between driver rows, every entry stays
+    #     ceil(156/44) = 4. Between driver rows, every entry stays
     #     certified each round by tests/test_oracle_parity.py (the
     #     identical comparison, judge-re-runnable).
     #   * red rows jump the queue: any query whose last driver row
@@ -3873,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "salted_join": q_salted_join,
         "geo_distance": q_geo_distance,
         "histogram_numeric": q_histogram_numeric,
         "session_window": q_session_window,
@@ -4566,6 +4596,16 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(l_extendedprice, 0.5), 4) as p50, "
             "round(quantile_cont(l_extendedprice, 0.9), 4) as p90 "
             "from lineitem group by 1"
+        ),
+        "salted_join": (
+            "with f as (select case when l_orderkey % 3 = 0 then 0 "
+            "else l_orderkey % 50 end as hk, "
+            "round(l_extendedprice * 100)::BIGINT as cents from lineitem), "
+            "d as (select range as hk, range * 7 + 1 as dim_w "
+            "from range(50)) "
+            "select f.hk::BIGINT as hk, count(*)::BIGINT as n, "
+            "sum(cents * dim_w)::BIGINT as weighted_c "
+            "from f join d on f.hk = d.hk group by 1"
         ),
         "geo_distance": (
             "with u as (select distinct user_id from events), "

@@ -342,6 +342,7 @@ def main() -> None:
         ("session_window", entry.q_session_window, 2),
         ("histogram_numeric", entry.q_histogram_numeric, 2),
         ("geo_distance", entry.q_geo_distance, 2),
+        ("salted_join", entry.q_salted_join, 2),
         ("grouping_sets", entry.q_grouping_sets, 2),
         ("sequence_count", entry.q_sequence_count, 2),
         ("rolling_median", entry.q_rolling_median, 2),
