@@ -3862,10 +3862,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 22 late-r5 queries that have never had a driver row
     # (chunk_docs .. scd2_lookup, VERDICT r5 item 2) + the first 21 of
     # group B (streaming_windows .. doc_fingerprint, last green r4).
-    # r7 window will be R[44:88]: rest of group B, the 11 new-in-r6
-    # queries (tpch_q6 .. audience_overlap — inserted inside that
-    # slice so they first-gate in r7), and the front of group A;
-    # r8 wraps.
+    # r7 window = R[44:88]: the rest of group B (lang_id ..
+    # doc_fingerprint), the r6 TPC-H/sequence batch (tpch_q7 ..
+    # chi_square), and the first wave of r6 additions (tpch_q6 ..
+    # interval_union). The remaining 68 r6 additions (stream_join ..
+    # salted_join) first-gate in r8 — with 156 rotating entries the
+    # documented cadence is 4 rounds, and every entry stays certified
+    # EVERY round by tests/test_oracle_parity.py in the meantime.
     return {
         "yh_contract": q_yh_contract,
         "nearest_assign": q_nearest_assign,
