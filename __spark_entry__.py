@@ -1206,6 +1206,34 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_seconds=1800)
 
 
+def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write + selective read-back
+    (sources/zorder.write_zordered): events Morton-clustered on
+    (user_id, value), then a two-dimensional range filter rolled up
+    from the clustered files — must equal the oracle's direct rollup
+    (fidelity gate; the per-file min/max narrowing the clustering
+    buys is plan-guarded in test_extended_ops)."""
+    import tempfile
+
+    from clickhouse_k_means_spark.sources.zorder import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    out = tempfile.mkdtemp(prefix="zorder_rt_") + "/events_z"
+    write_zordered(ev, out, cols=["user_id", "value_c"], n_files=8)
+    back = spark.read.parquet(out).filter(
+        (F.col("user_id") < 40) & (F.col("value_c").between(1000, 20000))
+    )
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").alias("sum_c"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated join (operators/skew.salted_join): lineitem
     heavily skewed onto one synthetic hot key joined to a small dim —
@@ -3844,12 +3872,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     streaming_kmeans, multimodal_features, multimodal_frames are
     #     demoted into the rotation (VERDICT r5 item 2), leaving
     #     44 rotating slots per round.
-    #   * rotating list R (156 entries after the r6 additions, order =
+    #   * rotating list R (157 entries after the r6 additions, order =
     #     this dict's order after the head): each round the window
     #     takes the next 44 entries of R, advancing a pointer by 44
     #     (mod len(R)), so every query gets a driver CORRECTNESS row
     #     at least every ceil(len(R)/44) rounds — currently
-    #     ceil(156/44) = 4. Between driver rows, every entry stays
+    #     ceil(157/44) = 4. Between driver rows, every entry stays
     #     certified each round by tests/test_oracle_parity.py (the
     #     identical comparison, judge-re-runnable).
     #   * red rows jump the queue: any query whose last driver row
@@ -3866,7 +3894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_fingerprint), the r6 TPC-H/sequence batch (tpch_q7 ..
     # chi_square), and the first wave of r6 additions (tpch_q6 ..
     # interval_union). The remaining 68 r6 additions (stream_join ..
-    # salted_join) first-gate in r8 — with 156 rotating entries the
+    # salted_join) first-gate in r8 — with 157 rotating entries the
     # documented cadence is 4 rounds, and every entry stays certified
     # EVERY round by tests/test_oracle_parity.py in the meantime.
     return {
@@ -3905,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "zorder_roundtrip": q_zorder_roundtrip,
         "salted_join": q_salted_join,
         "geo_distance": q_geo_distance,
         "histogram_numeric": q_histogram_numeric,
@@ -4599,6 +4628,15 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(l_extendedprice, 0.5), 4) as p50, "
             "round(quantile_cont(l_extendedprice, 0.9), 4) as p90 "
             "from lineitem group by 1"
+        ),
+        "zorder_roundtrip": (
+            "with b as (select event_id, user_id, "
+            "round(value * 100)::BIGINT as value_c from events) "
+            "select user_id, count(*)::BIGINT as n, "
+            "sum(value_c)::BIGINT as sum_c, "
+            "min(event_id)::BIGINT as first_event from b "
+            "where user_id < 40 and value_c between 1000 and 20000 "
+            "group by 1"
         ),
         "salted_join": (
             "with f as (select case when l_orderkey % 3 = 0 then 0 "

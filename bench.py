@@ -343,6 +343,8 @@ def main() -> None:
         ("histogram_numeric", entry.q_histogram_numeric, 2),
         ("geo_distance", entry.q_geo_distance, 2),
         ("salted_join", entry.q_salted_join, 2),
+        # z-clustered write + 2-D selective read-back
+        ("zorder_roundtrip", entry.q_zorder_roundtrip, 2),
         ("grouping_sets", entry.q_grouping_sets, 2),
         ("sequence_count", entry.q_sequence_count, 2),
         ("rolling_median", entry.q_rolling_median, 2),
