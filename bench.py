@@ -431,24 +431,65 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    # Two lines, detail FIRST: the driver captures a bounded stdout
-    # tail, so the huge per-query detail dict must not push the
-    # headline numbers past the truncation point (VERDICT r5 item 3 —
-    # BENCH_r04/r05 both lost their heads and recorded parsed=null).
-    # The LAST line is a compact summary guaranteed to survive.
+    # Three lines, detail FIRST and the summary LAST: the driver
+    # captures a bounded 2000-char stdout TAIL, so anything the
+    # artifact must keep has to fit inside that window counted from
+    # the end (VERDICT r5 item 3 / r6 item 1 — BENCH_r04..r06 all
+    # recorded parsed=null because the per-query dicts were embedded
+    # in the final line and the truncation cut its head off).
+    #   line 1: full per-query detail (samples/min/code-cache)
+    #   line 2: full per-query medians + kscale (regex-recoverable
+    #           from a truncated tail by scripts/bench_diff.py)
+    #   line 3: compact headline summary, guaranteed < ~700 bytes so
+    #           the ENTIRE line survives inside any 2000-char tail
     print(json.dumps({"metric": "bench_detail", "sf": sf, "detail": detail}))
     print(
         json.dumps(
             {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
+                "metric": "bench_queries",
                 "sf": sf,
+                "queries": timings,
                 "extended": extended,
                 "kscale": kscale,
             }
         )
+    )
+    print(summary_line(total, timings, extended, kscale, sf))
+
+
+# Recorded BASELINE.md headline subset total (r2 reference protocol,
+# the 13-query fixed list above) — the denominator of the ratio the
+# judge grades. Keep in sync with BASELINE.md's anchor section.
+BASELINE_HEADLINE_TOTAL = 28.6
+
+
+def summary_line(
+    total: float,
+    timings: dict[str, float],
+    extended: dict[str, float],
+    kscale: dict,
+    sf: float,
+) -> str:
+    """The final stdout line. MUST stay well under the driver's
+    2000-char tail (tests/test_bench_diff.py pins < 1000 bytes) so
+    ``headline_total`` is always parseable from the official
+    BENCH_r{N}.json artifact. Carries the 13 headline query medians
+    (the driver contract's ``queries`` key) but NOT the extended
+    dict — that lives on the ``bench_queries`` line."""
+    return json.dumps(
+        {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "queries": timings,
+            "baseline_total": BASELINE_HEADLINE_TOTAL,
+            "ratio": round(total / BASELINE_HEADLINE_TOTAL, 3),
+            "n_queries": len(timings) + len(extended),
+            "kscale_warm": kscale.get("fit_parallel_warm_sec"),
+            "mllib_warm": kscale.get("mllib_warm_sec"),
+            "inertia_ratio": kscale.get("inertia_ratio"),
+        }
     )
 
 

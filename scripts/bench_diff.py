@@ -2,15 +2,20 @@
 about WHICH number each query is compared against).
 
 Reads the AUTHORITATIVE ANCHOR TABLE from BASELINE.md and a bench
-artifact (the one-line JSON bench.py prints, or a driver
-BENCH_r{N}.json whose ``raw_tail`` carries it), joins them per query,
+artifact (bench.py's own stdout, or a driver BENCH_r{N}.json whose
+``tail`` carries the last 2000 chars of it), joins them per query,
 and prints one ratio row per query plus a gate summary:
 
-    python scripts/bench_diff.py BENCH_r06.json [--gate 2.0]
+    python scripts/bench_diff.py BENCH_r07.json [--gate 2.0]
 
-Exit status 1 if any query exceeds the gate ratio — usable directly
-in CI. Queries present in only one side are listed, never silently
-dropped (the no-silent-caps rule).
+Exit status 1 if any query exceeds the gate ratio OR if ZERO queries
+could be joined (a gate that compares nothing must fail loudly, not
+pass vacuously — VERDICT r6 item 1). Queries present in only one side
+are listed, never silently dropped (the no-silent-caps rule). Because
+the driver tail may truncate the ``bench_queries`` line mid-JSON,
+per-query pairs are additionally recovered by regex from unparseable
+fragments; regex-recovered names are accepted only when they match an
+anchor (so kscale/detail floats don't pollute the join).
 """
 
 from __future__ import annotations
@@ -44,17 +49,33 @@ def load_anchors(baseline_path: str) -> dict[str, float]:
     return anchors
 
 
-def load_bench(path: str) -> dict[str, float]:
-    """Per-query seconds from a bench artifact: either bench.py's own
-    JSON line(s) or a driver BENCH_r{N}.json wrapper."""
+def load_bench(
+    path: str, anchors: dict[str, float] | None = None
+) -> dict[str, float]:
+    """Per-query seconds from a bench artifact: bench.py's own JSON
+    line(s) or a driver BENCH_r{N}.json wrapper (whose ``tail`` key —
+    the name the driver actually writes, VERDICT r6 item 1 — holds the
+    last 2000 chars of stdout and may start mid-JSON). Fragments that
+    fail to parse are regex-mined for ``"name": float`` pairs,
+    filtered to anchor names so kscale/detail floats don't join."""
     timings: dict[str, float] = {}
 
     def absorb(obj: dict) -> None:
-        if obj.get("metric") == "headline_total":
+        if obj.get("metric") in ("headline_total", "bench_queries"):
             timings.update(obj.get("queries", {}))
             timings.update(obj.get("extended", {}))
         elif "queries" in obj and isinstance(obj["queries"], dict):
             timings.update(obj["queries"])
+
+    def absorb_fragment(fragment: str) -> None:
+        if anchors is None:
+            return
+        for m in re.finditer(
+            r'"([A-Za-z_]\w*)":\s*([0-9]+(?:\.[0-9]+)?)\b', fragment
+        ):
+            name, val = m.group(1), float(m.group(2))
+            if name in anchors and name not in timings:
+                timings[name] = val
 
     raw = open(path).read()
     try:
@@ -63,18 +84,24 @@ def load_bench(path: str) -> dict[str, float]:
             if "parsed" in doc and isinstance(doc["parsed"], dict):
                 absorb(doc["parsed"])
             absorb(doc)
-            tail = doc.get("raw_tail") or doc.get("stdout_tail") or ""
+            tail = (
+                doc.get("tail")
+                or doc.get("raw_tail")
+                or doc.get("stdout_tail")
+                or ""
+            )
         else:
             tail = ""
     except json.JSONDecodeError:
         tail = raw
     for line in str(tail).splitlines():
         line = line.strip()
-        if line.startswith("{"):
-            try:
-                absorb(json.loads(line))
-            except json.JSONDecodeError:
-                continue
+        if not line:
+            continue
+        try:
+            absorb(json.loads(line))
+        except json.JSONDecodeError:
+            absorb_fragment(line)
     return timings
 
 
@@ -88,7 +115,7 @@ def main() -> None:
     args = ap.parse_args()
 
     anchors = load_anchors(args.baseline)
-    bench = load_bench(args.bench)
+    bench = load_bench(args.bench, anchors=anchors)
     shared = sorted(set(anchors) & set(bench))
     rows = []
     for q in shared:
@@ -119,6 +146,12 @@ def main() -> None:
             }
         )
     )
+    if not shared:
+        # A gate that compares nothing and passes is worse than no
+        # gate (VERDICT r6 item 1: the r6 run compared 0 queries and
+        # exited 0 against the official artifact).
+        print("bench_diff: FAIL — zero queries joined", file=sys.stderr)
+        sys.exit(1)
     sys.exit(1 if fails else 0)
 
 

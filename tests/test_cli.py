@@ -216,6 +216,93 @@ def test_bench_diff_gate(tmp_path):
     assert "missing_q" in proc.stdout  # never silently dropped
 
 
+def test_bench_diff_reads_driver_tail_artifact():
+    """The gate must work against the OFFICIAL driver artifact, whose
+    ``tail`` key truncates the bench_queries line mid-JSON (VERDICT r6
+    item 1: the r6 gate read the wrong key, compared 0 queries, and
+    exited 0). Run against the real BENCH_r06.json: >= 80 queries must
+    join via regex recovery from the truncated fragment."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "scripts/bench_diff.py", "BENCH_r06.json"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_compared"] >= 80, summary
+    assert proc.returncode == 0, proc.stdout[-500:]
+
+
+def test_bench_diff_fails_on_zero_joined(tmp_path):
+    """A gate that compares nothing must exit non-zero, not pass
+    vacuously (VERDICT r6 item 1)."""
+    import json
+    import subprocess
+    import sys
+
+    baseline = tmp_path / "BASELINE.md"
+    baseline.write_text(
+        "## AUTHORITATIVE ANCHOR TABLE\n\n"
+        "| query | anchor | source |\n|---|---|---|\n"
+        "| some_q | 1.00 s | R6 |\n"
+        "\nkscale (k=64, etc)\n"
+    )
+    bench = tmp_path / "bench.json"
+    bench.write_text(json.dumps({"n": 7, "tail": "no json here"}) + "\n")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "scripts/bench_diff.py",
+            str(bench),
+            "--baseline",
+            str(baseline),
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 1
+    assert "zero queries joined" in proc.stderr
+
+
+def test_bench_summary_line_survives_driver_tail():
+    """bench.py's LAST stdout line must fit entirely inside the
+    driver's 2000-char tail with generous headroom, and must parse to
+    the contract keys (VERDICT r6 item 1b: BENCH_r04..r06 all lost the
+    headline to truncation)."""
+    import json
+
+    import bench
+
+    headline_queries = {
+        q: 9.999
+        for q in [
+            "kmeans_fit", "lloyd_step", "elbow", "tpch_q1", "tpch_q3",
+            "tpch_q5", "minhash_lsh", "simhash", "ann_topk",
+            "text_quality", "silhouette", "asof_join", "sessionize",
+        ]
+    }
+    extended = {f"q{i}": 1.0 for i in range(90)}
+    kscale = {
+        "fit_parallel_warm_sec": 18.841,
+        "mllib_warm_sec": 6.29,
+        "inertia_ratio": 0.9445,
+    }
+    line = bench.summary_line(17.43, headline_queries, extended, kscale, 0.1)
+    assert len(line) < 1000, len(line)
+    doc = json.loads(line)
+    assert doc["metric"] == "headline_total"
+    assert doc["value"] == 17.43 and doc["unit"] == "sec"
+    assert len(doc["queries"]) == 13
+    assert doc["baseline_total"] == bench.BASELINE_HEADLINE_TOTAL
+    assert 0 < doc["ratio"] < 2
+    assert doc["n_queries"] == 103
+
+
 def test_pipeline_cluster_subcommand(spark, sf_dir, tmp_path):
     """cluster subcommand: all three algorithms label every input row
     deterministically, parquet-in → parquet-out."""
