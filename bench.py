@@ -354,6 +354,8 @@ def main() -> None:
         # the synthetic co-supplier graph is complete; see helper)
         ("triangles", _triangles_bench, 2),
         ("array_set_ops", entry.q_array_set_ops, 2),
+        # r7 addition: real PNG/WAV encode+decode through mapInPandas
+        ("multimodal_codec_stats", entry.q_multimodal_codec_stats, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -194,3 +194,33 @@ def test_resize_images_roundtrip(spark):
                 assert pix[(y * 4 + x) * 3 + ch] == src[(2 * y * 8 + 2 * x) * 3 + ch]
     # under-max image passes through untouched (same dims)
     assert (got[2]["out_w"], got[2]["out_h"]) == (2, 2)
+
+
+def test_codec_stats_real_decode_roundtrip(spark):
+    """synth_encoded_corpus emits REAL PNG/WAV bitstreams and
+    codec_stats' decode chain recovers the closed-form content exactly
+    (the driver-gate pair's local twin — VERDICT r6 item 7)."""
+    from clickhouse_k_means_spark.functions.codecs import is_png, is_wav
+    from clickhouse_k_means_spark.operators.multimodal import (
+        codec_stats,
+        synth_encoded_corpus,
+    )
+
+    corpus = synth_encoded_corpus(spark, n=6)
+    payloads = {r["id"]: bytes(r["payload"]) for r in corpus.collect()}
+    assert is_png(payloads[0]) and is_png(payloads[2])
+    assert is_wav(payloads[1]) and is_wav(payloads[3])
+
+    stats = {r["id"]: r for r in codec_stats(corpus).collect()}
+    # id=2: 10x8 gray PNG (w=8+2%5, h=6+2%4), pixel = (14+13r+31c) % 256
+    pix = [(2 * 7 + r * 13 + c * 31) % 256 for r in range(8) for c in range(10)]
+    s = stats[2]
+    assert (s["modality"], s["p1"], s["p2"]) == ("image", 10, 8)
+    assert (s["n_units"], s["v_sum"]) == (80, sum(pix))
+    assert (s["v_min"], s["v_max"]) == (min(pix), max(pix))
+    # id=3: 67-sample WAV, sample = (51 + 29i) % 4001 - 2000
+    smp = [(3 * 17 + i * 29) % 4001 - 2000 for i in range(64 + 3 % 32)]
+    s = stats[3]
+    assert (s["modality"], s["p1"], s["p2"]) == ("audio", 16000, 1)
+    assert (s["n_units"], s["v_sum"]) == (len(smp), sum(smp))
+    assert (s["v_min"], s["v_max"]) == (min(smp), max(smp))

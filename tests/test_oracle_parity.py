@@ -93,14 +93,17 @@ def test_entry_smoke(spark):
     assert {f.name for f in df.schema} == {"j", "n", "avg_dist"}
 
 
-def test_driver_window_pins_r6_rotation():
-    """Rotation contract (VERDICT r5 item 2): the driver records rows
-    for the FIRST 50 registry entries only. r6 window = 6-query fixed
-    head + range_frame (red-row redo: r5 hash-fail was a DuckDB
-    HUGEINT rendering artifact, oracle now casts) + the 22 late-r5
-    queries that have never had a driver row + the first 21 of
-    group B. Every windowed entry must have an oracle twin so its
-    driver row is a full value-hash gate."""
+def test_driver_window_pins_r7_rotation():
+    """Rotation contract (VERDICT r5 item 2, advanced per r6 item 2):
+    the driver records rows for the FIRST 50 registry entries only.
+    r7 window = 6-query fixed head + the cohort that had never had a
+    driver row (VERDICT r6 Missing #2: the 45 r6 additions minus the 6
+    that overflow into r8) + the group-B leftovers. Every windowed
+    entry must have an oracle twin so its driver row is a full
+    value-hash gate; the overflow + this round's single addition
+    (multimodal_codec_stats, the real-codec gate) must all sit inside
+    the r8 slice so the never-gated debt hits 0 next round (r6
+    item 3's schedule)."""
     keys = list(QUERIES)
     window = keys[:50]
     head = {
@@ -108,17 +111,32 @@ def test_driver_window_pins_r6_rotation():
         "elbow_total", "kmeans_fit_history",
     }
     assert head <= set(window), sorted(head - set(window))
-    assert "range_frame" in window  # red-row queue jump
-    never_gated = {
-        "chunk_docs", "inverted_index", "bigram_lm", "outliers",
-        "pagerank", "orc_roundtrip", "stream_ingest", "tpch_q13",
-        "tpch_q16", "bloom_join", "profile", "scd2",
-        "cumulative_uniques", "stream_enrich", "skew_report",
-        "domain_cap", "ssjoin", "resume_fit", "corr", "winsorize",
-        "snapshot_diff", "scd2_lookup",
+    first_gates_r7 = {
+        "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q19", "tpch_q2a",
+        "running_diff", "sequence_match", "window_funnel", "entropy",
+        "chi_square", "tpch_q6", "tpch_q8a", "tpch_q12a", "tpch_q15",
+        "tpch_q17", "tpch_q22a", "topk_heavy", "topk_weighted",
+        "ema_decay", "lttb", "array_funcs", "map_agg",
+        "audience_overlap", "rollup_incremental", "sequence_count",
+        "rolling_median", "stateful_stats", "regex_extract",
+        "pipeline_e2e", "knn_join", "grid_dbscan", "bisect_kmeans",
+        "lateral_topn", "grouping_sets", "recursive_cte",
+        "variant_json", "pyds_read", "ngram_sim", "locf_fill",
+        # group-B leftovers whose last green driver row was r4
+        "mllib_kmeans", "lang_id", "quality_scores", "token_counts",
+        "doc_fingerprint",
     }
-    assert never_gated <= set(window), sorted(never_gated - set(window))
+    assert first_gates_r7 <= set(window), sorted(first_gates_r7 - set(window))
     assert all(k in ORACLES for k in window)
+    # after r7 the entire remaining never-gated debt must sit inside
+    # the r8 slice (positions 50..93) so it clears next round
+    pending_r8 = {
+        "multimodal_codec_stats", "interval_union", "stream_join",
+        "array_set_ops", "triangles", "weighted_quantiles",
+        "anomaly_zscore",
+    }
+    r8_slice = set(keys[50:94])
+    assert pending_r8 <= r8_slice, sorted(pending_r8 - r8_slice)
     # the cadence must close: ceil(rotating / slots) rounds per full
     # sweep, with slots = 50 - len(fixed head). The registry comment
     # documents the CURRENT ceil — keep them in sync (VERDICT r5
