@@ -439,8 +439,9 @@ def knn_join(
     """
     head = df.select(vec).first()
     if head is None:
+        key_type = df.schema[key].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], f"a bigint, b bigint, sim double, rank int"
+            [], f"a {key_type}, b {key_type}, sim double, rank int"
         )
     dim = len(head[0])
     tables = [

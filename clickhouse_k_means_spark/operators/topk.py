@@ -100,8 +100,9 @@ def frequent_terms(
     tok = df.select(F.col(term).alias(term), w.alias("__w")).filter(
         F.col(term).isNotNull()
     )
+    term_type = df.schema[term].dataType.simpleString()
     cands = tok.mapInPandas(
-        mg_partials, schema=f"{term} string"
+        mg_partials, schema=f"{term} {term_type}"
     ).distinct()
     total = tok.agg(F.sum("__w").alias("__n"))
     return (

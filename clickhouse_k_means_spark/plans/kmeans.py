@@ -824,24 +824,40 @@ def bisecting_fit(
     base = yh.select("i", "Y").localCheckpoint(eager=True)
     if base.first() is None:
         raise ValueError("bisecting k-means: input DataFrame is empty")
-    # leaves: list of (df, squared WCSS)
+    # leaves: splittable candidates (df, squared WCSS); final: leaves
+    # PERMANENTLY out of the split pool — too few rows, or a
+    # degenerate k=2 split (all-duplicate points). Keeping them in a
+    # separate list (not a WCSS sentinel) is what guarantees the loop
+    # terminates: a degenerate leaf can never be re-picked even when
+    # it is the only leaf left with >= min_rows rows.
     leaves: list[tuple[DataFrame, float]] = [
         (base, elbow(base, _mean_model(base), squared=True))
     ]
+    final: list[tuple[DataFrame, float]] = []
     split_no = 0
-    while len(leaves) < k:
-        # pick the largest-WCSS leaf that still has >= min_rows rows
-        order = sorted(
-            range(len(leaves)), key=lambda idx: leaves[idx][1], reverse=True
-        )
-        picked = None
-        for idx in order:
-            if leaves[idx][0].limit(min_rows).count() >= min_rows:
-                picked = idx
-                break
+    while len(leaves) + len(final) < k and leaves:
+        # pick the largest-WCSS leaf that still has >= min_rows rows;
+        # smaller ones move to final (a leaf only ever shrinks, so one
+        # failed row-count check is conclusive forever)
+        still: list[tuple[DataFrame, float]] = []
+        picked: tuple[DataFrame, float] | None = None
+        for lw in sorted(leaves, key=lambda t: t[1], reverse=True):
+            if picked is not None:
+                still.append(lw)
+            elif lw[0].limit(min_rows).count() >= min_rows:
+                picked = lw
+            else:
+                final.append(lw)
+        leaves = still
         if picked is None:
             break  # nothing splittable
-        df, _ = leaves.pop(picked)
+        df, _ = picked
+        if df.select("Y").distinct().limit(2).count() < 2:
+            # all-duplicate leaf: a k=2 fit cannot place two distinct
+            # centers (k-means++ would fail with "no candidate points
+            # left") — final, never re-picked (ADVICE r6)
+            final.append((df, -1.0))
+            continue
         split_no += 1
         eng = KMeansEngine(k=2, seed=seed + split_no, max_iter=max_iter)
         res = eng.fit(df)
@@ -863,14 +879,17 @@ def bisecting_fit(
                     (part, elbow(part, _mean_model(part), squared=True))
                 )
         if len(halves) <= 1:
-            # degenerate split (duplicate points) — leaf is final
-            leaves.append((df, -1.0))
+            # degenerate split (duplicate points) — leaf is final and
+            # permanently unsplittable (ADVICE r6: re-appending it to
+            # the split pool looped forever when it was the only
+            # >= min_rows leaf left)
+            final.append((df, -1.0))
             continue
         leaves.extend(halves)
     # final model: per-leaf mean center; assignments by membership
     model: Model = []
     out = None
-    for li, (df, _w) in enumerate(leaves, start=1):
+    for li, (df, _w) in enumerate(leaves + final, start=1):
         center = _mean_model(df)[0][1]
         model.append((li, center))
         part = df.select(

@@ -1516,3 +1516,17 @@ def test_domain_cap_validates(spark):
     df = spark.createDataFrame([(1, "s")], "doc_id long, source string")
     with pytest.raises(ValueError):
         domain_cap(df, 0)
+
+
+def test_knn_join_empty_input_schema_follows_key_type(spark):
+    """ADVICE r6: the empty-input fast path must derive (a, b) from the
+    key column's actual type, not hardcode bigint."""
+    from clickhouse_k_means_spark.operators.similarity import knn_join
+
+    empty = spark.createDataFrame(
+        [], "vec_id int, embedding array<double>"
+    )
+    out = knn_join(empty, k=3, key="vec_id")
+    assert out.count() == 0
+    got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert got == {"a": "int", "b": "int", "sim": "double", "rank": "int"}

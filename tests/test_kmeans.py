@@ -317,3 +317,25 @@ def test_bisecting_fit_edges(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         bisecting_fit(yh, k=0)
+
+
+def test_bisecting_fit_degenerate_leaf_terminates(spark):
+    """ADVICE r6: a degenerate leaf (all-duplicate points, >= min_rows
+    rows) must become permanently unsplittable — with the WCSS -1.0
+    sentinel it was re-picked forever when it was the only >= min_rows
+    leaf and len(leaves) < k."""
+    from clickhouse_k_means_spark.plans.kmeans import bisecting_fit
+    from clickhouse_k_means_spark.sources.dataset import from_table
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 0.0), (3, 1.0, 1.0)],
+        "i long, x double, y double",
+    )
+    yh = from_table(pts, "i", ["x", "y"])
+    assigned, model = bisecting_fit(yh, k=3, seed=1)
+    # first split separates {dup, dup} from {(1,1)}; the duplicate
+    # pair is degenerate, so the fit stops at 2 leaves
+    assert len(model) == 2
+    assert assigned.count() == 3
+    labels = {r["i"]: r["j"] for r in assigned.collect()}
+    assert labels[1] == labels[2] != labels[3]

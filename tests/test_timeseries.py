@@ -155,6 +155,19 @@ def test_frequent_terms_validation(spark):
         frequent_terms(df, "term", 0)
 
 
+def test_frequent_terms_non_string_column(spark):
+    """ADVICE r6: the MG candidate schema must follow the input
+    column's type — a bigint item column used to type-mismatch the
+    mapInPandas output and the recount semi-join."""
+    vals = [7] * 50 + [13] * 30 + list(range(100, 120))
+    df = spark.createDataFrame([(v,) for v in vals], "item bigint")
+    got = {
+        (r["item"], r["cnt"])
+        for r in frequent_terms(df.repartition(5), "item", 4).collect()
+    }
+    assert got == {(7, 50), (13, 30)}
+
+
 # ------------------------------------------------------------ array HOFs
 
 
