@@ -84,7 +84,14 @@ def nearest_cells_batch(centers: list[list[float]], nprobe: int = 1):
     def _cells(v: pd.Series) -> pd.Series:
         m = np.array(v.tolist(), dtype=np.float64)
         scores = -2.0 * (m @ ct) + c_sq  # (n, k), rank == L2 rank
-        order = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]
+        if nprobe == 1:
+            # argmin (first occurrence == lowest index — the same tie
+            # rule as the stable argsort) is O(n·k) vs the sort's
+            # O(n·k log k); at k=414 candidates × 600k points this was
+            # over half the k-means|| init wall time (r7 profile)
+            order = scores.argmin(axis=1)[:, None]
+        else:
+            order = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype(np.int32)))
 
     return _cells
@@ -115,6 +122,47 @@ def min_sq_dist_batch(centers: list[list[float]]):
         return pd.Series(np.maximum(d2.min(axis=1), 0.0))
 
     return _min_d2
+
+
+def lloyd_partials_batch(centers: list[list[float]]):
+    """Factory for the FUSED Lloyd step (VERDICT r6 item 4): a
+    ``mapInPandas`` function emitting per-partition ``(cell, cnt,
+    s0..s{dim-1})`` partials — assignment (the same ``-2x·c + |c|²``
+    rank trick and first-min tie rule as ``nearest_cells_batch``) and
+    map-side sum/count aggregation in ONE narrow pass.
+
+    Physical shape: one stage per Lloyd step instead of two
+    (ArrowEval → hash-agg → exchange → final agg). The output is at
+    most ``k`` rows per partition, so either a driver-side combine
+    (small partition counts — the local path) or a k×P-row shuffle
+    (cluster path) finishes the means; both are decided by the
+    caller. Returns ``(fn, schema)``.
+    """
+    c = _stack(centers)  # (k, dim)
+    ct = np.ascontiguousarray(c.T)
+    c_sq = (c * c).sum(axis=1)
+    k, dim = c.shape
+    schema = "cell int, cnt bigint, " + ", ".join(
+        f"s{d} double" for d in range(dim)
+    )
+
+    def _partials(batches):
+        sums = np.zeros((k, dim))
+        cnts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            m = np.array(pdf["Y"].tolist(), dtype=np.float64)  # (n, dim)
+            idx = (-2.0 * (m @ ct) + c_sq).argmin(axis=1)
+            cnts += np.bincount(idx, minlength=k)
+            for d in range(dim):
+                sums[:, d] += np.bincount(idx, weights=m[:, d], minlength=k)
+        nz = np.flatnonzero(cnts)
+        if len(nz):
+            out = {"cell": nz.astype(np.int32), "cnt": cnts[nz]}
+            for d in range(dim):
+                out[f"s{d}"] = sums[nz, d]
+            yield pd.DataFrame(out)
+
+    return _partials, schema
 
 
 def numpy_kmeans_weighted(

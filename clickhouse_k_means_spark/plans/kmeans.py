@@ -449,18 +449,8 @@ class KMeansEngine:
         fold order)."""
         k = len(model)
         if self.mean_scales is None and k * dim >= self._ARROW_ASSIGN_CELLS:
-            from clickhouse_k_means_spark.functions.vector import (
-                nearest_cells_batch,
-            )
-
-            ordered = sorted(model)  # index order == ascending j
-            cells = nearest_cells_batch([list(map(float, c)) for _, c in ordered])
-            idx = cells(F.col("Y").cast("array<double>"))[0]
-            j = F.element_at(
-                F.array(*[F.lit(int(jj)) for jj, _ in ordered]), idx + 1
-            )
-        else:
-            j = nearest_centroid_struct("Y", model)["j"]
+            return self._lloyd_step_fused(yh, model, dim)
+        j = nearest_centroid_struct("Y", model)["j"]
         if self.mean_scales is not None:
             aggs = []
             for dd in range(dim):
@@ -478,6 +468,55 @@ class KMeansEngine:
         rows = yh.select(j.alias("j"), "Y").groupBy("j").agg(*aggs).collect()
         return sorted(
             (int(r["j"]), [float(r[f"c{dd}"]) for dd in range(dim)]) for r in rows
+        )
+
+    # distributed partial-combine kicks in above this partition count
+    # (k × P collected rows stay tiny below it; above it the combine
+    # is a k×P-row shuffle, never a data-scale one)
+    _FUSED_COLLECT_MAX_PARTITIONS = 512
+
+    def _lloyd_step_fused(self, yh: DataFrame, model: Model, dim: int) -> Model:
+        """Large-k Lloyd step as ONE narrow job (VERDICT r6 item 4):
+        ``mapInPandas`` fuses the Arrow matmul assignment with
+        map-side (cell, count, per-dim sum) partials, so each step
+        launches a single stage — the previous shape (pandas-UDF
+        assignment stage, then hash-agg + exchange + final agg) paid
+        ~0.6 s/step of extra stage/codegen latency at local scale.
+
+        Partials are ≤ k rows per partition. Locally they are combined
+        on the driver (k × P rows, trivially small); past
+        ``_FUSED_COLLECT_MAX_PARTITIONS`` partitions the combine runs
+        as a groupBy over the k×P partial rows instead — the 100 TB
+        path shuffles centroid partials, never points (MLlib's
+        treeAggregate shape expressed relationally).
+        """
+        from clickhouse_k_means_spark.functions.vector import (
+            lloyd_partials_batch,
+        )
+
+        ordered = sorted(model)  # index order == ascending j
+        fn, schema = lloyd_partials_batch(
+            [list(map(float, c)) for _, c in ordered]
+        )
+        partials = yh.select("Y").mapInPandas(fn, schema=schema)
+        if yh.rdd.getNumPartitions() > self._FUSED_COLLECT_MAX_PARTITIONS:
+            agg = [F.sum("cnt").alias("cnt")] + [
+                F.sum(f"s{d}").alias(f"s{d}") for d in range(dim)
+            ]
+            rows = partials.groupBy("cell").agg(*agg).collect()
+        else:
+            rows = partials.collect()
+        sums = {}
+        cnts = {}
+        for r in rows:
+            cell = int(r["cell"])
+            cnts[cell] = cnts.get(cell, 0) + int(r["cnt"])
+            acc = sums.setdefault(cell, [0.0] * dim)
+            for d in range(dim):
+                acc[d] += float(r[f"s{d}"])
+        return sorted(
+            (int(ordered[cell][0]), [s / cnts[cell] for s in sums[cell]])
+            for cell in cnts
         )
 
     def fit(

@@ -339,3 +339,56 @@ def test_bisecting_fit_degenerate_leaf_terminates(spark):
     assert assigned.count() == 3
     labels = {r["i"]: r["j"] for r in assigned.collect()}
     assert labels[1] == labels[2] != labels[3]
+
+
+def test_lloyd_step_fused_matches_exact_means(spark):
+    """The fused single-stage Lloyd step (mapInPandas partials +
+    driver combine) must produce the same assignment (argmin, ties →
+    lowest j) and per-cluster means as a direct computation."""
+    import numpy as np
+
+    from clickhouse_k_means_spark.sources.dataset import from_table
+
+    rng = np.random.RandomState(7)
+    pts = rng.uniform(-10, 10, size=(500, 3)).round(3)
+    df = spark.createDataFrame(
+        [(i, *map(float, p)) for i, p in enumerate(pts)],
+        "i long, x double, y double, z double",
+    )
+    yh = from_table(df, "i", ["x", "y", "z"])
+    model = [(j + 1, [float(j - 8), float(2 * j - 16), 0.5]) for j in range(16)]
+    eng = KMeansEngine(k=16, seed=1)
+    assert eng.mean_scales is None and 16 * 3 >= eng._ARROW_ASSIGN_CELLS
+    got = dict(eng.lloyd_step(yh.repartition(6), model, dim=3))
+
+    C = np.array([c for _, c in model])
+    d2 = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    idx = d2.argmin(axis=1)
+    want = {
+        j + 1: pts[idx == j].mean(axis=0)
+        for j in range(16)
+        if (idx == j).any()
+    }
+    assert set(got) == set(want)
+    for j, c in got.items():
+        assert np.allclose(c, want[j], atol=1e-9), (j, c, want[j])
+
+
+def test_lloyd_fused_partials_plan_is_single_narrow_stage(spark, sf_dir):
+    """The fused step's distributed portion must be shuffle-free: one
+    MapInPandas over the cached points, no Exchange (the combine is
+    driver-side below the partition threshold)."""
+    from clickhouse_k_means_spark.functions.vector import lloyd_partials_batch
+    from clickhouse_k_means_spark.sources.dataset import load_yh
+
+    yh = load_yh(spark, sf_dir, "lineitem")
+    fn, schema = lloyd_partials_batch([[float(j), 0.0, 1.0, 2.0] for j in range(16)])
+    plan = (
+        yh.select("Y")
+        .mapInPandas(fn, schema=schema)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
