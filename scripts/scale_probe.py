@@ -77,8 +77,14 @@ def main() -> None:
         _noop(entry.q_near_dedup(spark, sf_dir))
 
     def q_ssjoin():
-        # 10x the bench slice: first 1000 docs of EACH replica
+        # 10x the bench slice: first 1000 docs of EACH replica.
+        # Logs candidate-pair and qualifying-result counts alongside
+        # the timing (VERDICT r6 item 6: the 10.5x sf1 wall-time claim
+        # is "output growth, not shuffle growth" — these counts make
+        # that checkable, no silent caps).
         from clickhouse_k_means_spark.operators.ssjoin import (
+            _candidate_pairs,
+            _ordered_sets,
             similarity_self_join,
         )
 
@@ -88,6 +94,12 @@ def main() -> None:
             .filter("doc_id % 1000000 < 1000")
         )
         _noop(similarity_self_join(docs, threshold_ppm=800_000))
+        ordered = _ordered_sets(docs, "doc_id", "text")
+        counts = {
+            "candidates": _candidate_pairs(ordered, 800_000).count(),
+            "results": similarity_self_join(docs, threshold_ppm=800_000).count(),
+        }
+        print(json.dumps({"ssjoin_counts": counts}), flush=True)
 
     def q_pagerank():
         _noop(entry.q_pagerank(spark, sf_dir))

@@ -75,8 +75,14 @@ def test_oracle_parity(key, spark, sf_dir):
             )
 
 
-@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
+@pytest.mark.parametrize("key", ROWS_ONLY_KEYS or ["__all_have_oracles__"])
 def test_rows_only_queries_run(key, spark, sf_dir):
+    if key == "__all_have_oracles__":
+        # an empty parametrize list renders as a SKIP marker; assert
+        # the actual (good) state instead: every registry entry has a
+        # full-value oracle twin, nothing is rows-only
+        assert not ROWS_ONLY_KEYS
+        return
     df = QUERIES[key](spark, sf_dir)
     # the driver gate canonicalizes (sorts) EVERY query's output, even
     # rows-only ones — unhashable cells (arrays/maps) err the gate row
