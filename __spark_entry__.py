@@ -1596,6 +1596,35 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_neardup_bucketed(emb, threshold=0.8, n_bits=8, n_tables=8)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): cluster-bucketed embedding
+    dedup over the vec_id < 1000 slice + the planted near-dups.
+    Centroids are the 8 lowest-vec_id embedding vectors (a FIXED,
+    deterministic model — production fits the engine k-means instead;
+    that path is pytest-certified) so DuckDB replays the ENTIRE
+    pipeline by value: assignment (unrolled L2, tie → lowest j),
+    in-cluster pair edges at round(cos,4) >= 0.8, recursive-CTE
+    duplicate groups, and the keep rule (min rounded
+    cosine-to-centroid, tie → lowest key). Every row of the slice is
+    value-hashed with its cluster, group, and survival bit."""
+    from clickhouse_k_means_spark.operators.semdedup import semantic_dedup
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    extra = spark.createDataFrame(
+        _planted_neardups(), "vec_id bigint, embedding array<double>"
+    )
+    docs = emb.unionAll(extra)
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]  # 8-row bounded driver collect — the model-as-literals contract
+    return semantic_dedup(docs, centroids=cents, threshold=0.8)
+
+
 # ---- text analysis ----
 
 
@@ -3895,17 +3924,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * red rows jump the queue regardless of the pointer (r6 board:
     #     none — 50/50 green, nothing to queue-jump this round).
     #   * new queries are INSERTED into the next round's slice so they
-    #     first-gate one round after they land (this round's only
-    #     addition: multimodal_codec_stats, the real-codec driver
-    #     gate — VERDICT r6 item 7 — first-gates in r8).
+    #     first-gate one round after they land (this round's
+    #     additions: multimodal_codec_stats, the real-codec driver
+    #     gate — VERDICT r6 item 7 — and semdedup, the cluster-
+    #     bucketed embedding dedup; both first-gate in r8).
     # r7 window (this round) = 6 fixed + R[0:44] below: the cohort
     # that had never had a driver row — mllib_kmeans, rest of group B
     # (lang_id .. doc_fingerprint), the r6 TPC-H/sequence batch
     # (tpch_q7 .. chi_square), and the first r6-addition wave
-    # (tpch_q6 .. locf_fill). After r7 the never-gated debt is 7
-    # (interval_union .. anomaly_zscore + multimodal_codec_stats),
-    # all inside the r8 slice R[44:88] — the rotation pin test
-    # (tests/test_oracle_parity.py) asserts both facts.
+    # (tpch_q6 .. locf_fill). After r7 the never-gated debt is 8
+    # (interval_union .. anomaly_zscore + multimodal_codec_stats +
+    # semdedup), all inside the r8 slice R[44:88] — the rotation pin
+    # test (tests/test_oracle_parity.py) asserts both facts.
     return {
         "yh_contract": q_yh_contract,
         "nearest_assign": q_nearest_assign,
@@ -3969,6 +3999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "weighted_quantiles": q_weighted_quantiles,
         "anomaly_zscore": q_anomaly_zscore,
+        # r7 addition (appended BEHIND the pending never-gated cohort
+        # per VERDICT r6 item 3): SemDeDup cluster-bucketed dedup —
+        # first-gates in r8 with the rest of this slice
+        "semdedup": q_semdedup,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
@@ -4250,6 +4284,19 @@ def oracle_sql() -> dict[str, str]:
     cos = (
         f"(({_dot64_sql('qa.v', 'qb.v')}) / "
         f"(sqrt({_dot64_sql('qa.v', 'qa.v')}) * sqrt({_dot64_sql('qb.v', 'qb.v')})))"
+    )
+    # semdedup fragments: same 64-term left folds, against the fixed
+    # centroid CTE ``c`` / the pair aliases ``ea``/``eb``
+    sem_sq_l2 = " + ".join(
+        f"(e.v[{i}] - c.cv[{i}]) * (e.v[{i}] - c.cv[{i}])" for i in range(1, 65)
+    )
+    sem_cos_ec = (
+        f"(({_dot64_sql('e.v', 'c.cv')}) / "
+        f"(sqrt({_dot64_sql('e.v', 'e.v')}) * sqrt({_dot64_sql('c.cv', 'c.cv')})))"
+    )
+    sem_cos_ab = (
+        f"(({_dot64_sql('ea.v', 'eb.v')}) / "
+        f"(sqrt({_dot64_sql('ea.v', 'ea.v')}) * sqrt({_dot64_sql('eb.v', 'eb.v')})))"
     )
     return {
         "yh_contract": (
@@ -4786,6 +4833,38 @@ def oracle_sql() -> dict[str, str]:
             f"round({cos}, 4) as sim from e qa, e qb "
             "where qa.vec_id < qb.vec_id "
             f"and round({cos}, 4) >= 0.8"
+        ),
+        # SemDeDup full-value replay: fixed first-8 centroids →
+        # assignment (same unrolled fold order as the Spark literals,
+        # tie → lowest j), in-cluster edges at round(cos,4) >= 0.8,
+        # recursive transitive-closure groups, keep = min rounded
+        # cosine-to-centroid (tie → lowest vec_id)
+        "semdedup": (
+            "with recursive e as (select vec_id, embedding::DOUBLE[] as v "
+            "from embeddings where vec_id < 1000 union all "
+            f"{_planted_neardups_sql()}), "
+            "c as (select vec_id::INT as j, v as cv from e where vec_id < 8), "
+            f"asg as (select e.vec_id, c.j, sqrt({sem_sq_l2}) as dist, "
+            f"round({sem_cos_ec}, 4) as c2c from e, c), "
+            "best as (select vec_id, j, c2c from asg qualify "
+            "row_number() over (partition by vec_id order by dist asc, j asc) = 1), "
+            "edges as (select a.vec_id as a, b.vec_id as b from best a "
+            "join best b on a.j = b.j and a.vec_id < b.vec_id "
+            "join e ea on ea.vec_id = a.vec_id "
+            "join e eb on eb.vec_id = b.vec_id "
+            f"where round({sem_cos_ab}, 4) >= 0.8), "
+            "sym as (select a as n, b as m from edges "
+            "union select b, a from edges), "
+            "reach(n, m) as (select n, m from sym union "
+            "select r.n, s.m from reach r join sym s on r.m = s.n), "
+            "comp as (select n, least(n, min(m)) as component "
+            "from reach group by n), "
+            "lab as (select best.vec_id, best.j, best.c2c, "
+            "coalesce(comp.component, best.vec_id) as grp "
+            "from best left join comp on best.vec_id = comp.n) "
+            "select vec_id, j, grp, (row_number() over "
+            "(partition by grp order by c2c asc, vec_id asc) = 1)::INT "
+            "as keep from lab"
         ),
         "lang_id": (
             f"with tkc as (select doc_id, text, {_TOKS} as tk from "

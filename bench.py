@@ -198,6 +198,9 @@ def main() -> None:
         # (r4 samples [2.16, 4.38] — VERDICT r4 item 4)
         ("dedup_components", entry.q_dedup_components, 3),
         ("embed_neardup_lsh", entry.q_embed_neardup_lsh, 2),
+        # SemDeDup: fixed-centroid assignment + in-cluster pair edges
+        # + CC grouping + keep rule over the 1000-vector slice
+        ("semdedup", entry.q_semdedup, 2),
         ("srp_ann", entry.q_srp_ann, 2),
         ("ivf_ann", entry.q_ivf_ann, 2),
         ("decontaminate", entry.q_decontaminate, 2),

@@ -1,0 +1,138 @@
+"""SemDeDup — semantic (embedding-space) deduplication by clustering.
+
+The clustering companion to the SRP near-dup family
+(operators/similarity.py): SRP buckets by RANDOM hyperplanes (recall
+is probabilistic), SemDeDup buckets by LEARNED k-means centroids
+(Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication", arXiv:2303.09540). Pairwise cosine is
+computed ONLY within a cluster, pairs at/above the threshold form
+duplicate groups (connected components), and ONE representative
+survives per group — the member LEAST similar to its cluster centroid,
+the paper's best-performing keep rule (keeps the "edge" example,
+drops the redundant interior), tie-broken on the key for determinism.
+
+Scale anatomy (the 100-TB contract):
+  1. assignment — model-as-literals broadcast (k rows never shuffle;
+     the Arrow matmul path takes over when k·dim is codegen-hostile),
+     one narrow scan of the corpus;
+  2. pair edges — a self EQUI-join on the cluster id: the ONLY
+     quadratic term, Σ|cluster|², bounded BY DESIGN through k
+     (the paper runs k = 50k on LAION; choose k ≈ n / target cluster
+     size and the join stays shuffle-keyed by cluster, never global);
+  3. grouping — connected_components hash-min propagation (dup groups
+     are near-cliques: 2-4 rounds);
+  4. keep rule — one row_number per group (WindowGroupLimit-shaped).
+
+Reference parity: the reference engine (k-means.sql) stops at cluster
+assignment; dedup-by-cluster is the extension a training-data pipeline
+actually runs on top of it, so this operator is the reference's
+k-means surface put to its published downstream use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clickhouse_k_means_spark.functions.centroids import nearest_centroid_struct
+from clickhouse_k_means_spark.functions.distance import cosine_fixed
+from clickhouse_k_means_spark.operators.components import connected_components
+
+# above this k·dim the unrolled per-centroid distance expression stops
+# being codegen-friendly (the kmeans engine's own dispatch lesson) and
+# assignment goes through the Arrow matmul batch instead
+_UNROLL_BUDGET = 1024
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    k: int = 8,
+    threshold: float = 0.8,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Label every row with its cluster, duplicate group, and survival.
+
+    Returns ``(key, j int, grp, keep int)``: ``j`` the assigned
+    centroid, ``grp`` the duplicate-group label (min member key;
+    rows with no in-cluster neighbor at/above ``threshold`` are their
+    own group), ``keep`` 1 for the group representative (minimum
+    rounded cosine-to-centroid, tie → lowest key) else 0.
+
+    ``centroids``: ``[(j, vector), ...]`` to dedup against a fixed
+    model (deterministic, oracle-replayable); ``None`` fits the engine
+    k-means on ``df`` itself (k-means‖ init at k ≥ 16), the paper's
+    actual procedure.
+
+    Cosines are rounded to 4 decimals BEFORE the threshold and keep
+    comparisons — the cross-engine determinism rule every other
+    cosine gate in this repo follows.
+    """
+    head = df.select(vec).first()
+    if head is None:
+        kt = df.schema[key].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"{key} {kt}, j int, grp {kt}, keep int"
+        )
+    dim = len(head[0])
+    if centroids is None:
+        from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+
+        yh = df.select(
+            F.col(key).alias("i"), F.col(vec).cast("array<double>").alias("Y")
+        )
+        init = "parallel" if k >= 16 else "plusplus"
+        model = KMeansEngine(k=k, seed=seed, max_iter=max_iter, init=init).fit(
+            yh
+        ).model
+    else:
+        model = [(int(j), [float(x) for x in c]) for j, c in centroids]
+
+    if len(model) * dim <= _UNROLL_BUDGET:
+        jcol = nearest_centroid_struct(F.col(vec), model)["j"]
+    else:
+        from clickhouse_k_means_spark.functions.vector import nearest_cells_batch
+
+        cells = nearest_cells_batch([c for _, c in model], nprobe=1)
+        js = F.array(*[F.lit(int(j)) for j, _ in model])
+        jcol = F.element_at(js, cells(F.col(vec))[0] + F.lit(1))
+    assigned = df.select(
+        F.col(key).alias("n"), F.col(vec).cast("array<double>").alias("v"),
+        jcol.alias("j"),
+    )
+
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(j), [float(x) for x in c]) for j, c in model],
+        "j int, cv array<double>",
+    )
+    memb = assigned.join(F.broadcast(cdf), "j").select(
+        "n", "j", "v", F.round(cosine_fixed("v", "cv", dim), 4).alias("c2c")
+    )
+
+    a = memb.select(F.col("n").alias("a"), "j", F.col("v").alias("va"))
+    b = memb.select(F.col("n").alias("b"), "j", F.col("v").alias("vb"))
+    edges = (
+        a.join(b, "j")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.round(cosine_fixed("va", "vb", dim), 4).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b")
+    )
+    comps = connected_components(edges, "a", "b")
+    labeled = (
+        memb.join(comps, memb["n"] == comps["n"], "left")
+        .select(memb["n"], "j", "c2c", F.coalesce("component", memb["n"]).alias("grp"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("c2c").asc(), F.col("n").asc())
+    return labeled.select(
+        F.col("n").alias(key),
+        "j",
+        "grp",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )

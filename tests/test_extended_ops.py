@@ -1530,3 +1530,118 @@ def test_knn_join_empty_input_schema_follows_key_type(spark):
     assert out.count() == 0
     got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
     assert got == {"a": "int", "b": "int", "sim": "double", "rank": "int"}
+
+
+# ---- SemDeDup (cluster-bucketed embedding dedup) ----
+
+
+def _semdedup_fixture(spark):
+    """Two well-separated directions with planted near-dups on each,
+    plus a lone outlier: groups are knowable by construction."""
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+
+    def noisy(base, eps):
+        return [round(v + rng.gauss(0.0, eps), 6) for v in base]
+
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [
+        (0, e1),
+        (1, noisy(e1, 0.01)),     # near-dup of 0
+        (2, noisy(e1, 0.01)),     # near-dup of 0
+        (10, e2),
+        (11, noisy(e2, 0.01)),    # near-dup of 10
+        (20, noisy([v * 0.5 for v in e1], 0.4)),  # loner
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_semdedup_groups_planted_dups_one_keeper(spark):
+    from clickhouse_k_means_spark.operators.semdedup import semantic_dedup
+
+    df = _semdedup_fixture(spark)
+    cents = [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)]
+    out = semantic_dedup(df, centroids=cents, threshold=0.95).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(out) == 6
+    # clusters follow the nearest fixed centroid
+    assert {by_id[i]["j"] for i in (0, 1, 2, 20)} == {0}
+    assert {by_id[i]["j"] for i in (10, 11)} == {1}
+    # planted dups share a group labeled by the min member id
+    assert by_id[0]["grp"] == by_id[1]["grp"] == by_id[2]["grp"] == 0
+    assert by_id[10]["grp"] == by_id[11]["grp"] == 10
+    assert by_id[20]["grp"] == 20 and by_id[20]["keep"] == 1
+    # exactly one keeper per group
+    from collections import Counter
+
+    kept = Counter(r["grp"] for r in out if r["keep"] == 1)
+    assert kept == {0: 1, 10: 1, 20: 1}
+    # conservation
+    assert sum(r["keep"] for r in out) == 3
+
+
+def test_semdedup_keep_rule_is_least_similar_to_centroid(spark):
+    """The paper's keep rule: within a duplicate group the survivor is
+    the member with the LOWEST cosine-to-centroid (ties -> lowest id)."""
+    from clickhouse_k_means_spark.operators.semdedup import semantic_dedup
+
+    # 40 is exactly the centroid direction (c2c = 1.0); 41 is tilted
+    # (lower c2c) but still a near-dup -> 41 must be the keeper
+    rows = [
+        (40, [1.0, 0.0, 0.0, 0.0]),
+        (41, [0.99, 0.1, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0])]
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, centroids=cents, threshold=0.9).collect()}
+    assert out[41]["keep"] == 1 and out[40]["keep"] == 0
+    assert out[40]["grp"] == out[41]["grp"] == 40
+
+
+def test_semdedup_fitted_centroids_invariants(spark):
+    """centroids=None fits the engine k-means (the paper's actual
+    procedure): structural invariants must hold regardless of the
+    learned model."""
+    from clickhouse_k_means_spark.operators.semdedup import semantic_dedup
+
+    df = _semdedup_fixture(spark)
+    out = semantic_dedup(df, k=2, threshold=0.95, seed=42, max_iter=5).collect()
+    assert len(out) == 6  # every row labeled exactly once
+    groups = {}
+    for r in out:
+        groups.setdefault(r["grp"], []).append(r)
+    for grp, members in groups.items():
+        assert sum(m["keep"] for m in members) == 1, (grp, members)
+        # group label is the min member id, and members share a cluster
+        assert grp == min(m["vec_id"] for m in members)
+        assert len({m["j"] for m in members}) == 1
+
+
+def test_semdedup_empty_input_schema_follows_key_type(spark):
+    from clickhouse_k_means_spark.operators.semdedup import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    out = semantic_dedup(empty, centroids=[(0, [1.0, 0.0])])
+    assert out.count() == 0
+    got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert got == {"vec_id": "int", "j": "int", "grp": "int", "keep": "int"}
+
+
+def test_semdedup_pair_join_is_cluster_keyed_not_cartesian(spark):
+    """The ONLY quadratic term must be the in-cluster equi-join: the
+    physical plan may not contain a cartesian/broadcast-nested-loop
+    stage (100-TB contract: shuffle keyed by cluster id)."""
+    from clickhouse_k_means_spark.operators.semdedup import semantic_dedup
+
+    df = _semdedup_fixture(spark)
+    cents = [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)]
+    plan = (
+        semantic_dedup(df, centroids=cents, threshold=0.95)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

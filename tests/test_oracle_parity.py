@@ -140,6 +140,8 @@ def test_driver_window_pins_r7_rotation():
         "multimodal_codec_stats", "interval_union", "stream_join",
         "array_set_ops", "triangles", "weighted_quantiles",
         "anomaly_zscore",
+        # r7 addition, appended behind the pending cohort (r6 item 3)
+        "semdedup",
     }
     r8_slice = set(keys[50:94])
     assert pending_r8 <= r8_slice, sorted(pending_r8 - r8_slice)
