@@ -447,16 +447,30 @@ def main() -> None:
     #           from a truncated tail by scripts/bench_diff.py)
     #   line 3: compact headline summary, guaranteed < ~700 bytes so
     #           the ENTIRE line survives inside any 2000-char tail
-    print(json.dumps({"metric": "bench_detail", "sf": sf, "detail": detail}))
+    # compact separators: ~4 bytes/entry on a 120-query line means
+    # ~15 more per-query pairs inside the driver's 2000-char tail for
+    # scripts/bench_diff.py to mine
+    print(
+        json.dumps(
+            {"metric": "bench_detail", "sf": sf, "detail": detail},
+            separators=(",", ":"),
+        )
+    )
+    # the 13 headline medians live on the SUMMARY line only — dumping
+    # them here too cost ~330 tail bytes that displace ~11 extended
+    # per-query pairs from the driver's window. kscale goes FIRST for
+    # the same reason: its 9 floats are already summarized on the last
+    # line, so when the 2000-char tail truncates this line the bytes
+    # nearest the end are all anchored per-query pairs.
     print(
         json.dumps(
             {
                 "metric": "bench_queries",
                 "sf": sf,
-                "queries": timings,
-                "extended": extended,
                 "kscale": kscale,
-            }
+                "extended": extended,
+            },
+            separators=(",", ":"),
         )
     )
     print(summary_line(total, timings, extended, kscale, sf))
@@ -494,7 +508,8 @@ def summary_line(
             "kscale_warm": kscale.get("fit_parallel_warm_sec"),
             "mllib_warm": kscale.get("mllib_warm_sec"),
             "inertia_ratio": kscale.get("inertia_ratio"),
-        }
+        },
+        separators=(",", ":"),
     )
 
 
