@@ -50,7 +50,26 @@ def nearest_centroid_struct(y, model: Sequence[tuple[int, Sequence[float]]]) -> 
     arity is known): higher-order functions would run interpreted and
     kill whole-stage codegen for every assignment/elbow/Lloyd scan.
     The fold order matches the HOF form bit-for-bit.
+
+    When ``y`` is a plain column name the whole expression is built as
+    ONE SQL string parsed JVM-side: the Column-by-Column form costs
+    ~3 Py4J round trips per (centroid, dim) cell, which at k·dim in
+    the hundreds (SemDeDup's 8×64 model) turned plan CONSTRUCTION into
+    tens of seconds of driver time. Identical AST either way — the
+    literals print via repr, which round-trips float64 exactly.
     """
+    if isinstance(y, str) and y.isidentifier():
+        from clickhouse_k_means_spark.functions.distance import _lit_f
+
+        parts = []
+        for j, c in model:
+            sq = " + ".join(
+                f"(({y}[{d}]) - ({_lit_f(float(v))})) * "
+                f"(({y}[{d}]) - ({_lit_f(float(v))}))"
+                for d, v in enumerate(c)
+            )
+            parts.append(f"struct(sqrt({sq}) as dist, {int(j)} as j)")
+        return F.expr(f"array_min(array({', '.join(parts)}))")
     y = _as_vec(y)
     candidates = []
     for j, c in model:

@@ -34,8 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from clickhouse_k_means_spark.functions.centroids import nearest_centroid_struct
-from clickhouse_k_means_spark.functions.distance import cosine_fixed
+from clickhouse_k_means_spark.functions.distance import dot_fixed, l2_fixed
 from clickhouse_k_means_spark.operators.components import connected_components
 
 # above this k·dim the unrolled per-centroid distance expression stops
@@ -91,35 +90,90 @@ def semantic_dedup(
     else:
         model = [(int(j), [float(x) for x in c]) for j, c in centroids]
 
+    base = df.select(
+        F.col(key).alias("n"), F.col(vec).cast("array<double>").alias("v")
+    )
     if len(model) * dim <= _UNROLL_BUDGET:
-        jcol = nearest_centroid_struct(F.col(vec), model)["j"]
+        # per-centroid distances as SEPARATE columns: one k·dim-sized
+        # expression is a single codegen method janino refuses to
+        # compile (then every stage pays the failed-compile +
+        # interpreted-fallback tax); k separate 64-term columns each
+        # compile fine and fold in the same per-distance order the
+        # DuckDB oracle replays
+        dists = [
+            l2_fixed("v", c, dim).alias(f"_d{i}")
+            for i, (_, c) in enumerate(model)
+        ]
+        staged = base.select("n", "v", *dists)
+        jcol = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_d{i}").alias("dist"),
+                        F.lit(int(j)).alias("j"),
+                    )
+                    for i, (j, _) in enumerate(model)
+                ]
+            )
+        )["j"]
+        assigned = staged.select("n", "v", jcol.alias("j"))
     else:
         from clickhouse_k_means_spark.functions.vector import nearest_cells_batch
 
         cells = nearest_cells_batch([c for _, c in model], nprobe=1)
         js = F.array(*[F.lit(int(j)) for j, _ in model])
-        jcol = F.element_at(js, cells(F.col(vec))[0] + F.lit(1))
-    assigned = df.select(
-        F.col(key).alias("n"), F.col(vec).cast("array<double>").alias("v"),
-        jcol.alias("j"),
-    )
+        assigned = base.select(
+            "n", "v", F.element_at(js, cells(F.col("v"))[0] + F.lit(1)).alias("j")
+        )
 
     spark = df.sparkSession
     cdf = spark.createDataFrame(
         [(int(j), [float(x) for x in c]) for j, c in model],
         "j int, cv array<double>",
     )
-    memb = assigned.join(F.broadcast(cdf), "j").select(
-        "n", "j", "v", F.round(cosine_fixed("v", "cv", dim), 4).alias("c2c")
+    # barrier: materialize (n, j, c2c, |v|²) once. Without the cut the
+    # assignment tree re-derives in every downstream stage (a-side,
+    # b-side, AND the final label join). At cluster scale this is the
+    # natural pipeline break anyway: every consumer below needs the
+    # full assignment pass. The row norm rides along so the pair stage
+    # pays ONE dot product per candidate instead of three.
+    memb = (
+        assigned.join(F.broadcast(cdf), "j")
+        .select(
+            "n", "j", "v",
+            dot_fixed("v", "cv", dim).alias("_ab"),
+            dot_fixed("v", "v", dim).alias("_aa"),
+            dot_fixed("cv", "cv", dim).alias("_bb"),
+        )
+        .select(
+            "n", "j", "v",
+            F.round(
+                F.col("_ab") / (F.sqrt("_aa") * F.sqrt("_bb")), 4
+            ).alias("c2c"),
+            F.col("_aa").alias("nv"),
+        )
+        .localCheckpoint(eager=True)
     )
 
-    a = memb.select(F.col("n").alias("a"), "j", F.col("v").alias("va"))
-    b = memb.select(F.col("n").alias("b"), "j", F.col("v").alias("vb"))
+    a = memb.select(
+        F.col("n").alias("a"), "j", F.col("v").alias("va"),
+        F.col("nv").alias("nva"),
+    )
+    b = memb.select(
+        F.col("n").alias("b"), "j", F.col("v").alias("vb"),
+        F.col("nv").alias("nvb"),
+    )
     edges = (
         a.join(b, "j")
         .filter(F.col("a") < F.col("b"))
         .select(
-            "a", "b", F.round(cosine_fixed("va", "vb", dim), 4).alias("sim")
+            "a",
+            "b",
+            F.round(
+                dot_fixed("va", "vb", dim)
+                / (F.sqrt("nva") * F.sqrt("nvb")),
+                4,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
         .select("a", "b")
