@@ -34,12 +34,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from clickhouse_k_means_spark.functions.distance import dot_fixed, l2_fixed
+from clickhouse_k_means_spark.functions.distance import (
+    _lit_f,
+    dot_fixed,
+    l2_fixed,
+)
 from clickhouse_k_means_spark.operators.components import connected_components
 
-# above this k·dim the unrolled per-centroid distance expression stops
-# being codegen-friendly (the kmeans engine's own dispatch lesson) and
-# assignment goes through the Arrow matmul batch instead
+
+def _l2_hof_expr(col: str, c: list[float]):
+    """L2 distance to a literal centroid as ONE JVM-parsed HOF fold:
+    ``sqrt(aggregate(zip_with(col, array(...), (x,y)->(x-y)²), 0D, +))``.
+    Interpreted per element (CodegenFallback), which is exactly the
+    point — see the dispatch-tier comment. Fold order matches the
+    unrolled form term-for-term (0 + d0 == d0 in IEEE)."""
+    arr = ", ".join(_lit_f(float(v)) for v in c)
+    return F.expr(
+        f"sqrt(aggregate(zip_with({col}, array({arr}), "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t))"
+    )
+
+# assignment dispatch tiers by k·dim (the kmeans engine's own lesson,
+# re-measured here): up to _CODEGEN_SAFE_CELLS the unrolled distance
+# columns whole-stage-codegen cleanly; between that and _UNROLL_BUDGET
+# a single codegen unit holding every per-centroid expression exceeds
+# janino's method limit and — because FAILED compiles are not cached —
+# re-pays a multi-second compile attempt on EVERY execution (measured
+# 6-16 s/run at 8×64 on a 1006-row slice), so the distances switch to
+# the interpreted HOF fold (same IEEE fold order: 0+d0 == d0 — the
+# documented distance.py equivalence, so DuckDB oracles stay valid);
+# above the budget assignment is rank-only and the Arrow matmul wins
+_CODEGEN_SAFE_CELLS = 256
 _UNROLL_BUDGET = 1024
 
 
@@ -93,17 +118,22 @@ def semantic_dedup(
     base = df.select(
         F.col(key).alias("n"), F.col(vec).cast("array<double>").alias("v")
     )
-    if len(model) * dim <= _UNROLL_BUDGET:
-        # per-centroid distances as SEPARATE columns: one k·dim-sized
-        # expression is a single codegen method janino refuses to
-        # compile (then every stage pays the failed-compile +
-        # interpreted-fallback tax); k separate 64-term columns each
-        # compile fine and fold in the same per-distance order the
-        # DuckDB oracle replays
-        dists = [
-            l2_fixed("v", c, dim).alias(f"_d{i}")
-            for i, (_, c) in enumerate(model)
-        ]
+    cells = len(model) * dim
+    if cells <= _UNROLL_BUDGET:
+        # per-centroid distances as SEPARATE columns, then a tiny
+        # argmin over them; each column is either unrolled (codegens)
+        # or the HOF fold (interpreted, NO doomed whole-stage compile
+        # attempt) — identical values and fold order either way
+        if cells <= _CODEGEN_SAFE_CELLS:
+            dists = [
+                l2_fixed("v", c, dim).alias(f"_d{i}")
+                for i, (_, c) in enumerate(model)
+            ]
+        else:
+            dists = [
+                _l2_hof_expr("v", c).alias(f"_d{i}")
+                for i, (_, c) in enumerate(model)
+            ]
         staged = base.select("n", "v", *dists)
         jcol = F.array_min(
             F.array(
