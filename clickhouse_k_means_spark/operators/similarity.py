@@ -415,10 +415,25 @@ def pq_topk(
     return ranked.withColumn("rank", F.row_number().over(w))
 
 
+def _auto_n_bits(n: int, per_bucket: int = 32) -> int:
+    """SRP depth for an ``n``-point corpus: enough hyperplanes that a
+    bucket holds ~``per_bucket`` points per table, clamped to [4, 16].
+
+    A FIXED depth is a fixture-tuned constant that breaks at scale:
+    the r7 sf1 probe measured the 6-bit tables (64 buckets) at 213 s /
+    405 MB shuffle on a 20k-point corpus — dense buckets make the
+    candidate pair list quadratic — while depth 10 (1024 buckets) ran
+    the same corpus in 22 s. Scaling bits with log2(n) keeps collision
+    lists, and therefore candidate pairs, O(n)."""
+    import math
+
+    return min(16, max(4, math.ceil(math.log2(max(n, 2) / per_bucket))))
+
+
 def knn_join(
     df: DataFrame,
     k: int = 5,
-    n_bits: int = 6,
+    n_bits: int | None = None,
     n_tables: int = 8,
     seed: int = 42,
     key: str = "vec_id",
@@ -436,6 +451,11 @@ def knn_join(
     point per partition reach the final shuffle. Precision is exact on
     the candidate set; recall is the bucketed approximation, gated
     in-query by the registry entry.
+
+    ``n_bits=None`` (default) derives the SRP depth from the corpus
+    size (one count job) via ``_auto_n_bits`` so bucket occupancy —
+    and the candidate pair count — stays O(n) at any scale; pass an
+    explicit depth to pin a recall/cost trade instead.
     """
     head = df.select(vec).first()
     if head is None:
@@ -443,6 +463,8 @@ def knn_join(
         return df.sparkSession.createDataFrame(
             [], f"a {key_type}, b {key_type}, sim double, rank int"
         )
+    if n_bits is None:
+        n_bits = _auto_n_bits(df.count())
     dim = len(head[0])
     tables = [
         srp_hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)

@@ -137,7 +137,41 @@ def main() -> None:
             )
         )
 
+    def q_semdedup():
+        # the SCALE path on purpose: k=32 × 64 dims exceeds the unroll
+        # budget, so assignment runs the Arrow matmul tier; the only
+        # quadratic term is the in-cluster pair join (~n²/k pairs)
+        from pyspark.sql import functions as F
+
+        from clickhouse_k_means_spark.operators.semdedup import semantic_dedup
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        out = semantic_dedup(emb, k=32, threshold=0.8, seed=42, max_iter=5)
+        counts = {
+            "rows": out.count(),
+            "kept": out.filter("keep = 1").count(),
+        }
+        print(json.dumps({"semdedup_counts": counts}), flush=True)
+
+    def q_knn_join():
+        # raw operator, NOT the registry gate (whose sampled exact
+        # recall check dominates its cost at fixture scale)
+        from pyspark.sql import functions as F
+
+        from clickhouse_k_means_spark.operators.similarity import knn_join
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        _noop(knn_join(emb, k=5))
+
     sets = {
+        "r7": [
+            ("semdedup", q_semdedup),
+            ("knn_join", q_knn_join),
+        ],
         "r5": [
             ("kmeans_fit", q_kmeans_fit),
             ("near_dedup", q_near_dedup),

@@ -1645,3 +1645,29 @@ def test_semdedup_pair_join_is_cluster_keyed_not_cartesian(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_knn_join_auto_bits_scales_with_corpus():
+    """n_bits=None derives SRP depth from corpus size (clamped [4,16])
+    so bucket occupancy stays ~constant as the corpus grows — a fixed
+    depth is a fixture constant that turns candidate generation
+    quadratic at scale (r7 sf1 probe: 213 s at 6 bits vs 22 s at 10)."""
+    from clickhouse_k_means_spark.operators.similarity import _auto_n_bits
+
+    assert _auto_n_bits(2_000) == 6        # the old fixture default
+    assert _auto_n_bits(20_000) == 10      # the sf1 probe fix
+    assert _auto_n_bits(1) == 4            # floor
+    assert _auto_n_bits(10**9) == 16       # ceiling
+    assert _auto_n_bits(32) == 4 and _auto_n_bits(33) == 4
+
+
+def test_knn_join_auto_bits_end_to_end(spark):
+    from clickhouse_k_means_spark.operators.similarity import knn_join
+
+    rows = [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = knn_join(df, k=3)  # n_bits auto-derived
+    got = out.groupBy("a").count().collect()
+    assert all(r["count"] <= 3 for r in got)
+    assert len(got) > 0
