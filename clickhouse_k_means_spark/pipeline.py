@@ -10,6 +10,9 @@ stdout (machine-parseable, shell-composable — the same contract as
     python -m clickhouse_k_means_spark.pipeline dedup \
         --input docs.parquet --key doc_id --text text \
         --mode near --threshold 0.8 --out kept.parquet
+    python -m clickhouse_k_means_spark.pipeline dedup \
+        --input embedded.parquet --key doc_id --mode semantic \
+        --vec embedding --k 1000 --threshold 0.9 --out kept.parquet
     python -m clickhouse_k_means_spark.pipeline split \
         --input docs.parquet --key doc_id \
         --weights train=0.9,val=0.05,test=0.05 --out split.parquet
@@ -56,14 +59,28 @@ def build_parser() -> argparse.ArgumentParser:
         if text:
             sp.add_argument("--text", default="text", help="text column")
 
-    d = sub.add_parser("dedup", help="exact or near-duplicate removal")
+    d = sub.add_parser(
+        "dedup", help="exact, near (MinHash), or semantic (SemDeDup) removal"
+    )
     common(d, text=True)
-    d.add_argument("--mode", choices=["exact", "near"], default="exact")
+    d.add_argument(
+        "--mode", choices=["exact", "near", "semantic"], default="exact"
+    )
     d.add_argument(
         "--threshold", type=float, default=0.8,
         help="near mode: exact-Jaccard verification threshold "
-        "(pass -1 to skip verification — banding-only)",
+        "(pass -1 to skip verification — banding-only); "
+        "semantic mode: in-cluster cosine threshold",
     )
+    d.add_argument(
+        "--vec", default="embedding",
+        help="semantic mode: embedding column (array<double>)",
+    )
+    d.add_argument(
+        "--k", type=int, default=8,
+        help="semantic mode: k-means clusters (choose ~n/cluster_size)",
+    )
+    d.add_argument("--seed", type=int, default=42)
 
     s = sub.add_parser("split", help="deterministic train/val/test split")
     common(s)
@@ -139,6 +156,17 @@ def main(argv: list[str] | None = None) -> int:
             from clickhouse_k_means_spark.operators.dedup import exact_dedup
 
             tagged = exact_dedup(df, text=args.text, key=args.key)
+            keep = tagged.filter(F.col("keep") == 1).select(args.key)
+            out = df.join(keep, args.key, "left_semi")
+        elif args.mode == "semantic":
+            from clickhouse_k_means_spark.operators.semdedup import (
+                semantic_dedup,
+            )
+
+            tagged = semantic_dedup(
+                df, k=args.k, threshold=args.threshold,
+                key=args.key, vec=args.vec, seed=args.seed,
+            )
             keep = tagged.filter(F.col("keep") == 1).select(args.key)
             out = df.join(keep, args.key, "left_semi")
         else:

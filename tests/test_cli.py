@@ -330,3 +330,31 @@ def test_pipeline_cluster_subcommand(spark, sf_dir, tmp_path):
         assert got.select("id").distinct().count() == 300
         lblcol = "label" if algo == "dbscan" else "j"
         assert got.select(lblcol).distinct().count() == 2, algo
+
+
+def test_pipeline_cli_semantic_dedup(tmp_path, capsys, spark):
+    """dedup --mode semantic: SemDeDup over an embedding column —
+    near-identical vectors collapse to one survivor; the distinct
+    direction survives untouched."""
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    src = str(tmp_path / "embedded")
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),       # distinct direction
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "kept")
+    rc = pmain([
+        "dedup", "--input", src, "--out", out,
+        "--mode", "semantic", "--k", "2", "--threshold", "0.95",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_in"] == 3 and summary["rows_out"] == 2
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 3 in kept and len(kept & {1, 2}) == 1
