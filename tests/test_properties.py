@@ -500,3 +500,36 @@ def test_audience_overlap_diagonal_and_symmetry_bounds(spark, rows):
         assert n == len(members[a] & members[b])  # exact intersections
     for c, s in members.items():
         assert got[(c, c)] == len(s)  # diagonal = cardinality
+
+
+vec4 = st.lists(
+    st.integers(min_value=-20, max_value=20).map(lambda v: v / 4.0),
+    min_size=4, max_size=4,
+)
+
+
+@given(
+    vecs=st.lists(vec4, min_size=3, max_size=10, unique_by=tuple),
+    thr=st.sampled_from([0.7, 0.9, 0.99]),
+)
+@SETTINGS
+def test_semdedup_partition_invariants(spark, vecs, thr):
+    """semantic_dedup with ANY fixed model partitions the input: every
+    row labeled exactly once, exactly one keeper per group, group label
+    = min member key, members of a group share a cluster."""
+    from clickhouse_k_means_spark.operators.semdedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [-1.0, 0.0, 0.0, 0.0])]
+    out = semantic_dedup(df, centroids=cents, threshold=thr).collect()
+    assert sorted(r["vec_id"] for r in out) == list(range(len(vecs)))
+    groups: dict = {}
+    for r in out:
+        groups.setdefault(r["grp"], []).append(r)
+    for grp, members in groups.items():
+        assert sum(m["keep"] for m in members) == 1
+        assert grp == min(m["vec_id"] for m in members)
+        assert len({m["j"] for m in members}) == 1
