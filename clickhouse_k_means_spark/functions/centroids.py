@@ -59,15 +59,13 @@ def nearest_centroid_struct(y, model: Sequence[tuple[int, Sequence[float]]]) -> 
     literals print via repr, which round-trips float64 exactly.
     """
     if isinstance(y, str) and y.isidentifier():
-        from clickhouse_k_means_spark.functions.distance import _lit_f
+        from clickhouse_k_means_spark.functions.distance import _sq_l2_sql
 
         parts = []
         for j, c in model:
-            sq = " + ".join(
-                f"(({y}[{d}]) - ({_lit_f(float(v))})) * "
-                f"(({y}[{d}]) - ({_lit_f(float(v))}))"
-                for d, v in enumerate(c)
-            )
+            # the canonical fold/literal renderer (distance.py) — one
+            # source of truth for the SQL shape the oracles replay
+            sq = _sq_l2_sql(y, [float(v) for v in c], len(c))
             parts.append(f"struct(sqrt({sq}) as dist, {int(j)} as j)")
         return F.expr(f"array_min(array({', '.join(parts)}))")
     y = _as_vec(y)

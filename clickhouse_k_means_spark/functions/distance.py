@@ -98,7 +98,9 @@ def _lit_f(x: float) -> str:
 
 
 def _idx(name: str, d: int) -> str:
-    return f"{name}[{d}]"
+    # backticked so SQL reserved words used as column names (`order`,
+    # `group`, ...) parse the same as the Column-based path would
+    return f"`{name}`[{d}]"
 
 
 def _vec_elem_sql(v, d: int) -> str | None:

@@ -113,7 +113,10 @@ def semantic_dedup(
             yh
         ).model
     else:
-        model = [(int(j), [float(x) for x in c]) for j, c in centroids]
+        # sorted so the Arrow tier's argmin (first occurrence = lowest
+        # INDEX) resolves equidistant ties to the lowest j — the same
+        # rule the struct-min tiers and the DuckDB oracle apply
+        model = sorted((int(j), [float(x) for x in c]) for j, c in centroids)
 
     base = df.select(
         F.col(key).alias("n"), F.col(vec).cast("array<double>").alias("v")
@@ -177,8 +180,14 @@ def semantic_dedup(
         )
         .select(
             "n", "j", "v",
+            # try_divide: a zero-norm vector's cosine is UNDEFINED —
+            # NULL, not an ANSI DIVIDE_BY_ZERO crash (zero vectors are
+            # routine padding rows in real embedding dumps). Identical
+            # to plain division whenever the norm is nonzero, so the
+            # full-value oracle (whose slice has no zero norms) is
+            # unaffected.
             F.round(
-                F.col("_ab") / (F.sqrt("_aa") * F.sqrt("_bb")), 4
+                F.try_divide(F.col("_ab"), F.sqrt("_aa") * F.sqrt("_bb")), 4
             ).alias("c2c"),
             F.col("_aa").alias("nv"),
         )
@@ -200,8 +209,10 @@ def semantic_dedup(
             "a",
             "b",
             F.round(
-                dot_fixed("va", "vb", dim)
-                / (F.sqrt("nva") * F.sqrt("nvb")),
+                F.try_divide(
+                    dot_fixed("va", "vb", dim),
+                    F.sqrt("nva") * F.sqrt("nvb"),
+                ),
                 4,
             ).alias("sim"),
         )
@@ -213,7 +224,13 @@ def semantic_dedup(
         memb.join(comps, memb["n"] == comps["n"], "left")
         .select(memb["n"], "j", "c2c", F.coalesce("component", memb["n"]).alias("grp"))
     )
-    w = Window.partitionBy("grp").orderBy(F.col("c2c").asc(), F.col("n").asc())
+    # asc_NULLS_LAST: a zero-norm vector's cosine is NULL (undefined),
+    # and NULL must not outrank every real "least similar" member —
+    # zero vectors form no edges (NULL sim fails the threshold) and
+    # only keep their own singleton group
+    w = Window.partitionBy("grp").orderBy(
+        F.col("c2c").asc_nulls_last(), F.col("n").asc()
+    )
     return labeled.select(
         F.col("n").alias(key),
         "j",

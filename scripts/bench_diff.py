@@ -60,7 +60,12 @@ def load_bench(
     filtered to anchor names so kscale/detail floats don't join."""
     timings: dict[str, float] = {}
 
-    def absorb(obj: dict) -> None:
+    def absorb(obj) -> None:
+        # the tail is an arbitrary stdout slice: a stripped line can
+        # parse as a JSON scalar/array (bare number, null, interleaved
+        # log fragment) — never an artifact, but must not crash the gate
+        if not isinstance(obj, dict):
+            return
         if obj.get("metric") in ("headline_total", "bench_queries"):
             timings.update(obj.get("queries", {}))
             timings.update(obj.get("extended", {}))

@@ -94,12 +94,21 @@ def main() -> None:
             .filter("doc_id % 1000000 < 1000")
         )
         _noop(similarity_self_join(docs, threshold_ppm=800_000))
-        ordered = _ordered_sets(docs, "doc_id", "text")
-        counts = {
-            "candidates": _candidate_pairs(ordered, 800_000).count(),
-            "results": similarity_self_join(docs, threshold_ppm=800_000).count(),
-        }
-        print(json.dumps({"ssjoin_counts": counts}), flush=True)
+
+        # counts are reported AFTER the probe window closes (they
+        # re-execute the join; measuring them inside sec/shuffle
+        # deltas would triple the recorded datapoint)
+        def _counts():
+            ordered = _ordered_sets(docs, "doc_id", "text")
+            counts = {
+                "candidates": _candidate_pairs(ordered, 800_000).count(),
+                "results": similarity_self_join(
+                    docs, threshold_ppm=800_000
+                ).count(),
+            }
+            print(json.dumps({"ssjoin_counts": counts}), flush=True)
+
+        q_ssjoin.after_window = _counts
 
     def q_pagerank():
         _noop(entry.q_pagerank(spark, sf_dir))
@@ -149,11 +158,22 @@ def main() -> None:
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
         out = semantic_dedup(emb, k=32, threshold=0.8, seed=42, max_iter=5)
-        counts = {
-            "rows": out.count(),
-            "kept": out.filter("keep = 1").count(),
-        }
-        print(json.dumps({"semdedup_counts": counts}), flush=True)
+        _noop(out)
+
+        def _counts():
+            print(
+                json.dumps(
+                    {
+                        "semdedup_counts": {
+                            "rows": out.count(),
+                            "kept": out.filter("keep = 1").count(),
+                        }
+                    }
+                ),
+                flush=True,
+            )
+
+        q_semdedup.after_window = _counts
 
     def q_knn_join():
         # raw operator, NOT the registry gate (whose sampled exact
@@ -196,6 +216,9 @@ def main() -> None:
         fn()
         sec = round(time.perf_counter() - t0, 2)
         r1, w1 = shuffle_totals(app_id)
+        after = getattr(fn, "after_window", None)
+        if after is not None:  # diagnostics that re-execute the query
+            after()
         results[name] = {
             "sec": sec,
             "shuffle_read_mb": round((r1 - r0) / 1e6, 1),

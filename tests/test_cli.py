@@ -358,3 +358,19 @@ def test_pipeline_cli_semantic_dedup(tmp_path, capsys, spark):
     assert summary["rows_in"] == 3 and summary["rows_out"] == 2
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert 3 in kept and len(kept & {1, 2}) == 1
+
+
+def test_bench_baseline_total_matches_baseline_md():
+    """bench.py hardcodes BASELINE_HEADLINE_TOTAL for the
+    tail-survivable summary line; BASELINE.md is what bench_diff
+    parses. If the protocol is re-anchored in one place only, the one
+    number the driver artifact is designed to preserve silently
+    reports the wrong ratio (review finding, r7)."""
+    import re
+
+    import bench
+
+    text = open("/root/repo/BASELINE.md").read()
+    m = re.search(r"baseline total ([0-9.]+) s", text)
+    assert m, "BASELINE.md no longer states the headline baseline total"
+    assert float(m.group(1)) == bench.BASELINE_HEADLINE_TOTAL

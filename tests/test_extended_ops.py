@@ -1671,3 +1671,44 @@ def test_knn_join_auto_bits_end_to_end(spark):
     got = out.groupBy("a").count().collect()
     assert all(r["count"] <= 3 for r in got)
     assert len(got) > 0
+
+
+def test_semdedup_zero_norm_vector_never_steals_keeper(spark):
+    """A zero-norm embedding has UNDEFINED cosine (NULL): it must form
+    no edges and must not outrank real members for the keeper slot
+    (review finding, r7: NULL sorted FIRST under a plain asc window)."""
+    from clickhouse_k_means_spark.operators.semdedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 0.0, 0.0, 0.0]),       # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0])]
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, centroids=cents, threshold=0.95).collect()}
+    assert out[3]["grp"] == 3 and out[3]["keep"] == 1  # own singleton
+    assert out[1]["grp"] == out[2]["grp"] == 1
+    assert out[1]["keep"] + out[2]["keep"] == 1
+
+
+def test_semdedup_arrow_tier_tie_breaks_to_lowest_j(spark):
+    """Unsorted user-supplied centroids with an equidistant point:
+    every tier (and the oracle) must resolve to the LOWEST j."""
+    from clickhouse_k_means_spark.operators import semdedup as sd
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    cents = [(5, [1.0, 0.0]), (2, [-1.0, 0.0])]  # both at distance 1
+    small = sd.semantic_dedup(df, centroids=cents, threshold=0.9).collect()
+    assert small[0]["j"] == 2
+    # force the Arrow tier for the same model
+    orig = sd._UNROLL_BUDGET
+    try:
+        sd._UNROLL_BUDGET = 0
+        arrow = sd.semantic_dedup(df, centroids=cents, threshold=0.9).collect()
+    finally:
+        sd._UNROLL_BUDGET = orig
+    assert arrow[0]["j"] == 2
