@@ -374,3 +374,47 @@ def test_bench_baseline_total_matches_baseline_md():
     m = re.search(r"baseline total ([0-9.]+) s", text)
     assert m, "BASELINE.md no longer states the headline baseline total"
     assert float(m.group(1)) == bench.BASELINE_HEADLINE_TOTAL
+
+
+def test_bench_diff_recovers_80_queries_from_simulated_r7_tail(tmp_path):
+    """The compacted three-line bench format must keep >= 80 anchored
+    per-query pairs recoverable from a 2000-char driver tail (r6's
+    format lost all but ~70: headline dicts duplicated on two lines
+    and kscale floats sat nearest the end)."""
+    import re
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    from scripts.bench_diff import load_anchors
+
+    anchors = load_anchors("/root/repo/BASELINE.md")
+    headline_names = [
+        "kmeans_fit", "lloyd_step", "elbow", "tpch_q1", "tpch_q3",
+        "tpch_q5", "minhash_lsh", "simhash", "ann_topk",
+        "text_quality", "silhouette", "asof_join", "sessionize",
+    ]
+    # at-anchor values: the test pins RECOVERABILITY, not the gate
+    headline = {q: anchors[q] for q in headline_names}
+    extended = {q: v for q, v in sorted(anchors.items())
+                if q not in headline}
+    kscale = {"fit_parallel_warm_sec": 9.1, "mllib_warm_sec": 6.9,
+              "inertia_ratio": 0.9445}
+    line2 = json.dumps(
+        {"metric": "bench_queries", "sf": 0.1, "kscale": kscale,
+         "extended": extended},
+        separators=(",", ":"),
+    )
+    line3 = bench.summary_line(18.9, headline, extended, kscale, 0.1)
+    out = line2 + "\n" + line3 + "\n"
+    art = tmp_path / "BENCH_sim.json"
+    art.write_text(json.dumps({"rc": 0, "tail": out[-2000:],
+                               "parsed": json.loads(line3)}))
+    proc = subprocess.run(
+        [sys.executable, "scripts/bench_diff.py", str(art)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_compared"] >= 80, summary
+    assert proc.returncode == 0, proc.stdout[-400:]
