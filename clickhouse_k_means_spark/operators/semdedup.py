@@ -153,10 +153,11 @@ def semantic_dedup(
     else:
         from clickhouse_k_means_spark.functions.vector import nearest_cells_batch
 
-        cells = nearest_cells_batch([c for _, c in model], nprobe=1)
+        nearest = nearest_cells_batch([c for _, c in model], nprobe=1)
         js = F.array(*[F.lit(int(j)) for j, _ in model])
         assigned = base.select(
-            "n", "v", F.element_at(js, cells(F.col("v"))[0] + F.lit(1)).alias("j")
+            "n", "v",
+            F.element_at(js, nearest(F.col("v"))[0] + F.lit(1)).alias("j"),
         )
 
     spark = df.sparkSession
