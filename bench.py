@@ -473,6 +473,13 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
+    # compact pairs line (~8 bytes/query): the ONLY per-query record
+    # guaranteed to fit the driver's 2000-char tail in full, so
+    # bench_diff's anchor join covers the whole measured set
+    # (VERDICT r7 item 6). Emitted immediately before the summary.
+    from scripts.bench_codes import encode_pairs
+
+    print(encode_pairs({**timings, **extended}))
     print(summary_line(total, timings, extended, kscale, sf))
 
 
@@ -480,6 +487,30 @@ def main() -> None:
 # the 13-query fixed list above) — the denominator of the ratio the
 # judge grades. Keep in sync with BASELINE.md's anchor section.
 BASELINE_HEADLINE_TOTAL = 28.6
+
+
+def contention_stats(
+    measured: dict[str, float], anchors: dict[str, float]
+) -> tuple[float | None, bool]:
+    """Detect the documented shared-host contention signature
+    (VERDICT r7 item 7): a run-wide ~uniform inflation vs the
+    BASELINE.md anchors — BENCH_r06/r07 both showed nearly every
+    query 1.2-1.5x its anchor with no plan changes. Returns
+    (median anchor ratio, contended flag); contended when the median
+    ratio exceeds 1.2 AND >80% of anchored queries are above 1.0
+    (uniformity — a genuine single-query regression moves the tail,
+    not the median). A flagged run downgrades gate failures to
+    'solo re-measure required' per BASELINE.md's protocol."""
+    ratios = sorted(
+        measured[q] / anchors[q]
+        for q in measured
+        if q in anchors and anchors[q] > 0
+    )
+    if len(ratios) < 20:  # too few pairs to call a run-wide signature
+        return None, False
+    median = ratios[len(ratios) // 2]
+    frac_inflated = sum(1 for r in ratios if r > 1.0) / len(ratios)
+    return round(median, 3), bool(median > 1.2 and frac_inflated > 0.8)
 
 
 def summary_line(
@@ -494,7 +525,19 @@ def summary_line(
     ``headline_total`` is always parseable from the official
     BENCH_r{N}.json artifact. Carries the 13 headline query medians
     (the driver contract's ``queries`` key) but NOT the extended
-    dict — that lives on the ``bench_queries`` line."""
+    dict — that lives on the ``bench_queries`` + ``BP|`` lines.
+    ``contended`` mechanizes the solo-re-measure protocol for
+    gate failures in inflated runs (VERDICT r7 item 7)."""
+    try:
+        from scripts.bench_diff import load_anchors
+
+        anchors = load_anchors(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BASELINE.md")
+        )
+        cmed, contended = contention_stats({**timings, **extended}, anchors)
+    except Exception:
+        cmed, contended = None, False
     return json.dumps(
         {
             "metric": "headline_total",
@@ -508,6 +551,8 @@ def summary_line(
             "kscale_warm": kscale.get("fit_parallel_warm_sec"),
             "mllib_warm": kscale.get("mllib_warm_sec"),
             "inertia_ratio": kscale.get("inertia_ratio"),
+            "contended": contended,
+            "contention_median": cmed,
         },
         separators=(",", ":"),
     )

@@ -117,6 +117,17 @@ def semantic_dedup(
         # INDEX) resolves equidistant ties to the lowest j — the same
         # rule the struct-min tiers and the DuckDB oracle apply
         model = sorted((int(j), [float(x) for x in c]) for j, c in centroids)
+        if len({j for j, _ in model}) != len(model):
+            dupes = sorted(
+                j
+                for j in {j for j, _ in model}
+                if sum(1 for jj, _ in model if jj == j) > 1
+            )
+            raise ValueError(
+                f"semantic_dedup: duplicate centroid id(s) {dupes} — a "
+                "repeated j would silently duplicate membership rows "
+                "through the cdf join on j"
+            )
 
     base = df.select(
         F.col(key).alias("n"), F.col(vec).cast("array<double>").alias("v")

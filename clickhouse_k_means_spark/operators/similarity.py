@@ -424,7 +424,14 @@ def _auto_n_bits(n: int, per_bucket: int = 32) -> int:
     405 MB shuffle on a 20k-point corpus — dense buckets make the
     candidate pair list quadratic — while depth 10 (1024 buckets) ran
     the same corpus in 22 s. Scaling bits with log2(n) keeps collision
-    lists, and therefore candidate pairs, O(n)."""
+    lists, and therefore candidate pairs, O(n) — UP TO THE CLAMP: at
+    16 bits a table has 65,536 buckets, so beyond ~2M points
+    (per_bucket * 2^16) occupancy grows linearly again and candidate
+    pairs turn quadratic in n/2^16. Past that scale, partition the
+    corpus first (e.g. by an IVF coarse quantizer or a key range) and
+    run knn_join per partition, or raise ``n_tables`` to recover
+    recall at a pinned depth — deeper SRP codes than 16 bits mostly
+    shred recall rather than buy speed."""
     import math
 
     return min(16, max(4, math.ceil(math.log2(max(n, 2) / per_bucket))))
@@ -438,6 +445,7 @@ def knn_join(
     seed: int = 42,
     key: str = "vec_id",
     vec: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate kNN SELF-join: for EVERY point, its top-``k``
     cosine neighbors — the all-points companion to the query-batch ANN
@@ -453,9 +461,15 @@ def knn_join(
     in-query by the registry entry.
 
     ``n_bits=None`` (default) derives the SRP depth from the corpus
-    size (one count job) via ``_auto_n_bits`` so bucket occupancy —
-    and the candidate pair count — stays O(n) at any scale; pass an
-    explicit depth to pin a recall/cost trade instead.
+    size via ``_auto_n_bits`` so bucket occupancy — and the candidate
+    pair count — stays O(n) up to the 16-bit depth clamp (~2M points;
+    see ``_auto_n_bits``); pass an explicit depth to pin a recall/cost
+    trade instead. The derivation needs the row count: pass a known
+    (even approximate — only its log2 matters) count via ``n_rows`` to
+    skip the ``df.count()`` job, which otherwise re-executes the full
+    upstream plan of an expensive computed input; alternatively
+    ``df.cache()`` before calling so the count pass is also the
+    materialization pass.
     """
     head = df.select(vec).first()
     if head is None:
@@ -464,7 +478,7 @@ def knn_join(
             [], f"a {key_type}, b {key_type}, sim double, rank int"
         )
     if n_bits is None:
-        n_bits = _auto_n_bits(df.count())
+        n_bits = _auto_n_bits(n_rows if n_rows is not None else df.count())
     dim = len(head[0])
     tables = [
         srp_hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)

@@ -152,5 +152,12 @@ class SynthSeq(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the synthseq source."""
+    """Idempotent registration of the synthseq source.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (a runtime
+    SQL conf): Spark 4.1 hard-fails any Python data source whose reader
+    implements ``pushFilters`` when that conf is false, so registration
+    must carry the conf to stay portable across sessions that did not
+    set it at build time (e.g. a vanilla default-conf session)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthSeq)

@@ -1,0 +1,184 @@
+"""Stable short codes for bench query names.
+
+The driver's BENCH_r{N}.json keeps only the LAST 2000 characters of
+bench.py stdout. At ~25 bytes per '"query_name":12.34' JSON pair, the
+~135-query measured set cannot fit, so bench.py additionally emits one
+compact pairs line ("BP|<code>=<sec>;...") at ~8 bytes/pair that DOES
+fit entirely inside the tail together with the summary line.
+scripts/bench_diff.py decodes it with this same table (VERDICT r7
+item 6: the "anchored but not measured" list must be empty).
+
+Codes are the base36 index into the SORTED literal list below, so they
+are stable as long as the list only ever GROWS in sorted order of a
+new bench run's artifact — bench_diff always decodes with the table
+from the same commit as the bench that produced the artifact, so
+cross-round stability is not required, only bench/bench_diff agreement
+within a commit (pinned by tests/test_bench_codes.py).
+"""
+
+from __future__ import annotations
+
+NAMES = [
+    "ann_topk",
+    "anomaly_zscore",
+    "array_funcs",
+    "array_set_ops",
+    "asof_join",
+    "audience_overlap",
+    "bigram_lm",
+    "bisect_kmeans",
+    "bloom_join",
+    "boilerplate",
+    "bucketed_join",
+    "chi_square",
+    "chunk_docs",
+    "corr",
+    "cube_revenue",
+    "cumulative_uniques",
+    "curriculum",
+    "data_quality",
+    "decontaminate",
+    "dedup_components",
+    "dedup_incremental",
+    "doc_clusters",
+    "domain_cap",
+    "domain_kl",
+    "elbow",
+    "ema_decay",
+    "embed_covariance",
+    "embed_neardup_lsh",
+    "entropy",
+    "formats_roundtrip",
+    "funnel",
+    "geo_distance",
+    "grid_dbscan",
+    "grouping_sets",
+    "hash_split",
+    "hashed_features",
+    "histogram_incremental",
+    "histogram_numeric",
+    "hll_incremental",
+    "hll_rollup",
+    "interval_union",
+    "inverted_index",
+    "ivf_ann",
+    "kmeans_fit",
+    "knn_join",
+    "lateral_topn",
+    "lloyd_step",
+    "locf_fill",
+    "lttb",
+    "map_agg",
+    "minhash_lsh",
+    "mix_sources",
+    "moving_avg",
+    "multimodal_codec_stats",
+    "near_dedup",
+    "near_dedup_incremental",
+    "ngram_sim",
+    "orc_roundtrip",
+    "outliers",
+    "pack_sequences",
+    "pagerank",
+    "pipeline_e2e",
+    "pq_ann",
+    "profile",
+    "pyds_read",
+    "range_join",
+    "recursive_cte",
+    "regex_extract",
+    "resume_fit",
+    "retention",
+    "rolling_median",
+    "rollup_incremental",
+    "running_diff",
+    "salted_join",
+    "scd2",
+    "scd2_lookup",
+    "semdedup",
+    "sequence_count",
+    "sequence_match",
+    "session_window",
+    "sessionize",
+    "silhouette",
+    "simhash",
+    "skew_report",
+    "snapshot_diff",
+    "srp_ann",
+    "ssjoin",
+    "stateful_stats",
+    "stream_enrich",
+    "stream_ingest",
+    "stream_join",
+    "text_quality",
+    "tfidf_top_terms",
+    "time_buckets",
+    "topk_heavy",
+    "topk_weighted",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q12a",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22a",
+    "tpch_q2a",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8a",
+    "triangles",
+    "unigram_lm",
+    "variant_json",
+    "weighted_quantiles",
+    "weighted_sample",
+    "window_funnel",
+    "winsorize",
+    "zorder_roundtrip"
+]
+
+_B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def _b36(i: int) -> str:
+    return _B36[i // 36] + _B36[i % 36]
+
+
+NAME_TO_CODE = {n: _b36(i) for i, n in enumerate(NAMES)}
+CODE_TO_NAME = {c: n for n, c in NAME_TO_CODE.items()}
+
+
+def encode_pairs(timings: dict[str, float]) -> str:
+    """One compact line: BP|<code>=<2-decimal seconds>;... Unknown
+    names (not yet in NAMES) degrade to their full name so the pair
+    still round-trips; tests keep NAMES complete so this stays
+    theoretical."""
+    parts = [
+        f"{NAME_TO_CODE.get(name, name)}={sec:.2f}"
+        for name, sec in timings.items()
+    ]
+    return "BP|" + ";".join(parts)
+
+
+def decode_pairs(line: str) -> dict[str, float]:
+    """Inverse of encode_pairs; tolerates a truncated HEAD (the tail
+    window may cut the first pairs off) by skipping fragments that do
+    not split cleanly."""
+    out: dict[str, float] = {}
+    body = line.split("BP|", 1)[-1]
+    for frag in body.strip().split(";"):
+        if "=" not in frag:
+            continue
+        key, _, val = frag.partition("=")
+        try:
+            sec = float(val)
+        except ValueError:
+            continue
+        out[CODE_TO_NAME.get(key, key)] = sec
+    return out

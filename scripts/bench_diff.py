@@ -72,7 +72,29 @@ def load_bench(
         elif "queries" in obj and isinstance(obj["queries"], dict):
             timings.update(obj["queries"])
 
+    def absorb_pairs_line(line: str) -> None:
+        """The compact ``BP|code=sec;...`` line (scripts/bench_codes)
+        — the one per-query record sized to ALWAYS fit the driver
+        tail in full, decoded with the same table bench.py encoded
+        with."""
+        try:
+            from scripts.bench_codes import decode_pairs
+        except ImportError:  # running from inside scripts/
+            from bench_codes import decode_pairs
+        for name, val in decode_pairs(line).items():
+            if anchors is None or name in anchors:
+                timings.setdefault(name, val)
+
     def absorb_fragment(fragment: str) -> None:
+        # a pairs line whose "BP|" marker itself was truncated away
+        # still decodes — a partial leading pair yields an unknown
+        # code, which the anchor filter drops
+        if "BP|" in fragment or re.fullmatch(
+            r"[0-9a-z]{1,2}=[0-9.]+(?:;[0-9a-z]{1,2}=[0-9.]+)+;?",
+            fragment,
+        ):
+            absorb_pairs_line(fragment)
+            return
         if anchors is None:
             return
         for m in re.finditer(

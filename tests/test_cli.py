@@ -4,6 +4,9 @@ from __future__ import annotations
 
 import json
 import os
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parents[1])
 
 from clickhouse_k_means_spark.cli import main
 
@@ -205,7 +208,7 @@ def test_bench_diff_gate(tmp_path):
         ],
         capture_output=True,
         text=True,
-        cwd="/root/repo",
+        cwd=REPO_ROOT,
     )
     assert proc.returncode == 1  # slow_q at 3.2x fails the gate
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -230,7 +233,7 @@ def test_bench_diff_reads_driver_tail_artifact():
         [sys.executable, "scripts/bench_diff.py", "BENCH_r06.json"],
         capture_output=True,
         text=True,
-        cwd="/root/repo",
+        cwd=REPO_ROOT,
     )
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["n_compared"] >= 80, summary
@@ -263,7 +266,7 @@ def test_bench_diff_fails_on_zero_joined(tmp_path):
         ],
         capture_output=True,
         text=True,
-        cwd="/root/repo",
+        cwd=REPO_ROOT,
     )
     assert proc.returncode == 1
     assert "zero queries joined" in proc.stderr
@@ -370,26 +373,25 @@ def test_bench_baseline_total_matches_baseline_md():
 
     import bench
 
-    text = open("/root/repo/BASELINE.md").read()
+    text = open(os.path.join(REPO_ROOT, "BASELINE.md")).read()
     m = re.search(r"baseline total ([0-9.]+) s", text)
     assert m, "BASELINE.md no longer states the headline baseline total"
     assert float(m.group(1)) == bench.BASELINE_HEADLINE_TOTAL
 
 
-def test_bench_diff_recovers_80_queries_from_simulated_r7_tail(tmp_path):
-    """The compacted three-line bench format must keep >= 80 anchored
-    per-query pairs recoverable from a 2000-char driver tail (r6's
-    format lost all but ~70: headline dicts duplicated on two lines
-    and kscale floats sat nearest the end)."""
-    import re
+def test_bench_diff_recovers_ALL_anchored_from_simulated_tail(tmp_path):
+    """VERDICT r7 item 6: the compact ``BP|`` pairs line must keep the
+    ENTIRE anchored set recoverable from a 2000-char driver tail — the
+    'anchored but not measured' list must come out empty (the r7
+    artifact truncated 30 anchored queries out)."""
     import subprocess
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO_ROOT)
     import bench
     from scripts.bench_diff import load_anchors
 
-    anchors = load_anchors("/root/repo/BASELINE.md")
+    anchors = load_anchors(os.path.join(REPO_ROOT, "BASELINE.md"))
     headline_names = [
         "kmeans_fit", "lloyd_step", "elbow", "tpch_q1", "tpch_q3",
         "tpch_q5", "minhash_lsh", "simhash", "ann_topk",
@@ -406,15 +408,21 @@ def test_bench_diff_recovers_80_queries_from_simulated_r7_tail(tmp_path):
          "extended": extended},
         separators=(",", ":"),
     )
+    from scripts.bench_codes import encode_pairs
+
+    pairs = encode_pairs({**headline, **extended})
     line3 = bench.summary_line(18.9, headline, extended, kscale, 0.1)
-    out = line2 + "\n" + line3 + "\n"
+    # pairs + summary must BOTH fit the window in full
+    assert len(pairs) + len(line3) + 2 <= 2000, (len(pairs), len(line3))
+    out = line2 + "\n" + pairs + "\n" + line3 + "\n"
     art = tmp_path / "BENCH_sim.json"
     art.write_text(json.dumps({"rc": 0, "tail": out[-2000:],
                                "parsed": json.loads(line3)}))
     proc = subprocess.run(
         [sys.executable, "scripts/bench_diff.py", str(art)],
-        capture_output=True, text=True, cwd="/root/repo",
+        capture_output=True, text=True, cwd=REPO_ROOT,
     )
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert summary["n_compared"] >= 80, summary
+    assert summary["n_compared"] == len(anchors), summary
+    assert "anchored but not measured" not in proc.stdout
     assert proc.returncode == 0, proc.stdout[-400:]

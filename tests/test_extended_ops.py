@@ -1559,6 +1559,37 @@ def _semdedup_fixture(spark):
     return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
 
 
+def test_knn_join_accepts_precomputed_count(spark):
+    """ADVICE r7: n_rows skips the df.count() job (which re-executes
+    expensive upstream lineage) and must produce the identical graph
+    as the counted path."""
+    from clickhouse_k_means_spark.operators.similarity import knn_join
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) for d in range(4)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    auto = knn_join(df, k=3, seed=1)
+    pinned = knn_join(df, k=3, seed=1, n_rows=60)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, pinned.collect())
+    )
+
+
+def test_semdedup_rejects_duplicate_centroid_ids(spark):
+    """ADVICE r7: a repeated centroid j would silently duplicate
+    membership rows through the cdf join — fail loudly instead."""
+    import pytest
+
+    from clickhouse_k_means_spark.operators.semdedup import semantic_dedup
+
+    df = _semdedup_fixture(spark)
+    cents = [(0, [1.0] + [0.0] * 7), (0, [0.0, 1.0] + [0.0] * 6)]
+    with pytest.raises(ValueError, match="duplicate centroid id"):
+        semantic_dedup(df, centroids=cents, threshold=0.95)
+
+
 def test_semdedup_groups_planted_dups_one_keeper(spark):
     from clickhouse_k_means_spark.operators.semdedup import semantic_dedup
 

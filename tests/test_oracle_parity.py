@@ -30,6 +30,25 @@ def _duck(sf_dir: str):
     return con
 
 
+def _dtype_class(dtype) -> str:
+    """Coarse dtype class used by the pre-coercion parity assert:
+    the driver's value hash is dtype-sensitive, so an oracle column
+    that comes back float64 (e.g. DuckDB HUGEINT via pandas) must NOT
+    be silently coerced to match an int64 Spark column — that exact
+    blind spot shipped the r5 range_frame and r7 q14/q8a reds
+    (VERDICT r7 item 2)."""
+    s = str(dtype)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("bool"):
+        return "bool"
+    if s.startswith("datetime"):
+        return "datetime"
+    return "object"
+
+
 def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     out = pdf[sorted(pdf.columns)].copy()
     for c in out.columns:
@@ -42,13 +61,33 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), ignore_index=True)
 
 
+def _assert_dtype_classes_match(key: str, got: pd.DataFrame, want: pd.DataFrame):
+    """Compare dtype CLASSES on the raw (pre-_canon) frames."""
+    gc = {c: _dtype_class(got[c].dtype) for c in got.columns}
+    wc = {c: _dtype_class(want[c].dtype) for c in want.columns}
+    bad = {
+        c: (gc[c], wc.get(c))
+        for c in gc
+        if c in wc and gc[c] != wc[c]
+    }
+    assert not bad, (
+        f"{key}: dtype-class mismatch (spark vs oracle) {bad} — the "
+        "driver hash is dtype-sensitive; cast the oracle column "
+        "(::BIGINT for DuckDB HUGEINT sums/ratios) instead of relying "
+        "on _canon coercion"
+    )
+
+
 @pytest.mark.parametrize("key", SQL_KEYS)
 def test_oracle_parity(key, spark, sf_dir):
     assert key in QUERIES, f"oracle_sql has {key} but queries() does not"
-    got = _canon(QUERIES[key](spark, sf_dir).toPandas())
+    got_raw = QUERIES[key](spark, sf_dir).toPandas()
     con = _duck(sf_dir)
-    want = _canon(con.execute(ORACLES[key]).df())
+    want_raw = con.execute(ORACLES[key]).df()
     con.close()
+    _assert_dtype_classes_match(key, got_raw, want_raw)
+    got = _canon(got_raw)
+    want = _canon(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"{key}: columns {list(got.columns)} != {list(want.columns)}"
     )
@@ -99,17 +138,16 @@ def test_entry_smoke(spark):
     assert {f.name for f in df.schema} == {"j", "n", "avg_dist"}
 
 
-def test_driver_window_pins_r7_rotation():
-    """Rotation contract (VERDICT r5 item 2, advanced per r6 item 2):
-    the driver records rows for the FIRST 50 registry entries only.
-    r7 window = 6-query fixed head + the cohort that had never had a
-    driver row (VERDICT r6 Missing #2: the 45 r6 additions minus the 6
-    that overflow into r8) + the group-B leftovers. Every windowed
-    entry must have an oracle twin so its driver row is a full
-    value-hash gate; the overflow + this round's single addition
-    (multimodal_codec_stats, the real-codec gate) must all sit inside
-    the r8 slice so the never-gated debt hits 0 next round (r6
-    item 3's schedule)."""
+def test_driver_window_pins_r8_rotation():
+    """Rotation contract (VERDICT r5 item 2, advanced per r7 items
+    1c/4): the driver records rows for the FIRST 50 registry entries
+    only. r8 window = 6-query fixed head + the 3 r7 red queue-jumpers
+    (tpch_q14, tpch_q8a, pyds_read — fixed this round, re-gating ahead
+    of the pointer) + R[44:85], which opens with the ENTIRE remaining
+    never-gated cohort so the never-gated debt ends at 0 after r8.
+    The 3 rotation entries the queue-jumpers displaced (moving_avg,
+    funnel, retention — every one already green r6 or earlier) must
+    lead the next slice so they re-gate first in r9."""
     keys = list(QUERIES)
     window = keys[:50]
     head = {
@@ -117,34 +155,18 @@ def test_driver_window_pins_r7_rotation():
         "elbow_total", "kmeans_fit_history",
     }
     assert head <= set(window), sorted(head - set(window))
-    first_gates_r7 = {
-        "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q19", "tpch_q2a",
-        "running_diff", "sequence_match", "window_funnel", "entropy",
-        "chi_square", "tpch_q6", "tpch_q8a", "tpch_q12a", "tpch_q15",
-        "tpch_q17", "tpch_q22a", "topk_heavy", "topk_weighted",
-        "ema_decay", "lttb", "array_funcs", "map_agg",
-        "audience_overlap", "rollup_incremental", "sequence_count",
-        "rolling_median", "stateful_stats", "regex_extract",
-        "pipeline_e2e", "knn_join", "grid_dbscan", "bisect_kmeans",
-        "lateral_topn", "grouping_sets", "recursive_cte",
-        "variant_json", "pyds_read", "ngram_sim", "locf_fill",
-        # group-B leftovers whose last green driver row was r4
-        "mllib_kmeans", "lang_id", "quality_scores", "token_counts",
-        "doc_fingerprint",
-    }
-    assert first_gates_r7 <= set(window), sorted(first_gates_r7 - set(window))
-    assert all(k in ORACLES for k in window)
-    # after r7 the entire remaining never-gated debt must sit inside
-    # the r8 slice (positions 50..93) so it clears next round
-    pending_r8 = {
+    red_jumpers = {"tpch_q14", "tpch_q8a", "pyds_read"}
+    assert red_jumpers <= set(window), sorted(red_jumpers - set(window))
+    # the whole never-gated cohort gates THIS round — debt hits 0
+    never_gated = {
         "multimodal_codec_stats", "interval_union", "stream_join",
         "array_set_ops", "triangles", "weighted_quantiles",
-        "anomaly_zscore",
-        # r7 addition, appended behind the pending cohort (r6 item 3)
-        "semdedup",
+        "anomaly_zscore", "semdedup",
     }
-    r8_slice = set(keys[50:94])
-    assert pending_r8 <= r8_slice, sorted(pending_r8 - r8_slice)
+    assert never_gated <= set(window), sorted(never_gated - set(window))
+    assert all(k in ORACLES for k in window)
+    # the 3 displaced entries lead the r9 slice (positions 50..52)
+    assert keys[50:53] == ["moving_avg", "funnel", "retention"]
     # the cadence must close: ceil(rotating / slots) rounds per full
     # sweep, with slots = 50 - len(fixed head). The registry comment
     # documents the CURRENT ceil — keep them in sync (VERDICT r5
@@ -152,3 +174,31 @@ def test_driver_window_pins_r7_rotation():
     rotating = len(keys) - len(head)
     slots = 50 - len(head)
     assert -(-rotating // slots) <= 4
+
+
+def test_uncast_hugeint_oracle_column_fails_dtype_gate():
+    """VERDICT r7 item 2 'Done =' probe: a DuckDB HUGEINT column left
+    uncast arrives in pandas as float64; against an int64 Spark column
+    the dtype-class gate must FAIL (the driver hash would). This is
+    exactly the q14/q8a shape that shipped red in r7."""
+    con = duckdb.connect()
+    # sum(BIGINT) in DuckDB is HUGEINT; // keeps HUGEINT
+    want_raw = con.execute(
+        "select (sum(x) * 1000000) // sum(y) as ppm "
+        "from (values (1::BIGINT, 3::BIGINT), (2, 4)) t(x, y)"
+    ).df()
+    con.close()
+    got_raw = pd.DataFrame({"ppm": pd.Series([428571], dtype="int64")})
+    assert _dtype_class(want_raw["ppm"].dtype) == "float", (
+        "probe premise: uncast HUGEINT must land as float64 in pandas"
+    )
+    with pytest.raises(AssertionError, match="dtype-class mismatch"):
+        _assert_dtype_classes_match("probe", got_raw, want_raw)
+    # and the cast form passes
+    con = duckdb.connect()
+    cast_raw = con.execute(
+        "select ((sum(x) * 1000000) // sum(y))::BIGINT as ppm "
+        "from (values (1::BIGINT, 3::BIGINT), (2, 4)) t(x, y)"
+    ).df()
+    con.close()
+    _assert_dtype_classes_match("probe_cast", got_raw, cast_raw)
