@@ -529,13 +529,20 @@ def summary_line(
     ``contended`` mechanizes the solo-re-measure protocol for
     gate failures in inflated runs (VERDICT r7 item 7)."""
     try:
-        from scripts.bench_diff import load_anchors
+        # anchors are sf0.1 numbers — the ratio signature is only
+        # meaningful for a run at the anchor scale
+        if abs(sf - 0.1) < 1e-9:
+            from scripts.bench_diff import load_anchors
 
-        anchors = load_anchors(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BASELINE.md")
-        )
-        cmed, contended = contention_stats({**timings, **extended}, anchors)
+            anchors = load_anchors(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE.md")
+            )
+            cmed, contended = contention_stats(
+                {**timings, **extended}, anchors
+            )
+        else:
+            cmed, contended = None, False
     except Exception:
         cmed, contended = None, False
     return json.dumps(
