@@ -1916,6 +1916,25 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed BM25 gate queries over the synthetic corpus vocabulary —
+# a rare term (dup, df≈25 at sf0.01) plus common-term mixes so the
+# ranking exercises idf spread AND tf/length normalization
+BM25_QUERIES = {
+    1: ["spark", "window", "agg"],
+    2: ["dup", "merge"],
+    3: ["vector", "hash", "join", "scan"],
+}
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 retrieval for 3 fixed term queries (integer
+    micro-nat scores — operators/retrieval.py exactness contract)."""
+    from clickhouse_k_means_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERIES, top_n=5)
+
+
 # per-language sampling rates for the stratified-sample gate query —
 # the "rebalance the language mix" pipeline move
 STRATA_RATES = {"de": 0.1, "en": 0.5, "es": 0.25, "fr": 0.25, "zh": 0.1}
@@ -4000,6 +4019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": q_moving_avg,
         "funnel": q_funnel,
         "retention": q_retention,
+        # r8 addition — BM25 retrieval (operators/retrieval.py); placed
+        # directly after the 3 deferred entries so it first-gates early
+        # in the r9 window (the semdedup/multimodal r7 pattern)
+        "bm25_topk": q_bm25_topk,
         "pivot_native": q_pivot_native,
         "unpivot_events": q_unpivot_events,
         "near_dedup_incremental": q_near_dedup_incremental,
@@ -4633,6 +4656,7 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT as users "
             "from a join f using (user_id) group by 1, 2"
         ),
+        "bm25_topk": _bm25_topk_sql(),
         "moving_avg": (
             "with b as (select event_id, user_id, ts, "
             "round(value * 100)::BIGINT as value_c from events) "
@@ -6139,6 +6163,50 @@ def _pii_redact_sql() -> str:
     return (
         f"with p as (select doc_id, {planted} as t from documents) "
         f"select doc_id, md5({red}) as red_md5, {counts} from p"
+    )
+
+
+def _bm25_topk_sql() -> str:
+    """Replays q_bm25_topk exactly: same tokenizer regex, same
+    integer fixed-point BM25 (operators/retrieval.py docstring), the
+    query VALUES generated from the same BM25_QUERIES constant so the
+    two sides cannot drift. Every sum/count is ::BIGINT-cast at the
+    point DuckDB would widen to HUGEINT (the q14/q8a lesson)."""
+    k1, b, top_n = 1200, 750, 5
+    vocab = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in vocab)
+    values = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts in sorted(BM25_QUERIES.items())
+        for t in ts
+    )
+    norm = f"(1000 - {b} + ({b} * dl * 1000) // avgdl_milli)"
+    denom = f"(tf * 1000 + ({k1} * {norm}) // 1000)"
+    term_score = f"(idf_micro * tf * {k1 + 1000}) // {denom}"
+    return (
+        "with tkc as (select doc_id::BIGINT as doc_id, case when "
+        "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) "
+        "= '' then []::VARCHAR[] else string_split(trim(regexp_replace("
+        "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') end as tk "
+        "from documents), "
+        "base as (select doc_id, len(tk)::BIGINT as dl, tk from tkc), "
+        "scal as (select count(*)::BIGINT as n_docs, "
+        "((sum(dl) * 1000) // count(*))::BIGINT as avgdl_milli from base), "
+        "postings as (select doc_id, dl, unnest(tk) as term from base), "
+        f"tf as (select doc_id, dl, term, count(*)::BIGINT as tf "
+        f"from postings where term in ({in_list}) group by 1, 2, 3), "
+        "dfq as (select term, count(*)::BIGINT as df from tf group by 1), "
+        "idf as (select term, round(ln((n_docs - df + 0.5) / (df + 0.5) "
+        "+ 1) * 1000000)::BIGINT as idf_micro from dfq cross join scal), "
+        f"qt as (select * from (values {values}) q(query_id, term)), "
+        "scored as (select query_id::BIGINT as query_id, doc_id, "
+        f"sum({term_score})::BIGINT as score_micro "
+        "from tf join idf using (term) join qt using (term) "
+        "cross join scal group by 1, 2) "
+        "select query_id, rank, doc_id, score_micro from ("
+        "select *, row_number() over (partition by query_id "
+        "order by score_micro desc, doc_id)::BIGINT as rank from scored) "
+        f"where rank <= {top_n}"
     )
 
 

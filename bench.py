@@ -370,6 +370,8 @@ def main() -> None:
         ("array_set_ops", entry.q_array_set_ops, 2),
         # r7 addition: real PNG/WAV encode+decode through mapInPandas
         ("multimodal_codec_stats", entry.q_multimodal_codec_stats, 2),
+        # r8 addition: integer-exact Okapi BM25 top-5, 3 term queries
+        ("bm25_topk", entry.q_bm25_topk, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

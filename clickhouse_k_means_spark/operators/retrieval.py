@@ -1,0 +1,180 @@
+"""BM25 retrieval — scored top-k document search over a corpus.
+
+The missing member of the text-scoring family (tf-idf top terms,
+unigram/bigram LM, boilerplate, KL divergence all exist in
+``textstats.py``): Okapi BM25 ranking of documents against a small
+set of term queries, the standard lexical-retrieval operator an LLM
+data pipeline uses for decontamination lookups, RAG candidate
+generation, and hard-negative mining.
+
+Exactness contract (the repo's integer fixed-point rule): the ONLY
+floating-point step is one ``ln`` per distinct query term — a ratio
+of two small integers, immediately rounded half-up to integer
+MICRO-nats. Everything downstream (length normalization, the tf
+saturation quotient, the per-document sum, ranking) is exact BIGINT
+arithmetic with floor division, so results are bit-identical across
+partitionings, engines, and summation orders, and the DuckDB oracle
+replays the math exactly.
+
+Formula, integerized (k1, b carried in MILLI units):
+
+    avgdl_milli = (total_tokens * 1000) div n_docs
+    norm_milli  = 1000 - b_milli + (b_milli * dl * 1000) div avgdl_milli
+    denom_milli = tf * 1000 + (k1_milli * norm_milli) div 1000
+    idf_micro   = round(ln((N - df + 0.5) / (df + 0.5) + 1) * 1e6)
+    term_score  = (idf_micro * tf * (k1_milli + 1000)) div denom_milli
+    score_micro = Σ term_score          -- micro-nat BIGINT
+
+``idf`` is the Lucene "+1" variant — strictly positive even for terms
+in most documents, so floor division never sees a negative numerator.
+
+Plan shape at 100 TB: the postings explode is filtered to the query
+vocabulary BEFORE any shuffle (an ``isin`` literal predicate on the
+exploded term — the scan stage emits only matching (doc, term) pairs,
+a tiny fraction of the corpus for realistic queries). Document-length
+and corpus scalars are one map-side aggregate hoisted to driver
+literals; df/idf is a ≤|vocab|-row relation broadcast onto the
+filtered postings; the only data-scale shuffle is the
+groupBy(doc, term) tf aggregation over ALREADY-FILTERED postings,
+and tf is materialized ONCE (eager localCheckpoint) because it
+feeds both the idf branch and the scoring join.
+Top-k per query is a WindowGroupLimit (rank pushdown), never a
+global sort.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clickhouse_k_means_spark.functions.text import token_count, tokens
+
+
+def _tf_relation(base: DataFrame, vocab: list[str]) -> DataFrame:
+    """(doc_id, dl, term, tf) for query-vocabulary terms only — the
+    ``isin`` literal filter sits UNDER the tf exchange, so postings
+    for non-query terms never shuffle (plan-guarded in tests)."""
+    return (
+        base.select("doc_id", "dl", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(vocab))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: dict[int, list[str]],
+    key: str = "doc_id",
+    text: str = "text",
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    top_n: int = 5,
+) -> DataFrame:
+    """Top-``top_n`` documents per query by integerized Okapi BM25.
+
+    ``queries`` maps a query id to its (already-tokenized) term list;
+    duplicate terms within one query are rejected rather than
+    silently double-counted (the semdedup duplicate-id lesson).
+    Returns ``(query_id, rank, doc_id, score_micro)`` — BIGINT
+    throughout, ties broken by ascending document key so the ranking
+    is total and reproducible.
+    """
+    if not queries:
+        raise ValueError("bm25_topk: queries must be non-empty")
+    for qid, terms in queries.items():
+        if not terms:
+            raise ValueError(f"bm25_topk: query {qid} has no terms")
+        if len(set(terms)) != len(terms):
+            raise ValueError(f"bm25_topk: query {qid} repeats a term")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+
+    spark = docs.sparkSession
+    vocab = sorted({t for ts in queries.values() for t in ts})
+
+    base = docs.select(
+        F.col(key).cast("bigint").alias("doc_id"),
+        tokens(text).alias("tk"),
+        token_count(text).cast("bigint").alias("dl"),
+    )
+
+    # corpus scalars: one map-side-combinable aggregate, hoisted to
+    # driver literals (k-sized collect — the driver-held-model rule)
+    n_docs, total_tokens = base.agg(
+        F.count(F.lit(1)), F.sum("dl")
+    ).first()
+    if not n_docs:
+        raise ValueError("bm25_topk: document corpus is empty")
+    avgdl_milli = (int(total_tokens) * 1000) // int(n_docs)
+    if avgdl_milli == 0:
+        raise ValueError("bm25_topk: corpus has no tokens")
+
+    # postings filtered to the query vocabulary BEFORE the tf shuffle;
+    # eager localCheckpoint because tf feeds BOTH the df/idf branch and
+    # the scoring join — without it Catalyst re-derives the whole
+    # corpus scan + explode under each consumer, doubling the dominant
+    # 100 TB cost (the unigram_lm lesson; tf is vocabulary-filtered,
+    # so the materialized relation is tiny)
+    tf = _tf_relation(base, vocab).localCheckpoint(eager=True)
+
+    # df per term (≤ |vocab| rows) → idf in exact micro-nats; the one
+    # ln is per DISTINCT TERM over a ratio of two small integers
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).select(
+        "term",
+        F.round(
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                + 1.0
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("idf_micro"),
+    )
+
+    qterms = spark.createDataFrame(
+        [(int(qid), t) for qid, ts in sorted(queries.items()) for t in ts],
+        schema="query_id bigint, term string",
+    )
+
+    norm_milli = (
+        F.lit(1000 - b_milli)
+        + F.expr(f"(({b_milli} * dl * 1000) div {avgdl_milli})")
+    )
+    denom_milli = F.col("tf") * 1000 + F.expr(
+        f"(({k1_milli} * __norm) div 1000)"
+    )
+    term_score = F.expr(
+        f"((idf_micro * tf * {k1_milli + 1000}) div __denom)"
+    )
+
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(F.broadcast(qterms), "term")
+        .withColumn("__norm", norm_milli)
+        .withColumn("__denom", denom_milli)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(term_score).cast("bigint").alias("score_micro"))
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_n)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )
+
+
+def bm25_idf_reference(n_docs: int, df: int) -> int:
+    """Driver-side replay of the idf fixed-pointing (test helper)."""
+    return int(
+        math.floor(
+            math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1_000_000 + 0.5
+        )
+    )

@@ -28,6 +28,7 @@ NAMES = [
     "bigram_lm",
     "bisect_kmeans",
     "bloom_join",
+    "bm25_topk",
     "boilerplate",
     "bucketed_join",
     "chi_square",
