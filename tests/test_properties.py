@@ -533,3 +533,37 @@ def test_semdedup_partition_invariants(spark, vecs, thr):
         assert sum(m["keep"] for m in members) == 1
         assert grp == min(m["vec_id"] for m in members)
         assert len({m["j"] for m in members}) == 1
+
+
+word = st.sampled_from(["alpha", "beta", "gamma", "delta", "rare"])
+
+
+@given(
+    docs=st.lists(
+        st.lists(word, min_size=1, max_size=8), min_size=2, max_size=8
+    ),
+    qterms=st.sets(word, min_size=1, max_size=3),
+)
+@SETTINGS
+def test_bm25_partition_and_ranking_invariants(spark, docs, qterms):
+    """bm25_topk is partition-invariant (exact integer scores, so ANY
+    layout yields identical rows) and per-query ranks are contiguous
+    from 1 and strictly ordered by (score desc, doc_id)."""
+    from clickhouse_k_means_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    queries = {1: sorted(qterms)}
+    a = sorted(map(tuple, bm25_topk(df, queries, top_n=4).collect()))
+    b = sorted(
+        map(tuple, bm25_topk(df.repartition(7), queries, top_n=4).collect())
+    )
+    assert a == b
+    ranked = sorted(a, key=lambda r: r[1])  # by rank
+    assert [r[1] for r in ranked] == list(range(1, len(ranked) + 1))
+    for prev, cur in zip(ranked, ranked[1:]):
+        # score strictly descending, ties broken by ascending doc_id
+        assert (-prev[3], prev[2]) < (-cur[3], cur[2])
+        assert prev[3] > 0 and cur[3] > 0
