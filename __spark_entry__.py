@@ -1935,6 +1935,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_QUERIES, top_n=5)
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact span dedup (C4-style line dedup, tiled to
+    10-token spans): per-doc span counts + md5 of the reassembled
+    deduped text (operators/dedup.span_dedup)."""
+    from clickhouse_k_means_spark.operators.dedup import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = span_dedup(docs, span_tokens=10)
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_kept",
+        F.md5("dedup_text").alias("dedup_md5"),
+    )
+
+
 # per-language sampling rates for the stratified-sample gate query —
 # the "rebalance the language mix" pipeline move
 STRATA_RATES = {"de": 0.1, "en": 0.5, "es": 0.25, "fr": 0.25, "zh": 0.1}
@@ -4023,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # directly after the 3 deferred entries so it first-gates early
         # in the r9 window (the semdedup/multimodal r7 pattern)
         "bm25_topk": q_bm25_topk,
+        "span_dedup": q_span_dedup,
         "pivot_native": q_pivot_native,
         "unpivot_events": q_unpivot_events,
         "near_dedup_incremental": q_near_dedup_incremental,
@@ -4657,6 +4674,36 @@ def oracle_sql() -> dict[str, str]:
             "from a join f using (user_id) group by 1, 2"
         ),
         "bm25_topk": _bm25_topk_sql(),
+        "span_dedup": (
+            # replay of operators/dedup.span_dedup at span_tokens=10:
+            # identical tokenizer, identical tiling arithmetic,
+            # first-occurrence-wins by (doc_id, span_id)
+            "with tkc as (select doc_id::BIGINT as doc_id, case when "
+            "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) "
+            "= '' then []::VARCHAR[] else string_split(trim(regexp_replace("
+            "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') end as tk "
+            "from documents), "
+            "ids as (select doc_id, tk, unnest(range(0, greatest("
+            "(len(tk) + 9) // 10, 1))) as span_id from tkc), "
+            "spans as (select doc_id, span_id::BIGINT as span_id, "
+            "array_to_string(list_slice(tk, span_id * 10 + 1, "
+            "span_id * 10 + 10), ' ') as span from ids), "
+            "ne as (select * from spans where span != ''), "
+            "flagged as (select doc_id, span_id, span, "
+            "case when row_number() over (partition by span "
+            "order by doc_id, span_id) = 1 then 1 else 0 end as first "
+            "from ne), "
+            "per_doc as (select doc_id, count(*)::BIGINT as n_spans, "
+            "sum(first)::BIGINT as n_kept, "
+            "coalesce(string_agg(span, ' ' order by span_id) "
+            "filter (where first = 1), '') as dedup_text "
+            "from flagged group by 1) "
+            "select d.doc_id::BIGINT as doc_id, "
+            "coalesce(n_spans, 0)::BIGINT as n_spans, "
+            "coalesce(n_kept, 0)::BIGINT as n_kept, "
+            "md5(coalesce(dedup_text, '')) as dedup_md5 "
+            "from documents d left join per_doc on d.doc_id = per_doc.doc_id"
+        ),
         "moving_avg": (
             "with b as (select event_id, user_id, ts, "
             "round(value * 100)::BIGINT as value_c from events) "

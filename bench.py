@@ -372,6 +372,8 @@ def main() -> None:
         ("multimodal_codec_stats", entry.q_multimodal_codec_stats, 2),
         # r8 addition: integer-exact Okapi BM25 top-5, 3 term queries
         ("bm25_topk", entry.q_bm25_topk, 2),
+        # r8 addition: C4-style span dedup + per-doc reassembly
+        ("span_dedup", entry.q_span_dedup, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -468,3 +468,92 @@ def incremental_near_dedup(
     if n:
         store.append(new_bands, table)
     return survivors, n
+
+
+def span_dedup(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Sub-document EXACT dedup: remove repeated token spans corpus-
+    wide, first occurrence wins (the C4/RefinedWeb "line dedup" move,
+    and the bounded-memory relational stand-in for Lee et al. 2022's
+    suffix-array ExactSubstr — honest difference: suffix arrays catch
+    duplicates at ANY alignment, span tiling only at fixed
+    ``span_tokens`` boundaries).
+
+    Documents are tiled into consecutive ``span_tokens``-token spans
+    (tiling, because the span boundary is a parameter, not prose
+    structure — the synthetic corpus has no newlines; real corpora
+    would pre-split on a delimiter and feed one span per row through
+    the same keep-first core). A span instance survives iff it is the
+    globally FIRST occurrence of its text, ordered by
+    ``(key, span_id)`` — later repeats inside the SAME document are
+    removed too, matching the published line-dedup semantics.
+
+    Returns one row per input document:
+    ``(key, n_spans, n_kept, dedup_text)`` with ``dedup_text`` the
+    kept spans re-joined in order (empty string when every span was
+    seen earlier).
+
+    Scale shape: one explode (linear), ONE shuffle keyed by the span
+    digest for the keep-first window (128-bit md5 keys — uniform, so
+    the canonical hot-key skew of natural-language spans — empty
+    lines, boilerplate headers — never concentrates on one reducer),
+    one groupBy(key) to reassemble. No self-join, no O(n²) pair
+    materialization; state is the span-hash domain, the same budget
+    exact_dedup already carries at corpus scale.
+    """
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    base = df.select(F.col(key), tokens(text).alias("tk"))
+    # exact integer span count: ceil(size/span_tokens), never float
+    n_spans_expr = F.expr(
+        f"greatest(cast((size(tk) + {span_tokens - 1}) div {span_tokens} "
+        "as int) - 1, 0)"
+    )
+    spans = base.select(
+        key,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans_expr),
+                lambda b: F.array_join(
+                    F.slice("tk", b * span_tokens + 1, span_tokens), " "
+                ),
+            )
+        ).alias("span_id", "span"),
+    ).filter(F.col("span") != "")
+    w = Window.partitionBy("span_hash").orderBy(key, "span_id")
+    kept = (
+        spans.select(key, "span_id", "span", md5_hex("span").alias("span_hash"))
+        .withColumn("first", (F.row_number().over(w) == 1).cast("int"))
+    )
+    per_doc = kept.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("first").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("first") == 1,
+                            F.struct("span_id", "span"),
+                        )
+                    )
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        df.select(key)
+        .join(per_doc, key, "left")
+        .select(
+            key,
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )

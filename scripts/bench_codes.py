@@ -105,6 +105,7 @@ NAMES = [
     "simhash",
     "skew_report",
     "snapshot_diff",
+    "span_dedup",
     "srp_ann",
     "ssjoin",
     "stateful_stats",

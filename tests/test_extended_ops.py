@@ -1743,3 +1743,63 @@ def test_semdedup_arrow_tier_tie_breaks_to_lowest_j(spark):
     finally:
         sd._UNROLL_BUDGET = orig
     assert arrow[0]["j"] == 2
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    """C4-style span dedup: global first occurrence by (doc_id,
+    span_id) survives, later repeats — including intra-document ones —
+    are removed; reassembly preserves span order; empty and tail-span
+    docs round-trip."""
+    from clickhouse_k_means_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "c d a b x y"),   # two spans already seen in doc 1
+            (3, "a b a b"),       # intra-doc repeat of a doc-1 span
+            (4, ""),
+            (5, "z"),             # short tail span survives
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["dedup_text"])
+        for r in span_dedup(df, span_tokens=2).collect()
+    }
+    assert rows[1] == (3, 3, "a b c d e f")
+    assert rows[2] == (3, 1, "x y")
+    assert rows[3] == (2, 0, "")
+    assert rows[4] == (0, 0, "")
+    assert rows[5] == (1, 1, "z")
+
+
+def test_span_dedup_validation_and_rerun_stability(spark):
+    from clickhouse_k_means_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="span_tokens"):
+        span_dedup(df, span_tokens=0)
+    # layout-independence: exact string keys -> identical results
+    a = sorted(map(tuple, span_dedup(df, span_tokens=2).collect()))
+    b = sorted(
+        map(tuple, span_dedup(df.repartition(8), span_tokens=2).collect())
+    )
+    assert a == b
+
+
+def test_span_dedup_plan_single_span_shuffle(spark, sf_dir):
+    """Scale guard: the keep-first window shuffles on the 128-bit span
+    digest (uniform — boilerplate hot spans never concentrate on one
+    reducer), and the plan contains no join between data-scale
+    relations beyond the final broadcast-able doc_id restore."""
+    from clickhouse_k_means_spark.operators.dedup import span_dedup
+    from clickhouse_k_means_spark.plans.audit import audit_plan
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    info = audit_plan(span_dedup(docs, span_tokens=10))
+    assert not info["has_cartesian"], info
+    hash_shuffles = [s for s in info["shuffle_keys"] if "span_hash" in s]
+    assert hash_shuffles, info["shuffle_keys"]
