@@ -1951,6 +1951,39 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-shape SPAN dedup replayed as the standard two-batch
+    protocol (operators/dedup.incremental_span_dedup): batch 1 =
+    ``doc_id % 3 != 0``, batch 2 = ``doc_id % 2 == 0`` (overlapping
+    content). Per-doc rows for both batches: batch 2's keepers exclude
+    every span batch 1 committed. DuckDB replays both layers."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.dedup import (
+        incremental_span_dedup,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="spandedup_inc_"))
+    out = []
+    for batch_no, batch in (
+        (1, docs.filter(F.pmod("doc_id", F.lit(3)) != 0)),
+        (2, docs.filter(F.pmod("doc_id", F.lit(2)) == 0)),
+    ):
+        res, _ = incremental_span_dedup(batch, store, span_tokens=10)
+        out.append(
+            res.select(
+                F.lit(batch_no).cast("bigint").alias("batch"),
+                "doc_id",
+                "n_spans",
+                "n_kept",
+                F.md5("dedup_text").alias("dedup_md5"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
 # per-language sampling rates for the stratified-sample gate query —
 # the "rebalance the language mix" pipeline move
 STRATA_RATES = {"de": 0.1, "en": 0.5, "es": 0.25, "fr": 0.25, "zh": 0.1}
@@ -4040,6 +4073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the r9 window (the semdedup/multimodal r7 pattern)
         "bm25_topk": q_bm25_topk,
         "span_dedup": q_span_dedup,
+        "span_dedup_incremental": q_span_dedup_incremental,
         "pivot_native": q_pivot_native,
         "unpivot_events": q_unpivot_events,
         "near_dedup_incremental": q_near_dedup_incremental,
@@ -4674,6 +4708,51 @@ def oracle_sql() -> dict[str, str]:
             "from a join f using (user_id) group by 1, 2"
         ),
         "bm25_topk": _bm25_topk_sql(),
+        "span_dedup_incremental": (
+            # two-batch replay: batch-1 keepers become the span
+            # history; batch-2 keepers additionally anti-join it
+            "with tkc as (select doc_id::BIGINT as doc_id, case when "
+            "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) "
+            "= '' then []::VARCHAR[] else string_split(trim(regexp_replace("
+            "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') end as tk "
+            "from documents), "
+            "ids as (select doc_id, tk, unnest(range(0, greatest("
+            "(len(tk) + 9) // 10, 1))) as span_id from tkc), "
+            "ne as (select doc_id, span_id::BIGINT as span_id, span from ("
+            "select doc_id, span_id, array_to_string(list_slice(tk, "
+            "span_id * 10 + 1, span_id * 10 + 10), ' ') as span from ids) "
+            "where span != ''), "
+            "k1 as (select doc_id, span_id, span, case when row_number() "
+            "over (partition by span order by doc_id, span_id) = 1 "
+            "then 1 else 0 end as first from ne where doc_id % 3 != 0), "
+            "hist as (select distinct span from k1 where first = 1), "
+            "k2w as (select doc_id, span_id, span, case when row_number() "
+            "over (partition by span order by doc_id, span_id) = 1 "
+            "then 1 else 0 end as firstw from ne where doc_id % 2 = 0), "
+            "k2 as (select doc_id, span_id, span, case when firstw = 1 "
+            "and span not in (select span from hist) then 1 else 0 end "
+            "as first from k2w), "
+            "p1 as (select doc_id, count(*)::BIGINT as n_spans, "
+            "sum(first)::BIGINT as n_kept, coalesce(string_agg(span, ' ' "
+            "order by span_id) filter (where first = 1), '') as dedup_text "
+            "from k1 group by 1), "
+            "p2 as (select doc_id, count(*)::BIGINT as n_spans, "
+            "sum(first)::BIGINT as n_kept, coalesce(string_agg(span, ' ' "
+            "order by span_id) filter (where first = 1), '') as dedup_text "
+            "from k2 group by 1) "
+            "select 1::BIGINT as batch, d.doc_id::BIGINT as doc_id, "
+            "coalesce(n_spans, 0)::BIGINT as n_spans, "
+            "coalesce(n_kept, 0)::BIGINT as n_kept, "
+            "md5(coalesce(dedup_text, '')) as dedup_md5 "
+            "from documents d left join p1 on d.doc_id = p1.doc_id "
+            "where d.doc_id % 3 != 0 "
+            "union all "
+            "select 2::BIGINT, d.doc_id::BIGINT, "
+            "coalesce(n_spans, 0)::BIGINT, coalesce(n_kept, 0)::BIGINT, "
+            "md5(coalesce(dedup_text, '')) "
+            "from documents d left join p2 on d.doc_id = p2.doc_id "
+            "where d.doc_id % 2 = 0"
+        ),
         "span_dedup": (
             # replay of operators/dedup.span_dedup at span_tokens=10:
             # identical tokenizer, identical tiling arithmetic,

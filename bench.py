@@ -374,6 +374,8 @@ def main() -> None:
         ("bm25_topk", entry.q_bm25_topk, 2),
         # r8 addition: C4-style span dedup + per-doc reassembly
         ("span_dedup", entry.q_span_dedup, 2),
+        # r8 addition: two-batch rolling-ingest span dedup protocol
+        ("span_dedup_incremental", entry.q_span_dedup_incremental, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

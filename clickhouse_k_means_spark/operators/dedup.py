@@ -505,6 +505,15 @@ def span_dedup(
     materialization; state is the span-hash domain, the same budget
     exact_dedup already carries at corpus scale.
     """
+    flagged = _span_keep_first(df, text, key, span_tokens)
+    return _span_reassemble(df, flagged, key)
+
+
+def _span_table(
+    df: DataFrame, text: str, key: str, span_tokens: int
+) -> DataFrame:
+    """``(key, span_id, span, span_hash)`` — the fixed-width token
+    tiling shared by the batch and incremental span-dedup forms."""
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
     base = df.select(F.col(key), tokens(text).alias("tk"))
@@ -524,12 +533,29 @@ def span_dedup(
             )
         ).alias("span_id", "span"),
     ).filter(F.col("span") != "")
-    w = Window.partitionBy("span_hash").orderBy(key, "span_id")
-    kept = (
-        spans.select(key, "span_id", "span", md5_hex("span").alias("span_hash"))
-        .withColumn("first", (F.row_number().over(w) == 1).cast("int"))
+    return spans.select(
+        key, "span_id", "span", md5_hex("span").alias("span_hash")
     )
-    per_doc = kept.groupBy(key).agg(
+
+
+def _span_keep_first(
+    df: DataFrame, text: str, key: str, span_tokens: int
+) -> DataFrame:
+    """Span table plus the within-input keep-first flag (one shuffle
+    keyed by the uniform span digest)."""
+    w = Window.partitionBy("span_hash").orderBy(key, "span_id")
+    return _span_table(df, text, key, span_tokens).withColumn(
+        "first", (F.row_number().over(w) == 1).cast("int")
+    )
+
+
+def _span_reassemble(
+    df: DataFrame, flagged: DataFrame, key: str
+) -> DataFrame:
+    """Per-document ``(key, n_spans, n_kept, dedup_text)`` from a
+    flagged span table; documents with no surviving (or no) spans come
+    back with 0/0 and an empty string."""
+    per_doc = flagged.groupBy(key).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum("first").cast("bigint").alias("n_kept"),
         F.array_join(
@@ -557,3 +583,58 @@ def span_dedup(
             F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
         )
     )
+
+
+def incremental_span_dedup(
+    new_docs: DataFrame,
+    store,
+    table: str = "seen_spans",
+    text: str = "text",
+    key: str = "doc_id",
+    span_tokens: int = 10,
+    broadcast_batch: bool = True,
+):
+    """Span-dedup an arriving batch against ALL previously-committed
+    spans — the rolling-ingest form of ``span_dedup``, completing the
+    incremental family (exact, near, span).
+
+    Protocol: (1) within-batch keep-first over the batch's span table,
+    (2) drop batch keepers whose span hash exists in the persisted
+    history (``_history_anti_join`` — with the default
+    ``broadcast_batch=True`` the batch's hash set broadcasts into a
+    LEFT SEMI scan of history, so a 100 TB span history is read once
+    and NEVER shuffled), (3) reassemble each document from its
+    surviving spans, (4) append the survivors' distinct hashes as the
+    next commit. Returns ``(per_doc_df, n_committed)`` with the same
+    ``(key, n_spans, n_kept, dedup_text)`` contract as ``span_dedup``.
+
+    Same single-writer-per-table concurrency contract as
+    ``incremental_exact_dedup``.
+    """
+    spark = new_docs.sparkSession
+    flagged = _span_keep_first(df=new_docs, text=text, key=key,
+                               span_tokens=span_tokens)
+    # the span table feeds the history probe AND the reassembly —
+    # materialize once (the unigram_lm/tf lesson)
+    flagged = flagged.localCheckpoint(eager=True)
+    keepers = flagged.filter(F.col("first") == 1).withColumnRenamed(
+        "span_hash", "text_hash"
+    )
+    if store.exists(table):
+        seen = store.read(spark, table).select("text_hash")
+        fresh = _history_anti_join(keepers, seen, broadcast_batch)
+    else:
+        fresh = keepers
+    fresh = fresh.localCheckpoint(eager=True)
+    # survivors after BOTH layers: the within-batch keep-first flag is
+    # re-derived so history drops demote a batch keeper to first=0
+    final = flagged.drop("first").join(
+        fresh.select(key, "span_id").withColumn("first", F.lit(1)),
+        [key, "span_id"],
+        "left",
+    ).fillna(0, subset=["first"])
+    new_hashes = fresh.select("text_hash").distinct()
+    n = new_hashes.count()
+    if n:
+        store.append(new_hashes, table)
+    return _span_reassemble(new_docs, final, key), n

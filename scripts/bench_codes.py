@@ -106,6 +106,7 @@ NAMES = [
     "skew_report",
     "snapshot_diff",
     "span_dedup",
+    "span_dedup_incremental",
     "srp_ann",
     "ssjoin",
     "stateful_stats",

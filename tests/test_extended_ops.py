@@ -1803,3 +1803,61 @@ def test_span_dedup_plan_single_span_shuffle(spark, sf_dir):
     assert not info["has_cartesian"], info
     hash_shuffles = [s for s in info["shuffle_keys"] if "span_hash" in s]
     assert hash_shuffles, info["shuffle_keys"]
+
+
+def test_incremental_span_dedup_cross_batch(spark, tmp_path):
+    """Rolling-ingest span dedup: batch 2's keepers exclude every span
+    batch 1 committed, within-batch keep-first still applies, and only
+    genuinely new span hashes are committed per batch."""
+    from clickhouse_k_means_spark.operators.dedup import (
+        incremental_span_dedup,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "spans"))
+    b1 = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f")], "doc_id bigint, text string"
+    )
+    r1, n1 = incremental_span_dedup(b1, store, span_tokens=2)
+    got1 = {r["doc_id"]: tuple(r)[1:] for r in r1.collect()}
+    assert n1 == 3  # "a b", "c d", "e f"
+    assert got1[1] == (2, 2, "a b c d")
+    assert got1[2] == (2, 1, "e f")  # "c d" lost to doc 1
+    b2 = spark.createDataFrame(
+        [(10, "a b x y"), (11, "x y e f")], "doc_id bigint, text string"
+    )
+    r2, n2 = incremental_span_dedup(b2, store, span_tokens=2)
+    got2 = {r["doc_id"]: tuple(r)[1:] for r in r2.collect()}
+    assert n2 == 1  # only "x y" is new corpus-wide
+    assert got2[10] == (2, 1, "x y")  # "a b" in history
+    assert got2[11] == (2, 0, "")     # "x y" lost in-batch, "e f" in history
+    # replaying batch 2 commits nothing further
+    r3, n3 = incremental_span_dedup(b2, store, span_tokens=2)
+    assert n3 == 0
+    assert all(r["n_kept"] == 0 for r in r3.collect())
+
+
+def test_incremental_span_dedup_history_not_shuffled(spark, tmp_path):
+    """Scale guard: with broadcast_batch=True the history read carries
+    no hashpartitioning exchange — the batch's hash set broadcasts
+    into a semi scan (the incremental-exact shape)."""
+    from clickhouse_k_means_spark.operators.dedup import (
+        incremental_span_dedup,
+    )
+    from clickhouse_k_means_spark.plans.audit import audit_plan
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "spans"))
+    b1 = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id bigint, text string"
+    )
+    incremental_span_dedup(b1, store, span_tokens=2)
+    # second batch: capture the history-probe plan via the survivors df
+    b2 = spark.createDataFrame(
+        [(2, "a b z z")], "doc_id bigint, text string"
+    )
+    out, _ = incremental_span_dedup(b2, store, span_tokens=2)
+    info = audit_plan(out)
+    # reassembly shuffles on the doc key / span digest only; nothing
+    # repartitions on text_hash (the history side)
+    assert not any("text_hash" in s for s in info["shuffle_keys"]), info
