@@ -60,11 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--text", default="text", help="text column")
 
     d = sub.add_parser(
-        "dedup", help="exact, near (MinHash), or semantic (SemDeDup) removal"
+        "dedup",
+        help="exact, near (MinHash), semantic (SemDeDup), or span "
+        "(C4-style sub-document) removal",
     )
     common(d, text=True)
     d.add_argument(
-        "--mode", choices=["exact", "near", "semantic"], default="exact"
+        "--mode", choices=["exact", "near", "semantic", "span"],
+        default="exact",
     )
     d.add_argument(
         "--threshold", type=float, default=0.8,
@@ -81,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="semantic mode: k-means clusters (choose ~n/cluster_size)",
     )
     d.add_argument("--seed", type=int, default=42)
+    d.add_argument(
+        "--span-tokens", type=int, default=10,
+        help="span mode: tokens per dedup span (tiling width)",
+    )
 
     s = sub.add_parser("split", help="deterministic train/val/test split")
     common(s)
@@ -158,6 +165,15 @@ def main(argv: list[str] | None = None) -> int:
             tagged = exact_dedup(df, text=args.text, key=args.key)
             keep = tagged.filter(F.col("keep") == 1).select(args.key)
             out = df.join(keep, args.key, "left_semi")
+        elif args.mode == "span":
+            from clickhouse_k_means_spark.operators.dedup import span_dedup
+
+            # span mode REWRITES text (duplicate spans removed), so the
+            # output carries the deduped text instead of a row filter
+            out = span_dedup(
+                df, text=args.text, key=args.key,
+                span_tokens=args.span_tokens,
+            )
         elif args.mode == "semantic":
             from clickhouse_k_means_spark.operators.semdedup import (
                 semantic_dedup,

@@ -363,6 +363,33 @@ def test_pipeline_cli_semantic_dedup(tmp_path, capsys, spark):
     assert 3 in kept and len(kept & {1, 2}) == 1
 
 
+def test_pipeline_cli_span_dedup(tmp_path, capsys, spark):
+    """dedup --mode span: sub-document dedup REWRITES text — repeated
+    spans vanish from later documents, counts land in the output."""
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d x y")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "deduped")
+    rc = pmain([
+        "dedup", "--input", src, "--out", out,
+        "--mode", "span", "--span-tokens", "2",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_in"] == 2 and summary["rows_out"] == 2
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["dedup_text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[1] == (2, 2, "a b c d")
+    assert got[2] == (2, 1, "x y")
+
+
 def test_bench_baseline_total_matches_baseline_md():
     """bench.py hardcodes BASELINE_HEADLINE_TOTAL for the
     tail-survivable summary line; BASELINE.md is what bench_diff
