@@ -3982,10 +3982,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * fixed head (6): the flagship k-means pipeline queries
     #     (yh_contract .. kmeans_fit_history) stay in the window every
     #     round.
-    #   * rotating list R (159 entries = this 165-entry registry minus
+    #   * rotating list R (162 entries = this 168-entry registry minus
     #     the head, order = this dict's order after the head): each
     #     round the window advances 44 slots, so every query gets a
-    #     driver CORRECTNESS row at least every ceil(159/44) = 4
+    #     driver CORRECTNESS row at least every ceil(162/44) = 4
     #     rounds. Between driver rows, every entry stays certified
     #     EVERY round by tests/test_oracle_parity.py (the identical
     #     three-way comparison, judge-re-runnable).
@@ -3994,15 +3994,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     and re-gating at the front of the window; the rotation
     #     pointer advances 41 instead of 44 to make room).
     #   * new queries are INSERTED into the next round's slice so they
-    #     first-gate one round after they land (no r8 additions).
+    #     first-gate one round after they land.
     # r8 window (this round) = 6 fixed + 3 queue-jumpers + R[44:85]:
-    # the slice opens with the ENTIRE remaining never-gated cohort
-    # (multimodal_codec_stats, interval_union, stream_join,
-    # array_set_ops, triangles, weighted_quantiles, anomaly_zscore,
-    # semdedup — VERDICT r7 item 4), so after r8 every one of the 165
-    # registry entries has had >=1 driver CORRECTNESS row. The 3
-    # rotation entries deferred by the queue-jumpers (moving_avg,
-    # funnel, retention — all green r6 or earlier) lead the r9 window.
+    # the slice opens with the ENTIRE never-gated cohort that existed
+    # at the r7 verdict (multimodal_codec_stats, interval_union,
+    # stream_join, array_set_ops, triangles, weighted_quantiles,
+    # anomaly_zscore, semdedup — VERDICT r7 item 4), so after r8 every
+    # registry entry that existed at the r7 verdict has had >=1 driver
+    # CORRECTNESS row. The 3 rotation entries deferred by the
+    # queue-jumpers (moving_avg, funnel, retention — all green r6 or
+    # earlier) lead the r9 window, followed immediately by the three
+    # r8 additions (bm25_topk, span_dedup, span_dedup_incremental —
+    # the semdedup/multimodal first-gate-next-round pattern).
     # The rotation pin test (tests/test_oracle_parity.py) asserts all
     # of this.
     return {
