@@ -1596,6 +1596,37 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_neardup_bucketed(emb, threshold=0.8, n_bits=8, n_tables=8)
 
 
+def q_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest embedding near-dedup
+    (operators/similarity.incremental_embed_dedup), standard two-batch
+    overlap protocol over the embed-neardup slice. The dominator rule
+    (no lower-key batch vector and no committed vector within
+    round(cos,4) >= 0.8) is exactly replayed brute-force by DuckDB;
+    the operator's SRP-bucketed candidates must therefore achieve full
+    recall on this slice or the row sets diverge."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.similarity import (
+        incremental_embed_dedup,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    emb = _emb_neardup_slice(spark, sf_dir).withColumnRenamed("e", "embedding")
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="embdedup_inc_"))
+    out = []
+    for batch_no, batch in (
+        (1, emb.filter(F.pmod("vec_id", F.lit(3)) != 0)),
+        (2, emb.filter(F.pmod("vec_id", F.lit(2)) == 0)),
+    ):
+        surv, _ = incremental_embed_dedup(batch, store, threshold=0.8)
+        out.append(
+            surv.select(
+                F.lit(batch_no).cast("bigint").alias("batch"), "vec_id"
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/semdedup.py): cluster-bucketed embedding
     dedup over the vec_id < 1000 slice + the planted near-dups.
@@ -3982,10 +4013,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * fixed head (6): the flagship k-means pipeline queries
     #     (yh_contract .. kmeans_fit_history) stay in the window every
     #     round.
-    #   * rotating list R (162 entries = this 168-entry registry minus
+    #   * rotating list R (163 entries = this 169-entry registry minus
     #     the head, order = this dict's order after the head): each
     #     round the window advances 44 slots, so every query gets a
-    #     driver CORRECTNESS row at least every ceil(162/44) = 4
+    #     driver CORRECTNESS row at least every ceil(163/44) = 4
     #     rounds. Between driver rows, every entry stays certified
     #     EVERY round by tests/test_oracle_parity.py (the identical
     #     three-way comparison, judge-re-runnable).
@@ -4003,9 +4034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry entry that existed at the r7 verdict has had >=1 driver
     # CORRECTNESS row. The 3 rotation entries deferred by the
     # queue-jumpers (moving_avg, funnel, retention — all green r6 or
-    # earlier) lead the r9 window, followed immediately by the three
-    # r8 additions (bm25_topk, span_dedup, span_dedup_incremental —
-    # the semdedup/multimodal first-gate-next-round pattern).
+    # earlier) lead the r9 window, followed immediately by the four
+    # r8 additions (bm25_topk, span_dedup, span_dedup_incremental,
+    # embed_dedup_incremental — the semdedup/multimodal
+    # first-gate-next-round pattern).
     # The rotation pin test (tests/test_oracle_parity.py) asserts all
     # of this.
     return {
@@ -4077,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "span_dedup": q_span_dedup,
         "span_dedup_incremental": q_span_dedup_incremental,
+        "embed_dedup_incremental": q_embed_dedup_incremental,
         "pivot_native": q_pivot_native,
         "unpivot_events": q_unpivot_events,
         "near_dedup_incremental": q_near_dedup_incremental,
@@ -4989,6 +5022,24 @@ def oracle_sql() -> dict[str, str]:
             f"round({cos}, 4) as sim from e qa, e qb "
             "where qa.vec_id < qb.vec_id "
             f"and round({cos}, 4) >= 0.8"
+        ),
+        # incremental embed dedup: brute-force dominator-rule replay of
+        # the two-batch protocol (batch-1 keepers are the history)
+        "embed_dedup_incremental": (
+            f"{emb_nd_cte}, "
+            "b1 as (select * from e where vec_id % 3 != 0), "
+            "b2 as (select * from e where vec_id % 2 = 0), "
+            "k1 as (select vec_id from b1 qb where not exists ("
+            "select 1 from b1 qa where qa.vec_id < qb.vec_id "
+            f"and round({cos}, 4) >= 0.8)), "
+            "k2 as (select vec_id from b2 qb where not exists ("
+            "select 1 from b2 qa where qa.vec_id < qb.vec_id "
+            f"and round({cos}, 4) >= 0.8) and not exists ("
+            "select 1 from b1 qa join k1 using (vec_id) "
+            f"where round({cos}, 4) >= 0.8)) "
+            "select 1::BIGINT as batch, vec_id::BIGINT as vec_id from k1 "
+            "union all "
+            "select 2::BIGINT, vec_id::BIGINT from k2"
         ),
         # SemDeDup full-value replay: fixed first-8 centroids →
         # assignment (same unrolled fold order as the Spark literals,

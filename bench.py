@@ -376,6 +376,8 @@ def main() -> None:
         ("span_dedup", entry.q_span_dedup, 2),
         # r8 addition: two-batch rolling-ingest span dedup protocol
         ("span_dedup_incremental", entry.q_span_dedup_incremental, 2),
+        # r8 addition: two-batch rolling-ingest embedding dedup
+        ("embed_dedup_incremental", entry.q_embed_dedup_incremental, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

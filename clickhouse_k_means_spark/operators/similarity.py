@@ -512,3 +512,129 @@ def knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def incremental_embed_dedup(
+    new_vecs: DataFrame,
+    store,
+    table: str = "seen_embed",
+    key: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.8,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+):
+    """Rolling-ingest embedding near-dedup — the vector-space member
+    of the incremental family (exact, near, span, embed).
+
+    Keep policy (the DOMINATOR rule, exactly replayable): a batch
+    vector ``b`` survives iff no batch vector ``a`` with a lower key
+    has ``round(cos(a,b),4) >= threshold``, and no previously
+    COMMITTED vector does either. Unlike ``near_dedup_corpus``'s
+    connected components, chains are NOT collapsed (a~b, b~c, a≁c
+    keeps a and c) — chain-collapse is usually wrong for semantic
+    similarity, and the non-transitive rule needs no iterative
+    closure. A dominator drops its
+    target regardless of its OWN survival (whether it lost to history
+    or to another dominator); that keeps the rule monotone and
+    order-free (documented choice, pinned by test).
+
+    Scale path: SRP buckets gate BOTH probes. Within-batch candidates
+    come from the (table, bucket) self-join; the history probe joins
+    the batch's bucket set (BROADCAST — batch-sized) against the
+    committed band table, so the corpus-scale history is scanned once
+    with the filter applied and NEVER shuffled; only the colliding
+    history keys' vectors (candidate-sized) are fetched for the exact
+    verify. Both verify joins keep the eager-checkpoint barrier
+    between scoring and thresholding (the dim=64 Janino 64 KB lesson
+    above). Recall is the SRP union bound — same contract, same knobs
+    as ``embed_neardup_bucketed``; precision is exact.
+
+    Commits two tables per batch: ``{table}_bands`` (survivor band
+    rows — the probe index) and ``{table}_vecs`` (survivor vectors —
+    the verify payload). Returns ``(survivors_df, n_committed)``.
+    Same single-writer-per-table contract as the other incremental
+    forms.
+    """
+    spark = new_vecs.sparkSession
+    head = new_vecs.select(vec).first()
+    if head is None:
+        return new_vecs, 0
+    dim = len(head[0])
+    tables = [
+        srp_hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+    buckets = srp_buckets_batch(tables)
+    batch = new_vecs.select(
+        F.col(key).alias("k"), F.col(vec).alias("v")
+    ).localCheckpoint(eager=True)
+    banded = (
+        batch.select("k", buckets(F.col("v")).alias("bks"))
+        .select("k", F.posexplode("bks").alias("t", "bucket"))
+        .localCheckpoint(eager=True)
+    )
+    sim = F.round(cosine_fixed("ea", "eb", dim), 4)
+
+    # layer 1: within-batch dominators (lower key wins)
+    left = banded.select(F.col("k").alias("a"), "t", "bucket")
+    right = banded.select(F.col("k").alias("b"), "t", "bucket")
+    cand = (
+        left.join(right, ["t", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = batch.select(F.col("k").alias("a"), F.col("v").alias("ea"))
+    vb = batch.select(F.col("k").alias("b"), F.col("v").alias("eb"))
+    scored = (
+        cand.join(va, "a").join(vb, "b")
+        .select("a", "b", sim.alias("sim"))
+        .localCheckpoint(eager=True)  # 64 KB-codegen barrier
+    )
+    dominated = scored.filter(F.col("sim") >= threshold).select(
+        F.col("b").alias("k")
+    )
+
+    # layer 2: history dominators via the committed band index
+    bands_table, vecs_table = f"{table}_bands", f"{table}_vecs"
+    if store.exists(bands_table):
+        hist_bands = store.read(spark, bands_table)
+        hpairs = (
+            hist_bands.withColumnRenamed("k", "a")
+            .join(F.broadcast(banded.withColumnRenamed("k", "b")),
+                  ["t", "bucket"])
+            .select("a", "b")
+            .distinct()
+            .localCheckpoint(eager=True)  # candidate-sized
+        )
+        hist_vecs = store.read(spark, vecs_table)
+        hva = hist_vecs.select(
+            F.col("k").alias("a"), F.col("v").alias("ea")
+        ).join(F.broadcast(hpairs.select("a").distinct()), "a", "left_semi")
+        hscored = (
+            hpairs.join(hva, "a")
+            .join(F.broadcast(vb), "b")
+            .select("a", "b", sim.alias("sim"))
+            .localCheckpoint(eager=True)
+        )
+        dominated = dominated.unionByName(
+            hscored.filter(F.col("sim") >= threshold).select(
+                F.col("b").alias("k")
+            )
+        )
+
+    keep = (
+        batch.select("k")
+        .join(dominated.distinct(), "k", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n = keep.count()
+    if n:
+        store.append(banded.join(F.broadcast(keep), "k"), bands_table)
+        store.append(batch.join(F.broadcast(keep), "k"), vecs_table)
+    survivors = new_vecs.join(
+        F.broadcast(keep.withColumnRenamed("k", key)), key, "left_semi"
+    )
+    return survivors, n

@@ -47,6 +47,7 @@ NAMES = [
     "elbow",
     "ema_decay",
     "embed_covariance",
+    "embed_dedup_incremental",
     "embed_neardup_lsh",
     "entropy",
     "formats_roundtrip",

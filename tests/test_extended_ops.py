@@ -1861,3 +1861,108 @@ def test_incremental_span_dedup_history_not_shuffled(spark, tmp_path):
     # reassembly shuffles on the doc key / span digest only; nothing
     # repartitions on text_hash (the history side)
     assert not any("text_hash" in s for s in info["shuffle_keys"]), info
+
+
+def test_incremental_embed_dedup_cross_batch(spark, tmp_path):
+    """Rolling-ingest embedding dedup: in-batch dominators (lower key
+    within cosine threshold) and committed history both drop a vector;
+    replaying a batch commits nothing."""
+    from clickhouse_k_means_spark.operators.similarity import (
+        incremental_embed_dedup,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "emb"))
+    b1 = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),   # dominated by 1
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    s1, n1 = incremental_embed_dedup(b1, store, threshold=0.95)
+    assert sorted(r["vec_id"] for r in s1.collect()) == [1, 3]
+    assert n1 == 2
+    b2 = spark.createDataFrame(
+        [
+            (10, [0.998, 0.02, 0.0, 0.0]),   # ~ committed 1
+            (11, [0.0, 0.0, 1.0, 0.0]),      # new direction
+            (12, [0.0, 0.001, 0.999, 0.0]),  # dominated by 11 in-batch
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    s2, n2 = incremental_embed_dedup(b2, store, threshold=0.95)
+    assert sorted(r["vec_id"] for r in s2.collect()) == [11]
+    assert n2 == 1
+    s3, n3 = incremental_embed_dedup(b2, store, threshold=0.95)
+    assert n3 == 0 and s3.count() == 0
+
+
+def test_incremental_embed_dedup_dominator_not_component(spark, tmp_path):
+    """Pinned policy: the dominator rule, NOT connected components.
+    Star shape — sim(1,3) and sim(2,3) over threshold, sim(1,2) under
+    it: components would merge {1,2,3} and keep only vec 1; the
+    dominator rule keeps 1 AND 2 (nothing with a lower key is within
+    threshold of 2) and drops only 3. Also pins that a dominator drops
+    its target regardless of the dominator's own survival."""
+    import math
+
+    from clickhouse_k_means_spark.operators.similarity import (
+        incremental_embed_dedup,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    store = SnapshotStateStore(str(tmp_path / "emb"))
+    # angles 0, 40, 20 deg: cos(20)=0.9397 >= 0.93, cos(40)=0.766 < 0.93
+    df = spark.createDataFrame(
+        [(1, v(0)), (2, v(40)), (3, v(20))],
+        "vec_id bigint, embedding array<double>",
+    )
+    # n_tables=16: SRP miss probability for a 20-deg pair ~(0.61)^16,
+    # negligible even though the seeds are fixed
+    surv, n = incremental_embed_dedup(
+        df, store, threshold=0.93, n_tables=16
+    )
+    assert sorted(r["vec_id"] for r in surv.collect()) == [1, 2]
+    assert n == 2
+    # domination survives the dominator's own drop: a fresh chain
+    # 0/10/20 deg at threshold 0.95 — 2 drops via 1 (cos10=.985), and
+    # 3 drops via the ALREADY-DROPPED 2 (cos10), since cos(20) < .95
+    store2 = SnapshotStateStore(str(tmp_path / "emb2"))
+    chain = spark.createDataFrame(
+        [(1, v(0)), (2, v(10)), (3, v(20))],
+        "vec_id bigint, embedding array<double>",
+    )
+    surv2, n2 = incremental_embed_dedup(
+        chain, store2, threshold=0.95, n_tables=16
+    )
+    assert sorted(r["vec_id"] for r in surv2.collect()) == [1]
+    assert n2 == 1
+
+
+def test_incremental_embed_dedup_history_not_shuffled(spark, tmp_path):
+    """Scale guard: the survivors plan never repartitions on the
+    history side — probes go through broadcast joins only."""
+    from clickhouse_k_means_spark.operators.similarity import (
+        incremental_embed_dedup,
+    )
+    from clickhouse_k_means_spark.plans.audit import audit_plan
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "emb"))
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    incremental_embed_dedup(b1, store)
+    b2 = spark.createDataFrame(
+        [(2, [0.0, 1.0, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    out, _ = incremental_embed_dedup(b2, store)
+    info = audit_plan(out)
+    assert not info["has_cartesian"], info
+    assert info["n_shuffles"] == 0, info["shuffle_keys"]

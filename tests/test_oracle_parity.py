@@ -167,9 +167,10 @@ def test_driver_window_pins_r8_rotation():
     assert all(k in ORACLES for k in window)
     # the 3 displaced entries lead the r9 slice (positions 50..52),
     # followed by the r8 additions (first-gate-next-round pattern)
-    assert keys[50:56] == [
+    assert keys[50:57] == [
         "moving_avg", "funnel", "retention",
         "bm25_topk", "span_dedup", "span_dedup_incremental",
+        "embed_dedup_incremental",
     ]
     # the cadence must close: ceil(rotating / slots) rounds per full
     # sweep, with slots = 50 - len(fixed head). The registry comment
