@@ -120,6 +120,36 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--budget", type=int, default=2048)
     ch.add_argument("--overlap", type=int, default=0)
 
+    ig = sub.add_parser(
+        "ingest",
+        help="incremental dedup of an arriving batch against a "
+        "persistent state directory (exact / near / span / embed "
+        "history; only new state is committed per batch)",
+    )
+    common(ig, text=True)
+    ig.add_argument(
+        "--state", required=True,
+        help="state-store directory (SnapshotStateStore; one WRITER "
+        "per state dir — the exactly-once ingest discipline)",
+    )
+    ig.add_argument(
+        "--mode", choices=["exact", "near", "span", "embed"],
+        default="exact",
+    )
+    ig.add_argument(
+        "--threshold", type=float, default=0.8,
+        help="near mode: exact-Jaccard verification threshold "
+        "(-1 = banding only); embed mode: cosine threshold",
+    )
+    ig.add_argument(
+        "--vec", default="embedding",
+        help="embed mode: embedding column (array<double>)",
+    )
+    ig.add_argument(
+        "--span-tokens", type=int, default=10,
+        help="span mode: tokens per dedup span (tiling width)",
+    )
+
     pr = sub.add_parser("profile", help="one-scan table profile")
     pr.add_argument("--input", required=True, help="input parquet path")
     pr.add_argument("--out", required=True, help="output parquet path")
@@ -157,6 +187,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("pipeline-cli")
     df = spark.read.parquet(args.input)
     n_in = df.count()
+    extra: dict = {}
 
     if args.cmd == "dedup":
         if args.mode == "exact":
@@ -269,6 +300,48 @@ def main(argv: list[str] | None = None) -> int:
                 eng = KMeansEngine(k=args.k, seed=args.seed)
                 assigned = eng.assign(yh, eng.fit(yh).model)
             out = assigned.withColumnRenamed("i", args.key)
+    elif args.cmd == "ingest":
+        from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+        store = SnapshotStateStore(args.state)
+        if args.mode == "exact":
+            from clickhouse_k_means_spark.operators.dedup import (
+                incremental_exact_dedup,
+            )
+
+            out, committed = incremental_exact_dedup(
+                df, store, text=args.text, key=args.key
+            )
+        elif args.mode == "near":
+            from clickhouse_k_means_spark.operators.dedup import (
+                incremental_near_dedup,
+            )
+
+            thr = None if args.threshold < 0 else args.threshold
+            out, committed = incremental_near_dedup(
+                df, store, text=args.text, key=args.key,
+                jaccard_threshold=thr,
+            )
+        elif args.mode == "span":
+            from clickhouse_k_means_spark.operators.dedup import (
+                incremental_span_dedup,
+            )
+
+            out, committed = incremental_span_dedup(
+                df, store, text=args.text, key=args.key,
+                span_tokens=args.span_tokens,
+            )
+        else:
+            from clickhouse_k_means_spark.operators.similarity import (
+                incremental_embed_dedup,
+            )
+
+            out, committed = incremental_embed_dedup(
+                df, store, key=args.key, vec=args.vec,
+                threshold=args.threshold,
+            )
+        extra["committed"] = int(committed)
+        extra["state"] = args.state
     elif args.cmd == "profile":
         from clickhouse_k_means_spark.operators.profile import profile_table
 
@@ -282,7 +355,7 @@ def main(argv: list[str] | None = None) -> int:
     out.write.mode("overwrite").parquet(args.out)
     n_out = spark.read.parquet(args.out).count()
     print(json.dumps({"cmd": args.cmd, "rows_in": n_in, "rows_out": n_out,
-                      "out": args.out}))
+                      "out": args.out, **extra}))
     return 0
 
 

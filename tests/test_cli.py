@@ -390,6 +390,62 @@ def test_pipeline_cli_span_dedup(tmp_path, capsys, spark):
     assert got[2] == (2, 1, "x y")
 
 
+def test_pipeline_cli_ingest_modes(tmp_path, capsys, spark):
+    """ingest subcommand: two batches against one state dir — batch 2
+    keeps only content absent from batch 1's committed history, and
+    the summary line reports what each batch committed."""
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    state = str(tmp_path / "state")
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon zeta")],
+        "doc_id long, text string",
+    ).write.parquet(b2)
+
+    out1 = str(tmp_path / "o1")
+    rc = pmain(["ingest", "--input", b1, "--out", out1, "--state", state])
+    assert rc == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["rows_out"] == 2 and s1["committed"] == 2
+
+    out2 = str(tmp_path / "o2")
+    rc = pmain(["ingest", "--input", b2, "--out", out2, "--state", state])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["rows_out"] == 1 and s2["committed"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    assert kept == {11}
+
+    # span mode shares the same state-dir protocol
+    state_s = str(tmp_path / "state_span")
+    out3 = str(tmp_path / "o3")
+    rc = pmain([
+        "ingest", "--input", b1, "--out", out3, "--state", state_s,
+        "--mode", "span", "--span-tokens", "1",
+    ])
+    assert rc == 0
+    s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s3["committed"] == 4  # alpha, beta, gamma, delta
+    out4 = str(tmp_path / "o4")
+    rc = pmain([
+        "ingest", "--input", b2, "--out", out4, "--state", state_s,
+        "--mode", "span", "--span-tokens", "1",
+    ])
+    assert rc == 0
+    s4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s4["committed"] == 2  # epsilon, zeta
+    texts = {
+        r["doc_id"]: r["dedup_text"]
+        for r in spark.read.parquet(out4).collect()
+    }
+    assert texts == {10: "", 11: "epsilon zeta"}
+
+
 def test_bench_baseline_total_matches_baseline_md():
     """bench.py hardcodes BASELINE_HEADLINE_TOTAL for the
     tail-survivable summary line; BASELINE.md is what bench_diff
