@@ -45,11 +45,15 @@ global sort.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from clickhouse_k_means_spark.functions.text import token_count, tokens
+from clickhouse_k_means_spark.functions.text import tokens
+
+# anything the tokenizer would have split on or lowercased
+_NOT_TOKEN_RE = re.compile(r"[^\w]|_", re.UNICODE)
 
 
 def _tf_relation(base: DataFrame, vocab: list[str]) -> DataFrame:
@@ -77,10 +81,16 @@ def bm25_topk(
 
     ``queries`` maps a query id to its (already-tokenized) term list;
     duplicate terms within one query are rejected rather than
-    silently double-counted (the semdedup duplicate-id lesson).
-    Returns ``(query_id, rank, doc_id, score_micro)`` — BIGINT
-    throughout, ties broken by ascending document key so the ranking
-    is total and reproducible.
+    silently double-counted (the semdedup duplicate-id lesson), and
+    each term must already be in the tokenizer's normal form
+    (lowercase letters/digits) — an uppercase or punctuated term can
+    never equal an exploded token, so it would silently match nothing.
+    Returns ``(query_id, rank, doc_id, score_micro)``; ``doc_id``
+    keeps the input key's type (never cast — a non-numeric key forced
+    to bigint would NULL out and merge distinct documents), ties
+    broken by ascending document key so the ranking is total and
+    reproducible. NULL/empty texts count toward ``n_docs`` but
+    contribute zero tokens.
     """
     if not queries:
         raise ValueError("bm25_topk: queries must be non-empty")
@@ -89,16 +99,27 @@ def bm25_topk(
             raise ValueError(f"bm25_topk: query {qid} has no terms")
         if len(set(terms)) != len(terms):
             raise ValueError(f"bm25_topk: query {qid} repeats a term")
+        for t in terms:
+            if not t or t != t.lower() or _NOT_TOKEN_RE.search(t):
+                raise ValueError(
+                    f"bm25_topk: query {qid} term {t!r} is not in the "
+                    "tokenizer's normal form (lowercase \\w, no "
+                    "punctuation) — it can never match a token"
+                )
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
 
     spark = docs.sparkSession
     vocab = sorted({t for ts in queries.values() for t in ts})
 
+    # NULL-safe token column: tokens(NULL) is NULL and size(NULL) is
+    # -1 under non-ANSI confs, which would corrupt total_tokens and
+    # dodge the avgdl guard — coalesce to the empty array instead
+    tk = F.coalesce(tokens(text), F.array().cast("array<string>"))
     base = docs.select(
-        F.col(key).cast("bigint").alias("doc_id"),
-        tokens(text).alias("tk"),
-        token_count(text).cast("bigint").alias("dl"),
+        F.col(key).alias("doc_id"),
+        tk.alias("tk"),
+        F.size(tk).cast("bigint").alias("dl"),
     )
 
     # corpus scalars: one map-side-combinable aggregate, hoisted to

@@ -143,18 +143,50 @@ def embed_neardup_bucketed(
             [], "a bigint, b bigint, sim double"
         )
     dim = len(head[0])
+    banded = _srp_banded(df, key, vec, dim, n_bits, n_tables, seed)
+    va = df.select(F.col(key).alias("a"), F.col(vec).alias("ea"))
+    vb = df.select(F.col(key).alias("b"), F.col(vec).alias("eb"))
+    return _verified_ordered_pairs(banded, va, vb, dim, threshold)
+
+
+def _srp_banded(
+    df: DataFrame, key: str, vec: str, dim: int,
+    n_bits: int, n_tables: int, seed: int,
+) -> DataFrame:
+    """``(k, t, bucket)`` SRP band rows for every input vector — the
+    bucketing pass shared by the batch and incremental embed-dedup
+    forms. All n_tables × n_bits hyperplane dots run in one
+    Arrow-batched matmul (functions/vector.py) — the
+    unrolled-expression form cost ~80 s of plan build + ~40 s of
+    codegen at this plane count."""
     tables = [
         srp_hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)
         for t in range(n_tables)
     ]
-    # all n_tables × n_bits hyperplane dots in one Arrow-batched
-    # matmul (functions/vector.py) — the unrolled-expression form cost
-    # ~80 s of plan build + ~40 s of codegen at this plane count
     buckets = srp_buckets_batch(tables)
-    banded = (
+    return (
         df.select(F.col(key).alias("k"), buckets(F.col(vec)).alias("bks"))
         .select("k", F.posexplode("bks").alias("t", "bucket"))
     )
+
+
+def _verified_ordered_pairs(
+    banded: DataFrame, va: DataFrame, vb: DataFrame,
+    dim: int, threshold: float,
+) -> DataFrame:
+    """Bucket-collision candidates with ``a < b``, exact-cosine
+    verified to ``(a, b, sim)`` rows at ``sim >= threshold`` — the
+    candidate/verify core shared by the batch and incremental forms.
+
+    Eager checkpoint BETWEEN scoring and thresholding: without the
+    barrier Catalyst pushes ``sim >= threshold`` through the project
+    into the verify join's condition, cloning the ~3·dim-term
+    unrolled cosine into the join's generated method — at dim=64
+    that blows the JVM's 64 KB method limit, codegen fails
+    (Janino "Code grows beyond 64 KB") and the WHOLE stage runs
+    interpreted (measured 4-9× slower at sf0.1, r5). The scored
+    relation is candidate-pair-sized (≪ corpus — that is the LSH
+    invariant), so materializing it is cheap at any scale."""
     left = banded.select(F.col("k").alias("a"), "t", "bucket")
     right = banded.select(F.col("k").alias("b"), "t", "bucket")
     cand = (
@@ -163,18 +195,7 @@ def embed_neardup_bucketed(
         .select("a", "b")
         .distinct()
     )
-    va = df.select(F.col(key).alias("a"), F.col(vec).alias("ea"))
-    vb = df.select(F.col(key).alias("b"), F.col(vec).alias("eb"))
     sim = F.round(cosine_fixed("ea", "eb", dim), 4)
-    # Eager checkpoint BETWEEN scoring and thresholding: without the
-    # barrier Catalyst pushes `sim >= threshold` through the project
-    # into the verify join's condition, cloning the ~3·dim-term
-    # unrolled cosine into the join's generated method — at dim=64
-    # that blows the JVM's 64 KB method limit, codegen fails
-    # (Janino "Code grows beyond 64 KB") and the WHOLE stage runs
-    # interpreted (measured 4-9× slower at sf0.1, r5). The scored
-    # relation is candidate-pair-sized (≪ corpus — that is the LSH
-    # invariant), so materializing it is cheap at any scale.
     scored = (
         cand.join(va, "a")
         .join(vb, "b")
@@ -562,40 +583,21 @@ def incremental_embed_dedup(
     if head is None:
         return new_vecs, 0
     dim = len(head[0])
-    tables = [
-        srp_hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)
-        for t in range(n_tables)
-    ]
-    buckets = srp_buckets_batch(tables)
     batch = new_vecs.select(
         F.col(key).alias("k"), F.col(vec).alias("v")
     ).localCheckpoint(eager=True)
-    banded = (
-        batch.select("k", buckets(F.col("v")).alias("bks"))
-        .select("k", F.posexplode("bks").alias("t", "bucket"))
-        .localCheckpoint(eager=True)
-    )
+    banded = _srp_banded(
+        batch, "k", "v", dim, n_bits, n_tables, seed
+    ).localCheckpoint(eager=True)
     sim = F.round(cosine_fixed("ea", "eb", dim), 4)
 
-    # layer 1: within-batch dominators (lower key wins)
-    left = banded.select(F.col("k").alias("a"), "t", "bucket")
-    right = banded.select(F.col("k").alias("b"), "t", "bucket")
-    cand = (
-        left.join(right, ["t", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    # layer 1: within-batch dominators (lower key wins) — the shared
+    # candidate/verify core (incl. its 64 KB-codegen barrier)
     va = batch.select(F.col("k").alias("a"), F.col("v").alias("ea"))
     vb = batch.select(F.col("k").alias("b"), F.col("v").alias("eb"))
-    scored = (
-        cand.join(va, "a").join(vb, "b")
-        .select("a", "b", sim.alias("sim"))
-        .localCheckpoint(eager=True)  # 64 KB-codegen barrier
-    )
-    dominated = scored.filter(F.col("sim") >= threshold).select(
-        F.col("b").alias("k")
-    )
+    dominated = _verified_ordered_pairs(
+        banded, va, vb, dim, threshold
+    ).select(F.col("b").alias("k"))
 
     # layer 2: history dominators via the committed band index
     bands_table, vecs_table = f"{table}_bands", f"{table}_vecs"

@@ -147,7 +147,19 @@ NAMES = [
     "zorder_roundtrip"
 ]
 
+import zlib
+
 _B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def table_version() -> str:
+    """4-hex checksum of the code table. Codes are positional, so
+    editing NAMES re-codes every later name — decoding an artifact
+    with a DIFFERENT table silently attributes timings to the wrong
+    queries (review finding, r8). The version rides at the END of the
+    BP line (the driver tail keeps line ends, so it survives the head
+    truncation the format exists to tolerate)."""
+    return f"{zlib.crc32(','.join(NAMES).encode()) & 0xffff:04x}"
 
 
 def _b36(i: int) -> str:
@@ -167,7 +179,7 @@ def encode_pairs(timings: dict[str, float]) -> str:
         f"{NAME_TO_CODE.get(name, name)}={sec:.2f}"
         for name, sec in timings.items()
     ]
-    return "BP|" + ";".join(parts)
+    return "BP|" + ";".join(parts) + f"|v={table_version()}"
 
 
 def decode_pairs(line: str) -> dict[str, float]:
@@ -175,8 +187,18 @@ def decode_pairs(line: str) -> dict[str, float]:
     window may cut the first pairs off) by skipping fragments that do
     not split cleanly."""
     out: dict[str, float] = {}
-    body = line.split("BP|", 1)[-1]
-    for frag in body.strip().split(";"):
+    body = line.split("BP|", 1)[-1].strip()
+    if "|v=" in body:
+        body, _, ver = body.rpartition("|v=")
+        if ver != table_version():
+            # foreign code table: positional codes would mis-attribute
+            # timings to the wrong queries — refuse; bench_diff falls
+            # back to regex-mining names from the bench_queries line
+            return {}
+    # no version marker: a pre-r8 artifact (or a line whose end was
+    # lost, which the driver tail never does) — decoded best-effort
+    # under the caller's anchor filter, the pre-marker behavior
+    for frag in body.split(";"):
         if "=" not in frag:
             continue
         key, _, val = frag.partition("=")

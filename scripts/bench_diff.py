@@ -90,7 +90,8 @@ def load_bench(
         # still decodes — a partial leading pair yields an unknown
         # code, which the anchor filter drops
         if "BP|" in fragment or re.fullmatch(
-            r"[0-9a-z]{1,2}=[0-9.]+(?:;[0-9a-z]{1,2}=[0-9.]+)+;?",
+            r"[0-9a-z]{1,2}=[0-9.]+(?:;[0-9a-z]{1,2}=[0-9.]+)+;?"
+            r"(?:\|v=[0-9a-f]{4})?",
             fragment,
         ):
             absorb_pairs_line(fragment)

@@ -90,3 +90,26 @@ def test_contention_stats_signature():
     few = {f"q{i}": 2.0 for i in range(5)}
     med, flag = bench.contention_stats(few, {f"q{i}": 1.0 for i in range(5)})
     assert med is None and not flag
+
+
+def test_bp_version_marker_guards_against_table_drift():
+    """Codes are positional: editing NAMES re-codes later names, so a
+    BP line from a different commit's table must be REFUSED (decoded
+    as empty -> bench_diff regex fallback), never mis-attributed. The
+    marker rides at the line END, surviving the head truncation the
+    format tolerates."""
+    from scripts.bench_codes import (
+        decode_pairs,
+        encode_pairs,
+        table_version,
+    )
+
+    line = encode_pairs({"kmeans_fit": 6.84, "bm25_topk": 2.06})
+    assert line.endswith(f"|v={table_version()}")
+    assert decode_pairs(line) == {"kmeans_fit": 6.84, "bm25_topk": 2.06}
+    foreign = line.rsplit("|v=", 1)[0] + "|v=dead"
+    assert decode_pairs(foreign) == {}
+    # head-truncated (the "BP|" marker and first pairs cut off by the
+    # 2000-char tail) still verifies and decodes via the trailing v=
+    cut = line.split(";", 1)[1]
+    assert decode_pairs(cut) == {"bm25_topk": 2.06}

@@ -129,3 +129,26 @@ def test_bm25_plan_broadcasts_and_group_limits(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan, plan[:2000]
     assert "FileScan parquet" not in plan, plan[:2000]
+
+
+def test_bm25_rejects_non_normalized_terms(spark):
+    df = _corpus(spark)
+    for bad in ["Spark", "gpt-4", "a b", ""]:
+        with pytest.raises(ValueError, match="normal form|no terms"):
+            bm25_topk(df, {1: [bad] if bad else []})
+
+
+def test_bm25_string_keys_and_null_text(spark):
+    """Non-numeric keys must survive untouched (not NULL out through a
+    silent bigint cast), and NULL texts count toward n_docs with zero
+    tokens instead of corrupting avgdl."""
+    df = spark.createDataFrame(
+        [("u1", "spark spark"), ("u2", "spark"), ("u3", None)],
+        "doc_id string, text string",
+    )
+    rows = bm25_topk(df, {1: ["spark"]}, top_n=3).collect()
+    got = {(r["query_id"], r["doc_id"]): r["rank"] for r in rows}
+    assert got == {(1, "u1"): 1, (1, "u2"): 2}
+    # avgdl from 3 docs / 3 tokens (the NULL doc contributes 0)
+    d1 = _score(3, 2, 2, 2, 1000)
+    assert {r["doc_id"]: r["score_micro"] for r in rows}["u1"] == d1
