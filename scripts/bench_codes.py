@@ -8,12 +8,16 @@ fit entirely inside the tail together with the summary line.
 scripts/bench_diff.py decodes it with this same table (VERDICT r7
 item 6: the "anchored but not measured" list must be empty).
 
-Codes are the base36 index into the SORTED literal list below, so they
-are stable as long as the list only ever GROWS in sorted order of a
-new bench run's artifact — bench_diff always decodes with the table
-from the same commit as the bench that produced the artifact, so
-cross-round stability is not required, only bench/bench_diff agreement
-within a commit (pinned by tests/test_bench_codes.py).
+Codes are the base36 index into the SORTED literal list below — they
+are POSITIONAL, so any edit to NAMES re-codes every later name. The
+BP line therefore carries a crc16 of the table at its END
+(``|v=xxxx`` — the driver tail keeps line ends, so the marker
+survives the head truncation the format tolerates); decode_pairs
+REFUSES a line whose marker does not match this table, making
+bench_diff fall back to regex name mining instead of silently
+attributing timings to the wrong queries. Markerless (pre-r8) lines
+decode best-effort under the caller's anchor filter. bench/bench_diff
+agreement within a commit is pinned by tests/test_bench_codes.py.
 """
 
 from __future__ import annotations
