@@ -507,6 +507,15 @@ def main() -> None:
 # judge grades. Keep in sync with BASELINE.md's anchor section.
 BASELINE_HEADLINE_TOTAL = 28.6
 
+# The 13 fixed headline queries, in measured order — the single
+# source the tests import instead of re-hardcoding the list
+# (review finding, r8: three drifting copies).
+HEADLINE_NAMES = [
+    "kmeans_fit", "lloyd_step", "elbow", "tpch_q1", "tpch_q3",
+    "tpch_q5", "minhash_lsh", "simhash", "ann_topk", "text_quality",
+    "silhouette", "asof_join", "sessionize",
+]
+
 
 def contention_stats(
     measured: dict[str, float], anchors: dict[str, float]
@@ -527,7 +536,10 @@ def contention_stats(
     )
     if len(ratios) < 20:  # too few pairs to call a run-wide signature
         return None, False
-    median = ratios[len(ratios) // 2]
+    # true median (even-length lists average the middle pair — the
+    # upper-middle element alone biased boundary runs toward a
+    # contended flag, which downgrades real gate failures)
+    median = statistics.median(ratios)
     frac_inflated = sum(1 for r in ratios if r > 1.0) / len(ratios)
     return round(median, 3), bool(median > 1.2 and frac_inflated > 0.8)
 
@@ -562,7 +574,12 @@ def summary_line(
             )
         else:
             cmed, contended = None, False
-    except Exception:
+    except BaseException:
+        # BaseException, deliberately: load_anchors exits with
+        # SystemExit when BASELINE.md's table markers move (an
+        # ordinary doc edit) — contention detection is best-effort
+        # and must NEVER kill the final summary print after a full
+        # ~15-minute measured run (review finding, r8)
         cmed, contended = None, False
     return json.dumps(
         {

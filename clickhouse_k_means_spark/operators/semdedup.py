@@ -95,6 +95,18 @@ def semantic_dedup(
     comparisons — the cross-engine determinism rule every other
     cosine gate in this repo follows.
     """
+    # validate the model BEFORE the empty-input early return: an
+    # invalid centroid list must fail loudly regardless of whether
+    # data happens to arrive (review finding, r8)
+    if centroids is not None:
+        ids = [int(j) for j, _ in centroids]
+        if len(set(ids)) != len(ids):
+            dupes = sorted(j for j in set(ids) if ids.count(j) > 1)
+            raise ValueError(
+                f"semantic_dedup: duplicate centroid id(s) {dupes} — a "
+                "repeated j would silently duplicate membership rows "
+                "through the cdf join on j"
+            )
     head = df.select(vec).first()
     if head is None:
         kt = df.schema[key].dataType.simpleString()
@@ -116,18 +128,9 @@ def semantic_dedup(
         # sorted so the Arrow tier's argmin (first occurrence = lowest
         # INDEX) resolves equidistant ties to the lowest j — the same
         # rule the struct-min tiers and the DuckDB oracle apply
+        # (duplicate ids already rejected above, before the empty
+        # early return)
         model = sorted((int(j), [float(x) for x in c]) for j, c in centroids)
-        if len({j for j, _ in model}) != len(model):
-            dupes = sorted(
-                j
-                for j in {j for j, _ in model}
-                if sum(1 for jj, _ in model if jj == j) > 1
-            )
-            raise ValueError(
-                f"semantic_dedup: duplicate centroid id(s) {dupes} — a "
-                "repeated j would silently duplicate membership rows "
-                "through the cdf join on j"
-            )
 
     base = df.select(
         F.col(key).alias("n"), F.col(vec).cast("array<double>").alias("v")

@@ -82,17 +82,29 @@ def load_bench(
         except ImportError:  # running from inside scripts/
             from bench_codes import decode_pairs
         for name, val in decode_pairs(line).items():
-            if anchors is None or name in anchors:
+            # accept every table-decoded / plausible full name — an
+            # unanchored measured query must surface in the "measured
+            # but not anchored" list, never vanish (the no-silent-drop
+            # rule); only 1-3 char dirt from a mid-pair head cut is
+            # filtered (real codes decode to full names; unknown-code
+            # fallback keys shorter than any query name are garbage)
+            if len(name) > 3 or (anchors is not None and name in anchors):
                 timings.setdefault(name, val)
 
     def absorb_fragment(fragment: str) -> None:
-        # a pairs line whose "BP|" marker itself was truncated away
-        # still decodes — a partial leading pair yields an unknown
-        # code, which the anchor filter drops
-        if "BP|" in fragment or re.fullmatch(
-            r"[0-9a-z]{1,2}=[0-9.]+(?:;[0-9a-z]{1,2}=[0-9.]+)+;?"
-            r"(?:\|v=[0-9a-f]{4})?",
-            fragment,
+        # a pairs line whose "BP|" marker was truncated away still
+        # decodes, WHEREVER the cut landed: a mid-value/mid-code cut
+        # leaves a dirty FIRST fragment (decode_pairs skips it) but
+        # every later pair is intact, so the detection must be a
+        # SEARCH for consecutive clean pairs, not a fullmatch of the
+        # whole fragment (review finding, r8: a fullmatch dropped the
+        # entire line for ~8 of every 10 possible cut positions)
+        if (
+            "BP|" in fragment
+            or "|v=" in fragment
+            or re.search(
+                r"[0-9a-z]{2}=[0-9.]+;[0-9a-z]{2}=[0-9.]+", fragment
+            )
         ):
             absorb_pairs_line(fragment)
             return

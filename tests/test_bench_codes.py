@@ -31,15 +31,21 @@ def test_every_bench_query_has_a_code():
     """bench.py's measured set (headline + extended, incl. the helper
     slices) must be covered by NAMES, or encode degrades to full names
     and the tail budget blows."""
+    import bench
+
     src = open(Path(REPO_ROOT) / "bench.py").read()
-    extended = re.findall(r'\("(\w+)", (?:entry\.q_\w+|_\w+_bench), \d\)', src)
-    headline = [
-        "kmeans_fit", "lloyd_step", "elbow", "tpch_q1", "tpch_q3",
-        "tpch_q5", "minhash_lsh", "simhash", "ann_topk", "text_quality",
-        "silhouette", "asof_join", "sessionize",
-    ]
-    measured = set(headline) | set(extended)
-    assert measured, "bench.py extended-list regex matched nothing"
+    extended = re.findall(
+        r'\("(\w+)", (?:entry\.q_\w+|_\w+_bench), \d+\)', src
+    )
+    # the guard must bind to the EXTENDED list itself — `measured`
+    # is never empty (the headline constant pads it), so a regex
+    # drifting away from bench.py's list format would silently
+    # disable this gate (review finding, r8)
+    assert len(extended) > 50, (
+        f"extended-list regex matched only {len(extended)} entries — "
+        "bench.py's list format changed; update the regex"
+    )
+    measured = set(bench.HEADLINE_NAMES) | set(extended)
     missing = sorted(measured - set(NAMES))
     assert not missing, f"add to scripts/bench_codes.NAMES: {missing}"
 

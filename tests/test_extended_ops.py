@@ -1577,6 +1577,25 @@ def test_knn_join_accepts_precomputed_count(spark):
     )
 
 
+def test_semdedup_rejects_duplicate_centroid_ids_on_empty_input(spark):
+    """The validation must fire BEFORE the empty-input early return —
+    an invalid model fails loudly regardless of whether data arrives
+    (r8 review finding)."""
+    import pytest as _pytest
+
+    from clickhouse_k_means_spark.operators.semdedup import semantic_dedup
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="duplicate centroid"):
+        semantic_dedup(
+            empty,
+            centroids=[(0, [1.0, 0.0]), (0, [0.0, 1.0])],
+            threshold=0.9,
+        )
+
+
 def test_semdedup_rejects_duplicate_centroid_ids(spark):
     """ADVICE r7: a repeated centroid j would silently duplicate
     membership rows through the cdf join — fail loudly instead."""
