@@ -42,6 +42,7 @@ collection cost) unless the operation is inherently driver-side
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -126,6 +127,16 @@ def main() -> None:
         except Exception:
             return -1.0
 
+    def _storage_rdds() -> int:
+        """Count of RDDs holding storage blocks (localCheckpoints
+        pinned by uncollected driver references) — recorded per query
+        so storage-pressure degradation is self-diagnosing from the
+        artifact, like the code-cache column."""
+        try:
+            return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        except Exception:
+            return -1
+
     def timed(
         name: str, fn, n_reps: int | None = None, into: dict | None = None
     ) -> None:
@@ -150,7 +161,16 @@ def main() -> None:
             "samples": [round(s, 3) for s in samples],
             "min": round(min(samples), 3),
             "code_cache_mb": _code_cache_mb(),
+            "rdds": _storage_rdds(),
         }
+        # Release this query's eager localCheckpoint blocks NOW: they
+        # unpin only when the driver-side Python references are
+        # collected (ContextCleaner), and across a ~126-query run the
+        # accumulated blocks tax whichever query runs while eviction
+        # catches up — the rotating in-sequence victim the r8 clean
+        # runs kept producing (pipeline_e2e warm 21 s vs its own 3.5 s
+        # cold in the same run, solo 4.2 s).
+        gc.collect()
 
     # warm the JVM + parquet footers before any measured query
     load_table(spark, sf_dir, "lineitem").count()
