@@ -594,12 +594,13 @@ def summary_line(
             )
         else:
             cmed, contended = None, False
-    except BaseException:
-        # BaseException, deliberately: load_anchors exits with
-        # SystemExit when BASELINE.md's table markers move (an
-        # ordinary doc edit) — contention detection is best-effort
-        # and must NEVER kill the final summary print after a full
-        # ~15-minute measured run (review finding, r8)
+    except (Exception, SystemExit):
+        # SystemExit included deliberately: load_anchors exits when
+        # BASELINE.md's table markers move (an ordinary doc edit) —
+        # contention detection is best-effort and must NEVER kill the
+        # final summary print after a full ~15-minute measured run
+        # (review finding, r8). KeyboardInterrupt is NOT caught: an
+        # operator abort must still abort (ADVICE r8).
         cmed, contended = None, False
     return json.dumps(
         {

@@ -572,11 +572,28 @@ def incremental_embed_dedup(
     above). Recall is the SRP union bound — same contract, same knobs
     as ``embed_neardup_bucketed``; precision is exact.
 
-    Commits two tables per batch: ``{table}_bands`` (survivor band
-    rows — the probe index) and ``{table}_vecs`` (survivor vectors —
-    the verify payload). Returns ``(survivors_df, n_committed)``.
+    Commits ONE table per batch (ADVICE r8 — the earlier two-table
+    layout could tear between the bands append and the vecs append):
+    each survivor contributes ``n_tables`` band rows
+    (``k, t, bucket, v=NULL`` — the probe index) and one vector row
+    (``k, t=NULL, bucket=NULL, v`` — the verify payload), unioned into
+    a single append, so the history commit is atomic (one manifest
+    link on ``SnapshotStateStore``, one committer rename on
+    ``ParquetStateStore``) and a crash can never leave a band row
+    whose vector payload is missing. Readers split the table back by
+    ``t IS [NOT] NULL``. Returns ``(survivors_df, n_committed)``.
     Same single-writer-per-table contract as the other incremental
     forms.
+
+    Batch-size contract: the BATCH side is broadcast three times
+    (its bucket set into the history band probe, its vectors into the
+    history verify, the survivor key set into the final semi-joins) —
+    correct under the batch ≪ history ingest framing, i.e. the batch
+    must fit in a broadcast (~spark.sql.autoBroadcastJoinThreshold ×
+    executors of driver memory headroom). There is no
+    ``broadcast_batch=False`` backfill path here (unlike
+    ``incremental_exact_dedup``): a corpus-sized "batch" should go
+    through ``embed_neardup_bucketed`` as a batch job instead.
     """
     spark = new_vecs.sparkSession
     head = new_vecs.select(vec).first()
@@ -599,10 +616,14 @@ def incremental_embed_dedup(
         banded, va, vb, dim, threshold
     ).select(F.col("b").alias("k"))
 
-    # layer 2: history dominators via the committed band index
-    bands_table, vecs_table = f"{table}_bands", f"{table}_vecs"
-    if store.exists(bands_table):
-        hist_bands = store.read(spark, bands_table)
+    # layer 2: history dominators via the committed band index.
+    # ONE history table (atomic commit — ADVICE r8): band rows carry
+    # t/bucket with v NULL, vector rows carry v with t NULL.
+    if store.exists(table):
+        hist = store.read(spark, table)
+        hist_bands = hist.filter(F.col("t").isNotNull()).select(
+            "k", "t", "bucket"
+        )
         hpairs = (
             hist_bands.withColumnRenamed("k", "a")
             .join(F.broadcast(banded.withColumnRenamed("k", "b")),
@@ -611,7 +632,7 @@ def incremental_embed_dedup(
             .distinct()
             .localCheckpoint(eager=True)  # candidate-sized
         )
-        hist_vecs = store.read(spark, vecs_table)
+        hist_vecs = hist.filter(F.col("t").isNull()).select("k", "v")
         hva = hist_vecs.select(
             F.col("k").alias("a"), F.col("v").alias("ea")
         ).join(F.broadcast(hpairs.select("a").distinct()), "a", "left_semi")
@@ -634,8 +655,17 @@ def incremental_embed_dedup(
     )
     n = keep.count()
     if n:
-        store.append(banded.join(F.broadcast(keep), "k"), bands_table)
-        store.append(batch.join(F.broadcast(keep), "k"), vecs_table)
+        vec_type = batch.schema["v"].dataType
+        band_rows = banded.join(F.broadcast(keep), "k").select(
+            "k", "t", "bucket", F.lit(None).cast(vec_type).alias("v")
+        )
+        vec_rows = batch.join(F.broadcast(keep), "k").select(
+            "k",
+            F.lit(None).cast("int").alias("t"),
+            F.lit(None).cast("bigint").alias("bucket"),
+            "v",
+        )
+        store.append(band_rows.unionByName(vec_rows), table)
     survivors = new_vecs.join(
         F.broadcast(keep.withColumnRenamed("k", key)), key, "left_semi"
     )

@@ -304,6 +304,13 @@ def main(argv: list[str] | None = None) -> int:
         from clickhouse_k_means_spark.sources.state import SnapshotStateStore
 
         store = SnapshotStateStore(args.state)
+        # exactly-once guard (ADVICE r8): the incremental operators
+        # commit state BEFORE the survivors parquet is written below.
+        # If that write fails, a naive retry would dedup the batch
+        # against its own just-committed history and silently lose
+        # its unique content — so snapshot every table's version now
+        # and roll back any that advanced if the write fails.
+        pre_versions = {t: store.latest_version(t) for t in store.tables()}
         if args.mode == "exact":
             from clickhouse_k_means_spark.operators.dedup import (
                 incremental_exact_dedup,
@@ -352,7 +359,22 @@ def main(argv: list[str] | None = None) -> int:
     else:  # pragma: no cover - argparse enforces choices
         return 2
 
-    out.write.mode("overwrite").parquet(args.out)
+    if args.cmd == "ingest":
+        try:
+            out.write.mode("overwrite").parquet(args.out)
+        except BaseException:
+            # undo the operator's state commit so the batch can be
+            # retried cleanly (survivors must land before state
+            # sticks — ADVICE r8)
+            for t in store.tables():
+                pre = pre_versions.get(t)
+                if pre is None:
+                    store.truncate(t)
+                elif store.latest_version(t) != pre:
+                    store.rollback(t, pre)
+            raise
+    else:
+        out.write.mode("overwrite").parquet(args.out)
     n_out = spark.read.parquet(args.out).count()
     print(json.dumps({"cmd": args.cmd, "rows_in": n_in, "rows_out": n_out,
                       "out": args.out, **extra}))

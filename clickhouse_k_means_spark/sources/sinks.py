@@ -24,6 +24,13 @@ def write_tsv(df: DataFrame, path: str, null_token: str = " ") -> None:
 
 
 def to_tsv_string(df: DataFrame, null_token: str = " ") -> str:
-    """Small-result convenience: TSVWithNames as a string (driver-side)."""
+    """Small-result convenience: TSVWithNames as a string (driver-side).
+
+    DRIVER-SIZED CONTRACT: this collects the whole result to the
+    driver (``toPandas``). It exists for the reference's
+    pipe-to-clipboard export (k-means.sh:45 — S7/B5), where results
+    are k-row model tables. Never point it at a corpus-scale
+    DataFrame; the distributed scale path is ``write_tsv`` above.
+    """
     pdf = df.toPandas()
     return pdf.to_csv(sep="\t", index=False, na_rep=null_token)

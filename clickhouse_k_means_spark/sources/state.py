@@ -315,6 +315,29 @@ class SnapshotStateStore:
         stay readable (time travel) until ``vacuum``."""
         return self._commit(table, [], replace=True)
 
+    def tables(self) -> list[str]:
+        """Names of all tables with at least one committed version."""
+        if not self.root.exists():
+            return []
+        return sorted(
+            p.name
+            for p in self.root.iterdir()
+            if p.is_dir() and (p / "_manifests").exists()
+        )
+
+    def rollback(self, table: str, version: int) -> int:
+        """RESTORE the table to committed ``version`` by re-committing
+        that snapshot's file list (and schema) as the NEXT version —
+        Delta's ``RESTORE TO VERSION``. History is preserved (the
+        rolled-back versions stay time-travelable until vacuum) and
+        the data files are immutable, so this is one manifest write,
+        no data IO. The ingest CLI uses it to undo a state commit
+        whose output write failed (ADVICE r8)."""
+        m = self._read_manifest(table, version)
+        return self._commit(
+            table, m["files"], replace=True, schema_json=m.get("schema")
+        )
+
     def vacuum(self, table: str) -> int:
         """Delete data files not referenced by the LATEST snapshot and
         drop all older manifests. Returns files removed. (After vacuum,

@@ -63,7 +63,13 @@ def main() -> int:
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             samples.append(round(time.perf_counter() - t0, 3))
-        med = round(statistics.median(samples), 3)
+        # mirror bench.timed's statistic (ADVICE r8): a 2-sample
+        # median is the mean, which re-inherits the GC-hiccup
+        # inflation the r8 min-rule removed — min below 3 reps
+        med = round(
+            min(samples) if len(samples) < 3 else statistics.median(samples),
+            3,
+        )
         anchor = anchors.get(name)
         ratio = round(med / anchor, 3) if anchor else None
         print(

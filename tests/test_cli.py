@@ -8,6 +8,8 @@ from pathlib import Path
 
 REPO_ROOT = str(Path(__file__).resolve().parents[1])
 
+import pytest
+
 from clickhouse_k_means_spark.cli import main
 
 
@@ -509,3 +511,50 @@ def test_bench_diff_recovers_ALL_anchored_from_simulated_tail(tmp_path):
     assert summary["n_compared"] == len(anchors), summary
     assert "anchored but not measured" not in proc.stdout
     assert proc.returncode == 0, proc.stdout[-400:]
+
+
+def test_pipeline_cli_ingest_rollback_on_failed_write(tmp_path, capsys, spark):
+    """ADVICE r8: the incremental operators commit state BEFORE the
+    survivors parquet lands. If that write fails, the ingest CLI must
+    roll the state back so a retry does not dedup the batch against
+    its own half-committed history and silently lose its content."""
+    from clickhouse_k_means_spark.pipeline import main as pmain
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    state = str(tmp_path / "state")
+
+    # batch 1 succeeds and commits hashes
+    out1 = str(tmp_path / "kept1")
+    assert pmain(["ingest", "--input", src, "--out", out1,
+                  "--mode", "exact", "--state", state]) == 0
+    store = SnapshotStateStore(state)
+    v_before = store.latest_version("seen_hashes")
+    capsys.readouterr()
+
+    # batch 2 (new content): output write fails — blocker is a FILE
+    # where the writer needs a directory
+    src2 = str(tmp_path / "docs2")
+    spark.createDataFrame(
+        [(3, "eta theta iota")], "doc_id long, text string"
+    ).write.parquet(src2)
+    blocker = tmp_path / "blocker"
+    blocker.write_text("not a directory")
+    bad_out = str(blocker / "out")
+    with pytest.raises(BaseException):
+        pmain(["ingest", "--input", src2, "--out", bad_out,
+               "--mode", "exact", "--state", state])
+    # state rolled back: batch 2's hash is NOT in the latest snapshot
+    assert store.read(spark, "seen_hashes").count() == \
+        store.read(spark, "seen_hashes", version=v_before).count()
+    capsys.readouterr()
+
+    # retry with a good path: the batch's unique content survives
+    out2 = str(tmp_path / "kept2")
+    assert pmain(["ingest", "--input", src2, "--out", out2,
+                  "--mode", "exact", "--state", state]) == 0
+    assert {r["doc_id"] for r in spark.read.parquet(out2).collect()} == {3}

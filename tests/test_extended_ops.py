@@ -1964,6 +1964,43 @@ def test_incremental_embed_dedup_dominator_not_component(spark, tmp_path):
     assert n2 == 1
 
 
+def test_incremental_embed_dedup_commit_is_atomic(spark, tmp_path):
+    """ADVICE r8: history must land as ONE commit per batch — a single
+    table whose snapshot version carries BOTH the band rows and the
+    vector payload, so a crash can never tear bands from vecs."""
+    from clickhouse_k_means_spark.operators.similarity import (
+        incremental_embed_dedup,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "emb"))
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    _, n1 = incremental_embed_dedup(b1, store, n_tables=4)
+    assert n1 == 2
+    # one table, one version — not the old {_bands, _vecs} pair
+    assert store.tables() == ["seen_embed"]
+    assert store.latest_version("seen_embed") == 1
+    snap = store.read(spark, "seen_embed")
+    bands = snap.filter(F.col("t").isNotNull())
+    vecs = snap.filter(F.col("t").isNull())
+    assert bands.count() == 2 * 4  # n_survivors * n_tables
+    assert vecs.count() == 2
+    # every band row's key has its vector payload IN THE SAME snapshot
+    missing = bands.select("k").distinct().join(
+        vecs.select("k").distinct(), "k", "left_anti"
+    )
+    assert missing.count() == 0
+    # second batch = exactly one more version
+    b2 = spark.createDataFrame(
+        [(3, [0.0, 0.0, 1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    incremental_embed_dedup(b2, store, n_tables=4)
+    assert store.latest_version("seen_embed") == 2
+
+
 def test_incremental_embed_dedup_history_not_shuffled(spark, tmp_path):
     """Scale guard: the survivors plan never repartitions on the
     history side — probes go through broadcast joins only."""

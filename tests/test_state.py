@@ -848,3 +848,27 @@ def test_default_protocol_is_hard_link(tmp_path):
     assert final.read_text() == "a"
     # no temp litter either way
     assert list(tmp_path.glob(".tmp-*")) == []
+
+
+def test_rollback_and_tables_listing(spark, tmp_path):
+    """rollback(v) restores a table to an earlier snapshot as a NEW
+    version (Delta RESTORE); tables() lists committed tables only —
+    the primitives the ingest CLI's failed-write undo uses (ADVICE r8)."""
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "s"))
+    assert store.tables() == []
+    store.append(spark.createDataFrame([(1,)], "id long"), "t")
+    store.append(spark.createDataFrame([(2,)], "id long"), "t")
+    store.append(spark.createDataFrame([(9,)], "id long"), "u")
+    assert store.tables() == ["t", "u"]
+    assert store.read(spark, "t").count() == 2
+    v = store.rollback("t", 1)
+    assert v == 3  # restore is a new commit, history preserved
+    assert {r["id"] for r in store.read(spark, "t").collect()} == {1}
+    # the rolled-back version is still time-travelable
+    assert store.read(spark, "t", version=2).count() == 2
+    # schema rides through a rollback of an empty-after-truncate table
+    store.truncate("u")
+    v_u = store.rollback("u", 1)
+    assert {r["id"] for r in store.read(spark, "u", version=v_u).collect()} == {9}
