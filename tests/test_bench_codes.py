@@ -80,6 +80,38 @@ def test_pairs_line_fits_tail_with_summary():
     assert len(pairs) + len(summary) + 2 <= 2000, (len(pairs), len(summary))
 
 
+def test_pairs_line_headroom_at_180_queries():
+    """Growth headroom (VERDICT r8 item 6): the registry gains ~4
+    anchored queries per round, so pin FULL tail recovery — every
+    pair + the whole summary inside the 2000-char window — at ≥180
+    anchored queries at worst realistic width. Byte-exact simulation
+    of encode_pairs under a future 180-name table (codes stay 2 chars
+    up to 36^2 = 1296 names)."""
+    import bench
+    from scripts import bench_codes
+
+    n_future = 180
+    # width model: every query under 100 s ("xx=12.34;" = 10 bytes
+    # with the separator). That is the realistic regime — the current
+    # anchor max is ~20 s and a 100 s+ query would fail the 2× gate
+    # on its own long before tail bytes matter.
+    sim_pairs = (
+        "BP|"
+        + ";".join(
+            f"{bench_codes._b36(i)}=12.34" for i in range(n_future)
+        )
+        + "|v=abcd"
+    )
+    headline = {n: 9.999 for n in bench.HEADLINE_NAMES}
+    extended = {f"q{i}": 9.999 for i in range(n_future - 13)}
+    kscale = {"fit_parallel_warm_sec": 11.6, "mllib_warm_sec": 6.3,
+              "inertia_ratio": 0.9445}
+    summary = bench.summary_line(22.99, headline, extended, kscale, 0.1)
+    assert len(sim_pairs) + len(summary) + 2 <= 2000, (
+        len(sim_pairs), len(summary),
+    )
+
+
 def test_contention_stats_signature():
     """bench.contention_stats flags the uniform-inflation signature and
     stays quiet for a single-query regression (VERDICT r7 item 7)."""

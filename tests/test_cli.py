@@ -298,11 +298,13 @@ def test_bench_summary_line_survives_driver_tail():
         "inertia_ratio": 0.9445,
     }
     line = bench.summary_line(17.43, headline_queries, extended, kscale, 0.1)
-    assert len(line) < 1000, len(line)
+    assert len(line) < 600, len(line)
     doc = json.loads(line)
     assert doc["metric"] == "headline_total"
     assert doc["value"] == 17.43 and doc["unit"] == "sec"
-    assert len(doc["queries"]) == 13
+    # r9 slimmed contract: 3 flagships only (VERDICT r8 item 6) — the
+    # full headline set stays recoverable from the BP pairs line
+    assert sorted(doc["queries"]) == sorted(bench.FLAGSHIP_NAMES)
     assert doc["baseline_total"] == bench.BASELINE_HEADLINE_TOTAL
     assert 0 < doc["ratio"] < 2
     assert doc["n_queries"] == 103
