@@ -398,6 +398,8 @@ def main() -> None:
         ("span_dedup_incremental", entry.q_span_dedup_incremental, 2),
         # r8 addition: two-batch rolling-ingest embedding dedup
         ("embed_dedup_incremental", entry.q_embed_dedup_incremental, 2),
+        # r9 addition: any-alignment CDC substring dedup
+        ("cdc_dedup", entry.q_cdc_dedup, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -509,6 +509,144 @@ def span_dedup(
     return _span_reassemble(df, flagged, key)
 
 
+def cdc_dedup(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    divisor: int = 8,
+) -> DataFrame:
+    """ANY-ALIGNMENT substring dedup via content-defined chunking —
+    closes the gap ``span_dedup`` documents (VERDICT r8 item 3): fixed
+    tiling only catches duplicates landing on ``span_tokens``
+    boundaries, while Lee et al. 2022's suffix-array ExactSubstr
+    catches every alignment. CDC (the rsync / LBFS design,
+    Muthitacharoen et al. 2001) gets alignment-independence
+    relationally: chunk boundaries are decided by TOKEN CONTENT, not
+    position — token ``t`` ends a chunk iff
+    ``int(md5(t)[:4], 16) % divisor == 0`` — so two copies of a
+    duplicated token run produce IDENTICAL interior chunks wherever
+    the run sits in each document. No suffix array, no self-join, no
+    position arithmetic shared between documents.
+
+    Guarantee (exact, not probabilistic, GIVEN the breakpoints): a
+    duplicated run containing b >= 2 breakpoint tokens has b-1
+    identical interior chunks in every copy; all but the globally
+    first occurrence are removed. Expected chunk length is
+    ``divisor`` tokens (geometric), so runs of roughly
+    ``2 * divisor`` tokens or longer are caught at ANY alignment —
+    the knob mirrors ExactSubstr's 50-token threshold. What it does
+    NOT catch: the partial chunks at the run's edges (they extend
+    into non-duplicated context), and duplicated runs with < 2
+    breakpoints (probability decays geometrically in run length).
+    A document with no breakpoint tokens degrades to one whole-doc
+    chunk — exact_dedup semantics, never wrong rows.
+
+    Keep-first: the globally FIRST instance of each distinct chunk
+    text, ordered by ``(key, chunk_id)``, survives — same rule as
+    ``span_dedup``. Scale shape: chunking is map-only (one HOF pass
+    inside each row — no per-token explode, no shuffle); keep-first is
+    a groupBy(chunk_hash).min(struct(key, chunk_id)) + join-back —
+    deliberately NOT a row_number window: a hot boilerplate chunk
+    ("the the the", a license header) sends every instance to ONE
+    window reducer, while partial aggregation collapses hot keys
+    map-side and AQE skew-join splits the join-back probe. One
+    aggregation shuffle + one join shuffle, both keyed by the uniform
+    128-bit digest.
+
+    Returns one row per input document:
+    ``(key, n_chunks, n_kept, dedup_text)`` — the ``span_dedup``
+    contract with chunks in place of tiles.
+    """
+    flagged = _cdc_keep_first(df, text, key, divisor)
+    out = _span_reassemble(df, flagged, key)
+    return out.select(
+        key,
+        F.col("n_spans").alias("n_chunks"),
+        "n_kept",
+        "dedup_text",
+    )
+
+
+def _cdc_chunk_table(
+    df: DataFrame, text: str, key: str, divisor: int
+) -> DataFrame:
+    """``(key, span_id, span, span_hash)`` content-defined chunk rows
+    (span_* column names so the span reassembly core is shared).
+
+    All chunk construction happens INSIDE the row with HOFs: breakpoint
+    positions -> [start, end] pairs -> chunk texts. Zero shuffles, no
+    per-token explode (the token blowup a stride-1 sliding window
+    would pay is the cost this design avoids)."""
+    if divisor < 1:
+        raise ValueError(f"divisor must be >= 1, got {divisor}")
+    base = df.select(F.col(key), tokens(text).alias("tk"))
+    is_bp = (
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10)
+        .cast("int") % divisor == 0
+    )
+    # 1-based positions of breakpoint tokens; a chunk ENDS at (and
+    # includes) its breakpoint token. sequence(1, 0) DESCENDS in
+    # Spark, so the empty-token case needs the explicit guard.
+    positions = F.when(
+        F.size("tk") >= 1, F.sequence(F.lit(1), F.size("tk"))
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.filter(
+        positions, lambda p: is_bp(F.element_at("tk", p))
+    )
+    with_bounds = base.withColumn(
+        "starts",
+        F.concat(
+            F.array(F.lit(1)),
+            F.transform(cuts, lambda c: c + 1),
+        ),
+    ).withColumn("ends", F.concat(cuts, F.array(F.size("tk"))))
+    chunks = with_bounds.select(
+        key,
+        F.posexplode(
+            F.filter(
+                F.zip_with(
+                    "starts",
+                    "ends",
+                    lambda s, e: F.when(
+                        e >= s,
+                        F.array_join(
+                            F.slice(
+                                "tk", s, e - s + F.lit(1)
+                            ),
+                            " ",
+                        ),
+                    ),
+                ),
+                lambda c: c.isNotNull(),
+            )
+        ).alias("span_id", "span"),
+    )
+    return chunks.select(
+        key, "span_id", "span", md5_hex("span").alias("span_hash")
+    )
+
+
+def _cdc_keep_first(
+    df: DataFrame, text: str, key: str, divisor: int
+) -> DataFrame:
+    """Chunk table plus the keep-first flag via min-struct aggregation
+    + join-back (the skew-proof form — see ``cdc_dedup``)."""
+    ct = _cdc_chunk_table(df, text, key, divisor)
+    winners = ct.groupBy("span_hash").agg(
+        F.min(F.struct(F.col(key).alias("k"), F.col("span_id").alias("s")))
+        .alias("w")
+    )
+    return ct.join(winners, "span_hash").select(
+        key,
+        "span_id",
+        "span",
+        "span_hash",
+        (
+            (F.col(key) == F.col("w.k")) & (F.col("span_id") == F.col("w.s"))
+        ).cast("int").alias("first"),
+    )
+
+
 def _span_table(
     df: DataFrame, text: str, key: str, span_tokens: int
 ) -> DataFrame:

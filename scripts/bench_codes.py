@@ -35,6 +35,7 @@ NAMES = [
     "bm25_topk",
     "boilerplate",
     "bucketed_join",
+    "cdc_dedup",
     "chi_square",
     "chunk_docs",
     "corr",

@@ -1824,6 +1824,84 @@ def test_span_dedup_plan_single_span_shuffle(spark, sf_dir):
     assert hash_shuffles, info["shuffle_keys"]
 
 
+def test_cdc_dedup_catches_misaligned_duplicate(spark):
+    """VERDICT r8 item 3 'Done =' probe: a duplicated run embedded at
+    offsets that differ (and are NOT span_tokens apart) is invisible
+    to span_dedup's fixed tiling but must be caught by cdc_dedup —
+    content-defined boundaries align the two copies identically
+    regardless of position."""
+    from clickhouse_k_means_spark.operators.dedup import (
+        cdc_dedup,
+        span_dedup,
+    )
+
+    run = (
+        "quantum widgets orbit seven green towers under crimson skies "
+        "while nine silver foxes jump over lazy dogs near ancient "
+        "stone bridges beyond seven rivers"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "intro one two " + run),                      # offset 3
+            (2, "different preamble of five tokens here " + run),  # 7
+        ],
+        "doc_id bigint, text string",
+    )
+    sp = {r["doc_id"]: r for r in span_dedup(df, span_tokens=10).collect()}
+    cd = {r["doc_id"]: r for r in cdc_dedup(df, divisor=4).collect()}
+    # fixed tiling misses: doc 2 keeps every span
+    assert sp[2]["n_kept"] == sp[2]["n_spans"]
+    # CDC catches: doc 2 loses interior chunks of the duplicated run
+    assert cd[2]["n_kept"] < cd[2]["n_chunks"], cd
+    # first occurrence keeps everything
+    assert cd[1]["n_kept"] == cd[1]["n_chunks"]
+    # the removed chunks are a contiguous interior piece of the run:
+    # doc 2's surviving text must still start with its own preamble
+    assert cd[2]["dedup_text"].startswith("different preamble")
+
+
+def test_cdc_dedup_edges_and_rerun_stability(spark):
+    from clickhouse_k_means_spark.operators.dedup import cdc_dedup
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "xyz"), (3, "xyz"), (4, "a b c")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="divisor"):
+        cdc_dedup(df, divisor=0)
+    rows = {r["doc_id"]: r for r in cdc_dedup(df, divisor=4).collect()}
+    # empty doc: 0 chunks; no-breakpoint docs degrade to whole-doc
+    # exact dedup (doc 2 keeps its single chunk, doc 3 loses it)
+    assert (rows[1]["n_chunks"], rows[1]["n_kept"]) == (0, 0)
+    assert rows[2]["n_kept"] == rows[2]["n_chunks"] >= 1
+    assert rows[3]["n_kept"] == 0 and rows[3]["dedup_text"] == ""
+    # layout-independence
+    a = sorted(map(tuple, cdc_dedup(df, divisor=4).collect()))
+    b = sorted(map(tuple, cdc_dedup(df.repartition(8), divisor=4).collect()))
+    assert a == b
+
+
+def test_cdc_dedup_plan_skew_proof_keep_first(spark, sf_dir):
+    """Scale guard: chunking is map-only (HOFs inside the row — no
+    per-token explode), and keep-first is the aggregation+join form
+    keyed by the 128-bit chunk digest, NOT a row_number window (a hot
+    boilerplate chunk would send every instance to one window
+    reducer; partial aggregation collapses hot keys map-side)."""
+    from clickhouse_k_means_spark.operators.dedup import cdc_dedup
+    from clickhouse_k_means_spark.plans.audit import audit_plan
+    from clickhouse_k_means_spark.sources.dataset import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cdc_dedup(docs, divisor=8)
+    info = audit_plan(out)
+    assert not info["has_cartesian"], info
+    hash_shuffles = [s for s in info["shuffle_keys"] if "span_hash" in s]
+    assert hash_shuffles, info["shuffle_keys"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # keep-first must be HashAggregate (partial+final), never a Window
+    assert "Window" not in plan, plan[:2000]
+
+
 def test_incremental_span_dedup_cross_batch(spark, tmp_path):
     """Rolling-ingest span dedup: batch 2's keepers exclude every span
     batch 1 committed, within-batch keep-first still applies, and only

@@ -138,16 +138,16 @@ def test_entry_smoke(spark):
     assert {f.name for f in df.schema} == {"j", "n", "avg_dist"}
 
 
-def test_driver_window_pins_r8_rotation():
-    """Rotation contract (VERDICT r5 item 2, advanced per r7 items
-    1c/4): the driver records rows for the FIRST 50 registry entries
-    only. r8 window = 6-query fixed head + the 3 r7 red queue-jumpers
-    (tpch_q14, tpch_q8a, pyds_read — fixed this round, re-gating ahead
-    of the pointer) + R[44:85], which opens with the ENTIRE remaining
-    never-gated cohort so the never-gated debt ends at 0 after r8.
-    The 3 rotation entries the queue-jumpers displaced (moving_avg,
-    funnel, retention — every one already green r6 or earlier) must
-    lead the next slice so they re-gate first in r9."""
+def test_driver_window_pins_r9_rotation():
+    """Rotation contract (VERDICT r5 item 2): the driver records rows
+    for the FIRST 50 registry entries only. r9 window = 6-query fixed
+    head + the next 44 rotation slots exactly as the r8 comment
+    scheduled (VERDICT r8 item 1): the 3 entries the r8 queue-jumpers
+    deferred (moving_avg, funnel, retention), then the four r8
+    additions taking their FIRST driver rows (bm25_topk, span_dedup,
+    span_dedup_incremental, embed_dedup_incremental), then the
+    pointer's continuation through tpch_q16. New r9 queries sit at
+    position 50+ so they first-gate at the front of the r10 window."""
     keys = list(QUERIES)
     window = keys[:50]
     head = {
@@ -155,23 +155,16 @@ def test_driver_window_pins_r8_rotation():
         "elbow_total", "kmeans_fit_history",
     }
     assert head <= set(window), sorted(head - set(window))
-    red_jumpers = {"tpch_q14", "tpch_q8a", "pyds_read"}
-    assert red_jumpers <= set(window), sorted(red_jumpers - set(window))
-    # the whole never-gated cohort gates THIS round — debt hits 0
-    never_gated = {
-        "multimodal_codec_stats", "interval_union", "stream_join",
-        "array_set_ops", "triangles", "weighted_quantiles",
-        "anomaly_zscore", "semdedup",
-    }
-    assert never_gated <= set(window), sorted(never_gated - set(window))
-    assert all(k in ORACLES for k in window)
-    # the 3 displaced entries lead the r9 slice (positions 50..52),
-    # followed by the r8 additions (first-gate-next-round pattern)
-    assert keys[50:57] == [
+    # VERDICT r8 item 1: the deferred trio + the four r8 additions
+    # open the rotation part of the window, in the scheduled order
+    assert keys[6:13] == [
         "moving_avg", "funnel", "retention",
         "bm25_topk", "span_dedup", "span_dedup_incremental",
         "embed_dedup_incremental",
     ]
+    assert all(k in ORACLES for k in window)
+    # r9 additions first-gate at the FRONT of the r10 window
+    assert keys[50] == "cdc_dedup"
     # the cadence must close: ceil(rotating / slots) rounds per full
     # sweep, with slots = 50 - len(fixed head). The registry comment
     # documents the CURRENT ceil — keep them in sync (VERDICT r5
