@@ -3760,6 +3760,55 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical IVF-cell → SRP kNN self-join
+    (operators/similarity.knn_join_partitioned — VERDICT r8 item 4:
+    the partition-first recipe that extends the O(n) candidate regime
+    past flat SRP's ~2M-point clamp). Same in-query recall gate as
+    knn_join: recall@5 >= 3 vs exact brute force on the 1% sample
+    (measured 4-5/5 at n_cells=8, probe_cells=3, 3 bits x 16 tables
+    at both sf0.01 and sf0.1)."""
+    from clickhouse_k_means_spark.functions.distance import cosine_fixed
+    from clickhouse_k_means_spark.operators.similarity import (
+        knn_join_partitioned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    knn = knn_join_partitioned(
+        emb, k=5, n_cells=8, probe_cells=3, n_bits=3, n_tables=16, seed=42
+    )
+    samp = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q"), F.col("embedding").alias("eq")
+    )
+    dim = EMB_DIM
+    exact = (
+        samp.crossJoin(
+            emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+        )
+        .filter("q != b")
+        .select(
+            "q", "b", F.round(cosine_fixed("eq", "eb", dim), 4).alias("sim")
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("b"))
+    top = exact.withColumn("r", F.row_number().over(w)).filter("r <= 5")
+    hits = (
+        top.select("q", "b")
+        .join(
+            knn.select(F.col("a").alias("q"), "b"), ["q", "b"], "left_semi"
+        )
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return samp.select("q").join(hits, "q", "left").select(
+        "q",
+        F.lit(3).cast("bigint").alias("hits_floor"),
+        (F.coalesce("hits", F.lit(0)) >= 3).cast("bigint").alias("recall_pass"),
+    )
+
+
 def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid DBSCAN over the first two embedding dimensions
     (operators/density.grid_dbscan): eps-sided cells, dense-cell
@@ -4051,7 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additions taking their FIRST driver rows — judge pre-verified
     # green via scripts/gate_emulator.py), then the pointer's natural
     # continuation (pivot_native .. tpch_q16). New r9 queries
-    # (cdc_dedup, ...) sit at position 50+ and first-gate at the
+    # (cdc_dedup, knn_join_partitioned, ...) sit at position 50+ and first-gate at the
     # front of the r10 window.
     # The rotation pin test (tests/test_oracle_parity.py) asserts all
     # of this.
@@ -4113,6 +4162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r9 addition: first-gates at the FRONT of the r10 window
         # (the semdedup/multimodal/bm25 new-query pattern) ---
         "cdc_dedup": q_cdc_dedup,
+        "knn_join_partitioned": q_knn_join_partitioned,
         # --- rotating list R continues (r10 window body onward) ---
         "bloom_join": q_bloom_join,
         "profile": q_profile,
@@ -6168,6 +6218,14 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": (
             # range() can't take a subquery — derive sample ids from
             # the table itself
+            "select vec_id::BIGINT as q, 3::BIGINT as hits_floor, "
+            "1::BIGINT as recall_pass from embeddings "
+            "where vec_id % 100 = 0"
+        ),
+        "knn_join_partitioned": (
+            # same in-query recall-gate contract as knn_join: the
+            # Spark side emits recall_pass=1 only when the hierarchical
+            # IVF->SRP candidates recover >= 3 of the exact top-5
             "select vec_id::BIGINT as q, 3::BIGINT as hits_floor, "
             "1::BIGINT as recall_pass from embeddings "
             "where vec_id % 100 = 0"

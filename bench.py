@@ -400,6 +400,8 @@ def main() -> None:
         ("embed_dedup_incremental", entry.q_embed_dedup_incremental, 2),
         # r9 addition: any-alignment CDC substring dedup
         ("cdc_dedup", entry.q_cdc_dedup, 2),
+        # r9 addition: hierarchical IVF->SRP kNN incl. in-query recall gate
+        ("knn_join_partitioned", entry.q_knn_join_partitioned, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

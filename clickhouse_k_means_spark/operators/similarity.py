@@ -448,11 +448,12 @@ def _auto_n_bits(n: int, per_bucket: int = 32) -> int:
     lists, and therefore candidate pairs, O(n) — UP TO THE CLAMP: at
     16 bits a table has 65,536 buckets, so beyond ~2M points
     (per_bucket * 2^16) occupancy grows linearly again and candidate
-    pairs turn quadratic in n/2^16. Past that scale, partition the
-    corpus first (e.g. by an IVF coarse quantizer or a key range) and
-    run knn_join per partition, or raise ``n_tables`` to recover
-    recall at a pinned depth — deeper SRP codes than 16 bits mostly
-    shred recall rather than buy speed."""
+    pairs turn quadratic in n/2^16. Past that scale, use
+    ``knn_join_partitioned`` (r9): an IVF coarse quantizer partitions
+    first and SRP depth derives from CELL occupancy, multiplying the
+    bucket space by n_cells — deeper SRP codes than 16 bits mostly
+    shred recall rather than buy speed, so widening the space, not
+    the code, is the scale move."""
     import math
 
     return min(16, max(4, math.ceil(math.log2(max(n, 2) / per_bucket))))
@@ -514,6 +515,171 @@ def knn_join(
         .join(
             banded.select(F.col("kk").alias("b"), "t", "bucket"),
             ["t", "bucket"],
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = df.select(F.col(key).alias("a"), F.col(vec).alias("ea"))
+    vb = df.select(F.col(key).alias("b"), F.col(vec).alias("eb"))
+    sim = F.round(cosine_fixed("ea", "eb", dim), 4)
+    scored = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", sim.alias("sim"))
+        .localCheckpoint(eager=True)  # same 64 KB-codegen barrier
+    )
+    w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_partitioned(
+    df: DataFrame,
+    k: int = 5,
+    n_cells: int = 64,
+    probe_cells: int = 2,
+    n_bits: int | None = None,
+    n_tables: int = 8,
+    seed: int = 42,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """kNN self-join past the flat-SRP ceiling (VERDICT r8 item 4):
+    hierarchical IVF-cell → SRP-within-cell bucketing — the
+    partition-first recipe ``_auto_n_bits``'s docstring sketches,
+    implemented.
+
+    Why: flat SRP clamps at 16 bits (65,536 buckets/table), so beyond
+    ~2M points (``per_bucket * 2^16``) bucket occupancy grows linearly
+    and candidate pairs quadratically. Partitioning first multiplies
+    the bucket space: a coarse k-means quantizer (the ``ivf_topk``
+    sample protocol — 2048-row seeded driver fit, centers become plan
+    literals) assigns every point to its ``probe_cells`` nearest cells
+    (multi-assignment is the boundary-recall move: a neighbor pair
+    straddling a cell border still shares a cell when either point's
+    second-nearest is the other's first). Within a cell, SRP depth is
+    derived from the EXPECTED CELL occupancy
+    (``n * probe_cells / n_cells``), so the effective bucket count is
+    ``n_cells × 2^bits`` per table — with ``n_cells=1024`` the O(n)
+    candidate regime extends to ~2B points, three orders past the
+    flat clamp, and ``n_cells`` itself can grow with log-scale
+    re-fits. Candidate pairs collide on ``(cell, t, bucket)``; a pair
+    sharing both probe cells is deduplicated by the existing distinct.
+
+    Depth is OCCUPANCY-ADAPTIVE per cell (``n_bits=None``): real cell
+    sizes are skewed (k-means cells on clustered data differ by orders
+    of magnitude), so a single depth derived from the MEAN lets dense
+    cells go quadratic exactly like the flat clamp did — the r9
+    ceiling probe measured fixed-depth partitioned pairs growing 1.3×
+    per corpus doubling from cell skew alone. Instead every vector
+    gets one MAX-DEPTH (16-bit) SRP code and each cell masks it down
+    to ``ceil(log2(cell_size / per_bucket))`` low bits — masking low
+    bits of an SRP code IS the depth-``b`` code of the first ``b``
+    hyperplanes, so sparse cells keep shallow codes (high collision
+    probability — recall where density is low) while dense cells get
+    deep ones (bounded occupancy where pairs explode). Cost: one
+    count-by-cell aggregation (n_cells rows to the driver) before
+    banding. Pass an explicit ``n_bits`` to pin a uniform depth
+    instead (the registry gate does, for exact replayability).
+
+    Same precision contract as ``knn_join``: exact cosine on
+    candidates only (with the 64 KB-codegen checkpoint barrier),
+    top-k per point via WindowGroupLimit. Recall = P(shared cell) ×
+    SRP union bound within the cell; probe_cells and n_tables are the
+    recall knobs. Output ``(a, b, sim, rank)`` — drop-in for
+    ``knn_join``.
+
+    Scale shape: one driver-side sample fit (ms), one Arrow matmul
+    pass for cell assignment + banding, one tiny cell-count agg, ONE
+    shuffle keyed by (cell, t, bucket), then candidate-sized verify
+    joins. The corpus is never shuffled whole except by the uniform
+    band key.
+    """
+    head = df.select(vec).first()
+    if head is None:
+        key_type = df.schema[key].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"a {key_type}, b {key_type}, sim double, rank int"
+        )
+    if probe_cells < 1 or probe_cells > n_cells:
+        raise ValueError(
+            f"probe_cells must be in [1, n_cells]: {probe_cells}/{n_cells}"
+        )
+    import math
+
+    import numpy as np
+
+    dim = len(head[0])
+
+    # coarse quantizer: the ivf_topk sample protocol
+    sample = (
+        df.select(F.col(key).alias("sk"), F.col(vec).alias("sv"))
+        .orderBy(F.xxhash64(F.lit(seed), F.col("sk")))
+        .limit(2048)
+        .collect()
+    )
+    x = np.asarray([r["sv"] for r in sample], dtype=np.float64)
+    centers = numpy_kmeans(x, k=min(n_cells, len(sample)), seed=seed, n_iter=10)
+    centers_l = [list(map(float, c)) for c in centers]
+
+    cellp = nearest_cells_batch(centers_l, nprobe=probe_cells)
+    code_bits = n_bits if n_bits is not None else 16
+    tables = [
+        srp_hyperplanes(dim, n_bits=code_bits, seed=seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+    buckets = srp_buckets_batch(tables)
+    # one pass computes cells AND max-depth srp codes; explode to
+    # (k, cell, t, code) band rows
+    coded = (
+        df.select(
+            F.col(key).alias("kk"),
+            cellp(F.col(vec).cast("array<double>")).alias("cells"),
+            buckets(F.col(vec)).alias("bks"),
+        )
+        .select("kk", F.explode("cells").alias("cell"), "bks")
+        .localCheckpoint(eager=True)  # feeds the count agg AND banding
+    )
+    if n_bits is None:
+        # occupancy-adaptive depth: mask each cell's codes down to
+        # ceil(log2(size / per_bucket)) low bits (see docstring)
+        sizes = coded.groupBy("cell").count().collect()
+        per_bucket = 32
+        masks = [
+            (
+                int(r["cell"]),
+                (1 << min(16, max(4, math.ceil(
+                    math.log2(max(int(r["count"]), 2) / per_bucket)
+                )))) - 1,
+            )
+            for r in sizes
+        ]
+        mask_df = df.sparkSession.createDataFrame(
+            masks, "cell int, mask bigint"
+        )
+        banded = (
+            coded.join(F.broadcast(mask_df), "cell")
+            .select(
+                "kk", "cell", F.posexplode("bks").alias("t", "code"), "mask"
+            )
+            .select(
+                "kk", "cell", "t",
+                F.col("code").bitwiseAND(F.col("mask")).alias("bucket"),
+            )
+        )
+    else:
+        banded = coded.select(
+            "kk", "cell", F.posexplode("bks").alias("t", "bucket")
+        )
+    cand = (
+        banded.select(F.col("kk").alias("a"), "cell", "t", "bucket")
+        .join(
+            banded.select(F.col("kk").alias("b"), "cell", "t", "bucket"),
+            ["cell", "t", "bucket"],
         )
         .filter(F.col("a") != F.col("b"))
         .select("a", "b")

@@ -71,6 +71,7 @@ NAMES = [
     "ivf_ann",
     "kmeans_fit",
     "knn_join",
+    "knn_join_partitioned",
     "lateral_topn",
     "lloyd_step",
     "locf_fill",

@@ -1723,6 +1723,74 @@ def test_knn_join_auto_bits_end_to_end(spark):
     assert len(got) > 0
 
 
+def test_knn_join_partitioned_recall_on_clustered_data(spark):
+    """Hierarchical IVF->SRP kNN (VERDICT r8 item 4): on clustered
+    data — the regime where cell partitioning could LOSE cross-cell
+    neighbors — multi-assignment (probe_cells) keeps recall: every
+    point's top-3 must match exact brute force on 3 tight clusters."""
+    import math
+
+    from clickhouse_k_means_spark.operators.similarity import (
+        brute_force_topk,
+        knn_join_partitioned,
+    )
+
+    rows = []
+    for c, base in enumerate([0.0, 2.0, 4.0]):
+        for i in range(20):
+            a = base + 0.02 * i
+            rows.append(
+                (c * 20 + i,
+                 [math.cos(a), math.sin(a), math.cos(2 * a), math.sin(2 * a)])
+            )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = knn_join_partitioned(
+        df, k=3, n_cells=3, probe_cells=2, n_tables=16, seed=42
+    )
+    exact = brute_force_topk(
+        df.withColumnRenamed("vec_id", "q"),
+        df.withColumnRenamed("vec_id", "n"),
+        k=4, query_key="q", corpus_key="n",
+    ).filter("q != n")
+    # exact top-3 excluding self
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q").orderBy(F.col("score").desc(), F.col("n"))
+    etop = (exact.withColumn("r", F.row_number().over(w)).filter("r <= 3")
+            .select("q", F.col("n").alias("b")))
+    hits = etop.join(
+        out.select(F.col("a").alias("q"), "b"), ["q", "b"], "left_semi"
+    ).groupBy("q").count().collect()
+    assert len(hits) == 60
+    assert all(r["count"] >= 2 for r in hits), sorted(
+        r["count"] for r in hits)[:5]
+
+
+def test_knn_join_partitioned_contract_and_validation(spark):
+    from clickhouse_k_means_spark.operators.similarity import (
+        knn_join_partitioned,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = knn_join_partitioned(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["a", "b", "sim", "rank"]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="probe_cells"):
+        knn_join_partitioned(df, probe_cells=0)
+    with pytest.raises(ValueError, match="probe_cells"):
+        knn_join_partitioned(df, n_cells=2, probe_cells=3)
+    # adaptive path (n_bits=None) runs end-to-end and bounds k
+    rows = [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(8)])
+            for i in range(40)]
+    df2 = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = knn_join_partitioned(df2, k=3, n_cells=2, probe_cells=1)
+    per = got.groupBy("a").count().collect()
+    assert per and all(r["count"] <= 3 for r in per)
+
+
 def test_semdedup_zero_norm_vector_never_steals_keeper(spark):
     """A zero-norm embedding has UNDEFINED cosine (NULL): it must form
     no edges and must not outrank real members for the keeper slot

@@ -164,7 +164,7 @@ def test_driver_window_pins_r9_rotation():
     ]
     assert all(k in ORACLES for k in window)
     # r9 additions first-gate at the FRONT of the r10 window
-    assert keys[50] == "cdc_dedup"
+    assert keys[50:52] == ["cdc_dedup", "knn_join_partitioned"]
     # the cadence must close: ceil(rotating / slots) rounds per full
     # sweep, with slots = 50 - len(fixed head). The registry comment
     # documents the CURRENT ceil — keep them in sync (VERDICT r5
