@@ -3809,6 +3809,33 @@ def q_knn_join_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTENT IVF index replay (operators/ann_index — VERDICT r8
+    item 5): build the index on the odd-id half (quantizer fit + cell
+    assignments, ONE atomic snapshot commit), ivf_append the even-id
+    half through the COMMITTED quantizer (no re-fit), then probe the
+    persisted index and gate recall@10 >= 5 vs exact brute force over
+    the full corpus (measured 6-10 at sf0.001/0.01/0.1 with nlist=8,
+    nprobe=7 — the quantizer sees only half the corpus, hence the
+    slightly lower floor than ivf_ann's)."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivf_append,
+        ivf_index,
+        ivf_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    q, c = _ann_queries_corpus(spark, sf_dir)
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="ivfidx_"))
+    ivf_index(c.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
+              nlist=8, seed=42)
+    ivf_append(c.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
+    approx = ivf_query(q, store, k=10, nprobe=7, query_key="vec_id")
+    return _recall_vs_brute(spark, sf_dir, approx, min_hits=5)
+
+
 def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid DBSCAN over the first two embedding dimensions
     (operators/density.grid_dbscan): eps-sided cells, dense-cell
@@ -4100,7 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additions taking their FIRST driver rows — judge pre-verified
     # green via scripts/gate_emulator.py), then the pointer's natural
     # continuation (pivot_native .. tpch_q16). New r9 queries
-    # (cdc_dedup, knn_join_partitioned, ...) sit at position 50+ and first-gate at the
+    # (cdc_dedup, knn_join_partitioned, ivf_index_query) sit at position 50+ and first-gate at the
     # front of the r10 window.
     # The rotation pin test (tests/test_oracle_parity.py) asserts all
     # of this.
@@ -4163,6 +4190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the semdedup/multimodal/bm25 new-query pattern) ---
         "cdc_dedup": q_cdc_dedup,
         "knn_join_partitioned": q_knn_join_partitioned,
+        "ivf_index_query": q_ivf_index_query,
         # --- rotating list R continues (r10 window body onward) ---
         "bloom_join": q_bloom_join,
         "profile": q_profile,
@@ -5461,6 +5489,12 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": (
             "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "
             "6::BIGINT as hits_floor, 1::BIGINT as recall_pass"
+        ),
+        "ivf_index_query": (
+            # persistent-index replay: build + append + probe all run
+            # Spark-side; the gate asserts the per-query recall floor
+            "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "
+            "5::BIGINT as hits_floor, 1::BIGINT as recall_pass"
         ),
         "pq_ann": (
             "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "

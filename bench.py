@@ -402,6 +402,8 @@ def main() -> None:
         ("cdc_dedup", entry.q_cdc_dedup, 2),
         # r9 addition: hierarchical IVF->SRP kNN incl. in-query recall gate
         ("knn_join_partitioned", entry.q_knn_join_partitioned, 2),
+        # r9 addition: persistent IVF index build+append+probe replay
+        ("ivf_index_query", entry.q_ivf_index_query, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

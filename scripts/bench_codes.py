@@ -69,6 +69,7 @@ NAMES = [
     "interval_union",
     "inverted_index",
     "ivf_ann",
+    "ivf_index_query",
     "kmeans_fit",
     "knn_join",
     "knn_join_partitioned",

@@ -164,7 +164,9 @@ def test_driver_window_pins_r9_rotation():
     ]
     assert all(k in ORACLES for k in window)
     # r9 additions first-gate at the FRONT of the r10 window
-    assert keys[50:52] == ["cdc_dedup", "knn_join_partitioned"]
+    assert keys[50:53] == [
+        "cdc_dedup", "knn_join_partitioned", "ivf_index_query",
+    ]
     # the cadence must close: ceil(rotating / slots) rounds per full
     # sweep, with slots = 50 - len(fixed head). The registry comment
     # documents the CURRENT ceil — keep them in sync (VERDICT r5
