@@ -2034,6 +2034,40 @@ def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-shape ANY-ALIGNMENT dedup replayed as the standard
+    two-batch protocol (operators/dedup.incremental_cdc_dedup):
+    batch 1 = ``doc_id % 3 != 0``, batch 2 = ``doc_id % 2 == 0``
+    (overlapping content). Batch 2's keepers exclude every chunk
+    batch 1 committed — at ANY alignment, the property the span form
+    lacks. DuckDB replays both layers."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.dedup import (
+        incremental_cdc_dedup,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="cdcdedup_inc_"))
+    out = []
+    for batch_no, batch in (
+        (1, docs.filter(F.pmod("doc_id", F.lit(3)) != 0)),
+        (2, docs.filter(F.pmod("doc_id", F.lit(2)) == 0)),
+    ):
+        res, _ = incremental_cdc_dedup(batch, store, divisor=8)
+        out.append(
+            res.select(
+                F.lit(batch_no).cast("bigint").alias("batch"),
+                "doc_id",
+                "n_chunks",
+                "n_kept",
+                F.md5("dedup_text").alias("dedup_md5"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
 # per-language sampling rates for the stratified-sample gate query —
 # the "rebalance the language mix" pipeline move
 STRATA_RATES = {"de": 0.1, "en": 0.5, "es": 0.25, "fr": 0.25, "zh": 0.1}
@@ -4127,7 +4161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additions taking their FIRST driver rows — judge pre-verified
     # green via scripts/gate_emulator.py), then the pointer's natural
     # continuation (pivot_native .. tpch_q16). New r9 queries
-    # (cdc_dedup, knn_join_partitioned, ivf_index_query) sit at position 50+ and first-gate at the
+    # (cdc_dedup, knn_join_partitioned, ivf_index_query,
+    # cdc_dedup_incremental) sit at position 50+ and first-gate at the
     # front of the r10 window.
     # The rotation pin test (tests/test_oracle_parity.py) asserts all
     # of this.
@@ -4191,6 +4226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "knn_join_partitioned": q_knn_join_partitioned,
         "ivf_index_query": q_ivf_index_query,
+        "cdc_dedup_incremental": q_cdc_dedup_incremental,
         # --- rotating list R continues (r10 window body onward) ---
         "bloom_join": q_bloom_join,
         "profile": q_profile,
@@ -4946,6 +4982,59 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(n_kept, 0)::BIGINT as n_kept, "
             "md5(coalesce(dedup_text, '')) as dedup_md5 "
             "from documents d left join per_doc on d.doc_id = per_doc.doc_id"
+        ),
+        "cdc_dedup_incremental": (
+            # two-batch replay of operators/dedup.incremental_cdc_dedup
+            # at divisor=8: batch-1 keepers become the chunk history;
+            # batch-2 keepers additionally anti-join it (any-alignment,
+            # since boundaries are content-defined)
+            "with tkc as (select doc_id::BIGINT as doc_id, "
+            "case when trim(regexp_replace(lower(text), "
+            "'[^\\p{L}\\p{N}]+', ' ', 'g')) = '' then []::VARCHAR[] "
+            "else string_split(trim(regexp_replace(lower(text), "
+            "'[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') end as tk "
+            "from documents), "
+            "cut as (select doc_id, tk, list_filter(range(1, len(tk) + 1), "
+            "p -> (('0x' || substr(md5(tk[p]), 1, 4))::BIGINT % 8) = 0) "
+            "as cs from tkc), "
+            "bounds as (select doc_id, tk, "
+            "list_prepend(1, list_transform(cs, c -> (c + 1)::BIGINT)) "
+            "as starts, list_append(cs, len(tk)::BIGINT) as ends from cut), "
+            "ids as (select doc_id, tk, starts, ends, "
+            "unnest(range(1, len(starts) + 1)) as cid from bounds), "
+            "chunks as (select doc_id, (cid - 1)::BIGINT as span_id, "
+            "array_to_string(list_slice(tk, starts[cid], ends[cid]), ' ') "
+            "as span from ids where ends[cid] >= starts[cid]), "
+            "k1 as (select doc_id, span_id, span, case when row_number() "
+            "over (partition by span order by doc_id, span_id) = 1 "
+            "then 1 else 0 end as first from chunks where doc_id % 3 != 0), "
+            "hist as (select distinct span from k1 where first = 1), "
+            "k2w as (select doc_id, span_id, span, case when row_number() "
+            "over (partition by span order by doc_id, span_id) = 1 "
+            "then 1 else 0 end as firstw from chunks where doc_id % 2 = 0), "
+            "k2 as (select doc_id, span_id, span, case when firstw = 1 "
+            "and span not in (select span from hist) then 1 else 0 end "
+            "as first from k2w), "
+            "p1 as (select doc_id, count(*)::BIGINT as n_chunks, "
+            "sum(first)::BIGINT as n_kept, coalesce(string_agg(span, ' ' "
+            "order by span_id) filter (where first = 1), '') as dedup_text "
+            "from k1 group by 1), "
+            "p2 as (select doc_id, count(*)::BIGINT as n_chunks, "
+            "sum(first)::BIGINT as n_kept, coalesce(string_agg(span, ' ' "
+            "order by span_id) filter (where first = 1), '') as dedup_text "
+            "from k2 group by 1) "
+            "select 1::BIGINT as batch, d.doc_id::BIGINT as doc_id, "
+            "coalesce(n_chunks, 0)::BIGINT as n_chunks, "
+            "coalesce(n_kept, 0)::BIGINT as n_kept, "
+            "md5(coalesce(dedup_text, '')) as dedup_md5 "
+            "from documents d left join p1 on d.doc_id = p1.doc_id "
+            "where d.doc_id % 3 != 0 "
+            "union all "
+            "select 2::BIGINT, d.doc_id::BIGINT, "
+            "coalesce(n_chunks, 0)::BIGINT, coalesce(n_kept, 0)::BIGINT, "
+            "md5(coalesce(dedup_text, '')) "
+            "from documents d left join p2 on d.doc_id = p2.doc_id "
+            "where d.doc_id % 2 = 0"
         ),
         "moving_avg": (
             "with b as (select event_id, user_id, ts, "

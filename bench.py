@@ -404,6 +404,8 @@ def main() -> None:
         ("knn_join_partitioned", entry.q_knn_join_partitioned, 2),
         # r9 addition: persistent IVF index build+append+probe replay
         ("ivf_index_query", entry.q_ivf_index_query, 2),
+        # r9 addition: two-batch rolling-ingest CDC dedup protocol
+        ("cdc_dedup_incremental", entry.q_cdc_dedup_incremental, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -776,3 +776,68 @@ def incremental_span_dedup(
     if n:
         store.append(new_hashes, table)
     return _span_reassemble(new_docs, final, key), n
+
+
+def incremental_cdc_dedup(
+    new_docs: DataFrame,
+    store,
+    table: str = "seen_chunks",
+    text: str = "text",
+    key: str = "doc_id",
+    divisor: int = 8,
+    broadcast_batch: bool = True,
+):
+    """ANY-ALIGNMENT substring dedup for an arriving batch against ALL
+    previously-committed chunk history — the rolling-ingest form of
+    ``cdc_dedup``, completing the incremental family (exact, near,
+    span, embed, cdc). Content-defined boundaries make the history
+    probe alignment-independent: a batch document embedding an
+    already-ingested passage at ANY offset produces the passage's
+    identical interior chunks, which hit the committed hash set.
+
+    Protocol mirrors ``incremental_span_dedup``: (1) within-batch
+    keep-first over the batch's CDC chunk table (the skew-proof
+    agg+join form), (2) drop batch keepers whose chunk hash exists in
+    history (``_history_anti_join`` — broadcast-semi by default, so a
+    100 TB chunk history is read once and NEVER shuffled), (3)
+    reassemble each document from surviving chunks, (4) append the
+    survivors' distinct hashes atomically. Returns
+    ``(per_doc_df, n_committed)`` with the
+    ``(key, n_chunks, n_kept, dedup_text)`` contract of ``cdc_dedup``.
+
+    Same single-writer-per-table concurrency contract as the rest of
+    the family.
+    """
+    spark = new_docs.sparkSession
+    flagged = _cdc_keep_first(
+        new_docs, text, key, divisor
+    ).localCheckpoint(eager=True)  # feeds probe AND reassembly once
+    keepers = flagged.filter(F.col("first") == 1).withColumnRenamed(
+        "span_hash", "text_hash"
+    )
+    if store.exists(table):
+        seen = store.read(spark, table).select("text_hash")
+        fresh = _history_anti_join(keepers, seen, broadcast_batch)
+    else:
+        fresh = keepers
+    fresh = fresh.localCheckpoint(eager=True)
+    # re-derive the keep flag so history drops demote batch keepers
+    final = flagged.drop("first").join(
+        fresh.select(key, "span_id").withColumn("first", F.lit(1)),
+        [key, "span_id"],
+        "left",
+    ).fillna(0, subset=["first"])
+    new_hashes = fresh.select("text_hash").distinct()
+    n = new_hashes.count()
+    if n:
+        store.append(new_hashes, table)
+    out = _span_reassemble(new_docs, final, key)
+    return (
+        out.select(
+            key,
+            F.col("n_spans").alias("n_chunks"),
+            "n_kept",
+            "dedup_text",
+        ),
+        n,
+    )

@@ -61,12 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     d = sub.add_parser(
         "dedup",
-        help="exact, near (MinHash), semantic (SemDeDup), or span "
-        "(C4-style sub-document) removal",
+        help="exact, near (MinHash), semantic (SemDeDup), span "
+        "(C4-style sub-document), or cdc (any-alignment "
+        "content-defined chunking) removal",
     )
     common(d, text=True)
     d.add_argument(
-        "--mode", choices=["exact", "near", "semantic", "span"],
+        "--mode", choices=["exact", "near", "semantic", "span", "cdc"],
         default="exact",
     )
     d.add_argument(
@@ -87,6 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument(
         "--span-tokens", type=int, default=10,
         help="span mode: tokens per dedup span (tiling width)",
+    )
+    d.add_argument(
+        "--divisor", type=int, default=8,
+        help="cdc mode: expected chunk length in tokens "
+        "(content-defined breakpoint rate)",
     )
 
     s = sub.add_parser("split", help="deterministic train/val/test split")
@@ -133,7 +139,7 @@ def build_parser() -> argparse.ArgumentParser:
         "per state dir — the exactly-once ingest discipline)",
     )
     ig.add_argument(
-        "--mode", choices=["exact", "near", "span", "embed"],
+        "--mode", choices=["exact", "near", "span", "embed", "cdc"],
         default="exact",
     )
     ig.add_argument(
@@ -148,6 +154,10 @@ def build_parser() -> argparse.ArgumentParser:
     ig.add_argument(
         "--span-tokens", type=int, default=10,
         help="span mode: tokens per dedup span (tiling width)",
+    )
+    ig.add_argument(
+        "--divisor", type=int, default=8,
+        help="cdc mode: expected chunk length in tokens",
     )
 
     pr = sub.add_parser("profile", help="one-scan table profile")
@@ -204,6 +214,13 @@ def main(argv: list[str] | None = None) -> int:
             out = span_dedup(
                 df, text=args.text, key=args.key,
                 span_tokens=args.span_tokens,
+            )
+        elif args.mode == "cdc":
+            from clickhouse_k_means_spark.operators.dedup import cdc_dedup
+
+            # any-alignment substring removal; rewrites text like span
+            out = cdc_dedup(
+                df, text=args.text, key=args.key, divisor=args.divisor
             )
         elif args.mode == "semantic":
             from clickhouse_k_means_spark.operators.semdedup import (
@@ -337,6 +354,15 @@ def main(argv: list[str] | None = None) -> int:
             out, committed = incremental_span_dedup(
                 df, store, text=args.text, key=args.key,
                 span_tokens=args.span_tokens,
+            )
+        elif args.mode == "cdc":
+            from clickhouse_k_means_spark.operators.dedup import (
+                incremental_cdc_dedup,
+            )
+
+            out, committed = incremental_cdc_dedup(
+                df, store, text=args.text, key=args.key,
+                divisor=args.divisor,
             )
         else:
             from clickhouse_k_means_spark.operators.similarity import (

@@ -36,6 +36,7 @@ NAMES = [
     "boilerplate",
     "bucketed_join",
     "cdc_dedup",
+    "cdc_dedup_incremental",
     "chi_square",
     "chunk_docs",
     "corr",

@@ -3,6 +3,8 @@ dedup, similarity search, multimodal plumbing, streaming."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -2234,3 +2236,76 @@ def test_ivf_index_build_append_query(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     with pytest.raises(ValueError, match="empty corpus"):
         ivf_index(empty, store2)
+
+
+def test_incremental_cdc_dedup_cross_batch_any_alignment(spark, tmp_path):
+    """Rolling-ingest CDC dedup: a batch-2 document embedding already-
+    committed content at a DIFFERENT token offset still loses those
+    chunks (alignment-independence across the history boundary — the
+    property incremental_span_dedup lacks); replay commits nothing."""
+    from clickhouse_k_means_spark.operators.dedup import (
+        incremental_cdc_dedup,
+        incremental_span_dedup,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    run = (
+        "quantum widgets orbit seven green towers under crimson skies "
+        "while nine silver foxes jump over lazy dogs near ancient "
+        "stone bridges beyond seven rivers"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "prefix alpha " + run)], "doc_id bigint, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "a very different and longer preamble " + run)],
+        "doc_id bigint, text string",
+    )
+    store = SnapshotStateStore(str(tmp_path / "cdc"))
+    s1, n1 = incremental_cdc_dedup(b1, store, divisor=4)
+    r1 = s1.collect()[0]
+    assert r1["n_kept"] == r1["n_chunks"] and n1 == r1["n_chunks"]
+    s2, n2 = incremental_cdc_dedup(b2, store, divisor=4)
+    r2 = s2.collect()[0]
+    # the misaligned embedded run's interior chunks hit history
+    assert r2["n_kept"] < r2["n_chunks"], r2
+    assert r2["dedup_text"].startswith("a very different")
+    # replay: everything now committed
+    s3, n3 = incremental_cdc_dedup(b2, store, divisor=4)
+    assert n3 == 0 and s3.collect()[0]["n_kept"] == 0
+    # contrast: the SPAN form misses the same misaligned duplicate
+    store2 = SnapshotStateStore(str(tmp_path / "span"))
+    incremental_span_dedup(b1, store2, span_tokens=10)
+    sp2, _ = incremental_span_dedup(b2, store2, span_tokens=10)
+    rp2 = sp2.collect()[0]
+    assert rp2["n_kept"] == rp2["n_spans"]  # all kept = dup missed
+
+
+def test_pipeline_cli_cdc_modes(tmp_path, capsys, spark):
+    """dedup --mode cdc rewrites text; ingest --mode cdc commits chunk
+    hashes and drops cross-batch misaligned duplicates."""
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    src = str(tmp_path / "d1")
+    spark.createDataFrame(
+        [(1, "one two " + run), (2, "three four five " + run)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "kept")
+    rc = pmain(["dedup", "--input", src, "--out", out, "--mode", "cdc",
+                "--divisor", "4"])
+    assert rc == 0
+    back = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(back[1].asDict()) == {"doc_id", "n_chunks", "n_kept",
+                                     "dedup_text"}
+    assert back[2]["n_kept"] < back[2]["n_chunks"]
+    capsys.readouterr()
+
+    state = str(tmp_path / "state")
+    out1 = str(tmp_path / "i1")
+    rc = pmain(["ingest", "--input", src, "--out", out1, "--mode", "cdc",
+                "--state", state, "--divisor", "4"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["committed"] > 0
