@@ -176,6 +176,10 @@ _SCALAR_BNLJ_OK = {
     # sample brute-forced against the corpus — sample-bounded by
     # construction, and the gated operator itself is bucket-joined
     "knn_join",
+    # same recall-gate pattern (r9): the brute-force side is the
+    # bounded query/sample set; the gated operators are cell+bucket
+    # joined (knn_join_partitioned) / cell-probed (ivf_index_query)
+    "knn_join_partitioned", "ivf_index_query",
 }
 
 # Documented SinglePartition funnels: cumulative_uniques runs its
