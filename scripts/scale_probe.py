@@ -187,10 +187,82 @@ def main() -> None:
         )
         _noop(knn_join(emb, k=5))
 
+    def q_cdc_dedup():
+        from clickhouse_k_means_spark.operators.dedup import cdc_dedup
+
+        docs = load_table(spark, sf_dir, "documents")
+        _noop(cdc_dedup(docs, divisor=8))
+
+    def q_cdc_dedup_incremental():
+        # two-batch ingest protocol over corpus halves (the r8
+        # span/embed incremental probe shape)
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from clickhouse_k_means_spark.operators.dedup import (
+            incremental_cdc_dedup,
+        )
+        from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+        docs = load_table(spark, sf_dir, "documents")
+        store = SnapshotStateStore(tempfile.mkdtemp(prefix="cdcprobe_"))
+        committed = []
+        for batch in (
+            docs.filter(F.pmod("doc_id", F.lit(2)) == 0),
+            docs.filter(F.pmod("doc_id", F.lit(2)) == 1),
+        ):
+            out, n = incremental_cdc_dedup(batch, store, divisor=8)
+            _noop(out)
+            committed.append(n)
+        q_cdc_dedup_incremental.counts = committed
+
+    def q_ivf_index():
+        # persistent index lifecycle: build on half, append half,
+        # probe 5 queries from the committed snapshot
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from clickhouse_k_means_spark.operators.ann_index import (
+            ivf_append,
+            ivf_index,
+            ivf_query,
+        )
+        from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        store = SnapshotStateStore(tempfile.mkdtemp(prefix="ivfprobe_"))
+        ivf_index(emb.filter("vec_id % 2 = 1"), store, nlist=64, seed=42)
+        ivf_append(emb.filter("vec_id % 2 = 0"), store)
+        _noop(ivf_query(emb.filter("vec_id < 5"), store, k=10, nprobe=8,
+                        query_key="vec_id"))
+
+    def q_knn_join_partitioned():
+        # raw operator with adaptive depth (no recall-gate cross join)
+        from pyspark.sql import functions as F
+
+        from clickhouse_k_means_spark.operators.similarity import (
+            knn_join_partitioned,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        _noop(knn_join_partitioned(emb, k=5, n_cells=64, probe_cells=2))
+
     sets = {
         "r7": [
             ("semdedup", q_semdedup),
             ("knn_join", q_knn_join),
+        ],
+        "r9": [
+            ("cdc_dedup", q_cdc_dedup),
+            ("cdc_dedup_incremental", q_cdc_dedup_incremental),
+            ("ivf_index", q_ivf_index),
+            ("knn_join_partitioned", q_knn_join_partitioned),
         ],
         "r5": [
             ("kmeans_fit", q_kmeans_fit),
