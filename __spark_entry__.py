@@ -4988,11 +4988,10 @@ def oracle_sql() -> dict[str, str]:
             # at divisor=8: batch-1 keepers become the chunk history;
             # batch-2 keepers additionally anti-join it (any-alignment,
             # since boundaries are content-defined)
-            "with tkc as (select doc_id::BIGINT as doc_id, "
-            "case when trim(regexp_replace(lower(text), "
-            "'[^\\p{L}\\p{N}]+', ' ', 'g')) = '' then []::VARCHAR[] "
-            "else string_split(trim(regexp_replace(lower(text), "
-            "'[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') end as tk "
+            # tokenizer comes from the shared _TOKS macro (review, r9:
+            # a hand-inlined copy would silently diverge from future
+            # tokenizer parity fixes)
+            f"with tkc as (select doc_id::BIGINT as doc_id, {_TOKS} as tk "
             "from documents), "
             "cut as (select doc_id, tk, list_filter(range(1, len(tk) + 1), "
             "p -> (('0x' || substr(md5(tk[p]), 1, 4))::BIGINT % 8) = 0) "

@@ -68,6 +68,21 @@ def _committed_centroids(
     return [by_cell[j] for j in sorted(by_cell)]
 
 
+def _has_quantizer(spark: SparkSession, store, table: str) -> bool:
+    """True iff the LATEST snapshot carries committed centroid rows.
+    A logically-truncated table (SnapshotStateStore.truncate commits
+    an empty version, so exists() stays True forever) has none — the
+    state ivf_index treats as rebuildable (review, r9: the rebuild
+    guard's own remedy, 'truncate it first', must actually work)."""
+    if not store.exists(table):
+        return False
+    try:
+        _committed_centroids(spark, store, table, None)
+        return True
+    except ValueError:
+        return False
+
+
 def ivf_index(
     corpus: DataFrame,
     store,
@@ -80,13 +95,14 @@ def ivf_index(
     """Build and COMMIT the IVF index: quantizer fit (the ``ivf_topk``
     2048-row deterministic sample protocol) + full-corpus cell
     assignment, one atomic snapshot commit. Returns the committed
-    version. Fails if the table already exists (rebuild = truncate
-    first, or use a new table name — an index rebuild that silently
-    replaced the quantizer would orphan every previously-committed
-    assignment)."""
+    version. Fails if the table already holds a committed quantizer
+    (rebuild = ``store.truncate(table)`` first — the logical truncate
+    empties the snapshot, which this guard accepts — or use a new
+    table name; an index rebuild that silently replaced the quantizer
+    would orphan every previously-committed assignment)."""
     import numpy as np
 
-    if store.exists(table):
+    if _has_quantizer(corpus.sparkSession, store, table):
         raise ValueError(
             f"ivf index {table!r} already exists — truncate it first "
             "(appends must go through ivf_append so they bucket via "

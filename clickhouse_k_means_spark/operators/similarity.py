@@ -546,7 +546,6 @@ def knn_join_partitioned(
     seed: int = 42,
     key: str = "vec_id",
     vec: str = "embedding",
-    n_rows: int | None = None,
 ) -> DataFrame:
     """kNN self-join past the flat-SRP ceiling (VERDICT r8 item 4):
     hierarchical IVF-cell → SRP-within-cell bucketing — the
@@ -599,15 +598,17 @@ def knn_join_partitioned(
     joins. The corpus is never shuffled whole except by the uniform
     band key.
     """
+    # argument check FIRST (free) — the empty-input early return costs
+    # a Spark job and must not hide a misconfiguration (review, r9)
+    if probe_cells < 1 or probe_cells > n_cells:
+        raise ValueError(
+            f"probe_cells must be in [1, n_cells]: {probe_cells}/{n_cells}"
+        )
     head = df.select(vec).first()
     if head is None:
         key_type = df.schema[key].dataType.simpleString()
         return df.sparkSession.createDataFrame(
             [], f"a {key_type}, b {key_type}, sim double, rank int"
-        )
-    if probe_cells < 1 or probe_cells > n_cells:
-        raise ValueError(
-            f"probe_cells must be in [1, n_cells]: {probe_cells}/{n_cells}"
         )
     import math
 
@@ -762,6 +763,17 @@ def incremental_embed_dedup(
     through ``embed_neardup_bucketed`` as a batch job instead.
     """
     spark = new_vecs.sparkSession
+    # migration guard (review, r9): a state dir written by the
+    # pre-atomic two-table layout must FAIL LOUDLY, not be silently
+    # ignored (skipping it would re-admit every previously-ingested
+    # near-duplicate and start a fresh empty history)
+    if store.exists(f"{table}_bands") or store.exists(f"{table}_vecs"):
+        raise ValueError(
+            f"state dir holds the legacy two-table layout "
+            f"({table}_bands/{table}_vecs); migrate it into the "
+            f"single atomic {table!r} table (band rows + vector rows "
+            "discriminated by t IS NULL) before ingesting"
+        )
     head = new_vecs.select(vec).first()
     if head is None:
         return new_vecs, 0

@@ -124,7 +124,7 @@ def main() -> int:
             .select("kk", F.explode("cells").alias("cell"), "bks")
             .localCheckpoint(eager=True)
         )
-        sizes = coded.groupBy("cell").count().collect()
+        cell_counts = coded.groupBy("cell").count().collect()
         masks = [
             (
                 int(r["cell"]),
@@ -132,7 +132,7 @@ def main() -> int:
                     math.log2(max(int(r["count"]), 2) / per_bucket)
                 )))) - 1,
             )
-            for r in sizes
+            for r in cell_counts
         ]
         mask_df = spark.createDataFrame(masks, "cell int, mask bigint")
         banded_p = (
@@ -166,7 +166,14 @@ def main() -> int:
                 ),
                 flush=True,
             )
+        # release BOTH eager checkpoints before the next (bigger) size:
+        # localCheckpoint blocks unpin only when the driver reference
+        # is collected (the bench.py pinned-RDD lesson)
         df.unpersist()
+        del df, coded, banded, banded_p
+        import gc
+
+        gc.collect()
     spark.stop()
     return 0
 

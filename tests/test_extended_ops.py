@@ -1784,6 +1784,10 @@ def test_knn_join_partitioned_contract_and_validation(spark):
         knn_join_partitioned(df, probe_cells=0)
     with pytest.raises(ValueError, match="probe_cells"):
         knn_join_partitioned(df, n_cells=2, probe_cells=3)
+    # arg validation fires BEFORE the empty-input early return —
+    # an empty frame must not hide a misconfiguration (review, r9)
+    with pytest.raises(ValueError, match="probe_cells"):
+        knn_join_partitioned(empty, n_cells=2, probe_cells=3)
     # adaptive path (n_bits=None) runs end-to-end and bounds k
     rows = [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(8)])
             for i in range(40)]
@@ -2236,6 +2240,40 @@ def test_ivf_index_build_append_query(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     with pytest.raises(ValueError, match="empty corpus"):
         ivf_index(empty, store2)
+    # the rebuild guard's own remedy must WORK (review, r9): a logical
+    # truncate empties the snapshot but exists() stays True forever —
+    # ivf_index must accept the truncated table and rebuild
+    store.truncate("ivf_index")
+    v_re = ivf_index(b2, store, nlist=4, seed=7)
+    assert v_re == 4  # v1 build, v2 append, v3 truncate, v4 rebuild
+    snap_re = store.read(spark, "ivf_index")
+    assert snap_re.filter(F.col("n").isNull()).count() == 4
+    assert snap_re.filter(F.col("n").isNotNull()).count() == 20
+
+
+def test_incremental_embed_dedup_refuses_legacy_two_table_state(
+    spark, tmp_path
+):
+    """Migration guard (review, r9): a state dir written by the
+    pre-atomic two-table layout must fail loudly — silently starting a
+    fresh history would re-admit every previously-ingested
+    near-duplicate."""
+    from clickhouse_k_means_spark.operators.similarity import (
+        incremental_embed_dedup,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "emb"))
+    # simulate the legacy layout
+    store.append(
+        spark.createDataFrame([(1, 0, 3)], "k bigint, t int, bucket bigint"),
+        "seen_embed_bands",
+    )
+    batch = spark.createDataFrame(
+        [(2, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="legacy two-table layout"):
+        incremental_embed_dedup(batch, store)
 
 
 def test_incremental_cdc_dedup_cross_batch_any_alignment(spark, tmp_path):
