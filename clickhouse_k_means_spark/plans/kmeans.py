@@ -438,17 +438,23 @@ class KMeansEngine:
         unlike native avg() whose double partial sums combine in
         partition-completion order.
 
-        Assignment has two physical forms (same argmin, ties → lowest
-        j): the codegen'd unrolled struct-min for small models, and an
-        Arrow-batched matmul (functions/vector.py rationale) once
-        k·dim crosses ``_ARROW_ASSIGN_CELLS`` — at k=64 the unrolled
-        expression tree costs seconds of Catalyst/codegen per
-        iteration (measured 7.5 s/step at sf0.1) vs ~1 s for the
-        matmul form. Reproducible mode always uses the unrolled form
-        (its DuckDB full-replay oracle depends on that exact float
-        fold order)."""
-        k = len(model)
-        if self.mean_scales is None and k * dim >= self._ARROW_ASSIGN_CELLS:
+        Physical form (r9): every NON-reproducible Lloyd step runs the
+        fused single-stage Arrow form (``_lloyd_step_fused``) — not
+        just large k. The fit loop is inherently sequential driver
+        jobs, so per-step overhead dominates: at k=4/sf0.1 the unrolled
+        groupBy-agg form re-runs Catalyst + Janino on a NEW plan every
+        step (the model literals change) and measured [5.7-10.4] s per
+        3-rep fit run-to-run, while the fused form — one narrow stage,
+        no codegen, no agg exchange — measured a stable [7.25-7.70]
+        with numerically identical models (r9 experiment, BASELINE.md).
+        At k=64 the gap is larger still (7.5 s/step of codegen, the r4
+        fix). Reproducible mode (``mean_scales``) always keeps the
+        unrolled codegen form — its DuckDB full-replay oracle depends
+        on that exact float fold order. ``assign()`` (the one-pass
+        delivery path, fused into user pipelines) keeps the k·dim
+        threshold: there codegen wins below it
+        (test_small_k_assignment_stays_codegen pins that design)."""
+        if self.mean_scales is None:
             return self._lloyd_step_fused(yh, model, dim)
         j = nearest_centroid_struct("Y", model)["j"]
         if self.mean_scales is not None:
