@@ -56,7 +56,19 @@ def main() -> int:
 
     rc = 0
     for name in names:
-        fn = entry.queries()[name]
+        fn = entry.queries().get(name)
+        if fn is None:
+            # bench-local names (minhash_lsh, text_quality, kmeans_fit,
+            # ...) are closures inside bench.main — not re-runnable
+            # here; skip LOUDLY instead of dying mid-list (r9: a
+            # KeyError after query 1 silently dropped the rest)
+            print(
+                f"solo_requalify: {name!r} is not a registry query "
+                "(bench-local headline closure?) — skipped",
+                file=sys.stderr,
+            )
+            rc = max(rc, 1)
+            continue
         materialize(fn(spark, sf_dir))  # warm-up
         samples = []
         for _ in range(reps):
