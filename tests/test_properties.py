@@ -567,3 +567,49 @@ def test_bm25_partition_and_ranking_invariants(spark, docs, qterms):
         # score strictly descending, ties broken by ascending doc_id
         assert (-prev[3], prev[2]) < (-cur[3], cur[2])
         assert prev[3] > 0 and cur[3] > 0
+
+
+word = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+docs_texts = st.lists(
+    st.lists(word, min_size=0, max_size=30).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=docs_texts)
+@SETTINGS
+def test_cdc_dedup_global_keep_invariants(spark, texts):
+    """CDC dedup invariants for ANY corpus: (1) total kept chunks ==
+    number of DISTINCT chunk texts (each distinct chunk survives
+    exactly once, corpus-wide); (2) per-doc n_kept <= n_chunks; (3)
+    per-doc chunk counts match an independent recomputation of the
+    chunk table; (4) a doc's dedup_text is a subsequence-join of its
+    own chunks."""
+    from clickhouse_k_means_spark.operators.dedup import (
+        _cdc_chunk_table,
+        cdc_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in cdc_dedup(df, divisor=4).collect()}
+    chunks = _cdc_chunk_table(df, "text", "doc_id", 4).collect()
+    per_doc: dict[int, list[str]] = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append(r["span"])
+    distinct_total = len({r["span"] for r in chunks})
+    assert sum(r["n_kept"] for r in out.values()) == distinct_total
+    for i in range(len(texts)):
+        r = out[i]
+        mine = per_doc.get(i, [])
+        assert r["n_chunks"] == len(mine)
+        assert 0 <= r["n_kept"] <= r["n_chunks"]
+        # dedup_text = in-order join of a subset of the doc's chunks
+        if r["dedup_text"]:
+            kept_words = r["dedup_text"].split(" ")
+            all_words = [w for c in mine for w in c.split(" ")]
+            # kept words are a subsequence of the doc's own words
+            it = iter(all_words)
+            assert all(w in it for w in kept_words), (kept_words, all_words)
