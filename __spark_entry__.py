@@ -444,6 +444,38 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q21a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    DOUBLE-correlated subquery — EXISTS and NOT EXISTS against the
+    SAME fact table with different correlated predicates — which
+    Catalyst decorrelates into one left-semi plus one left-anti join
+    on l_orderkey. Adapted to the fixture's columns (no
+    commit/receipt dates): 'late' = returned ('R') with quantity >
+    45; a supplier waits iff it is late in a multi-supplier 'F' order
+    where NO other supplier is late. Top-10 by (numwait desc,
+    suppkey) — a deterministic total order."""
+    from clickhouse_k_means_spark.sources.dataset import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "select s.s_suppkey, s.s_name, count(*) as numwait "
+        "from supplier s "
+        "join lineitem l1 on l1.l_suppkey = s.s_suppkey "
+        "join orders o on o.o_orderkey = l1.l_orderkey "
+        "where l1.l_returnflag = 'R' and l1.l_quantity > 45 "
+        "and o.o_orderstatus = 'F' "
+        "and exists (select 1 from lineitem l2 "
+        "where l2.l_orderkey = l1.l_orderkey "
+        "and l2.l_suppkey != l1.l_suppkey) "
+        "and not exists (select 1 from lineitem l3 "
+        "where l3.l_orderkey = l1.l_orderkey "
+        "and l3.l_suppkey != l1.l_suppkey "
+        "and l3.l_returnflag = 'R' and l3.l_quantity > 45) "
+        "group by s.s_suppkey, s.s_name "
+        "order by numwait desc, s_suppkey limit 10"
+    )
+
+
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume orders): HAVING over a grouped
     subquery, joined back for the per-customer rollup — exact integer
@@ -4162,7 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green via scripts/gate_emulator.py), then the pointer's natural
     # continuation (pivot_native .. tpch_q16). New r9 queries
     # (cdc_dedup, knn_join_partitioned, ivf_index_query,
-    # cdc_dedup_incremental) sit at position 50+ and first-gate at the
+    # cdc_dedup_incremental, tpch_q21a) sit at position 50+ and first-gate at the
     # front of the r10 window.
     # The rotation pin test (tests/test_oracle_parity.py) asserts all
     # of this.
@@ -4227,6 +4259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_partitioned": q_knn_join_partitioned,
         "ivf_index_query": q_ivf_index_query,
         "cdc_dedup_incremental": q_cdc_dedup_incremental,
+        "tpch_q21a": q_tpch_q21a,
         # --- rotating list R continues (r10 window body onward) ---
         "bloom_join": q_bloom_join,
         "profile": q_profile,
@@ -4657,6 +4690,24 @@ def oracle_sql() -> dict[str, str]:
             "where l_orderkey = o_orderkey "
             "and l_discount > 0.05 and l_quantity > 40) "
             "group by o_orderpriority"
+        ),
+        "tpch_q21a": (
+            # identical double-correlated shape evaluated natively
+            "select s.s_suppkey::BIGINT as s_suppkey, s.s_name, "
+            "count(*)::BIGINT as numwait "
+            "from supplier s "
+            "join lineitem l1 on l1.l_suppkey = s.s_suppkey "
+            "join orders o on o.o_orderkey = l1.l_orderkey "
+            "where l1.l_returnflag = 'R' and l1.l_quantity > 45 "
+            "and o.o_orderstatus = 'F' "
+            "and exists (select 1 from lineitem l2 "
+            "where l2.l_orderkey = l1.l_orderkey "
+            "and l2.l_suppkey != l1.l_suppkey) "
+            "and not exists (select 1 from lineitem l3 "
+            "where l3.l_orderkey = l1.l_orderkey "
+            "and l3.l_suppkey != l1.l_suppkey "
+            "and l3.l_returnflag = 'R' and l3.l_quantity > 45) "
+            "group by 1, 2 order by numwait desc, s_suppkey limit 10"
         ),
         "tpch_q18": (
             "with big as (select l_orderkey, "

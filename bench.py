@@ -406,6 +406,8 @@ def main() -> None:
         ("ivf_index_query", entry.q_ivf_index_query, 2),
         # r9 addition: two-batch rolling-ingest CDC dedup protocol
         ("cdc_dedup_incremental", entry.q_cdc_dedup_incremental, 2),
+        # r9 addition: double-correlated EXISTS/NOT-EXISTS (Q21 shape)
+        ("tpch_q21a", entry.q_tpch_q21a, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -137,6 +137,7 @@ NAMES = [
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q21a",
     "tpch_q22a",
     "tpch_q2a",
     "tpch_q3",
