@@ -160,6 +160,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="cdc mode: expected chunk length in tokens",
     )
 
+    cp = sub.add_parser(
+        "compact",
+        help="bin-pack a state table's small files (snapshot-store "
+        "OPTIMIZE — incremental ingest leaves one file per commit; a "
+        "10k-commit reader pays 10k opens per scan otherwise)",
+    )
+    cp.add_argument("--state", required=True, help="state-store directory")
+    cp.add_argument(
+        "--table", default=None,
+        help="table name (default: every table in the store)",
+    )
+    cp.add_argument(
+        "--target-bytes", type=int, default=128 << 20,
+        help="target output file size (default 128 MiB)",
+    )
+    cp.add_argument(
+        "--vacuum", action="store_true",
+        help="also delete files unreferenced by the latest snapshot "
+        "(drops time travel to older versions)",
+    )
+
     pr = sub.add_parser("profile", help="one-scan table profile")
     pr.add_argument("--input", required=True, help="input parquet path")
     pr.add_argument("--out", required=True, help="output parquet path")
@@ -195,6 +216,21 @@ def main(argv: list[str] | None = None) -> int:
     from clickhouse_k_means_spark.session import get_spark
 
     spark = get_spark("pipeline-cli")
+    if args.cmd == "compact":
+        # maintenance command: no parquet in/out — operates on the
+        # state store directly (OPTIMIZE + optional VACUUM)
+        from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+        store = SnapshotStateStore(args.state)
+        tables = [args.table] if args.table else store.tables()
+        report = {}
+        for t in tables:
+            v = store.optimize(spark, t, target_bytes=args.target_bytes)
+            removed = store.vacuum(t) if args.vacuum else 0
+            report[t] = {"version": int(v), "files_vacuumed": int(removed)}
+        print(json.dumps({"cmd": "compact", "state": args.state,
+                          "tables": report}))
+        return 0
     df = spark.read.parquet(args.input)
     n_in = df.count()
     extra: dict = {}

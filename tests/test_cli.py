@@ -560,3 +560,33 @@ def test_pipeline_cli_ingest_rollback_on_failed_write(tmp_path, capsys, spark):
     assert pmain(["ingest", "--input", src2, "--out", out2,
                   "--mode", "exact", "--state", state]) == 0
     assert {r["doc_id"] for r in spark.read.parquet(out2).collect()} == {3}
+
+
+def test_pipeline_cli_compact(tmp_path, capsys, spark):
+    """compact = snapshot-store OPTIMIZE (+ optional VACUUM) as a
+    maintenance subcommand: many tiny ingest commits bin-pack into one
+    snapshot; content unchanged; vacuum reclaims unreferenced files."""
+    from clickhouse_k_means_spark.pipeline import main as pmain
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    state = str(tmp_path / "state")
+    store = SnapshotStateStore(state)
+    for i in range(5):
+        store.append(
+            spark.createDataFrame([(i,)], "id long").coalesce(1), "t"
+        )
+    import json as _json
+    from pathlib import Path
+
+    n_files_before = len(list(Path(state, "t", "data").glob("*.parquet")))
+    assert n_files_before == 5
+    rc = pmain(["compact", "--state", state, "--vacuum"])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["cmd"] == "compact"
+    assert summary["tables"]["t"]["files_vacuumed"] >= 4
+    # content identical after compaction
+    assert {r["id"] for r in store.read(spark, "t").collect()} == set(range(5))
+    # latest snapshot now reads few files
+    n_live = len(list(Path(state, "t", "data").glob("*.parquet")))
+    assert n_live < n_files_before
