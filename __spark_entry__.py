@@ -4924,10 +4924,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_incremental": (
             # two-batch replay: batch-1 keepers become the span
             # history; batch-2 keepers additionally anti-join it
-            "with tkc as (select doc_id::BIGINT as doc_id, case when "
-            "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) "
-            "= '' then []::VARCHAR[] else string_split(trim(regexp_replace("
-            "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') end as tk "
+            f"with tkc as (select doc_id::BIGINT as doc_id, {_TOKS} as tk "
             "from documents), "
             "ids as (select doc_id, tk, unnest(range(0, greatest("
             "(len(tk) + 9) // 10, 1))) as span_id from tkc), "
@@ -4970,10 +4967,7 @@ def oracle_sql() -> dict[str, str]:
             # replay of operators/dedup.span_dedup at span_tokens=10:
             # identical tokenizer, identical tiling arithmetic,
             # first-occurrence-wins by (doc_id, span_id)
-            "with tkc as (select doc_id::BIGINT as doc_id, case when "
-            "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) "
-            "= '' then []::VARCHAR[] else string_split(trim(regexp_replace("
-            "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') end as tk "
+            f"with tkc as (select doc_id::BIGINT as doc_id, {_TOKS} as tk "
             "from documents), "
             "ids as (select doc_id, tk, unnest(range(0, greatest("
             "(len(tk) + 9) // 10, 1))) as span_id from tkc), "
