@@ -2347,3 +2347,79 @@ def test_pipeline_cli_cdc_modes(tmp_path, capsys, spark):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["committed"] > 0
+
+
+def test_knn_join_partitioned_adaptive_depth_bounds_dense_cells(spark):
+    """The occupancy-adaptive mask is the r9 scale claim: on a corpus
+    with one DENSE cluster and sparse outliers, per-cell depths must
+    differ (dense cell deeper) and the adaptive candidate count must
+    be at most the fixed-shallow-depth count — cell skew cannot turn
+    candidate generation quadratic."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_k_means_spark.functions.vector import (
+        nearest_cells_batch,
+        numpy_kmeans,
+        srp_buckets_batch,
+    )
+    from clickhouse_k_means_spark.operators.similarity import (
+        srp_hyperplanes,
+    )
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dense = rng.standard_normal((4000, 8)) * 0.05 + np.array([5.0] * 8)
+    sparse = rng.standard_normal((40, 8)) * 0.05 - np.array([5.0] * 8)
+    vecs = np.vstack([dense, sparse])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    centers = numpy_kmeans(vecs, k=2, seed=1, n_iter=10)
+    cellp = nearest_cells_batch([list(map(float, c)) for c in centers])
+    tables = [srp_hyperplanes(8, n_bits=16, seed=42)]
+    buckets = srp_buckets_batch(tables)
+    coded = df.select(
+        F.col("vec_id").alias("kk"),
+        cellp(F.col("embedding"))[0].alias("cell"),
+        buckets(F.col("embedding"))[0].alias("code"),
+    ).cache()
+    counts = {r["cell"]: r["count"]
+              for r in coded.groupBy("cell").count().collect()}
+    per_bucket = 32
+    bits = {
+        c: min(16, max(4, math.ceil(math.log2(max(n, 2) / per_bucket))))
+        for c, n in counts.items()
+    }
+    # dense cell (400 pts) must get a deeper code than sparse (40)
+    dense_cell = max(counts, key=counts.get)
+    sparse_cell = min(counts, key=counts.get)
+    assert bits[dense_cell] > bits[sparse_cell], (counts, bits)
+
+    def pair_count(depth_by_cell):
+        b = coded.withColumn(
+            "bucket",
+            F.col("code").bitwiseAND(
+                F.when(
+                    F.col("cell") == dense_cell,
+                    F.lit((1 << depth_by_cell[dense_cell]) - 1),
+                ).otherwise(F.lit((1 << depth_by_cell[sparse_cell]) - 1))
+            ),
+        )
+        row = (
+            b.groupBy("cell", "bucket").count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1)))
+            .collect()[0][0]
+        )
+        return int(row or 0)
+
+    adaptive = pair_count(bits)
+    fixed_shallow = pair_count({dense_cell: 4, sparse_cell: 4})
+    assert adaptive <= fixed_shallow, (adaptive, fixed_shallow)
+    # and the dense cell's occupancy is actually bounded: expected
+    # <= ~2x per_bucket per bucket on average
+    avg_dense = counts[dense_cell] / (1 << bits[dense_cell])
+    assert avg_dense <= 2 * per_bucket, avg_dense
+    coded.unpersist()
