@@ -1784,6 +1784,21 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, key="doc_id", salt=42).select("doc_id", "split")
 
 
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded GLOBAL training-order shuffle + round-robin sharding
+    (operators/packing.training_order): position = exact rank of the
+    portable 60-bit key hash, computed by the two-phase distributed
+    rank (range sort + per-partition row_number + partition offsets —
+    NEVER a SinglePartition window). Pure function of (key, seed):
+    the oracle replays the permutation with one row_number."""
+    from clickhouse_k_means_spark.operators.packing import training_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    return training_order(docs, key="doc_id", seed=42, n_shards=8).select(
+        "doc_id", "position", "shard"
+    )
+
+
 def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture downsampling: src0/src1/src2 at 50/30/20 target
     proportions, binding-domain rule (no upsampling), deterministic
@@ -4194,7 +4209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green via scripts/gate_emulator.py), then the pointer's natural
     # continuation (pivot_native .. tpch_q16). New r9 queries
     # (cdc_dedup, knn_join_partitioned, ivf_index_query,
-    # cdc_dedup_incremental, tpch_q21a) sit at position 50+ and first-gate at the
+    # cdc_dedup_incremental, tpch_q21a, training_order) sit at
+    # position 50+ and first-gate at the
     # front of the r10 window.
     # The rotation pin test (tests/test_oracle_parity.py) asserts all
     # of this.
@@ -4260,6 +4276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_query": q_ivf_index_query,
         "cdc_dedup_incremental": q_cdc_dedup_incremental,
         "tpch_q21a": q_tpch_q21a,
+        "training_order": q_training_order,
         # --- rotating list R continues (r10 window body onward) ---
         "bloom_join": q_bloom_join,
         "profile": q_profile,
@@ -5362,6 +5379,16 @@ def oracle_sql() -> dict[str, str]:
             " / 1152921504606846976.0 as u from documents) "
             "select doc_id, case when u < 0.90 then 'train' "
             "when u < 0.95 then 'val' else 'test' end as split from u"
+        ),
+        "training_order": (
+            # the permutation is a pure function of (key, seed): one
+            # row_number over the identical md5 hash64 replays it
+            f"with h as (select doc_id::BIGINT as doc_id, "
+            f"{_hash64_sql('doc_id::VARCHAR', salt=42)} as hv "
+            "from documents), "
+            "r as (select doc_id, (row_number() over "
+            "(order by hv, doc_id) - 1)::BIGINT as position from h) "
+            "select doc_id, position, (position % 8)::INT as shard from r"
         ),
         # greedy-window packing: pack = (running total BEFORE the doc)
         # div budget, replayed with a plain window cumsum

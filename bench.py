@@ -408,6 +408,8 @@ def main() -> None:
         ("cdc_dedup_incremental", entry.q_cdc_dedup_incremental, 2),
         # r9 addition: double-correlated EXISTS/NOT-EXISTS (Q21 shape)
         ("tpch_q21a", entry.q_tpch_q21a, 2),
+        # r9 addition: two-phase distributed global shuffle + sharding
+        ("training_order", entry.q_training_order, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

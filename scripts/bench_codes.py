@@ -146,6 +146,7 @@ NAMES = [
     "tpch_q6",
     "tpch_q7",
     "tpch_q8a",
+    "training_order",
     "triangles",
     "unigram_lm",
     "variant_json",

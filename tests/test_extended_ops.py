@@ -2423,3 +2423,50 @@ def test_knn_join_partitioned_adaptive_depth_bounds_dense_cells(spark):
     avg_dense = counts[dense_cell] / (1 << bits[dense_cell])
     assert avg_dense <= 2 * per_bucket, avg_dense
     coded.unpersist()
+
+
+def test_training_order_exact_permutation_and_plan(spark):
+    """Seeded global shuffle: position is the exact rank of the
+    portable key hash (pure function of key+seed — repartition- and
+    rerun-invariant), shards are round-robin, and the plan is the
+    two-phase distributed rank: no SinglePartition window funnel, no
+    cartesian."""
+    from clickhouse_k_means_spark.functions.hashing import hash64
+    from clickhouse_k_means_spark.operators.packing import training_order
+    from clickhouse_k_means_spark.plans.audit import audit_plan
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(97)], "doc_id bigint"
+    )
+    out = training_order(df, key="doc_id", seed=11, n_shards=3)
+    rows = out.collect()
+    assert sorted(r["position"] for r in rows) == list(range(97))
+    assert all(r["shard"] == r["position"] % 3 for r in rows)
+    # exact rank of the md5 hash64, ties impossible for distinct keys
+    hs = {
+        r["doc_id"]: r["h"]
+        for r in df.withColumn(
+            "h", hash64(F.col("doc_id").cast("string"), salt=11)
+        ).collect()
+    }
+    exact = {d: i for i, d in enumerate(sorted(hs, key=lambda d: (hs[d], d)))}
+    assert {r["doc_id"]: r["position"] for r in rows} == exact
+    # repartition-invariant
+    again = {
+        r["doc_id"]: r["position"]
+        for r in training_order(
+            df.repartition(13), key="doc_id", seed=11
+        ).collect()
+    }
+    assert again == exact
+    # different seed -> different permutation (epochs)
+    other = {
+        r["doc_id"]: r["position"]
+        for r in training_order(df, key="doc_id", seed=12).collect()
+    }
+    assert other != exact
+    info = audit_plan(training_order(df, key="doc_id", seed=11))
+    assert not info["has_cartesian"], info
+    assert not info["single_partition"], info
+    with pytest.raises(ValueError, match="n_shards"):
+        training_order(df, n_shards=0)

@@ -164,9 +164,9 @@ def test_driver_window_pins_r9_rotation():
     ]
     assert all(k in ORACLES for k in window)
     # r9 additions first-gate at the FRONT of the r10 window
-    assert keys[50:55] == [
+    assert keys[50:56] == [
         "cdc_dedup", "knn_join_partitioned", "ivf_index_query",
-        "cdc_dedup_incremental", "tpch_q21a",
+        "cdc_dedup_incremental", "tpch_q21a", "training_order",
     ]
     # the cadence must close: ceil(rotating / slots) rounds per full
     # sweep, with slots = 50 - len(fixed head). The registry comment
