@@ -138,16 +138,17 @@ def test_entry_smoke(spark):
     assert {f.name for f in df.schema} == {"j", "n", "avg_dist"}
 
 
-def test_driver_window_pins_r9_rotation():
+def test_driver_window_pins_r10_rotation():
     """Rotation contract (VERDICT r5 item 2): the driver records rows
-    for the FIRST 50 registry entries only. r9 window = 6-query fixed
-    head + the next 44 rotation slots exactly as the r8 comment
-    scheduled (VERDICT r8 item 1): the 3 entries the r8 queue-jumpers
-    deferred (moving_avg, funnel, retention), then the four r8
-    additions taking their FIRST driver rows (bm25_topk, span_dedup,
-    span_dedup_incremental, embed_dedup_incremental), then the
-    pointer's continuation through tpch_q16. New r9 queries sit at
-    position 50+ so they first-gate at the front of the r10 window."""
+    for the FIRST 50 registry entries only. r10 window = 6-query fixed
+    head + the next 44 rotation slots exactly as the r9 comment
+    scheduled (VERDICT r9 item 1 — "hold the rotation"): the six r9
+    additions taking their FIRST driver rows (cdc_dedup,
+    knn_join_partitioned, ivf_index_query, cdc_dedup_incremental,
+    tpch_q21a, training_order), then the pointer's continuation
+    through token_counts. New r10 queries sit at position 50+ so they
+    first-gate at the front of the r11 window; the gated r9-window
+    cohort (moving_avg .. tpch_q16) rotated to the back."""
     keys = list(QUERIES)
     window = keys[:50]
     head = {
@@ -155,19 +156,18 @@ def test_driver_window_pins_r9_rotation():
         "elbow_total", "kmeans_fit_history",
     }
     assert head <= set(window), sorted(head - set(window))
-    # VERDICT r8 item 1: the deferred trio + the four r8 additions
-    # open the rotation part of the window, in the scheduled order
-    assert keys[6:13] == [
-        "moving_avg", "funnel", "retention",
-        "bm25_topk", "span_dedup", "span_dedup_incremental",
-        "embed_dedup_incremental",
-    ]
-    assert all(k in ORACLES for k in window)
-    # r9 additions first-gate at the FRONT of the r10 window
-    assert keys[50:56] == [
+    # VERDICT r9 item 1: the six r9 additions open the rotation part
+    # of the window, in the scheduled order
+    assert keys[6:12] == [
         "cdc_dedup", "knn_join_partitioned", "ivf_index_query",
         "cdc_dedup_incremental", "tpch_q21a", "training_order",
     ]
+    # the pointer's natural continuation fills the rest of the window
+    assert keys[12] == "bloom_join"
+    assert keys[49] == "token_counts"
+    assert all(k in ORACLES for k in window)
+    # the gated r9-window cohort sits at the BACK of the rotation
+    assert keys[-44] == "moving_avg" and keys[-1] == "tpch_q16"
     # the cadence must close: ceil(rotating / slots) rounds per full
     # sweep, with slots = 50 - len(fixed head). The registry comment
     # documents the CURRENT ceil — keep them in sync (VERDICT r5
