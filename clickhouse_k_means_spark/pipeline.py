@@ -431,7 +431,11 @@ def main(argv: list[str] | None = None) -> int:
             for t in store.tables():
                 pre = pre_versions.get(t)
                 if pre is None:
-                    store.truncate(t)
+                    # table CREATED by the failed run: drop it outright
+                    # — a truncate would leave a permanently 'existing'
+                    # empty table that exists()-guards misread
+                    # (ADVICE r9)
+                    store.drop(t)
                 elif store.latest_version(t) != pre:
                     store.rollback(t, pre)
             raise

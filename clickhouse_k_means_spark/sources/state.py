@@ -338,6 +338,20 @@ class SnapshotStateStore:
             table, m["files"], replace=True, schema_json=m.get("schema")
         )
 
+    def drop(self, table: str) -> None:
+        """PHYSICAL drop: remove the table's manifests and data so
+        ``exists()`` goes back to False. Unlike ``truncate`` (logical,
+        time-travelable), this is for undoing the CREATION of a table —
+        the ingest CLI's failed-write rollback uses it for tables that
+        did not exist before the failed run (ADVICE r9: truncating a
+        just-created table leaves a permanently 'existing' empty table
+        that downstream exists()-guards misread — ivf_index needed the
+        _has_quantizer workaround for exactly that artifact). No-op if
+        the table does not exist."""
+        t = self._table(table)
+        if t.exists():
+            shutil.rmtree(t)
+
     def vacuum(self, table: str) -> int:
         """Delete data files not referenced by the LATEST snapshot and
         drop all older manifests. Returns files removed. (After vacuum,

@@ -562,6 +562,39 @@ def test_pipeline_cli_ingest_rollback_on_failed_write(tmp_path, capsys, spark):
     assert {r["doc_id"] for r in spark.read.parquet(out2).collect()} == {3}
 
 
+def test_pipeline_cli_ingest_rollback_drops_created_tables(
+    tmp_path, capsys, spark
+):
+    """ADVICE r9: when the FIRST batch's output write fails, the
+    rollback must DROP the state tables that run created — a truncate
+    would leave a permanently 'existing' empty table that downstream
+    exists()-guards misread (the artifact ivf_index needed the
+    _has_quantizer workaround for)."""
+    from clickhouse_k_means_spark.pipeline import main as pmain
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    ).write.parquet(src)
+    state = str(tmp_path / "state")
+    blocker = tmp_path / "blocker"
+    blocker.write_text("not a directory")
+    with pytest.raises(BaseException):
+        pmain(["ingest", "--input", src, "--out", str(blocker / "o"),
+               "--mode", "exact", "--state", state])
+    store = SnapshotStateStore(state)
+    assert not store.exists("seen_hashes"), (
+        "created-by-failed-run table must be dropped, not truncated"
+    )
+    capsys.readouterr()
+    # retry from scratch works and the content survives
+    out = str(tmp_path / "kept")
+    assert pmain(["ingest", "--input", src, "--out", out,
+                  "--mode", "exact", "--state", state]) == 0
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+
+
 def test_pipeline_cli_compact(tmp_path, capsys, spark):
     """compact = snapshot-store OPTIMIZE (+ optional VACUUM) as a
     maintenance subcommand: many tiny ingest commits bin-pack into one

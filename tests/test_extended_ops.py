@@ -2251,6 +2251,165 @@ def test_ivf_index_build_append_query(spark, tmp_path):
     assert snap_re.filter(F.col("n").isNotNull()).count() == 20
 
 
+def test_ivf_key_validation(spark, tmp_path):
+    """ADVICE r9: the single-table layout reserves NULL ``n`` for
+    quantizer rows, so a key that casts lossily (string) or is NULL
+    must fail LOUDLY — a silent NULL would be misread as a centroid
+    row and corrupt every later quantizer read."""
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivf_append,
+        ivf_index,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "ivfk"))
+    str_keyed = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="integral type"):
+        ivf_index(str_keyed, store)
+    ok = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivf_index(ok, store, nlist=2, seed=42)
+    with pytest.raises(ValueError, match="integral type"):
+        ivf_append(str_keyed, store)
+    # integral column that CONTAINS a NULL: raises at execution (the
+    # guard rides the value expression so Catalyst can't prune it)
+    with_null = spark.createDataFrame(
+        [(3, [1.0, 1.0]), (None, [0.5, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL key"):
+        ivf_append(with_null, store)
+    # the failed append must not have committed anything
+    assert store.latest_version("ivf_index") == 1
+
+
+def test_ivf_append_retry_is_idempotent(spark, tmp_path):
+    """ADVICE r9: re-ingesting a batch (retry without rollback) must
+    NOT append duplicate assignment rows — duplicates would occupy
+    top-k slots in ivf_query and displace genuine neighbors."""
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivf_append,
+        ivf_index,
+        ivf_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "ivfd"))
+    base = spark.createDataFrame(
+        [(i, [float(i), 0.5]) for i in range(1, 9)],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivf_index(base, store, nlist=2, seed=42)
+    batch = spark.createDataFrame(
+        [(10, [10.0, 0.0]), (11, [11.0, 0.0]), (11, [11.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivf_append(batch, store)  # within-batch dup key 11 collapses
+    ivf_append(batch, store)  # full retry: nothing fresh → no dups
+    n_rows = (
+        store.read(spark, "ivf_index").filter(F.col("n").isNotNull()).count()
+    )
+    assert n_rows == 10  # 8 base + vec 10 + vec 11, each exactly once
+    q = spark.createDataFrame(
+        [(0, [10.5, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    got = ivf_query(q, store, k=4, nprobe=2, query_key="vec_id").collect()
+    ns = [r["n"] for r in got]
+    assert len(ns) == len(set(ns)), f"duplicate neighbors: {ns}"
+
+
+def test_ivf_stats_and_refit_restore_drifted_index(spark, tmp_path):
+    """VERDICT r9 item 4: ``ivf_stats`` makes drift visible (occupancy
+    skew), ``ivf_refit`` fixes it — recall restored on a deliberately
+    drifted corpus, history still time-travelable."""
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivf_append,
+        ivf_index,
+        ivf_query,
+        ivf_refit,
+        ivf_stats,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "ivfr"))
+    # original corpus: a tight 8x8 grid near [10, 0, *] — the fitted
+    # cells differ only by tiny within-grid offsets, so their Voronoi
+    # boundaries slice right through any far-away region
+    old = spark.createDataFrame(
+        [
+            (i, [10.0 + (i % 8) * 0.1, (i // 8) * 0.1, 0.0, 0.0])
+            for i in range(64)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivf_index(old, store, nlist=4, seed=42)
+    healthy = {
+        r["cell"]: r["n_vecs"]
+        for r in ivf_stats(spark, store).collect()
+    }
+    assert len(healthy) == 4 and sum(healthy.values()) == 64
+    # drifted ingest: a far cluster near [*, *, 100, 0] whose jitter
+    # spans the same dims the old quantizer split on → its points
+    # scatter across the old cells' Voronoi slices
+    drift = spark.createDataFrame(
+        [
+            (100 + i, [(i % 8) * 0.12, (i // 8) * 0.12, 100.0, 0.0])
+            for i in range(64)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivf_append(drift, store)
+    v_drifted = store.latest_version("ivf_index")
+
+    def recall_at_5(version=None):
+        """hits@5 for a drift-region query vs exact cosine top-5."""
+        q = spark.createDataFrame(
+            [(0, [0.0, 0.0, 100.0, 0.0])],
+            "vec_id bigint, embedding array<double>",
+        )
+        got = {
+            r["n"]
+            for r in ivf_query(
+                q, store, k=5, nprobe=1, query_key="vec_id", version=version
+            ).collect()
+        }
+        return len(got & set(range(100, 164)))
+
+    r_drifted = recall_at_5()
+    # refit on the current (mixed) corpus: one atomic replace commit
+    v_refit = ivf_refit(spark, store, nlist=4, seed=42)
+    assert v_refit == v_drifted + 1
+    r_refit = recall_at_5()
+    assert r_refit == 5, (r_drifted, r_refit)
+    assert r_refit >= r_drifted
+    # stats after refit: all 128 vectors still present, one row per
+    # cell, occupancy in ppm sums to ~1e6
+    st = ivf_stats(spark, store).collect()
+    assert sum(r["n_vecs"] for r in st) == 128
+    assert abs(sum(r["occupancy_ppm"] for r in st) - 1_000_000) < len(st) + 1
+    # time travel: a query pinned BEFORE the refit replays the drifted
+    # index exactly (same recall as the pre-refit probe)
+    assert recall_at_5(version=v_drifted) == r_drifted
+    # and the refit quantizer is genuinely new: the drifted region now
+    # owns at least one dedicated cell (its points no longer ride the
+    # old grid's cells)
+    snap = store.read(spark, "ivf_index")
+    drift_cells = {
+        r["cell"]
+        for r in snap.filter(F.col("n") >= 100).select("cell").distinct().collect()
+    }
+    old_cells = {
+        r["cell"]
+        for r in snap.filter((F.col("n") >= 0) & (F.col("n") < 64))
+        .select("cell").distinct().collect()
+    }
+    assert drift_cells.isdisjoint(old_cells), (drift_cells, old_cells)
+
+
 def test_incremental_embed_dedup_refuses_legacy_two_table_state(
     spark, tmp_path
 ):

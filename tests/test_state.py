@@ -872,3 +872,23 @@ def test_rollback_and_tables_listing(spark, tmp_path):
     store.truncate("u")
     v_u = store.rollback("u", 1)
     assert {r["id"] for r in store.read(spark, "u", version=v_u).collect()} == {9}
+
+
+def test_drop_removes_table_physically(spark, tmp_path):
+    """drop() undoes table CREATION: exists() back to False (unlike
+    truncate, which stays True forever) — the primitive the ingest
+    CLI's failed-FIRST-write rollback needs (ADVICE r9)."""
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "s"))
+    store.append(spark.createDataFrame([(1,)], "id long"), "t")
+    assert store.exists("t")
+    store.drop("t")
+    assert not store.exists("t")
+    assert store.tables() == []
+    store.drop("t")  # no-op on a missing table
+    # truncate, by contrast, keeps the table existing (the contract
+    # the drop docstring contrasts against)
+    store.append(spark.createDataFrame([(1,)], "id long"), "u")
+    store.truncate("u")
+    assert store.exists("u")
