@@ -61,6 +61,34 @@ def hash_split(
     return df.withColumn(out, expr)
 
 
+def _enumerated(df: DataFrame, key: str, seed: int) -> DataFrame:
+    """``training_order``'s phase 1+2 lineage, exposed pre-checkpoint
+    so the plan test can pin it at ONE exchange: range-sort on the
+    seeded hash, then enumerate rows in sorted order with
+    ``monotonically_increasing_id()`` = (partition id << 33) |
+    within-partition record counter. The id projection sits ABOVE the
+    Sort and is nondeterministic, so Catalyst never reorders it below
+    — the counter ticks in range-sorted row order, making
+    ``__rn`` the exact within-partition rank with no window and no
+    second exchange. The absolute id values vary run-to-run with
+    partitioning; the (``__pid`` order, ``__rn``) pair they decompose
+    into does not — and positions depend only on that pair."""
+    base = df.withColumn(
+        "__h", hash64(F.col(key).cast("string"), salt=seed)
+    )
+    return (
+        base.repartitionByRange("__h", key)
+        .sortWithinPartitions("__h", key)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33).cast("int"))
+        .withColumn(
+            "__rn",
+            F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)).cast("bigint"),
+        )
+        .drop("__mid")
+    )
+
+
 def training_order(
     df: DataFrame,
     key: str = "doc_id",
@@ -89,28 +117,26 @@ def training_order(
     (Spark's TB-proven sort path, skew-free by construction; range
     partitioning guarantees partition i's (hash, key) tuples all
     precede partition i+1's, so a per-partition rank plus a partition
-    offset IS the exact global rank); (2) per-partition row_number
-    (parallel — partitioned by ``spark_partition_id``); (3) partition
-    COUNTS (one tiny row per partition) collected and turned into
-    cumulative offsets, broadcast back. Driver state is O(partitions),
-    never O(rows).
+    offset IS the exact global rank); (2) per-partition enumeration
+    via ``monotonically_increasing_id`` — a narrow projection over
+    the already-sorted partitions, NOT a window (ADVICE r9: a
+    ``Window.partitionBy(spark_partition_id())`` here does not match
+    the child's RangePartitioning, so Catalyst inserted a SECOND
+    full-data hash exchange + re-sort — 2x the shuffled bytes for
+    nothing); (3) partition COUNTS (one tiny row per partition)
+    collected and turned into cumulative offsets, broadcast back.
+    Driver state is O(partitions), never O(rows). The plan test pins
+    the pre-checkpoint lineage at exactly ONE exchange (the range
+    sort).
     """
     if n_shards is not None and n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    base = df.withColumn(
-        "__h", hash64(F.col(key).cast("string"), salt=seed)
-    )
-    ranged = base.repartitionByRange("__h", key).sortWithinPartitions(
-        "__h", key
-    ).withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(F.col("__h").asc(),
-                                            F.col(key).asc())
-    ranked = ranked_cached = ranged.withColumn(
-        "__rn", F.row_number().over(w).cast("bigint")
-    ).localCheckpoint(eager=True)  # counts + join read one sort
+    enum = _enumerated(df, key, seed).localCheckpoint(
+        eager=True
+    )  # counts + join read one sort
     counts = sorted(
         (r["__pid"], r["n"])
-        for r in ranked_cached.groupBy("__pid")
+        for r in enum.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
@@ -122,8 +148,8 @@ def training_order(
         offsets, "__pid int, __off bigint"
     )
     ordered = (
-        ranked.join(F.broadcast(off_df), "__pid")
-        .withColumn(out, (F.col("__off") + F.col("__rn") - 1))
+        enum.join(F.broadcast(off_df), "__pid")
+        .withColumn(out, (F.col("__off") + F.col("__rn")))
         .drop("__h", "__pid", "__rn", "__off")
     )
     if n_shards is not None:

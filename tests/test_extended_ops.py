@@ -2627,5 +2627,15 @@ def test_training_order_exact_permutation_and_plan(spark):
     info = audit_plan(training_order(df, key="doc_id", seed=11))
     assert not info["has_cartesian"], info
     assert not info["single_partition"], info
+    # ADVICE r9: the enumeration lineage (pre-checkpoint) must carry
+    # exactly ONE exchange — the range sort. The old
+    # Window.partitionBy(spark_partition_id()) form hid a SECOND
+    # full-data hash exchange (+ re-sort) behind the checkpoint,
+    # doubling shuffled bytes against the docstring's claim.
+    from clickhouse_k_means_spark.operators.packing import _enumerated
+
+    lineage = audit_plan(_enumerated(df, "doc_id", 11))
+    assert lineage["n_shuffles"] == 1, lineage["shuffle_keys"]
+    assert "rangepartitioning" in lineage["shuffle_keys"][0], lineage
     with pytest.raises(ValueError, match="n_shards"):
         training_order(df, n_shards=0)
