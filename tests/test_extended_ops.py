@@ -1955,6 +1955,101 @@ def test_cdc_dedup_edges_and_rerun_stability(spark):
     assert a == b
 
 
+def test_cdc_dedup_measured_catch_rate_vs_run_length(spark):
+    """VERDICT r9 item 2: PIN the docstring's recall claim with a
+    measured catch-rate curve. Seeded fixture plants duplicated runs
+    of controlled length (0.5x, 1x, 2x, 4x, 8x the divisor) at random
+    alignments in pairs of documents; per trial the guarantee is
+    EXACT: with b = number of breakpoint tokens inside the run, the
+    later copy loses exactly max(0, b-1) chunks — nothing else, at
+    any alignment — and edge chunks (the run's boundary chunks that
+    extend into non-duplicated context) are never removed. The
+    aggregate curve matches the geometric-decay claim: ~0 below 1x
+    divisor, ->1 above 2x (Lee et al. ExactSubstr's 50-token
+    threshold analogue, operators/dedup.py docstring)."""
+    import hashlib
+    import random
+
+    from clickhouse_k_means_spark.operators.dedup import cdc_dedup
+
+    divisor = 8
+    rng = random.Random(1234)
+
+    def is_bp(tok: str) -> bool:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % divisor == 0
+
+    def chunk(toks: list[str]) -> list[str]:
+        """Mirror _cdc_chunk_table: a chunk ends at (and includes)
+        each breakpoint token; the tail after the last breakpoint is
+        a final partial chunk."""
+        out, start = [], 0
+        for i, t in enumerate(toks):
+            if is_bp(t):
+                out.append(" ".join(toks[start : i + 1]))
+                start = i + 1
+        if start < len(toks):
+            out.append(" ".join(toks[start:]))
+        return out
+
+    classes = {4: 30, 8: 30, 16: 30, 32: 30, 64: 30}  # run_len -> trials
+    docs, truth = [], {}
+    doc_id = 0
+    for run_len, n_trials in sorted(classes.items()):
+        for t in range(n_trials):
+            run = [f"r{run_len}x{t}x{j}" for j in range(run_len)]
+            b = sum(1 for tok in run if is_bp(tok))
+            pre_a = [f"fa{doc_id}x{j}" for j in range(rng.randint(3, 12))]
+            post_a = [f"ga{doc_id}x{j}" for j in range(rng.randint(3, 12))]
+            pre_b = [f"fb{doc_id}x{j}" for j in range(rng.randint(3, 12))]
+            post_b = [f"gb{doc_id}x{j}" for j in range(rng.randint(3, 12))]
+            toks_a = pre_a + run + post_a
+            toks_b = pre_b + run + post_b
+            docs.append((doc_id, " ".join(toks_a)))
+            docs.append((doc_id + 1, " ".join(toks_b)))
+            # exact expected removals for the LATER copy: its chunks
+            # already produced by the first copy (every token is
+            # trial-unique, so cross-trial collisions are impossible
+            # and within-doc chunks are distinct)
+            expected = len(set(chunk(toks_b)) & set(chunk(toks_a)))
+            truth[doc_id + 1] = (run_len, b, expected, set(pre_b + post_b))
+            doc_id += 2
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = {r["doc_id"]: r for r in cdc_dedup(df, divisor=divisor).collect()}
+
+    caught = {L: 0 for L in classes}
+    for later_key, (run_len, b, expected, fillers) in truth.items():
+        r = rows[later_key]
+        removed = r["n_chunks"] - r["n_kept"]
+        # exact parity with the simulated chunking, per trial
+        assert removed == expected, (
+            f"doc {later_key}: run_len={run_len} b={b} "
+            f"removed={removed} expected={expected}"
+        )
+        # the docstring's GUARANTEE: >= 2 breakpoints in the run =>
+        # its b-1 interior chunks are ALWAYS removed, any alignment
+        # (boundary luck can only remove MORE, never fewer)
+        assert removed >= max(0, b - 1), (later_key, b, removed)
+        kept_toks = set(r["dedup_text"].split())
+        # edge non-removal: every filler token survives (boundary
+        # chunks mix run + context, so they are unique and kept —
+        # unless boundary luck makes a pure-run chunk, which holds
+        # no filler either way)
+        assert fillers <= kept_toks, later_key
+        # and the FIRST copy never loses anything
+        first = rows[later_key - 1]
+        assert first["n_kept"] == first["n_chunks"], later_key - 1
+        if removed > 0:
+            caught[run_len] += 1
+    rate = {L: caught[L] / n for L, n in classes.items()}
+    # the measured curve (seeded => exact): geometric decay in run
+    # length. P(b>=2 | L) at p=1/8: L=4 ~0.08, L=8 ~0.26, L=16 ~0.61,
+    # L=32 ~0.92, L=64 ~0.997
+    assert rate[4] <= 0.35, rate
+    assert rate[64] >= 0.90, rate
+    assert rate[4] <= rate[8] <= rate[16] <= rate[32], rate
+    assert rate[32] >= 0.70, rate
+
+
 def test_cdc_dedup_plan_skew_proof_keep_first(spark, sf_dir):
     """Scale guard: chunking is map-only (HOFs inside the row — no
     per-token explode), and keep-first is the aggregation+join form
