@@ -476,6 +476,94 @@ def q_tpch_q21a(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q9a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year),
+    adapted to the fixture (no partsupp, so profit = discounted
+    revenue — the supplycost term drops): part x lineitem x supplier
+    x orders x nation star join, part filtered by name substring,
+    grouped by (nation, order year). Dims broadcast; per-row cents
+    rounding keeps the sum bit-deterministic (the q5 convention).
+    Reference parity: the reference engine's multi-way star join +
+    GROUP BY surface (k-means.sql cross-join/agg shapes at TPC-H
+    scale)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    profit = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(profit.alias("profit_c"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_tpch_q11a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted to
+    the fixture (no partsupp — 'value' = one nation's discounted
+    revenue per part instead of supplycost*availqty): GROUP BY with a
+    HAVING threshold that is itself a SCALAR SUBQUERY over the same
+    join — the distinctive Q11 plan (Catalyst evaluates the subquery
+    once, broadcasts the scalar into the HAVING filter). Exact-cents
+    sums on both sides of the comparison."""
+    from clickhouse_k_means_spark.sources.dataset import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "select l_partkey, "
+        "sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) "
+        "as value_c "
+        "from lineitem join supplier on l_suppkey = s_suppkey "
+        "join nation on s_nationkey = n_nationkey "
+        "where n_name = 'NATION_3' "
+        "group by l_partkey "
+        "having sum(cast(round(l_extendedprice * (1 - l_discount) * 100) "
+        "as bigint)) > ("
+        "  select sum(cast(round(l_extendedprice * (1 - l_discount) * 100) "
+        "  as bigint)) * 0.001 "
+        "  from lineitem join supplier on l_suppkey = s_suppkey "
+        "  join nation on s_nationkey = n_nationkey "
+        "  where n_name = 'NATION_3')"
+    )
+
+
+def q_tpch_q20a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted to the
+    fixture (no partsupp availqty — 'excess supplier' = shipped more
+    than a quantity threshold of matching parts in one year): the
+    nested IN subquery with its own join + GROUP BY + HAVING, then
+    the supplier x nation delivery join. Catalyst decorrelates the IN
+    into a left-semi join; quantities in exact centi-units so the
+    HAVING cut is bit-deterministic."""
+    from clickhouse_k_means_spark.sources.dataset import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "select s.s_suppkey, s.s_name from supplier s "
+        "join nation n on s.s_nationkey = n.n_nationkey "
+        "where n.n_name in ('NATION_1', 'NATION_2', 'NATION_3') "
+        "and s.s_suppkey in ("
+        "  select l_suppkey from lineitem join part on l_partkey = p_partkey "
+        "  where p_name like 'small%' "
+        "  and l_shipdate >= timestamp'1996-01-01' "
+        "  and l_shipdate < timestamp'1997-01-01' "
+        "  group by l_suppkey, l_partkey "
+        "  having sum(cast(round(l_quantity * 100) as bigint)) > 2500)"
+    )
+
+
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume orders): HAVING over a grouped
     subquery, joined back for the per-customer rollup — exact integer
@@ -3917,6 +4005,84 @@ def q_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_brute(spark, sf_dir, approx, min_hits=5)
 
 
+def q_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance lifecycle (operators/ann_index.ivf_stats
+    + ivf_refit — VERDICT r9 item 4): build the index on the odd-id
+    half, ivf_append a DRIFTED batch (even ids >= 6, embeddings
+    compressed and shifted to a tight far cluster the version-1
+    quantizer never saw — they pile into few cells), then ivf_refit
+    and gate, per drift-region query NOT in the index (drift images
+    of vec_id 0/2/4): (a) recall@10 >= min_hits on the REFIT index vs
+    exact brute force over the full mixed corpus, and (b) the
+    occupancy skew factor strictly dropping across the refit
+    (ivf_stats before vs after — the drift diagnostic). Every step is
+    seeded/deterministic, so the oracle asserts the gate exactly."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivf_append,
+        ivf_index,
+        ivf_query,
+        ivf_refit,
+        ivf_stats,
+    )
+    from clickhouse_k_means_spark.operators.similarity import brute_force_topk
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    drift_vec = F.transform("embedding", lambda x: x * 0.05 + 3.0)
+    original = emb.filter(F.pmod("vec_id", F.lit(2)) == 1)
+    drifted = emb.filter(
+        (F.pmod("vec_id", F.lit(2)) == 0) & (F.col("vec_id") >= 6)
+    ).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        drift_vec.alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id").isin(0, 2, 4)).select(
+        "vec_id", drift_vec.alias("embedding")
+    )
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="ivfmaint_"))
+    ivf_index(original, store, nlist=8, seed=42)
+    ivf_append(drifted, store)
+    skew_b = max(
+        r["occupancy_ppm"] for r in ivf_stats(spark, store).collect()
+    )
+    ivf_refit(spark, store, nlist=8, seed=42)
+    skew_a = max(
+        r["occupancy_ppm"] for r in ivf_stats(spark, store).collect()
+    )
+    approx = ivf_query(queries, store, k=10, nprobe=2, query_key="vec_id")
+    corpus = original.unionByName(drifted)
+    exact = brute_force_topk(
+        queries, corpus, k=10, query_key="vec_id", corpus_key="vec_id"
+    ).select("q", "n", F.lit(1).alias("hit"))
+    marked = approx.filter(F.col("rank") <= 10).select("q", "n").join(
+        exact, ["q", "n"], "left"
+    )
+    min_hits = 5
+    per_q = (
+        queries.select(F.col("vec_id").alias("q"))
+        .join(
+            marked.groupBy("q").agg(
+                F.sum(F.coalesce("hit", F.lit(0))).alias("hits")
+            ),
+            "q",
+            "left",
+        )
+        .select("q", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
+    return per_q.select(
+        "q",
+        F.least(F.col("hits"), F.lit(min_hits)).cast("bigint").alias(
+            "hits_floor"
+        ),
+        (F.col("hits") >= min_hits).cast("bigint").alias("recall_pass"),
+        F.lit(1 if skew_a < skew_b else 0).cast("bigint").alias("skew_drop"),
+    )
+
+
 def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid DBSCAN over the first two embedding dimensions
     (operators/density.grid_dbscan): eps-sided cells, dense-cell
@@ -4189,10 +4355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * fixed head (6): the flagship k-means pipeline queries
     #     (yh_contract .. kmeans_fit_history) stay in the window every
     #     round.
-    #   * rotating list R (169 entries = this 175-entry registry minus
+    #   * rotating list R (173 entries = this 179-entry registry minus
     #     the head, order = this dict's order after the head): each
     #     round the window advances 44 slots, so every query gets a
-    #     driver CORRECTNESS row at least every ceil(169/44) = 4
+    #     driver CORRECTNESS row at least every ceil(173/44) = 4
     #     rounds. Between driver rows, every entry stays certified
     #     EVERY round by tests/test_oracle_parity.py (the identical
     #     three-way comparison, judge-re-runnable).
@@ -4268,8 +4434,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
-        # --- r10 additions land HERE (position 50+) so they
-        # first-gate at the FRONT of the r11 window ---
+        # --- r10 additions (position 50+): first-gate at the FRONT
+        # of the r11 window ---
+        "tpch_q9a": q_tpch_q9a,
+        "tpch_q11a": q_tpch_q11a,
+        "tpch_q20a": q_tpch_q20a,
+        "ivf_maintenance": q_ivf_maintenance,
         # --- rotating list R continues (r11 window body onward) ---
         "doc_fingerprint": q_doc_fingerprint,
         "tpch_q7": q_tpch_q7,
@@ -4727,6 +4897,47 @@ def oracle_sql() -> dict[str, str]:
             "and l3.l_suppkey != l1.l_suppkey "
             "and l3.l_returnflag = 'R' and l3.l_quantity > 45) "
             "group by 1, 2 order by numwait desc, s_suppkey limit 10"
+        ),
+        "tpch_q9a": (
+            # Q9 star join + (nation, year) rollup; HUGEINT sums cast
+            # back to BIGINT (the r7 dtype-gate lesson)
+            "select n_name as nation, year(o_orderdate)::BIGINT as o_year, "
+            "sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)"
+            "::BIGINT as profit_c, count(*)::BIGINT as n "
+            "from lineitem join part on l_partkey = p_partkey "
+            "join supplier on l_suppkey = s_suppkey "
+            "join orders on l_orderkey = o_orderkey "
+            "join nation on s_nationkey = n_nationkey "
+            "where p_name like '%red%' group by 1, 2"
+        ),
+        "tpch_q11a": (
+            # Q11's HAVING-over-scalar-subquery shape, exact cents
+            "select l_partkey::BIGINT as l_partkey, "
+            "sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)"
+            "::BIGINT as value_c "
+            "from lineitem join supplier on l_suppkey = s_suppkey "
+            "join nation on s_nationkey = n_nationkey "
+            "where n_name = 'NATION_3' group by 1 "
+            "having sum(round(l_extendedprice * (1 - l_discount) * 100)"
+            "::BIGINT) > ("
+            "select sum(round(l_extendedprice * (1 - l_discount) * 100)"
+            "::BIGINT) * 0.001 "
+            "from lineitem join supplier on l_suppkey = s_suppkey "
+            "join nation on s_nationkey = n_nationkey "
+            "where n_name = 'NATION_3')"
+        ),
+        "tpch_q20a": (
+            # Q20's nested IN + grouped HAVING, decorrelated natively
+            "select s.s_suppkey::BIGINT as s_suppkey, s.s_name "
+            "from supplier s join nation n on s.s_nationkey = n.n_nationkey "
+            "where n.n_name in ('NATION_1', 'NATION_2', 'NATION_3') "
+            "and s.s_suppkey in ("
+            "select l_suppkey from lineitem join part on l_partkey = p_partkey "
+            "where p_name like 'small%' "
+            "and l_shipdate >= timestamp '1996-01-01' "
+            "and l_shipdate < timestamp '1997-01-01' "
+            "group by l_suppkey, l_partkey "
+            "having sum(round(l_quantity * 100)::BIGINT) > 2500)"
         ),
         "tpch_q18": (
             "with big as (select l_orderkey, "
@@ -5657,6 +5868,15 @@ def oracle_sql() -> dict[str, str]:
             # Spark-side; the gate asserts the per-query recall floor
             "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "
             "5::BIGINT as hits_floor, 1::BIGINT as recall_pass"
+        ),
+        "ivf_maintenance": (
+            # drift -> ivf_stats skew -> ivf_refit lifecycle: the gate
+            # asserts post-refit recall AND that the occupancy skew
+            # factor strictly dropped across the refit (both measured
+            # in-query from seeded deterministic steps)
+            "select unnest([0, 2, 4])::BIGINT as q, "
+            "5::BIGINT as hits_floor, 1::BIGINT as recall_pass, "
+            "1::BIGINT as skew_drop"
         ),
         "pq_ann": (
             "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "

@@ -410,6 +410,14 @@ def main() -> None:
         ("tpch_q21a", entry.q_tpch_q21a, 2),
         # r9 addition: two-phase distributed global shuffle + sharding
         ("training_order", entry.q_training_order, 2),
+        # r10 additions: Q9/Q11/Q20 star/scalar-HAVING/nested-IN
+        # shapes (adapted, no partsupp in the fixture)
+        ("tpch_q9a", entry.q_tpch_q9a, 2),
+        ("tpch_q11a", entry.q_tpch_q11a, 2),
+        ("tpch_q20a", entry.q_tpch_q20a, 2),
+        # r10 addition: IVF drift -> stats -> refit lifecycle incl.
+        # in-query recall gate (fresh temp snapshot store per run)
+        ("ivf_maintenance", entry.q_ivf_maintenance, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -536,10 +536,36 @@ def knn_join(
     )
 
 
+def _auto_n_cells(n: int, probe_cells: int = 2, per_bucket: int = 32) -> int:
+    """Coarse-cell count for an ``n``-point corpus — the knob the r9
+    ceiling probe said to make self-setting (VERDICT r9 item 5),
+    mirroring the r7 fixture-constant lesson that killed fixed 6-bit
+    SRP depth.
+
+    Target EXPECTED cell occupancy = ``per_bucket * 2^12`` (131k at
+    the default): the occupancy-adaptive mask then still has 4 spare
+    bits below its 16-bit/cell clamp (cell capacity
+    ``per_bucket * 2^16`` = 2M), so cells up to ~16x the mean — real
+    k-means skew on clustered data — stay inside the adaptive range
+    instead of going quadratic. ``n_cells = ceil(n * probe_cells /
+    target)``, clamped to [probe_cells, 1024]: the lower clamp keeps
+    multi-probe legal on small corpora; the upper clamp is the
+    2048-row quantizer sample's resolution limit (``numpy_kmeans``
+    caps k at the sample size — cells the sample cannot resolve are
+    noise, not partitioning). At the caps this covers ~67M points at
+    ``probe_cells=2``; past that, raise the sample and re-fit — the
+    log-scale re-fit move the ``knn_join_partitioned`` docstring
+    names (``ivf_refit`` is the persisted-index form of it)."""
+    import math
+
+    target = per_bucket << 12
+    return min(1024, max(probe_cells, math.ceil(n * probe_cells / target)))
+
+
 def knn_join_partitioned(
     df: DataFrame,
     k: int = 5,
-    n_cells: int = 64,
+    n_cells: int | None = 64,
     probe_cells: int = 2,
     n_bits: int | None = None,
     n_tables: int = 8,
@@ -568,6 +594,12 @@ def knn_join_partitioned(
     flat clamp, and ``n_cells`` itself can grow with log-scale
     re-fits. Candidate pairs collide on ``(cell, t, bucket)``; a pair
     sharing both probe cells is deduplicated by the existing distinct.
+
+    ``n_cells=None`` derives the cell count from one cheap corpus
+    count via ``_auto_n_cells`` (expected occupancy ``per_bucket *
+    2^12`` per cell — see its docstring for the clamp arithmetic);
+    an explicit ``n_cells`` pins it (the registry gate does, for
+    exact replayability).
 
     Depth is OCCUPANCY-ADAPTIVE per cell (``n_bits=None``): real cell
     sizes are skewed (k-means cells on clustered data differ by orders
@@ -600,7 +632,7 @@ def knn_join_partitioned(
     """
     # argument check FIRST (free) — the empty-input early return costs
     # a Spark job and must not hide a misconfiguration (review, r9)
-    if probe_cells < 1 or probe_cells > n_cells:
+    if probe_cells < 1 or (n_cells is not None and probe_cells > n_cells):
         raise ValueError(
             f"probe_cells must be in [1, n_cells]: {probe_cells}/{n_cells}"
         )
@@ -613,6 +645,12 @@ def knn_join_partitioned(
     import math
 
     import numpy as np
+
+    if n_cells is None:
+        # self-setting cell count from one cheap count (VERDICT r9
+        # item 5); the lower clamp in _auto_n_cells keeps
+        # probe_cells <= n_cells by construction
+        n_cells = _auto_n_cells(df.count(), probe_cells)
 
     dim = len(head[0])
 

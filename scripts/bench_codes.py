@@ -71,6 +71,7 @@ NAMES = [
     "inverted_index",
     "ivf_ann",
     "ivf_index_query",
+    "ivf_maintenance",
     "kmeans_fit",
     "knn_join",
     "knn_join_partitioned",
@@ -129,6 +130,7 @@ NAMES = [
     "topk_weighted",
     "tpch_q1",
     "tpch_q10",
+    "tpch_q11a",
     "tpch_q12a",
     "tpch_q13",
     "tpch_q14",
@@ -137,6 +139,7 @@ NAMES = [
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q20a",
     "tpch_q21a",
     "tpch_q22a",
     "tpch_q2a",
@@ -146,6 +149,7 @@ NAMES = [
     "tpch_q6",
     "tpch_q7",
     "tpch_q8a",
+    "tpch_q9a",
     "training_order",
     "triangles",
     "unigram_lm",

@@ -98,7 +98,15 @@ def main() -> int:
         # codes masked per cell to ceil(log2(size/32)) bits)
         import math
 
-        n_cells, probe, per_bucket = 256, 2, 32
+        from clickhouse_k_means_spark.operators.similarity import (
+            _auto_n_cells,
+        )
+
+        probe, per_bucket = 2, 32
+        # r10 (VERDICT r9 item 5): the cell count is SELF-SETTING now —
+        # the same derivation knn_join_partitioned(n_cells=None) runs.
+        # (r9 rows were recorded at the fixed n_cells=256.)
+        n_cells = _auto_n_cells(n, probe, per_bucket)
         t0 = time.perf_counter()
         sample = (
             df.orderBy(F.xxhash64(F.lit(seed), F.col("vec_id")))
@@ -159,6 +167,9 @@ def main() -> int:
                         "variant": variant,
                         "n_bits": bits,
                         "n_tables": n_tables,
+                        "n_cells": (
+                            n_cells if variant == "partitioned" else None
+                        ),
                         "pairs": pairs,
                         "pairs_per_point": round(pairs / n, 2),
                         "sec": sec,

@@ -180,6 +180,9 @@ _SCALAR_BNLJ_OK = {
     # bounded query/sample set; the gated operators are cell+bucket
     # joined (knn_join_partitioned) / cell-probed (ivf_index_query)
     "knn_join_partitioned", "ivf_index_query",
+    # same recall-gate pattern (r10): brute side is the 3-query drift
+    # probe set; the gated path is the refit index's cell probe
+    "ivf_maintenance",
 }
 
 # Documented SinglePartition funnels: cumulative_uniques runs its

@@ -1797,6 +1797,44 @@ def test_knn_join_partitioned_contract_and_validation(spark):
     assert per and all(r["count"] <= 3 for r in per)
 
 
+def test_auto_n_cells_derivation_and_none_path(spark):
+    """VERDICT r9 item 5: n_cells=None self-sets from a cheap count,
+    mirroring _auto_n_bits (the r7 fixture-constant lesson). Pins the
+    derivation arithmetic: target expected occupancy per_bucket*2^12
+    = 131072, n_cells = ceil(n*probe/target), clamp
+    [probe_cells, 1024]."""
+    from clickhouse_k_means_spark.operators.similarity import (
+        _auto_n_cells,
+        knn_join_partitioned,
+    )
+
+    # small corpora floor at probe_cells (multi-probe stays legal)
+    assert _auto_n_cells(60_000, probe_cells=2) == 2
+    assert _auto_n_cells(60_000, probe_cells=3) == 3
+    # the linear regime: ceil(n*probe / 131072)
+    assert _auto_n_cells(1_000_000, probe_cells=2) == 16
+    assert _auto_n_cells(8_000_000, probe_cells=2) == 123
+    # the quantizer-sample resolution clamp
+    assert _auto_n_cells(67_108_864, probe_cells=2) == 1024
+    assert _auto_n_cells(10**9, probe_cells=2) == 1024
+    # cell capacity headroom: at the target occupancy the adaptive
+    # mask needs ceil(log2(131072/32)) = 12 bits — 4 spare below the
+    # 16-bit clamp, so ~16x cell skew stays adaptive
+    import math
+
+    assert math.ceil(math.log2((32 << 12) / 32)) == 12
+    # the None path runs end-to-end (derives the floor here) and
+    # bounds k like the explicit path
+    rows = [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(8)])
+            for i in range(40)]
+    df2 = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = knn_join_partitioned(df2, k=3, n_cells=None, probe_cells=2)
+    per = got.groupBy("a").count().collect()
+    assert per and all(r["count"] <= 3 for r in per)
+    with pytest.raises(ValueError, match="probe_cells"):
+        knn_join_partitioned(df2, n_cells=None, probe_cells=0)
+
+
 def test_semdedup_zero_norm_vector_never_steals_keeper(spark):
     """A zero-norm embedding has UNDEFINED cosine (NULL): it must form
     no edges and must not outrank real members for the keeper slot
