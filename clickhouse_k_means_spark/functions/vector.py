@@ -199,6 +199,20 @@ def numpy_kmeans_weighted(
     return centers
 
 
+def quantizer_sample_n(k: int) -> int:
+    """Quantizer training-sample size for a ``k``-cell fit:
+    ``max(2048, 8k)``. The fixed 2048 was itself a fixture constant
+    (the r7 lesson): past 256 cells it leaves < 8 points per centroid
+    and the fit degenerates to near-random cells — exactly where
+    ``_auto_n_cells`` starts deriving large counts. 8 points/centroid
+    is the FAISS-documented floor (faiss ClusteringParameters
+    min_points_per_centroid warns below ~39, errors below 1; 8 keeps
+    the driver fit milliseconds at the 1024-cell clamp: 8192 rows).
+    Every committed gate uses k <= 64 so their sample stays 2048 —
+    the rule only engages where the old constant was wrong."""
+    return max(2048, 8 * int(k))
+
+
 def numpy_kmeans(
     x: np.ndarray, k: int, seed: int = 42, n_iter: int = 20
 ) -> np.ndarray:

@@ -56,6 +56,7 @@ from clickhouse_k_means_spark.functions.distance import cosine_fixed
 from clickhouse_k_means_spark.functions.vector import (
     nearest_cells_batch,
     numpy_kmeans,
+    quantizer_sample_n,
 )
 from clickhouse_k_means_spark.operators.topk import top_k_by_group
 
@@ -136,8 +137,10 @@ def ivf_index(
     vec: str = "embedding",
 ) -> int:
     """Build and COMMIT the IVF index: quantizer fit (the ``ivf_topk``
-    2048-row deterministic sample protocol) + full-corpus cell
-    assignment, one atomic snapshot commit. Returns the committed
+    deterministic hash-ordered sample protocol, sized by
+    ``quantizer_sample_n`` — 2048 rows up to 256 cells, 8/centroid
+    past that) + full-corpus cell assignment, one atomic snapshot
+    commit. Returns the committed
     version. Fails if the table already holds a committed quantizer
     (rebuild = ``store.truncate(table)`` first — the logical truncate
     empties the snapshot, which this guard accepts — or use a new
@@ -155,7 +158,7 @@ def ivf_index(
     sample = (
         corpus.select(F.col(key).alias("sk"), F.col(vec).alias("sv"))
         .orderBy(F.xxhash64(F.lit(seed), F.col("sk")))
-        .limit(2048)
+        .limit(quantizer_sample_n(nlist))
         .collect()
     )
     if not sample:
@@ -312,8 +315,8 @@ def ivf_refit(
 ) -> int:
     """Re-fit the quantizer on the CURRENT corpus and re-commit
     (VERDICT r9 item 4b): the maintenance call for a drifted index.
-    Fits a fresh quantizer with the same deterministic 2048-row sample
-    protocol as ``ivf_index`` — but over the vectors the index holds
+    Fits a fresh quantizer with the same deterministic sample
+    protocol as ``ivf_index`` (``quantizer_sample_n``-sized) — but over the vectors the index holds
     NOW — re-assigns every committed vector through it, and commits
     quantizer + assignments as ONE replace-snapshot version (the
     store's copy-on-write ``replace``). History stays time-travelable:
@@ -333,7 +336,7 @@ def ivf_refit(
     sample = (
         current.select(F.col("n").alias("sk"), F.col("v").alias("sv"))
         .orderBy(F.xxhash64(F.lit(seed), F.col("sk")))
-        .limit(2048)
+        .limit(quantizer_sample_n(nlist))
         .collect()
     )
     if not sample:

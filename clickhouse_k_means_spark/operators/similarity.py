@@ -42,6 +42,7 @@ from clickhouse_k_means_spark.functions.distance import (
 from clickhouse_k_means_spark.functions.vector import (
     nearest_cells_batch,
     numpy_kmeans,
+    quantizer_sample_n,
     srp_buckets_batch,
 )
 from clickhouse_k_means_spark.operators.topk import top_k_by_group
@@ -238,7 +239,7 @@ def ivf_topk(
     sample = (
         corpus.select(F.col(corpus_key).alias("sk"), F.col(vec).alias("sv"))
         .orderBy(F.xxhash64(F.lit(seed), F.col("sk")))
-        .limit(2048)
+        .limit(quantizer_sample_n(nlist))
         .collect()
     )
     x = np.asarray([r["sv"] for r in sample], dtype=np.float64)
@@ -658,7 +659,9 @@ def knn_join_partitioned(
     sample = (
         df.select(F.col(key).alias("sk"), F.col(vec).alias("sv"))
         .orderBy(F.xxhash64(F.lit(seed), F.col("sk")))
-        .limit(2048)
+        # sample scales with the cell count (8/centroid floor) so the
+        # auto-derived large n_cells is actually resolvable by the fit
+        .limit(quantizer_sample_n(n_cells))
         .collect()
     )
     x = np.asarray([r["sv"] for r in sample], dtype=np.float64)

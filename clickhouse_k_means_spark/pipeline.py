@@ -32,6 +32,11 @@ stdout (machine-parseable, shell-composable — the same contract as
     python -m clickhouse_k_means_spark.pipeline cluster \
         --input pts.parquet --key id --features x,y \
         --algo dbscan --eps 0.1 --min-pts 10 --out labels.parquet
+    python -m clickhouse_k_means_spark.pipeline ann build \
+        --input vecs.parquet --state /state --nlist 64
+    python -m clickhouse_k_means_spark.pipeline ann query \
+        --input queries.parquet --state /state --k 10 --nprobe 4 \
+        --out neighbors.parquet   # stats / refit / append likewise
 
 Every command is deterministic (hash-seeded operators), so re-runs
 produce identical outputs — the property that makes backfills and
@@ -181,6 +186,35 @@ def build_parser() -> argparse.ArgumentParser:
         "(drops time travel to older versions)",
     )
 
+    an = sub.add_parser(
+        "ann",
+        help="persistent IVF ANN index lifecycle over a state store: "
+        "build / append / query / stats / refit (operators/ann_index)",
+    )
+    an.add_argument(
+        "action", choices=["build", "append", "query", "stats", "refit"]
+    )
+    an.add_argument("--state", required=True, help="state-store directory")
+    an.add_argument("--table", default="ivf_index", help="index table name")
+    an.add_argument(
+        "--input", default=None,
+        help="input parquet (vectors for build/append, queries for query)",
+    )
+    an.add_argument(
+        "--out", default=None,
+        help="output parquet (query results / stats report)",
+    )
+    an.add_argument("--key", default="vec_id", help="key column")
+    an.add_argument("--vec", default="embedding", help="vector column")
+    an.add_argument("--nlist", type=int, default=16, help="quantizer cells")
+    an.add_argument("--k", type=int, default=10, help="query: top-k")
+    an.add_argument("--nprobe", type=int, default=2, help="query: cells probed")
+    an.add_argument(
+        "--version", type=int, default=None,
+        help="query/stats: pin a committed snapshot version (time travel)",
+    )
+    an.add_argument("--seed", type=int, default=42)
+
     pr = sub.add_parser("profile", help="one-scan table profile")
     pr.add_argument("--input", required=True, help="input parquet path")
     pr.add_argument("--out", required=True, help="output parquet path")
@@ -230,6 +264,57 @@ def main(argv: list[str] | None = None) -> int:
             report[t] = {"version": int(v), "files_vacuumed": int(removed)}
         print(json.dumps({"cmd": "compact", "state": args.state,
                           "tables": report}))
+        return 0
+    if args.cmd == "ann":
+        # index-lifecycle command: state-store in/out; --input/--out
+        # only where the action consumes/produces rows
+        from clickhouse_k_means_spark.operators.ann_index import (
+            ivf_append,
+            ivf_index,
+            ivf_query,
+            ivf_refit,
+            ivf_stats,
+        )
+        from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+        store = SnapshotStateStore(args.state)
+        summary = {"cmd": "ann", "action": args.action,
+                   "state": args.state, "table": args.table}
+        if args.action in ("build", "append", "query") and not args.input:
+            print(f"ann {args.action}: --input required", file=sys.stderr)
+            return 2
+        if args.action in ("query", "stats") and not args.out:
+            print(f"ann {args.action}: --out required", file=sys.stderr)
+            return 2
+        if args.action == "build":
+            vecs = spark.read.parquet(args.input)
+            v = ivf_index(vecs, store, table=args.table, nlist=args.nlist,
+                          seed=args.seed, key=args.key, vec=args.vec)
+            summary.update(version=int(v), rows_in=vecs.count())
+        elif args.action == "append":
+            vecs = spark.read.parquet(args.input)
+            v = ivf_append(vecs, store, table=args.table,
+                           key=args.key, vec=args.vec)
+            summary.update(version=int(v), rows_in=vecs.count())
+        elif args.action == "refit":
+            v = ivf_refit(spark, store, table=args.table,
+                          nlist=args.nlist, seed=args.seed)
+            summary.update(version=int(v))
+        elif args.action == "stats":
+            rep = ivf_stats(spark, store, table=args.table,
+                            version=args.version)
+            rep.write.mode("overwrite").parquet(args.out)
+            summary.update(out=args.out,
+                           rows_out=spark.read.parquet(args.out).count())
+        else:  # query
+            q = spark.read.parquet(args.input)
+            res = ivf_query(q, store, table=args.table, k=args.k,
+                            nprobe=args.nprobe, query_key=args.key,
+                            vec=args.vec, version=args.version)
+            res.write.mode("overwrite").parquet(args.out)
+            summary.update(out=args.out,
+                           rows_out=spark.read.parquet(args.out).count())
+        print(json.dumps(summary))
         return 0
     df = spark.read.parquet(args.input)
     n_in = df.count()

@@ -623,3 +623,59 @@ def test_pipeline_cli_compact(tmp_path, capsys, spark):
     # latest snapshot now reads few files
     n_live = len(list(Path(state, "t", "data").glob("*.parquet")))
     assert n_live < n_files_before
+
+
+def test_pipeline_cli_ann_lifecycle(tmp_path, capsys, spark):
+    """ann subcommand drives the persistent IVF index end-to-end:
+    build -> append -> stats -> query -> refit -> time-travel query
+    pinned before the refit (VERDICT r9 item 4 CLI exposure)."""
+    import json as _json
+
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    vecs = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 17)],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(vecs)
+    more = str(tmp_path / "more")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(17, 25)],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(more)
+    state = str(tmp_path / "state")
+
+    def run(argv):
+        assert pmain(argv) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    b = run(["ann", "build", "--input", vecs, "--state", state,
+             "--nlist", "4"])
+    assert b["version"] == 1 and b["rows_in"] == 16
+    a = run(["ann", "append", "--input", more, "--state", state])
+    assert a["version"] == 2 and a["rows_in"] == 8
+    stats_out = str(tmp_path / "stats")
+    s = run(["ann", "stats", "--state", state, "--out", stats_out])
+    srows = spark.read.parquet(stats_out).collect()
+    assert sum(r["n_vecs"] for r in srows) == 24 and len(srows) == 4
+    qin = str(tmp_path / "q")
+    spark.createDataFrame(
+        [(0, [20.2, 1.0])], "vec_id bigint, embedding array<double>"
+    ).write.parquet(qin)
+    q_out = str(tmp_path / "qres")
+    q = run(["ann", "query", "--input", qin, "--state", state,
+             "--out", q_out, "--k", "3", "--nprobe", "2"])
+    got = spark.read.parquet(q_out).collect()
+    assert q["rows_out"] == 3
+    assert sorted(r["n"] for r in got) == [19, 20, 21]
+    r = run(["ann", "refit", "--state", state, "--nlist", "4",
+             "--seed", "7"])
+    assert r["version"] == 3
+    # time travel: querying the pre-refit version still works
+    q2 = run(["ann", "query", "--input", qin, "--state", state,
+              "--out", q_out, "--k", "3", "--nprobe", "2",
+              "--version", "2"])
+    assert q2["rows_out"] == 3
+    # missing required IO paths fail loudly
+    assert pmain(["ann", "build", "--state", state]) == 2
+    assert pmain(["ann", "stats", "--state", state]) == 2

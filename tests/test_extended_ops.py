@@ -2772,3 +2772,17 @@ def test_training_order_exact_permutation_and_plan(spark):
     assert "rangepartitioning" in lineage["shuffle_keys"][0], lineage
     with pytest.raises(ValueError, match="n_shards"):
         training_order(df, n_shards=0)
+
+
+def test_quantizer_sample_scales_with_cell_count():
+    """The quantizer sample follows the cell count (8/centroid floor,
+    2048 minimum) so auto-derived large n_cells is resolvable by the
+    driver fit — every committed gate uses k <= 64, whose sample stays
+    the historical 2048 (replayability unchanged)."""
+    from clickhouse_k_means_spark.functions.vector import quantizer_sample_n
+
+    assert quantizer_sample_n(8) == 2048
+    assert quantizer_sample_n(64) == 2048
+    assert quantizer_sample_n(256) == 2048
+    assert quantizer_sample_n(257) == 2056
+    assert quantizer_sample_n(1024) == 8192
