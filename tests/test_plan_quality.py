@@ -218,3 +218,29 @@ def test_join_strategy_hints_take_effect(spark, sf_dir):
     assert "ShuffledHashJoin" in p_h
     p_m = plan_string(joined(orders.hint("merge")))
     assert "SortMergeJoin" in p_m
+
+
+def test_r10_tpch_plans_push_filters_and_broadcast(spark, sf_dir):
+    """The r10 TPC-H shapes keep the scan-level work where it belongs:
+    q9a's part-name substring and q20a's shipdate range / name prefix
+    reach the parquet scans as PushedFilters; dims ride broadcasts;
+    ONE data-scale shuffle for the q9a/q11a rollups; nothing plans a
+    cartesian or a SinglePartition funnel."""
+    import __spark_entry__ as entry
+    from clickhouse_k_means_spark.plans.audit import audit_plan
+
+    q9 = audit_plan(entry.q_tpch_q9a(spark, sf_dir))
+    assert q9["n_shuffles"] == 1 and not q9["has_cartesian"], q9
+    assert q9["n_broadcasts"] >= 3, q9
+    pushed9 = " ".join(q9["pushed_filters"])
+    assert "StringContains(p_name,red)" in pushed9, pushed9
+
+    q11 = audit_plan(entry.q_tpch_q11a(spark, sf_dir))
+    assert q11["n_shuffles"] == 1 and not q11["has_cartesian"], q11
+    assert "EqualTo(n_name,NATION_3)" in " ".join(q11["pushed_filters"])
+
+    q20 = audit_plan(entry.q_tpch_q20a(spark, sf_dir))
+    assert not q20["has_cartesian"] and not q20["single_partition"], q20
+    pushed20 = " ".join(q20["pushed_filters"])
+    assert "StringStartsWith(p_name,small)" in pushed20, pushed20
+    assert "GreaterThanOrEqual(l_shipdate" in pushed20, pushed20
