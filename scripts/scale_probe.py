@@ -253,10 +253,49 @@ def main() -> None:
         )
         _noop(knn_join_partitioned(emb, k=5, n_cells=64, probe_cells=2))
 
+    def q_ivf_maintenance():
+        # r10: drift -> stats -> refit lifecycle (refit re-assigns the
+        # WHOLE committed corpus — the probe's question is whether that
+        # one Arrow pass + replace commit stays ~flat like ivf_index)
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from clickhouse_k_means_spark.operators.ann_index import (
+            ivf_append,
+            ivf_index,
+            ivf_query,
+            ivf_refit,
+            ivf_stats,
+        )
+        from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        store = SnapshotStateStore(tempfile.mkdtemp(prefix="ivfmaintprobe_"))
+        drift = F.transform("embedding", lambda x: x * 0.05 + 3.0)
+        ivf_index(emb.filter("vec_id % 2 = 1"), store, nlist=64, seed=42)
+        ivf_append(
+            emb.filter("vec_id % 2 = 0").select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                drift.alias("embedding"),
+            ),
+            store,
+        )
+        _noop(ivf_stats(spark, store))
+        ivf_refit(spark, store, nlist=64, seed=42)
+        _noop(ivf_stats(spark, store))
+        _noop(ivf_query(emb.filter("vec_id < 5"), store, k=10, nprobe=8,
+                        query_key="vec_id"))
+
     sets = {
         "r7": [
             ("semdedup", q_semdedup),
             ("knn_join", q_knn_join),
+        ],
+        "r10": [
+            ("ivf_maintenance", q_ivf_maintenance),
         ],
         "r9": [
             ("cdc_dedup", q_cdc_dedup),
