@@ -2822,6 +2822,63 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the persistent IVF index
+    (streaming/ann_stream.StreamingIvfIngest): build the quantizer on
+    the odd-id half, stream the even-id half in two micro-batches
+    (one atomic index version each), then REPLAY the whole stream
+    with a fresh checkpoint — the at-least-once worst case. Gate:
+    every corpus vector is indexed exactly once (n_assign ==
+    n_distinct == corpus count, straight from the snapshot) and the
+    replay added ZERO rows (ivf_append's key-idempotence, ADVICE r9
+    — marker-free exactly-once index content)."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.ann_index import ivf_index
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.ann_stream import (
+        StreamingIvfIngest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    d = tempfile.mkdtemp(prefix="ann_stream_")
+    store = SnapshotStateStore(f"{d}/store")
+    ivf_index(emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
+              nlist=8, seed=42)
+    even = emb.filter(F.pmod("vec_id", F.lit(2)) == 0)
+    even.filter(F.pmod("vec_id", F.lit(4)) == 0).coalesce(1).write.parquet(
+        f"{d}/src/a"
+    )
+    even.filter(F.pmod("vec_id", F.lit(4)) == 2).coalesce(1).write.parquet(
+        f"{d}/src/b"
+    )
+
+    def run(ckpt: str) -> None:
+        ing = StreamingIvfIngest(store)
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src/*")
+        )
+        ing.attach(stream, checkpoint=f"{d}/{ckpt}").awaitTermination()
+
+    run("ckpt1")
+    n_first = (
+        store.read(spark, "ivf_index").filter(F.col("n").isNotNull()).count()
+    )
+    run("ckpt2")  # full replay, fresh checkpoint
+    snap = store.read(spark, "ivf_index").filter(F.col("n").isNotNull())
+    return snap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assign"),
+        F.count_distinct("n").cast("bigint").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.lit(n_first)).cast("bigint").alias(
+            "replay_added"
+        ),
+    )
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 dimension history: two deterministic upsert batches over
     customer balances (batch 2 bumps every third key), then the
@@ -4440,6 +4497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11a": q_tpch_q11a,
         "tpch_q20a": q_tpch_q20a,
         "ivf_maintenance": q_ivf_maintenance,
+        "stream_ann_ingest": q_stream_ann_ingest,
         # --- rotating list R continues (r11 window body onward) ---
         "doc_fingerprint": q_doc_fingerprint,
         "tpch_q7": q_tpch_q7,
@@ -5877,6 +5935,13 @@ def oracle_sql() -> dict[str, str]:
             "select unnest([0, 2, 4])::BIGINT as q, "
             "5::BIGINT as hits_floor, 1::BIGINT as recall_pass, "
             "1::BIGINT as skew_drop"
+        ),
+        "stream_ann_ingest": (
+            # exactly-once streamed index content: every corpus vector
+            # assigned exactly once, full replay added zero rows
+            "select count(*)::BIGINT as n_assign, "
+            "count(*)::BIGINT as n_distinct, 0::BIGINT as replay_added "
+            "from embeddings"
         ),
         "pq_ann": (
             "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "

@@ -418,6 +418,9 @@ def main() -> None:
         # r10 addition: IVF drift -> stats -> refit lifecycle incl.
         # in-query recall gate (fresh temp snapshot store per run)
         ("ivf_maintenance", entry.q_ivf_maintenance, 2),
+        # r10 addition: streamed index ingest + full at-least-once
+        # replay (two availableNow streaming queries per run)
+        ("stream_ann_ingest", entry.q_stream_ann_ingest, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -1,0 +1,85 @@
+"""Streaming ingest into the persistent IVF index: ``foreachBatch`` +
+``operators/ann_index.ivf_append`` — the vector-corpus companion to
+``dedup_stream`` (documents) and ``sketch_stream`` (aggregates).
+
+The reference has no streaming surface; this composes two certified
+pieces — the committed-quantizer append (every batch buckets through
+the version-1 fit, no re-fit, r9) and the snapshot store's manifest
+commits — into the production shape: an embedding stream lands in the
+queryable ANN index one atomic version per micro-batch, and the index
+is queryable (and time-travelable) BETWEEN batches.
+
+Exactly-once story: ``ivf_append`` is key-idempotent (ADVICE r9 — it
+anti-joins the batch against committed assignment keys), so a crashed
+query that replays a committed micro-batch appends ZERO fresh rows;
+at-least-once execution converges to exactly-once index content with
+no separate batch-marker table. The replay still pays the (broadcast-
+semi, history-never-shuffled) probe — the price of marker-free
+idempotence, fine at micro-batch size.
+
+Bootstrap contract: the quantizer must exist before the stream starts
+(run ``ivf_index`` on a seed corpus first); a stream attached to an
+index with no committed quantizer fails loudly on its first non-empty
+batch (``ivf_append`` raises — never silent wrong cells). Maintenance
+(``ivf_stats`` / ``ivf_refit``) runs between batches under the same
+single-writer-per-table contract the incremental operators carry;
+Structured Streaming guarantees serial micro-batches within a query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class StreamingIvfIngest:
+    """Driver-held counters + per-batch committed-quantizer appends."""
+
+    def __init__(
+        self,
+        store,
+        table: str = "ivf_index",
+        key: str = "vec_id",
+        vec: str = "embedding",
+    ):
+        self.store = store
+        self.table = table
+        self.key = key
+        self.vec = vec
+        self.n_batches = 0
+        self.n_seen = 0
+        self.versions: list[int] = []
+
+    def process_batch(self, batch: DataFrame) -> int:
+        """Append one micro-batch through the committed quantizer;
+        returns the committed snapshot version."""
+        from clickhouse_k_means_spark.operators.ann_index import ivf_append
+
+        return ivf_append(
+            batch, self.store, table=self.table, key=self.key, vec=self.vec
+        )
+
+    def attach(
+        self,
+        stream: DataFrame,
+        checkpoint: str,
+        query_name: str = "streaming_ivf_ingest",
+    ):
+        """Ingest the stream into the index (caller awaits).
+
+        One snapshot version per non-empty micro-batch; replayed
+        batches commit empty appends (key-idempotent)."""
+
+        def _on_batch(batch: DataFrame, _batch_id: int) -> None:
+            if not batch.head(1):
+                return
+            self.n_batches += 1
+            self.n_seen += batch.count()
+            self.versions.append(self.process_batch(batch))
+
+        return (
+            stream.writeStream.foreachBatch(_on_batch)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

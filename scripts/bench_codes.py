@@ -120,6 +120,7 @@ NAMES = [
     "srp_ann",
     "ssjoin",
     "stateful_stats",
+    "stream_ann_ingest",
     "stream_enrich",
     "stream_ingest",
     "stream_join",

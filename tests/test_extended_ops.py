@@ -2786,3 +2786,78 @@ def test_quantizer_sample_scales_with_cell_count():
     assert quantizer_sample_n(256) == 2048
     assert quantizer_sample_n(257) == 2056
     assert quantizer_sample_n(1024) == 8192
+
+
+def test_streaming_ivf_ingest_exactly_once_and_bootstrap(spark, tmp_path):
+    """streaming/ann_stream.StreamingIvfIngest: one atomic index
+    version per micro-batch; a FULL replay (fresh checkpoint — the
+    at-least-once worst case) adds zero rows because ivf_append is
+    key-idempotent; an index with no committed quantizer fails the
+    stream loudly (bootstrap contract)."""
+    import pyspark.sql.utils  # noqa: F401
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivf_index,
+        ivf_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.ann_stream import (
+        StreamingIvfIngest,
+    )
+
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    seed = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 17, 2)],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivf_index(seed, store, nlist=4, seed=42)
+    # two source files -> two micro-batches (maxFilesPerTrigger=1)
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(2, 10, 2)],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10, 18, 2)],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    def attach(ckpt):
+        ing = StreamingIvfIngest(store)
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = ing.attach(stream, checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination()
+        return ing
+
+    ing = attach("ckpt1")
+    assert ing.n_batches == 2 and len(ing.versions) == 2
+    snap = store.read(spark, "ivf_index")
+    assigned = snap.filter(F.col("n").isNotNull())
+    assert assigned.count() == 16  # 8 seed + 8 streamed, exactly once
+    assert assigned.select("n").distinct().count() == 16
+    # full replay with a fresh checkpoint: key-idempotent, zero added
+    attach("ckpt2")
+    assert (
+        store.read(spark, "ivf_index").filter(F.col("n").isNotNull()).count()
+        == 16
+    )
+    # streamed vectors are queryable
+    q = spark.createDataFrame(
+        [(0, [10.2, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    got = ivf_query(q, store, k=1, nprobe=2, query_key="vec_id").collect()
+    assert got[0]["n"] == 10
+    # bootstrap contract: no committed quantizer -> loud stream failure
+    empty_store = SnapshotStateStore(str(tmp_path / "empty"))
+    ing2 = StreamingIvfIngest(empty_store)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .parquet(f"{src}/*")
+    )
+    q2 = ing2.attach(stream, checkpoint=str(tmp_path / "ckpt3"))
+    with pytest.raises(Exception, match="quantizer|Foreach|STREAM"):
+        q2.awaitTermination()
