@@ -4412,10 +4412,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * fixed head (6): the flagship k-means pipeline queries
     #     (yh_contract .. kmeans_fit_history) stay in the window every
     #     round.
-    #   * rotating list R (173 entries = this 179-entry registry minus
+    #   * rotating list R (174 entries = this 180-entry registry minus
     #     the head, order = this dict's order after the head): each
     #     round the window advances 44 slots, so every query gets a
-    #     driver CORRECTNESS row at least every ceil(173/44) = 4
+    #     driver CORRECTNESS row at least every ceil(174/44) = 4
     #     rounds. Between driver rows, every entry stays certified
     #     EVERY round by tests/test_oracle_parity.py (the identical
     #     three-way comparison, judge-re-runnable).
