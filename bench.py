@@ -421,6 +421,8 @@ def main() -> None:
         # r10 addition: streamed index ingest + full at-least-once
         # replay (two availableNow streaming queries per run)
         ("stream_ann_ingest", entry.q_stream_ann_ingest, 2),
+        # r10 addition: BM25 + coverage fused by integer RRF
+        ("hybrid_retrieval", entry.q_hybrid_retrieval, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

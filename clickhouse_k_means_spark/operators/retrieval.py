@@ -199,3 +199,131 @@ def bm25_idf_reference(n_docs: int, df: int) -> int:
             math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1_000_000 + 0.5
         )
     )
+
+
+def coverage_topk(
+    docs: DataFrame,
+    queries: dict[int, list[str]],
+    key: str = "doc_id",
+    text: str = "text",
+    top_n: int = 5,
+) -> DataFrame:
+    """Top-``top_n`` documents per query by TERM COVERAGE — distinct
+    query terms present in the document (the boolean-retrieval
+    baseline every hybrid stack carries beside a scored ranker). Ties
+    break by ascending document length (a short doc matching the same
+    terms is denser) then ascending key, so the ranking is total.
+    Returns ``(query_id, rank, doc_id, n_matched)``.
+
+    Scale shape: same anatomy as ``bm25_topk`` — the postings explode
+    is vocabulary-filtered BEFORE its shuffle, per-(query, doc)
+    aggregation is partial-combined, top-n is WindowGroupLimit. Terms
+    must be in tokenizer normal form (the bm25 validation contract).
+    """
+    if not queries:
+        raise ValueError("coverage_topk: queries must be non-empty")
+    for qid, terms in queries.items():
+        if not terms or len(set(terms)) != len(terms):
+            raise ValueError(
+                f"coverage_topk: query {qid} is empty or repeats a term"
+            )
+        for t in terms:
+            if not t or t != t.lower() or _NOT_TOKEN_RE.search(t):
+                raise ValueError(
+                    f"coverage_topk: query {qid} term {t!r} is not in "
+                    "the tokenizer's normal form"
+                )
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    spark = docs.sparkSession
+    vocab = sorted({t for ts in queries.values() for t in ts})
+    tk = F.coalesce(tokens(text), F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(key).alias("doc_id"),
+        tk.alias("tk"),
+        F.size(tk).cast("bigint").alias("dl"),
+    )
+    postings = base.select(
+        "doc_id", "dl", F.explode(F.array_distinct("tk")).alias("term")
+    ).filter(F.col("term").isin(vocab))
+    qterms = spark.createDataFrame(
+        [(int(qid), t) for qid, ts in sorted(queries.items()) for t in ts],
+        schema="query_id bigint, term string",
+    )
+    matched = (
+        postings.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.min("dl").alias("dl"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_matched").desc(), F.col("dl").asc(), F.col("doc_id")
+    )
+    return (
+        matched.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_n)
+        .select("query_id", "rank", "doc_id", "n_matched")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    query: str = "query_id",
+    key: str = "doc_id",
+    rank: str = "rank",
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) over
+    any number of per-query rankings — the standard hybrid-retrieval
+    combiner (BM25 + ANN, lexical + coverage, ...): each list
+    contributes ``1/(k_const + rank)`` per document and the fused
+    order is by summed contribution. RRF needs only RANKS, so wildly
+    different score scales (micro-nat BM25 vs cosine ppm) fuse
+    without calibration — exactly why hybrid stacks use it.
+
+    Contributions are integerized to parts-per-billion
+    (``1e9 // (k_const + rank)`` — exact integer division, associative
+    BIGINT sums) so the fused scores are bit-deterministic and
+    oracle-replayable, the repo-wide fixed-point rule. Ties break by
+    ascending key. Returns
+    ``(query_id, rank, doc_id, rrf_ppb, n_lists)`` with ``n_lists``
+    the number of input rankings that contained the pair.
+
+    Scale shape: one union of rank-truncated inputs (each already
+    top-n-sized per query), one partial-combined aggregation, top-n
+    via WindowGroupLimit — no join between the rankings.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k_const < 1 or top_n < 1:
+        raise ValueError(
+            f"rrf_fuse: k_const/top_n must be >= 1: {k_const}/{top_n}"
+        )
+    parts = [
+        r.select(
+            F.col(query).alias("query_id"),
+            F.col(key).alias("doc_id"),
+            F.expr(f"(1000000000 div ({k_const} + {rank}))")
+            .cast("bigint")
+            .alias("contrib_ppb"),
+        )
+        for r in rankings
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib_ppb").cast("bigint").alias("rrf_ppb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_ppb").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_n)
+        .select("query_id", "rank", "doc_id", "rrf_ppb", "n_lists")
+    )

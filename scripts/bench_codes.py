@@ -67,6 +67,7 @@ NAMES = [
     "histogram_numeric",
     "hll_incremental",
     "hll_rollup",
+    "hybrid_retrieval",
     "interval_union",
     "inverted_index",
     "ivf_ann",

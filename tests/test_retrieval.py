@@ -152,3 +152,72 @@ def test_bm25_string_keys_and_null_text(spark):
     # avgdl from 3 docs / 3 tokens (the NULL doc contributes 0)
     d1 = _score(3, 2, 2, 2, 1000)
     assert {r["doc_id"]: r["score_micro"] for r in rows}["u1"] == d1
+
+
+def test_coverage_topk_hand_computed(spark):
+    """Coverage ranking: distinct query terms present, ties by shorter
+    doc then key; vocabulary filter + validation mirror bm25_topk."""
+    from clickhouse_k_means_spark.operators.retrieval import coverage_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window agg extra words here"),   # 3 matched, dl 6
+            (2, "spark window"),                        # 2 matched, dl 2
+            (3, "spark agg window"),                    # 3 matched, dl 3
+            (4, "nothing relevant"),                    # 0 matched
+            (5, None),                                  # null text
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["n_matched"])
+        for r in coverage_topk(
+            docs, {7: ["spark", "window", "agg"]}, top_n=3
+        ).collect()
+    }
+    # doc 3 beats doc 1 on length at equal coverage; doc 4/5 never rank
+    assert got == {(7, 1): (3, 3), (7, 2): (1, 3), (7, 3): (2, 2)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="normal form"):
+        coverage_topk(docs, {1: ["Upper"]})
+    with _pytest.raises(ValueError, match="repeats|empty"):
+        coverage_topk(docs, {1: ["a", "a"]})
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF arithmetic pinned: contrib = 1e9 // (k + rank), summed as
+    exact BIGINT; n_lists counts the rankings holding the pair; ties
+    break by key."""
+    from clickhouse_k_means_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 3, 30)],
+        "query_id bigint, rank bigint, doc_id bigint",
+    )
+    b = spark.createDataFrame(
+        [(1, 1, 20), (1, 2, 40)],
+        "query_id bigint, rank bigint, doc_id bigint",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in rrf_fuse([a, b], k_const=60, top_n=10).collect()
+    }
+    c = lambda r: 1_000_000_000 // (60 + r)
+    assert rows[20]["rrf_ppb"] == c(2) + c(1) and rows[20]["n_lists"] == 2
+    assert rows[10]["rrf_ppb"] == c(1) and rows[10]["n_lists"] == 1
+    assert rows[40]["rrf_ppb"] == c(2)
+    assert rows[30]["rrf_ppb"] == c(3)
+    # doc 20 appears in both lists -> fused first
+    assert rows[20]["rank"] == 1
+    # total order by rrf desc then doc_id: c(1)=16393442 > c(2)=
+    # 16129032 > c(3)=15873015, so doc 40 (rank 2 in list b) outranks
+    # doc 30 (rank 3 in list a)
+    order = sorted(rows.values(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in order] == [20, 10, 40, 30]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="k_const"):
+        rrf_fuse([a], k_const=0)
