@@ -4081,6 +4081,34 @@ def q_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_brute(spark, sf_dir, approx, min_hits=5)
 
 
+def q_pq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent PQ index replay (operators/ann_index.pq_index — the
+    memory-side sibling of ivf_index_query): build codebooks + codes
+    on the odd-id half (ONE atomic commit), pq_append the even-id
+    half through the COMMITTED codebooks, probe the persisted code
+    column with ADC + exact rerank, and gate recall@10 >= 8 vs exact
+    brute force over the full corpus (measured 9-10/10 at
+    sf0.001/0.01/0.1 with m_sub=16/n_codes=64/rerank=256 — codebooks
+    see only half the corpus, hence the rerank margin over pq_ann's
+    100)."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        pq_append,
+        pq_index,
+        pq_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    q, c = _ann_queries_corpus(spark, sf_dir)
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="pqidx_"))
+    pq_index(c.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
+             m_sub=16, n_codes=64, seed=42)
+    pq_append(c.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
+    approx = pq_query(q, store, k=10, rerank=256, query_key="vec_id")
+    return _recall_vs_brute(spark, sf_dir, approx, min_hits=8)
+
+
 def q_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index maintenance lifecycle (operators/ann_index.ivf_stats
     + ivf_refit — VERDICT r9 item 4): build the index on the odd-id
@@ -4431,10 +4459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * fixed head (6): the flagship k-means pipeline queries
     #     (yh_contract .. kmeans_fit_history) stay in the window every
     #     round.
-    #   * rotating list R (175 entries = this 181-entry registry minus
+    #   * rotating list R (176 entries = this 182-entry registry minus
     #     the head, order = this dict's order after the head): each
     #     round the window advances 44 slots, so every query gets a
-    #     driver CORRECTNESS row at least every ceil(175/44) = 4
+    #     driver CORRECTNESS row at least every ceil(176/44) = 4
     #     rounds. Between driver rows, every entry stays certified
     #     EVERY round by tests/test_oracle_parity.py (the identical
     #     three-way comparison, judge-re-runnable).
@@ -4518,6 +4546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_maintenance": q_ivf_maintenance,
         "stream_ann_ingest": q_stream_ann_ingest,
         "hybrid_retrieval": q_hybrid_retrieval,
+        "pq_index_query": q_pq_index_query,
         # --- rotating list R continues (r11 window body onward) ---
         "doc_fingerprint": q_doc_fingerprint,
         "tpch_q7": q_tpch_q7,
@@ -5947,6 +5976,12 @@ def oracle_sql() -> dict[str, str]:
             # Spark-side; the gate asserts the per-query recall floor
             "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "
             "5::BIGINT as hits_floor, 1::BIGINT as recall_pass"
+        ),
+        "pq_index_query": (
+            # persisted-PQ replay: codebook fit + append + ADC probe
+            # all run Spark-side; the gate asserts the recall floor
+            "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "
+            "8::BIGINT as hits_floor, 1::BIGINT as recall_pass"
         ),
         "ivf_maintenance": (
             # drift -> ivf_stats skew -> ivf_refit lifecycle: the gate

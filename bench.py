@@ -423,6 +423,8 @@ def main() -> None:
         ("stream_ann_ingest", entry.q_stream_ann_ingest, 2),
         # r10 addition: BM25 + coverage fused by integer RRF
         ("hybrid_retrieval", entry.q_hybrid_retrieval, 2),
+        # r10 addition: persistent PQ index build+append+ADC probe
+        ("pq_index_query", entry.q_pq_index_query, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

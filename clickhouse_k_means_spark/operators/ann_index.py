@@ -353,3 +353,241 @@ def ivf_refit(
         "n", cell1(F.col("v"))[0].alias("cell"), F.col("v").alias("v")
     )
     return store.replace(cent_rows.unionByName(assign), table)
+
+
+# ---- persistent PQ index (r10) --------------------------------------
+#
+# The memory-side sibling of the IVF index above (Jégou et al. TPAMI
+# 2011; ``similarity.pq_topk`` is the in-query form whose docstring
+# says the code column "is what a real deployment materializes").
+# Same single-table atomic layout, discriminated by ``n IS NULL``::
+#
+#     n (nullable)  sub   code  codes        v
+#     NULL          s     c     NULL         codebook_s[c] (dsub dims)
+#     vec_id        NULL  NULL  array<int>   raw vector
+#
+# One commit carries codebooks + codes (a crash can never orphan
+# codes); ``pq_append`` encodes new vectors through the COMMITTED
+# codebooks; ``pq_query`` scores ADC against the committed code
+# column and exact-reranks only the shortlist. The raw vector rides
+# the assignment row so the rerank needs no second table — a real
+# deployment splits it into a gather table; the plan shape is the
+# same. Queries pinned at a version replay that version's codebooks
+# AND codes exactly.
+
+
+def _committed_codebooks(
+    spark: SparkSession, store, table: str, version: int | None
+):
+    """The committed PQ codebooks: ``m_sub`` ``(n_codes, dsub)``
+    matrices, collected (m_sub x n_codes rows — tiny)."""
+    import numpy as np
+
+    snap = store.read(spark, table, version=version)
+    rows = snap.filter(F.col("n").isNull()).select(
+        "sub", "code", "v"
+    ).collect()
+    if not rows:
+        raise ValueError(f"pq index {table!r} has no committed codebooks")
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(int(r["sub"]), {})[int(r["code"])] = list(
+            map(float, r["v"])
+        )
+    books = []
+    for s in sorted(by_sub):
+        codes = by_sub[s]
+        books.append(
+            np.asarray([codes[c] for c in sorted(codes)], dtype=np.float64)
+        )
+    return books
+
+
+def _has_codebooks(spark: SparkSession, store, table: str) -> bool:
+    if not store.exists(table):
+        return False
+    try:
+        _committed_codebooks(spark, store, table, None)
+        return True
+    except ValueError:
+        return False
+
+
+_PQ_SCHEMA = "n bigint, sub int, code int, codes array<int>, v array<double>"
+
+
+def pq_index(
+    corpus: DataFrame,
+    store,
+    table: str = "pq_index",
+    m_sub: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> int:
+    """Build and COMMIT the PQ index: per-subspace codebook fit (the
+    deterministic hash-ordered sample, ``quantizer_sample_n``-sized,
+    trained on NORMALIZED vectors) + full-corpus encoding, one atomic
+    snapshot commit. Returns the version. Refuses a rebuild over
+    committed codebooks (truncate first) — replacing codebooks under
+    existing codes would silently mis-score every ADC lookup."""
+    import numpy as np
+
+    from clickhouse_k_means_spark.functions.vector import (
+        normalize_rows,
+        pq_encode_batch,
+    )
+
+    _require_integral_key(corpus, key, "pq_index")
+    spark = corpus.sparkSession
+    if _has_codebooks(spark, store, table):
+        raise ValueError(
+            f"pq index {table!r} already exists — truncate it first "
+            "(appends must go through pq_append so they encode via "
+            "the committed codebooks)"
+        )
+    sample = (
+        corpus.select(F.col(key).alias("sk"), F.col(vec).alias("sv"))
+        .orderBy(F.xxhash64(F.lit(seed), F.col("sk")))
+        .limit(quantizer_sample_n(n_codes))
+        .collect()
+    )
+    if not sample:
+        raise ValueError("pq_index: empty corpus")
+    x = normalize_rows(
+        np.asarray([r["sv"] for r in sample], dtype=np.float64)
+    )
+    dim = x.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    books = [
+        numpy_kmeans(
+            x[:, s * dsub : (s + 1) * dsub],
+            k=n_codes,
+            seed=seed + s,
+            n_iter=10,
+        )
+        for s in range(m_sub)
+    ]
+    book_rows = spark.createDataFrame(
+        [
+            (None, s, c, None, [float(v) for v in books[s][c]])
+            for s in range(m_sub)
+            for c in range(len(books[s]))
+        ],
+        _PQ_SCHEMA,
+    )
+    encode = pq_encode_batch(books)
+    assign = corpus.select(
+        _key_as_n(key, "pq_index"),
+        F.lit(None).cast("int").alias("sub"),
+        F.lit(None).cast("int").alias("code"),
+        encode(F.col(vec).cast("array<double>")).alias("codes"),
+        F.col(vec).cast("array<double>").alias("v"),
+    )
+    return store.append(book_rows.unionByName(assign), table)
+
+
+def pq_append(
+    new_vecs: DataFrame,
+    store,
+    table: str = "pq_index",
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> int:
+    """Encode ``new_vecs`` through the COMMITTED codebooks and append
+    their code rows (one atomic commit, no re-fit). Key-idempotent
+    like ``ivf_append`` (same broadcast-semi conflict probe, history
+    never shuffled), so at-least-once retries add zero rows."""
+    from clickhouse_k_means_spark.functions.vector import pq_encode_batch
+
+    spark = new_vecs.sparkSession
+    _require_integral_key(new_vecs, key, "pq_append")
+    books = _committed_codebooks(spark, store, table, None)
+    encode = pq_encode_batch(books)
+    assign = new_vecs.select(
+        _key_as_n(key, "pq_append"),
+        F.lit(None).cast("int").alias("sub"),
+        F.lit(None).cast("int").alias("code"),
+        encode(F.col(vec).cast("array<double>")).alias("codes"),
+        F.col(vec).cast("array<double>").alias("v"),
+    ).dropDuplicates(["n"])
+    committed_conflicts = (
+        store.read(spark, table)
+        .filter(F.col("n").isNotNull())
+        .select("n")
+        .join(F.broadcast(assign.select("n")), "n", "left_semi")
+    )
+    fresh = assign.join(F.broadcast(committed_conflicts), "n", "left_anti")
+    return store.append(fresh, table)
+
+
+def pq_query(
+    queries: DataFrame,
+    store,
+    table: str = "pq_index",
+    k: int = 10,
+    rerank: int | None = None,
+    query_key: str = "q",
+    vec: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """Probe the committed PQ index: ADC over the committed code
+    column (per-query lookup tables baked into the UDF closure — the
+    scan touches only ``codes``), exact-cosine re-rank of the
+    ``rerank`` shortlist (default 4k). ``(q, n, score, rank)`` —
+    ``pq_topk``'s contract served from persisted state; ``version``
+    pins a snapshot for exact replays. Queries are the bounded
+    broadcast side (collected driver-side for the lookup tables, the
+    ``pq_topk`` contract)."""
+    import numpy as np
+
+    from clickhouse_k_means_spark.functions.vector import (
+        normalize_rows,
+        pq_adc_batch,
+    )
+
+    spark = queries.sparkSession
+    books = _committed_codebooks(spark, store, table, version)
+    dim = books[0].shape[1] * len(books)
+    rerank = rerank or 4 * k
+    qrows = queries.select(
+        F.col(query_key).alias("q"), F.col(vec).alias("qv")
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "q bigint, n bigint, score double, rank int"
+        )
+    q_mat = normalize_rows(
+        np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+    )
+    adc = pq_adc_batch(books, q_mat)
+    coded = (
+        store.read(spark, table, version=version)
+        .filter(F.col("n").isNotNull())
+        .select("n", "codes", F.col("v").alias("cv"))
+    )
+    scored = coded.select(
+        "n", "cv", F.posexplode(adc("codes")).alias("qi", "ad2")
+    )
+    short = top_k_by_group(
+        scored, rerank, "qi", [F.col("ad2").asc(), F.col("n").asc()]
+    )
+    qdf = spark.createDataFrame(
+        [
+            (i, int(r["q"]), [float(v) for v in r["qv"]])
+            for i, r in enumerate(qrows)
+        ],
+        "qi int, q bigint, qv array<double>",
+    )
+    rer = short.join(F.broadcast(qdf), "qi").select(
+        "q", "n", cosine_fixed("qv", "cv", dim).alias("score")
+    )
+    order = [F.col("score").desc(), F.col("n").asc()]
+    ranked = top_k_by_group(rer, k, "q", order)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(*order)
+    return ranked.withColumn("rank", F.row_number().over(w))

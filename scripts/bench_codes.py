@@ -94,6 +94,7 @@ NAMES = [
     "pagerank",
     "pipeline_e2e",
     "pq_ann",
+    "pq_index_query",
     "profile",
     "pyds_read",
     "range_join",

@@ -2861,3 +2861,70 @@ def test_streaming_ivf_ingest_exactly_once_and_bootstrap(spark, tmp_path):
     q2 = ing2.attach(stream, checkpoint=str(tmp_path / "ckpt3"))
     with pytest.raises(Exception, match="quantizer|Foreach|STREAM"):
         q2.awaitTermination()
+
+
+def test_pq_index_build_append_query_time_travel(spark, tmp_path):
+    """Persistent PQ index (r10 — the memory-side sibling of
+    ivf_index): ONE atomic commit carries codebooks + codes; appends
+    encode through the COMMITTED codebooks and are key-idempotent;
+    queries ADC the committed code column and exact-rerank; version
+    pinning replays old codebooks AND old codes."""
+    import math
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        pq_append,
+        pq_index,
+        pq_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    def ring(i, n=40):
+        a = 2 * math.pi * i / n
+        return [math.cos(a), math.sin(a), 0.0, 0.0]
+
+    b1 = spark.createDataFrame(
+        [(i, ring(i)) for i in range(0, 40, 2)],
+        "vec_id bigint, embedding array<double>",
+    )
+    b2 = spark.createDataFrame(
+        [(i, ring(i)) for i in range(1, 40, 2)],
+        "vec_id bigint, embedding array<double>",
+    )
+    store = SnapshotStateStore(str(tmp_path / "pq"))
+    v1 = pq_index(b1, store, m_sub=2, n_codes=8, seed=42)
+    assert v1 == 1
+    snap = store.read(spark, "pq_index", version=1)
+    assert snap.filter(F.col("n").isNull()).count() == 16  # 2 subs x 8
+    assert snap.filter(F.col("n").isNotNull()).count() == 20
+    with pytest.raises(ValueError, match="already exists"):
+        pq_index(b1, store, m_sub=2, n_codes=8)
+    pq_append(b2, store)
+    pq_append(b2, store)  # retry: key-idempotent, zero added
+    assert (
+        store.read(spark, "pq_index").filter(F.col("n").isNotNull()).count()
+        == 40
+    )
+    # dim indivisible by m_sub fails loudly
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_index(b1, SnapshotStateStore(str(tmp_path / "pq2")), m_sub=3)
+    # string key fails loudly (the ivf ADVICE-r9 guard, shared)
+    bad = spark.createDataFrame(
+        [("a", [1.0, 0.0, 0.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="integral type"):
+        pq_append(bad, store)
+    # query: probe between ring points -> true nearest first (exact
+    # rerank over the ADC shortlist)
+    q = spark.createDataFrame(
+        [(100, ring(10))], "vec_id bigint, embedding array<double>"
+    )
+    got = pq_query(q, store, k=3, query_key="vec_id").collect()
+    assert [r["n"] for r in sorted(got, key=lambda r: r["rank"])][0] == 10
+    # time travel: at v1 only even ids exist
+    at_v1 = pq_query(q, store, k=5, query_key="vec_id", version=1)
+    assert at_v1.filter("n % 2 = 1").count() == 0
+    # empty query batch -> typed empty frame
+    empty_q = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    assert pq_query(empty_q, store, query_key="vec_id").count() == 0
