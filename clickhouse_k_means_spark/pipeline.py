@@ -206,7 +206,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     an.add_argument("--key", default="vec_id", help="key column")
     an.add_argument("--vec", default="embedding", help="vector column")
+    an.add_argument(
+        "--kind", choices=["ivf", "pq"], default="ivf",
+        help="index family: IVF cells (compute-side) or PQ codes "
+        "(memory-side); stats/refit are IVF-only",
+    )
     an.add_argument("--nlist", type=int, default=16, help="quantizer cells")
+    an.add_argument("--m-sub", type=int, default=8, help="pq: subspaces")
+    an.add_argument("--n-codes", type=int, default=16, help="pq: codes/subspace")
+    an.add_argument("--rerank", type=int, default=None, help="pq: shortlist")
     an.add_argument("--k", type=int, default=10, help="query: top-k")
     an.add_argument("--nprobe", type=int, default=2, help="query: cells probed")
     an.add_argument(
@@ -274,12 +282,19 @@ def main(argv: list[str] | None = None) -> int:
             ivf_query,
             ivf_refit,
             ivf_stats,
+            pq_append,
+            pq_index,
+            pq_query,
         )
         from clickhouse_k_means_spark.sources.state import SnapshotStateStore
 
         store = SnapshotStateStore(args.state)
-        summary = {"cmd": "ann", "action": args.action,
+        summary = {"cmd": "ann", "action": args.action, "kind": args.kind,
                    "state": args.state, "table": args.table}
+        if args.kind == "pq" and args.action in ("stats", "refit"):
+            print(f"ann {args.action}: IVF-only (occupancy/refit are "
+                  "cell concepts)", file=sys.stderr)
+            return 2
         if args.action in ("build", "append", "query") and not args.input:
             print(f"ann {args.action}: --input required", file=sys.stderr)
             return 2
@@ -288,13 +303,20 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         if args.action == "build":
             vecs = spark.read.parquet(args.input)
-            v = ivf_index(vecs, store, table=args.table, nlist=args.nlist,
-                          seed=args.seed, key=args.key, vec=args.vec)
+            if args.kind == "pq":
+                v = pq_index(vecs, store, table=args.table,
+                             m_sub=args.m_sub, n_codes=args.n_codes,
+                             seed=args.seed, key=args.key, vec=args.vec)
+            else:
+                v = ivf_index(vecs, store, table=args.table,
+                              nlist=args.nlist, seed=args.seed,
+                              key=args.key, vec=args.vec)
             summary.update(version=int(v), rows_in=vecs.count())
         elif args.action == "append":
             vecs = spark.read.parquet(args.input)
-            v = ivf_append(vecs, store, table=args.table,
-                           key=args.key, vec=args.vec)
+            appender = pq_append if args.kind == "pq" else ivf_append
+            v = appender(vecs, store, table=args.table,
+                         key=args.key, vec=args.vec)
             summary.update(version=int(v), rows_in=vecs.count())
         elif args.action == "refit":
             v = ivf_refit(spark, store, table=args.table,
@@ -308,9 +330,14 @@ def main(argv: list[str] | None = None) -> int:
                            rows_out=spark.read.parquet(args.out).count())
         else:  # query
             q = spark.read.parquet(args.input)
-            res = ivf_query(q, store, table=args.table, k=args.k,
-                            nprobe=args.nprobe, query_key=args.key,
-                            vec=args.vec, version=args.version)
+            if args.kind == "pq":
+                res = pq_query(q, store, table=args.table, k=args.k,
+                               rerank=args.rerank, query_key=args.key,
+                               vec=args.vec, version=args.version)
+            else:
+                res = ivf_query(q, store, table=args.table, k=args.k,
+                                nprobe=args.nprobe, query_key=args.key,
+                                vec=args.vec, version=args.version)
             res.write.mode("overwrite").parquet(args.out)
             summary.update(out=args.out,
                            rows_out=spark.read.parquet(args.out).count())

@@ -679,3 +679,42 @@ def test_pipeline_cli_ann_lifecycle(tmp_path, capsys, spark):
     # missing required IO paths fail loudly
     assert pmain(["ann", "build", "--state", state]) == 2
     assert pmain(["ann", "stats", "--state", state]) == 2
+
+
+def test_pipeline_cli_ann_pq_kind(tmp_path, capsys, spark):
+    """ann --kind pq drives the persistent PQ index; stats/refit are
+    refused for pq (cell concepts)."""
+    import json as _json
+
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    vecs = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(1, 33)],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(vecs)
+    state = str(tmp_path / "state")
+
+    def run(argv):
+        assert pmain(argv) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    b = run(["ann", "build", "--kind", "pq", "--input", vecs,
+             "--state", state, "--m-sub", "2", "--n-codes", "8"])
+    assert b["kind"] == "pq" and b["version"] == 1
+    a = run(["ann", "append", "--kind", "pq", "--input", vecs,
+             "--state", state])
+    assert a["version"] == 2  # full re-ingest: key-idempotent commit
+    qin = str(tmp_path / "q")
+    spark.createDataFrame(
+        [(0, [16.1, 1.0, 0.0, 0.5])], "vec_id bigint, embedding array<double>"
+    ).write.parquet(qin)
+    out = str(tmp_path / "res")
+    q = run(["ann", "query", "--kind", "pq", "--input", qin,
+             "--state", state, "--out", out, "--k", "3"])
+    assert q["rows_out"] == 3
+    got = sorted(r["n"] for r in spark.read.parquet(out).collect())
+    assert 16 in got
+    assert pmain(["ann", "stats", "--kind", "pq", "--state", state,
+                  "--out", out]) == 2
+    assert pmain(["ann", "refit", "--kind", "pq", "--state", state]) == 2
