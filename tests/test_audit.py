@@ -183,6 +183,9 @@ _SCALAR_BNLJ_OK = {
     # same recall-gate pattern (r10): brute side is the 3-query drift
     # probe set; the gated path is the refit index's cell probe
     "ivf_maintenance",
+    # same recall-gate pattern (r10): brute side is the 5-query set;
+    # the gated path is the committed-code ADC scan + shortlist rerank
+    "pq_index_query",
 }
 
 # Documented SinglePartition funnels: cumulative_uniques runs its
