@@ -100,6 +100,12 @@ def test_tfidf_does_not_broadcast_vocabulary(spark, sf_dir):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                # a conf with NO default (adaptive.autoBroadcast...)
+                # must be UNSET, not skipped — leaving "-1" leaked
+                # into every later test in the shared session (the
+                # r10 q9a plan-pin flake)
+                spark.conf.unset(k)
 
 
 def test_tpch_q1_single_exchange_partial_agg(spark, sf_dir):
@@ -230,13 +236,17 @@ def test_r10_tpch_plans_push_filters_and_broadcast(spark, sf_dir):
     from clickhouse_k_means_spark.plans.audit import audit_plan
 
     q9 = audit_plan(entry.q_tpch_q9a(spark, sf_dir))
-    assert q9["n_shuffles"] == 1 and not q9["has_cartesian"], q9
+    # the three HINTED dims always broadcast; the un-hinted orders
+    # fact join may plan broadcast (tiny fixture) or SMJ (the correct
+    # big-fact shape) — so the shuffle budget is agg-only (1) up to
+    # SMJ-both-sides + agg (3), never more
+    assert 1 <= q9["n_shuffles"] <= 3 and not q9["has_cartesian"], q9
     assert q9["n_broadcasts"] >= 3, q9
     pushed9 = " ".join(q9["pushed_filters"])
     assert "StringContains(p_name,red)" in pushed9, pushed9
 
     q11 = audit_plan(entry.q_tpch_q11a(spark, sf_dir))
-    assert q11["n_shuffles"] == 1 and not q11["has_cartesian"], q11
+    assert 1 <= q11["n_shuffles"] <= 3 and not q11["has_cartesian"], q11
     assert "EqualTo(n_name,NATION_3)" in " ".join(q11["pushed_filters"])
 
     q20 = audit_plan(entry.q_tpch_q20a(spark, sf_dir))
