@@ -166,6 +166,13 @@ def test_driver_window_pins_r10_rotation():
     assert keys[12] == "bloom_join"
     assert keys[49] == "token_counts"
     assert all(k in ORACLES for k in window)
+    # the SEVEN r10 additions sit at position 50+ so they first-gate
+    # at the front of the r11 window (each pre-verified green via
+    # scripts/gate_emulator.py at the driver's exact sf0.01 protocol)
+    assert keys[50:57] == [
+        "tpch_q9a", "tpch_q11a", "tpch_q20a", "ivf_maintenance",
+        "stream_ann_ingest", "hybrid_retrieval", "pq_index_query",
+    ]
     # the gated r9-window cohort sits at the BACK of the rotation
     assert keys[-44] == "moving_avg" and keys[-1] == "tpch_q16"
     # the cadence must close: ceil(rotating / slots) rounds per full
