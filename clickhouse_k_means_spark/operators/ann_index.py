@@ -306,6 +306,38 @@ def ivf_stats(
     )
 
 
+def ivf_skew_factor(
+    spark: SparkSession,
+    store,
+    table: str = "ivf_index",
+    version: int | None = None,
+) -> float:
+    """The occupancy skew factor: the multiple of the fair share the
+    hottest cell holds (``max(occupancy_ppm) * nlist / 1e6`` — 1.0 is
+    perfectly balanced). One nlist-row collect over ``ivf_stats``."""
+    rows = ivf_stats(spark, store, table, version).collect()
+    if not rows:
+        raise ValueError(f"ivf index {table!r} has no cells")
+    return max(int(r["occupancy_ppm"]) for r in rows) * len(rows) / 1e6
+
+
+def ivf_refit_due(
+    spark: SparkSession,
+    store,
+    table: str = "ivf_index",
+    threshold: float = 4.0,
+    version: int | None = None,
+) -> bool:
+    """The maintenance advisor: True when the skew factor exceeds
+    ``threshold`` (default 4 — past that the hottest cell costs 4x a
+    fair probe and the IVF probe-cost argument is gone; see
+    ``ivf_stats``). The scheduled-job form of the ``ivf_stats`` →
+    ``ivf_refit`` loop: ``if ivf_refit_due(...): ivf_refit(...)``."""
+    if threshold <= 1.0:
+        raise ValueError(f"threshold must exceed 1.0: {threshold}")
+    return ivf_skew_factor(spark, store, table, version) > threshold
+
+
 def ivf_refit(
     spark: SparkSession,
     store,

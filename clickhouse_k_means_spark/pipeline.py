@@ -323,11 +323,21 @@ def main(argv: list[str] | None = None) -> int:
                           nlist=args.nlist, seed=args.seed)
             summary.update(version=int(v))
         elif args.action == "stats":
+            from clickhouse_k_means_spark.operators.ann_index import (
+                ivf_skew_factor,
+            )
+
             rep = ivf_stats(spark, store, table=args.table,
                             version=args.version)
             rep.write.mode("overwrite").parquet(args.out)
-            summary.update(out=args.out,
-                           rows_out=spark.read.parquet(args.out).count())
+            summary.update(
+                out=args.out,
+                rows_out=spark.read.parquet(args.out).count(),
+                skew_factor=round(
+                    ivf_skew_factor(spark, store, table=args.table,
+                                    version=args.version), 3
+                ),
+            )
         else:  # query
             q = spark.read.parquet(args.input)
             if args.kind == "pq":

@@ -2928,3 +2928,38 @@ def test_pq_index_build_append_query_time_travel(spark, tmp_path):
         [], "vec_id bigint, embedding array<double>"
     )
     assert pq_query(empty_q, store, query_key="vec_id").count() == 0
+
+
+def test_ivf_refit_due_advisor(spark, tmp_path):
+    """ivf_refit_due closes the maintenance loop mechanically: balanced
+    index -> False; after the drift pile-up -> True; after refit ->
+    False again (the if-due-then-refit scheduled-job form)."""
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivf_append,
+        ivf_index,
+        ivf_refit,
+        ivf_refit_due,
+        ivf_skew_factor,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "adv"))
+    grid = spark.createDataFrame(
+        [(i, [10.0 + (i % 8) * 0.1, (i // 8) * 0.1]) for i in range(64)],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivf_index(grid, store, nlist=4, seed=42)
+    assert not ivf_refit_due(spark, store, threshold=4.0)
+    # drifted pile-up: 3x the corpus lands far away (few cells)
+    drift = spark.createDataFrame(
+        [(100 + i, [0.0, 100.0 + (i % 3) * 0.01]) for i in range(192)],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivf_append(drift, store)
+    skew_drifted = ivf_skew_factor(spark, store)
+    assert skew_drifted > 2.0, skew_drifted
+    assert ivf_refit_due(spark, store, threshold=2.0)
+    ivf_refit(spark, store, nlist=4, seed=42)
+    assert ivf_skew_factor(spark, store) < skew_drifted
+    with pytest.raises(ValueError, match="threshold"):
+        ivf_refit_due(spark, store, threshold=1.0)
