@@ -289,6 +289,23 @@ def main() -> None:
         _noop(ivf_query(emb.filter("vec_id < 5"), store, k=10, nprobe=8,
                         query_key="vec_id"))
 
+    def q_hybrid_retrieval():
+        # r10: BM25 + coverage + RRF — two vocabulary-filtered corpus
+        # tokenize passes and rank-bounded fusion; expect ~linear-in-
+        # docs wall dominated by the tokenize scans
+        from clickhouse_k_means_spark.operators.retrieval import (
+            bm25_topk,
+            coverage_topk,
+            rrf_fuse,
+        )
+
+        queries = {1: ["spark", "window", "agg"], 2: ["dup", "merge"],
+                   3: ["vector", "hash", "join", "scan"]}
+        docs = load_table(spark, sf_dir, "documents")
+        bm = bm25_topk(docs, queries, top_n=10)
+        cov = coverage_topk(docs, queries, top_n=10)
+        _noop(rrf_fuse([bm, cov], k_const=60, top_n=10))
+
     sets = {
         "r7": [
             ("semdedup", q_semdedup),
@@ -296,6 +313,7 @@ def main() -> None:
         ],
         "r10": [
             ("ivf_maintenance", q_ivf_maintenance),
+            ("hybrid_retrieval", q_hybrid_retrieval),
         ],
         "r9": [
             ("cdc_dedup", q_cdc_dedup),
