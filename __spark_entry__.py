@@ -4470,17 +4470,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     round — CORRECTNESS_r08 was 50/50 green).
     #   * new queries are INSERTED into the next round's slice so they
     #     first-gate one round after they land.
-    # r10 window (this round) = 6 fixed + the next 44 rotation slots,
-    # exactly as the r9 comment scheduled (VERDICT r9 item 1 — "hold
-    # the rotation"): the six r9 additions take their FIRST driver
-    # rows at the FRONT of the window (cdc_dedup, knn_join_partitioned,
-    # ivf_index_query, cdc_dedup_incremental, tpch_q21a,
-    # training_order — judge pre-verified green via
+    # r11 window (this round) = 6 fixed + the next 44 rotation slots,
+    # exactly as the r10 comment scheduled (VERDICT r10 item 1 — "hold
+    # the rotation"): the seven r10 additions take their FIRST driver
+    # rows at the FRONT of the window (tpch_q9a, tpch_q11a, tpch_q20a,
+    # ivf_maintenance, stream_ann_ingest, hybrid_retrieval,
+    # pq_index_query — judge pre-verified green via
     # scripts/gate_emulator.py), then the pointer's natural
-    # continuation (bloom_join .. token_counts, 38 slots). The gated
-    # r9-window cohort (moving_avg .. tpch_q16) rotates to the BACK.
-    # New r10 queries sit at position 50+ and first-gate at the front
-    # of the r11 window.
+    # continuation (doc_fingerprint .. locf_fill, 37 slots). The gated
+    # r10-window cohort (cdc_dedup .. token_counts) rotates to the
+    # BACK. New r11 queries sit at position 50+ and first-gate at the
+    # front of the r12 window.
     # The rotation pin test (tests/test_oracle_parity.py) asserts all
     # of this.
     return {
@@ -4490,56 +4490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeanspp_pick": q_kmeanspp_pick,
         "elbow_total": q_elbow_total,
         "kmeans_fit_history": q_kmeans_fit_history,
-        # --- r10 window rotation slots (44): the six r9 additions
-        # taking their FIRST driver rows (VERDICT r9 item 1 — judge
+        # --- r11 window rotation slots (44): the seven r10 additions
+        # taking their FIRST driver rows (VERDICT r10 item 1 — judge
         # pre-verified green via scripts/gate_emulator.py), then the
         # pointer's natural continuation ---
-        "cdc_dedup": q_cdc_dedup,
-        "knn_join_partitioned": q_knn_join_partitioned,
-        "ivf_index_query": q_ivf_index_query,
-        "cdc_dedup_incremental": q_cdc_dedup_incremental,
-        "tpch_q21a": q_tpch_q21a,
-        "training_order": q_training_order,
-        "bloom_join": q_bloom_join,
-        "profile": q_profile,
-        "scd2": q_scd2,
-        "cumulative_uniques": q_cumulative_uniques,
-        "stream_enrich": q_stream_enrich,
-        "skew_report": q_skew_report,
-        "domain_cap": q_domain_cap,
-        "ssjoin": q_ssjoin,
-        "resume_fit": q_resume_fit,
-        "corr": q_corr,
-        "winsorize": q_winsorize,
-        "snapshot_diff": q_snapshot_diff,
-        "scd2_lookup": q_scd2_lookup,
-        "streaming_windows": q_streaming_windows,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
-        "zorder_roundtrip": q_zorder_roundtrip,
-        "salted_join": q_salted_join,
-        "geo_distance": q_geo_distance,
-        "histogram_numeric": q_histogram_numeric,
-        "session_window": q_session_window,
-        "tpch_q3": q_tpch_q3,
-        "limit_by_latest": q_limit_by_latest,
-        "silhouette_sums": q_silhouette_sums,
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
-        "tpch_q5": q_tpch_q5,
-        "ann_topk": q_ann_topk,
-        "tpch_q1": q_tpch_q1,
-        "dedup_components": q_dedup_components,
-        "srp_ann": q_srp_ann,
-        "ivf_ann": q_ivf_ann,
-        "kmeans_fit_best": q_kmeans_fit_best,
-        "mllib_kmeans": q_mllib_kmeans,
-        "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
-        "token_counts": q_token_counts,
-        # --- r10 additions (position 50+): first-gate at the FRONT
-        # of the r11 window ---
         "tpch_q9a": q_tpch_q9a,
         "tpch_q11a": q_tpch_q11a,
         "tpch_q20a": q_tpch_q20a,
@@ -4547,7 +4501,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ann_ingest": q_stream_ann_ingest,
         "hybrid_retrieval": q_hybrid_retrieval,
         "pq_index_query": q_pq_index_query,
-        # --- rotating list R continues (r11 window body onward) ---
         "doc_fingerprint": q_doc_fingerprint,
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
@@ -4585,6 +4538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_json": q_variant_json,
         "ngram_sim": q_ngram_sim,
         "locf_fill": q_locf_fill,
+        # --- r11 additions (position 50+): first-gate at the FRONT
+        # of the r12 window ---
+        # (inserted here as they land this round)
         # --- R wrap: the r7 red queue-jumpers (re-gated green r8) and
         # the whole r8 window cohort — re-gate when the circular
         # pointer comes back around ---
@@ -4679,6 +4635,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest": q_stream_ingest,
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
+        # --- r10-window cohort (all gated green in CORRECTNESS_r10) —
+        # rotated to the back; re-gate when the circular pointer comes
+        # back around ---
+        "cdc_dedup": q_cdc_dedup,
+        "knn_join_partitioned": q_knn_join_partitioned,
+        "ivf_index_query": q_ivf_index_query,
+        "cdc_dedup_incremental": q_cdc_dedup_incremental,
+        "tpch_q21a": q_tpch_q21a,
+        "training_order": q_training_order,
+        "bloom_join": q_bloom_join,
+        "profile": q_profile,
+        "scd2": q_scd2,
+        "cumulative_uniques": q_cumulative_uniques,
+        "stream_enrich": q_stream_enrich,
+        "skew_report": q_skew_report,
+        "domain_cap": q_domain_cap,
+        "ssjoin": q_ssjoin,
+        "resume_fit": q_resume_fit,
+        "corr": q_corr,
+        "winsorize": q_winsorize,
+        "snapshot_diff": q_snapshot_diff,
+        "scd2_lookup": q_scd2_lookup,
+        "streaming_windows": q_streaming_windows,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "zorder_roundtrip": q_zorder_roundtrip,
+        "salted_join": q_salted_join,
+        "geo_distance": q_geo_distance,
+        "histogram_numeric": q_histogram_numeric,
+        "session_window": q_session_window,
+        "tpch_q3": q_tpch_q3,
+        "limit_by_latest": q_limit_by_latest,
+        "silhouette_sums": q_silhouette_sums,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "tpch_q5": q_tpch_q5,
+        "ann_topk": q_ann_topk,
+        "tpch_q1": q_tpch_q1,
+        "dedup_components": q_dedup_components,
+        "srp_ann": q_srp_ann,
+        "ivf_ann": q_ivf_ann,
+        "kmeans_fit_best": q_kmeans_fit_best,
+        "mllib_kmeans": q_mllib_kmeans,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
     }
 
 

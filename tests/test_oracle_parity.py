@@ -138,17 +138,17 @@ def test_entry_smoke(spark):
     assert {f.name for f in df.schema} == {"j", "n", "avg_dist"}
 
 
-def test_driver_window_pins_r10_rotation():
+def test_driver_window_pins_r11_rotation():
     """Rotation contract (VERDICT r5 item 2): the driver records rows
-    for the FIRST 50 registry entries only. r10 window = 6-query fixed
-    head + the next 44 rotation slots exactly as the r9 comment
-    scheduled (VERDICT r9 item 1 — "hold the rotation"): the six r9
-    additions taking their FIRST driver rows (cdc_dedup,
-    knn_join_partitioned, ivf_index_query, cdc_dedup_incremental,
-    tpch_q21a, training_order), then the pointer's continuation
-    through token_counts. New r10 queries sit at position 50+ so they
-    first-gate at the front of the r11 window; the gated r9-window
-    cohort (moving_avg .. tpch_q16) rotated to the back."""
+    for the FIRST 50 registry entries only. r11 window = 6-query fixed
+    head + the next 44 rotation slots exactly as the r10 comment
+    scheduled (VERDICT r10 item 1 — "hold the rotation"): the seven
+    r10 additions taking their FIRST driver rows (tpch_q9a, tpch_q11a,
+    tpch_q20a, ivf_maintenance, stream_ann_ingest, hybrid_retrieval,
+    pq_index_query), then the pointer's continuation through
+    locf_fill. New r11 queries sit at position 50+ so they first-gate
+    at the front of the r12 window; the gated r10-window cohort
+    (cdc_dedup .. token_counts) rotated to the back."""
     keys = list(QUERIES)
     window = keys[:50]
     head = {
@@ -156,32 +156,31 @@ def test_driver_window_pins_r10_rotation():
         "elbow_total", "kmeans_fit_history",
     }
     assert head <= set(window), sorted(head - set(window))
-    # VERDICT r9 item 1: the six r9 additions open the rotation part
-    # of the window, in the scheduled order
-    assert keys[6:12] == [
-        "cdc_dedup", "knn_join_partitioned", "ivf_index_query",
-        "cdc_dedup_incremental", "tpch_q21a", "training_order",
-    ]
-    # the pointer's natural continuation fills the rest of the window
-    assert keys[12] == "bloom_join"
-    assert keys[49] == "token_counts"
-    assert all(k in ORACLES for k in window)
-    # the SEVEN r10 additions sit at position 50+ so they first-gate
-    # at the front of the r11 window (each pre-verified green via
-    # scripts/gate_emulator.py at the driver's exact sf0.01 protocol)
-    assert keys[50:57] == [
+    # VERDICT r10 item 1: the seven r10 additions open the rotation
+    # part of the window, in the scheduled order
+    assert keys[6:13] == [
         "tpch_q9a", "tpch_q11a", "tpch_q20a", "ivf_maintenance",
         "stream_ann_ingest", "hybrid_retrieval", "pq_index_query",
     ]
-    # the gated r9-window cohort sits at the BACK of the rotation
-    assert keys[-44] == "moving_avg" and keys[-1] == "tpch_q16"
+    # the pointer's natural continuation fills the rest of the window
+    assert keys[13] == "doc_fingerprint"
+    assert keys[49] == "locf_fill"
+    assert all(k in ORACLES for k in window)
+    # the gated r10-window cohort sits at the BACK of the rotation
+    assert keys[-44] == "cdc_dedup" and keys[-1] == "token_counts"
     # the cadence must close: ceil(rotating / slots) rounds per full
     # sweep, with slots = 50 - len(fixed head). The registry comment
     # documents the CURRENT ceil — keep them in sync (VERDICT r5
     # item 2: never promise a cadence the arithmetic can't meet).
+    # VERDICT r10 item 6: the r11 additions push ceil(rotating/slots)
+    # from the exactly-saturated 4 (176/44) to 5 — the honest cadence
+    # is now 5 rounds per full driver sweep; between driver rows every
+    # entry is still certified EVERY round by this module's
+    # registry-wide oracle-parity sweep (the identical three-way
+    # rows/schema/hash comparison).
     rotating = len(keys) - len(head)
     slots = 50 - len(head)
-    assert -(-rotating // slots) <= 4
+    assert -(-rotating // slots) <= 5
 
 
 def test_uncast_hugeint_oracle_column_fails_dtype_gate():
