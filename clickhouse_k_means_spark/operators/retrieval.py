@@ -292,9 +292,21 @@ def rrf_fuse(
     ``(query_id, rank, doc_id, rrf_ppb, n_lists)`` with ``n_lists``
     the number of input rankings that contained the pair.
 
+    Input contract, ENFORCED in-plan (ADVICE r10 — both hazards were
+    silent): every rank must be non-null and >= 1 (a NULL or
+    non-positive rank — notably ``rank == -k_const``, a division by
+    zero under non-ANSI confs — yielded a NULL contribution silently
+    dropped from the sum), and each ranking must contain a
+    (query, doc) pair at most once (a within-list duplicate
+    double-counted the contribution and inflated ``n_lists``). Either
+    violation raises at execution rather than mis-ranking.
+
     Scale shape: one union of rank-truncated inputs (each already
     top-n-sized per query), one partial-combined aggregation, top-n
-    via WindowGroupLimit — no join between the rankings.
+    via WindowGroupLimit — no join between the rankings. The
+    validation is a row-local ``when``/``raise_error`` plus one
+    count-distinct inside the existing aggregation — no extra job,
+    no extra shuffle.
     """
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
@@ -302,22 +314,63 @@ def rrf_fuse(
         raise ValueError(
             f"rrf_fuse: k_const/top_n must be >= 1: {k_const}/{top_n}"
         )
+    # rank handled as a Column (never interpolated into SQL text —
+    # ADVICE r10: a name needing backticks failed to parse), validated
+    # row-locally, then the exact bigint floor-div on the validated
+    # value; k_const is a checked int literal
+    checked_rank = (
+        F.when(
+            F.col(rank).isNull() | (F.col(rank) < 1),
+            F.raise_error(
+                F.lit(
+                    "rrf_fuse: rank must be non-null and >= 1 "
+                    f"(column {rank!r})"
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.col(rank).cast("bigint"))
+    )
     parts = [
         r.select(
             F.col(query).alias("query_id"),
             F.col(key).alias("doc_id"),
-            F.expr(f"(1000000000 div ({k_const} + {rank}))")
+            F.lit(i).alias("__list"),
+            checked_rank.alias("__rank"),
+        ).select(
+            "query_id",
+            "doc_id",
+            "__list",
+            F.expr(f"(1000000000 div ({k_const} + __rank))")
             .cast("bigint")
             .alias("contrib_ppb"),
         )
-        for r in rankings
+        for i, r in enumerate(rankings)
     ]
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
+    # per-list (query, doc) uniqueness rides the existing aggregation:
+    # if any list repeated a pair, rows-per-pair exceeds distinct
+    # lists-per-pair — fail loudly instead of double-counting
     fused = unioned.groupBy("query_id", "doc_id").agg(
         F.sum("contrib_ppb").cast("bigint").alias("rrf_ppb"),
-        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_rows"),
+        F.count_distinct("__list").cast("bigint").alias("__n_lists"),
+    ).select(
+        "query_id",
+        "doc_id",
+        "rrf_ppb",
+        F.when(
+            F.col("__n_rows") != F.col("__n_lists"),
+            F.raise_error(
+                F.lit(
+                    "rrf_fuse: a ranking contains a (query, doc) pair "
+                    "more than once — contributions would double-count"
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.col("__n_lists"))
+        .alias("n_lists"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("rrf_ppb").desc(), F.col("doc_id")

@@ -550,10 +550,12 @@ def _auto_n_cells(n: int, probe_cells: int = 2, per_bucket: int = 32) -> int:
     k-means skew on clustered data — stay inside the adaptive range
     instead of going quadratic. ``n_cells = ceil(n * probe_cells /
     target)``, clamped to [probe_cells, 1024]: the lower clamp keeps
-    multi-probe legal on small corpora; the upper clamp is the
-    2048-row quantizer sample's resolution limit (``numpy_kmeans``
-    caps k at the sample size — cells the sample cannot resolve are
-    noise, not partitioning). At the caps this covers ~67M points at
+    multi-probe legal on small corpora; the upper clamp bounds the
+    DRIVER-SIDE quantizer fit cost (``quantizer_sample_n`` scales the
+    sample at 8 rows/centroid past 256 cells — 8192 rows at the
+    clamp — so a higher cell count means a bigger driver collect +
+    numpy fit, and the 16-bit adaptive-mask capacity above already
+    absorbs occupancy past the clamp). At the caps this covers ~67M points at
     ``probe_cells=2``; past that, raise the sample and re-fit — the
     log-scale re-fit move the ``knn_join_partitioned`` docstring
     names (``ivf_refit`` is the persisted-index form of it)."""

@@ -211,7 +211,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="index family: IVF cells (compute-side) or PQ codes "
         "(memory-side); stats/refit are IVF-only",
     )
-    an.add_argument("--nlist", type=int, default=16, help="quantizer cells")
+    an.add_argument(
+        "--nlist", type=int, default=None,
+        help="quantizer cells (build default 16; refit default inherits "
+        "the committed index's cell count — pass explicitly to resize)",
+    )
     an.add_argument("--m-sub", type=int, default=8, help="pq: subspaces")
     an.add_argument("--n-codes", type=int, default=16, help="pq: codes/subspace")
     an.add_argument("--rerank", type=int, default=None, help="pq: shortlist")
@@ -309,7 +313,7 @@ def main(argv: list[str] | None = None) -> int:
                              seed=args.seed, key=args.key, vec=args.vec)
             else:
                 v = ivf_index(vecs, store, table=args.table,
-                              nlist=args.nlist, seed=args.seed,
+                              nlist=args.nlist or 16, seed=args.seed,
                               key=args.key, vec=args.vec)
             summary.update(version=int(v), rows_in=vecs.count())
         elif args.action == "append":

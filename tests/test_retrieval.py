@@ -221,3 +221,78 @@ def test_rrf_fuse_hand_computed(spark):
         rrf_fuse([])
     with _pytest.raises(ValueError, match="k_const"):
         rrf_fuse([a], k_const=0)
+
+def test_rrf_fuse_rejects_bad_ranks_and_duplicate_pairs(spark):
+    """ADVICE r10: a NULL or <1 rank used to yield a NULL contribution
+    silently dropped from the sum (rank == -k_const even divided by
+    zero under non-ANSI confs), and a within-list duplicate
+    (query, doc) pair double-counted and inflated n_lists. Both now
+    raise at execution. Also: an awkward rank column name (needs
+    backticks) must work — the contribution is built from Column
+    expressions, never interpolated into SQL text."""
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from clickhouse_k_means_spark.operators.retrieval import rrf_fuse
+
+    good = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20)],
+        "query_id bigint, rank bigint, doc_id bigint",
+    )
+    null_rank = spark.createDataFrame(
+        [(1, None, 10)], "query_id bigint, rank bigint, doc_id bigint"
+    )
+    with _pytest.raises(Exception, match="non-null and >= 1"):
+        rrf_fuse([good, null_rank]).collect()
+    neg_rank = spark.createDataFrame(
+        [(1, -60, 10)], "query_id bigint, rank bigint, doc_id bigint"
+    )
+    with _pytest.raises(Exception, match="non-null and >= 1"):
+        rrf_fuse([neg_rank]).collect()
+    dup_pair = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 10)],
+        "query_id bigint, rank bigint, doc_id bigint",
+    )
+    with _pytest.raises(Exception, match="more than once"):
+        rrf_fuse([dup_pair]).collect()
+    # the same pair across DIFFERENT lists stays legal (that's fusion)
+    rows = {
+        r["doc_id"]: r for r in rrf_fuse([good, good], top_n=5).collect()
+    }
+    assert rows[10]["n_lists"] == 2
+    # awkward column name: spaces force backticks in raw SQL
+    awkward = spark.createDataFrame(
+        [(1, 1, 10)], "query_id bigint, `the rank` bigint, doc_id bigint"
+    )
+    out = rrf_fuse([awkward], rank="the rank").collect()
+    assert out[0]["rrf_ppb"] == 1_000_000_000 // 61
+
+
+def test_ivf_refit_inherits_committed_nlist(spark, tmp_path):
+    """ADVICE r10 (medium): the advertised maintenance loop
+    ``if ivf_refit_due(...): ivf_refit(...)`` must not silently
+    resize — default nlist=None inherits the committed quantizer's
+    cell count."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        _committed_centroids,
+        ivf_index,
+        ivf_refit,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "state"))
+    vecs = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 8).cast("double"),
+            (F.col("id") % 5).cast("double"),
+        ).alias("embedding"),
+    )
+    ivf_index(vecs, store, nlist=6, seed=7)
+    assert len(_committed_centroids(spark, store, "ivf_index", None)) == 6
+    ivf_refit(spark, store)  # no nlist: must inherit 6, not default 16
+    assert len(_committed_centroids(spark, store, "ivf_index", None)) == 6
+    ivf_refit(spark, store, nlist=3)  # explicit resize still works
+    assert len(_committed_centroids(spark, store, "ivf_index", None)) == 3
