@@ -199,19 +199,63 @@ def encode_pairs(timings: dict[str, float]) -> str:
     return "BP|" + ";".join(parts) + f"|v={table_version()}"
 
 
-def decode_pairs(line: str) -> dict[str, float]:
+# Names ADDED to NAMES each round, NEWEST FIRST — the cross-round
+# contention signal (VERDICT r10 item 2) must decode LAST round's
+# artifact, whose BP line was encoded before this round's additions
+# re-coded the positional table. Each entry reconstructs one more
+# previous era by removal; table_version() over the reconstructed
+# list must match that artifact's |v= marker or decoding refuses.
+# APPEND-DISCIPLINE: when new queries land in NAMES, prepend their
+# list here in the same commit (pinned by tests/test_bench_codes.py).
+ROUND_ADDITIONS: list[list[str]] = [
+    # r10 additions (BENCH_r10 marker 9156 -> r9-era marker 872f)
+    [
+        "hybrid_retrieval", "ivf_maintenance", "pq_index_query",
+        "stream_ann_ingest", "tpch_q11a", "tpch_q20a", "tpch_q9a",
+    ],
+]
+
+
+def era_code_tables() -> list[tuple[str, dict[str, str]]]:
+    """(version, code->name) for the CURRENT table and each
+    reconstructable previous era (one per ROUND_ADDITIONS entry,
+    newest first)."""
+    import zlib as _z
+
+    out = [(table_version(), CODE_TO_NAME)]
+    names = list(NAMES)
+    for added in ROUND_ADDITIONS:
+        names = [n for n in names if n not in set(added)]
+        ver = f"{_z.crc32(','.join(names).encode()) & 0xffff:04x}"
+        out.append((ver, {_b36(i): n for i, n in enumerate(names)}))
+    return out
+
+
+def decode_pairs(line: str, any_era: bool = False) -> dict[str, float]:
     """Inverse of encode_pairs; tolerates a truncated HEAD (the tail
     window may cut the first pairs off) by skipping fragments that do
-    not split cleanly."""
+    not split cleanly. ``any_era=True`` additionally accepts lines
+    whose version marker matches a RECONSTRUCTED previous-era table
+    (``era_code_tables``) — the cross-round contention signal decodes
+    last round's artifact with last round's positional codes."""
     out: dict[str, float] = {}
     body = line.split("BP|", 1)[-1].strip()
+    table = CODE_TO_NAME
     if "|v=" in body:
         body, _, ver = body.rpartition("|v=")
         if ver != table_version():
-            # foreign code table: positional codes would mis-attribute
-            # timings to the wrong queries — refuse; bench_diff falls
-            # back to regex-mining names from the bench_queries line
-            return {}
+            table = None
+            if any_era:
+                for ever, etable in era_code_tables():
+                    if ver == ever:
+                        table = etable
+                        break
+            if table is None:
+                # foreign code table: positional codes would
+                # mis-attribute timings to the wrong queries — refuse;
+                # bench_diff falls back to regex-mining names from the
+                # bench_queries line
+                return {}
     # no version marker: a pre-r8 artifact (or a line whose end was
     # lost, which the driver tail never does) — decoded best-effort
     # under the caller's anchor filter, the pre-marker behavior
@@ -223,5 +267,5 @@ def decode_pairs(line: str) -> dict[str, float]:
             sec = float(val)
         except ValueError:
             continue
-        out[CODE_TO_NAME.get(key, key)] = sec
+        out[table.get(key, key)] = sec
     return out

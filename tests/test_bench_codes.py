@@ -151,3 +151,109 @@ def test_bp_version_marker_guards_against_table_drift():
     # 2000-char tail) still verifies and decodes via the trailing v=
     cut = line.split(";", 1)[1]
     assert decode_pairs(cut) == {"bm25_topk": 2.06}
+
+
+def test_era_tables_decode_previous_round_artifact():
+    """VERDICT r10 item 2 prerequisite: the BP line of the PREVIOUS
+    round's artifact (encoded under that round's positional table)
+    must decode with any_era=True — era tables are reconstructed from
+    ROUND_ADDITIONS. Uses the real committed artifacts."""
+    import json
+
+    from scripts.bench_codes import decode_pairs, era_code_tables
+
+    tables = era_code_tables()
+    assert len(tables) >= 2  # current + at least one previous era
+    # the r9-era artifact carries marker 872f; its BP line refuses the
+    # strict decode but opens under any_era
+    tail = json.load(open(Path(REPO_ROOT) / "BENCH_r09.json"))["tail"]
+    bp = [ln for ln in tail.splitlines() if "BP|" in ln or "|v=" in ln]
+    assert bp
+    assert decode_pairs(bp[-1]) == {}
+    pairs = decode_pairs(bp[-1], any_era=True)
+    assert len(pairs) > 100
+    assert "kmeans_fit" in pairs
+    # a marker matching NO era still refuses, even under any_era
+    foreign = bp[-1].rsplit("|v=", 1)[0] + "|v=dead"
+    assert decode_pairs(foreign, any_era=True) == {}
+    # the r10 artifact must stay decodable too — when NAMES gains new
+    # queries, the same commit must prepend them to ROUND_ADDITIONS
+    # (the append-discipline comment) or this line goes dark
+    tail10 = json.load(open(Path(REPO_ROOT) / "BENCH_r10.json"))["tail"]
+    bp10 = [ln for ln in tail10.splitlines() if "BP|" in ln or "|v=" in ln]
+    pairs10 = decode_pairs(bp10[-1], any_era=True)
+    assert len(pairs10) > 100 and "kmeans_fit" in pairs10
+
+
+def test_cross_round_signal_trips_on_actual_r10_artifact():
+    """VERDICT r10 item 2 'Done =' probe, on the REAL data: the
+    official BENCH_r10 was uniformly ~1.26x the r9 artifact (92% of
+    common queries inflated) yet the anchor-based signal shipped
+    contended:false because same-era re-anchored rows diluted
+    frac_inflated. The new era-immune cross-round signal must trip on
+    exactly that ratio vector."""
+    import json
+    import shutil
+
+    import bench
+    from scripts.bench_codes import decode_pairs
+
+    def artifact_pairs(name):
+        tail = json.load(open(Path(REPO_ROOT) / name))["tail"]
+        for ln in tail.splitlines():
+            if "BP|" in ln or "|v=" in ln:
+                got = decode_pairs(ln, any_era=True)
+                if got:
+                    return got
+        raise AssertionError(f"no BP line decoded from {name}")
+
+    r10 = artifact_pairs("BENCH_r10.json")
+    r09 = artifact_pairs("BENCH_r09.json")
+    med, flag = bench.contention_stats(r10, r09)
+    assert flag, (med, "the r10-vs-r9 uniform inflation must trip")
+    assert med and med > 1.2
+    # end-to-end through the artifact loader: a dir holding only the
+    # r9 artifact as "previous round" + the r10 pairs as "this run"
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        shutil.copy(Path(REPO_ROOT) / "BENCH_r09.json", f"{d}/BENCH_r09.json")
+        prev = bench.previous_artifact_pairs(d)
+        assert len(prev) > 100
+        xmed, xflag = bench.cross_round_stats(r10, d)
+        assert xflag and xmed and xmed > 1.2
+        # empty dir -> no signal, never a crash
+        with tempfile.TemporaryDirectory() as e:
+            assert bench.cross_round_stats(r10, e) == (None, False)
+
+
+def test_anchor_dilution_fixed_on_actual_r10_vector():
+    """VERDICT r10 item 2 'Done =' probe #2: the anchor-based signal
+    itself, fed the ACTUAL r10-vs-anchors ratio vector, must now trip
+    once same-host-era re-anchored rows are excluded from the
+    uniformity fraction — the exact dilution that shipped the
+    uniformly inflated official BENCH_r10 as contended:false."""
+    import json
+
+    import bench
+    from scripts.bench_codes import decode_pairs
+    from scripts.bench_diff import load_anchors
+
+    tail = json.load(open(Path(REPO_ROOT) / "BENCH_r10.json"))["tail"]
+    bp = [ln for ln in tail.splitlines() if "BP|" in ln][-1]
+    r10 = decode_pairs(bp, any_era=True)
+    anchors = load_anchors(str(Path(REPO_ROOT) / "BASELINE.md"))
+    # undiluted (the r10 behavior): median over the bar, flag FALSE
+    med0, flag0 = bench.contention_stats(r10, anchors)
+    assert med0 and med0 > 1.2 and not flag0, (med0, flag0)
+    # with the era exclusion the r11+ summary actually computes
+    excl = bench.recently_rebased_anchors(str(Path(REPO_ROOT)))
+    assert "asof_join" in excl and "kmeans_fit" in excl
+    med1, flag1 = bench.contention_stats(r10, anchors, frac_exclude=excl)
+    assert flag1 and med1 == med0, (med1, flag1)
+    # exclusion never goes vacuous: excluding everything falls back to
+    # the full pool rather than judging uniformity over nothing
+    med2, flag2 = bench.contention_stats(
+        r10, anchors, frac_exclude=set(r10)
+    )
+    assert (med2, flag2) == (med0, flag0)
