@@ -426,6 +426,12 @@ def main() -> None:
         ("hybrid_retrieval", entry.q_hybrid_retrieval, 2),
         # r10 addition: persistent PQ index build+append+ADC probe
         ("pq_index_query", entry.q_pq_index_query, 2),
+        # r11 addition: PQ drift -> qerr stats -> refit lifecycle incl.
+        # in-query recall gate (fresh temp snapshot store per run)
+        ("pq_maintenance", entry.q_pq_maintenance, 2),
+        # r11 addition: BM25 + persistent-IVF vector leg fused by
+        # integer RRF (the lexical+vector hybrid stack)
+        ("hybrid_ann_retrieval", entry.q_hybrid_ann_retrieval, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -188,7 +188,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     an = sub.add_parser(
         "ann",
-        help="persistent IVF ANN index lifecycle over a state store: "
+        help="persistent IVF/PQ ANN index lifecycle over a state store: "
         "build / append / query / stats / refit (operators/ann_index)",
     )
     an.add_argument(
@@ -209,15 +209,24 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument(
         "--kind", choices=["ivf", "pq"], default="ivf",
         help="index family: IVF cells (compute-side) or PQ codes "
-        "(memory-side); stats/refit are IVF-only",
+        "(memory-side); stats/refit report occupancy skew (ivf) or "
+        "codebook quantization error (pq)",
     )
     an.add_argument(
         "--nlist", type=int, default=None,
         help="quantizer cells (build default 16; refit default inherits "
         "the committed index's cell count — pass explicitly to resize)",
     )
-    an.add_argument("--m-sub", type=int, default=8, help="pq: subspaces")
-    an.add_argument("--n-codes", type=int, default=16, help="pq: codes/subspace")
+    an.add_argument(
+        "--m-sub", type=int, default=None,
+        help="pq: subspaces (build default 8; refit default inherits "
+        "the committed geometry — pass explicitly to resize)",
+    )
+    an.add_argument(
+        "--n-codes", type=int, default=None,
+        help="pq: codes/subspace (build default 16; refit default "
+        "inherits — pass explicitly to resize)",
+    )
     an.add_argument("--rerank", type=int, default=None, help="pq: shortlist")
     an.add_argument("--k", type=int, default=10, help="query: top-k")
     an.add_argument("--nprobe", type=int, default=2, help="query: cells probed")
@@ -295,10 +304,6 @@ def main(argv: list[str] | None = None) -> int:
         store = SnapshotStateStore(args.state)
         summary = {"cmd": "ann", "action": args.action, "kind": args.kind,
                    "state": args.state, "table": args.table}
-        if args.kind == "pq" and args.action in ("stats", "refit"):
-            print(f"ann {args.action}: IVF-only (occupancy/refit are "
-                  "cell concepts)", file=sys.stderr)
-            return 2
         if args.action in ("build", "append", "query") and not args.input:
             print(f"ann {args.action}: --input required", file=sys.stderr)
             return 2
@@ -309,7 +314,8 @@ def main(argv: list[str] | None = None) -> int:
             vecs = spark.read.parquet(args.input)
             if args.kind == "pq":
                 v = pq_index(vecs, store, table=args.table,
-                             m_sub=args.m_sub, n_codes=args.n_codes,
+                             m_sub=args.m_sub or 8,
+                             n_codes=args.n_codes or 16,
                              seed=args.seed, key=args.key, vec=args.vec)
             else:
                 v = ivf_index(vecs, store, table=args.table,
@@ -323,25 +329,52 @@ def main(argv: list[str] | None = None) -> int:
                          key=args.key, vec=args.vec)
             summary.update(version=int(v), rows_in=vecs.count())
         elif args.action == "refit":
-            v = ivf_refit(spark, store, table=args.table,
-                          nlist=args.nlist, seed=args.seed)
+            if args.kind == "pq":
+                from clickhouse_k_means_spark.operators.ann_index import (
+                    pq_refit,
+                )
+
+                v = pq_refit(spark, store, table=args.table,
+                             m_sub=args.m_sub, n_codes=args.n_codes,
+                             seed=args.seed)
+            else:
+                v = ivf_refit(spark, store, table=args.table,
+                              nlist=args.nlist, seed=args.seed)
             summary.update(version=int(v))
         elif args.action == "stats":
-            from clickhouse_k_means_spark.operators.ann_index import (
-                ivf_skew_factor,
-            )
+            if args.kind == "pq":
+                from clickhouse_k_means_spark.operators.ann_index import (
+                    pq_qerr,
+                    pq_stats,
+                )
 
-            rep = ivf_stats(spark, store, table=args.table,
-                            version=args.version)
-            rep.write.mode("overwrite").parquet(args.out)
-            summary.update(
-                out=args.out,
-                rows_out=spark.read.parquet(args.out).count(),
-                skew_factor=round(
-                    ivf_skew_factor(spark, store, table=args.table,
-                                    version=args.version), 3
-                ),
-            )
+                rep = pq_stats(spark, store, table=args.table,
+                               version=args.version, seed=args.seed)
+                rep.write.mode("overwrite").parquet(args.out)
+                summary.update(
+                    out=args.out,
+                    rows_out=spark.read.parquet(args.out).count(),
+                    qerr=round(
+                        pq_qerr(spark, store, table=args.table,
+                                version=args.version, seed=args.seed), 9
+                    ),
+                )
+            else:
+                from clickhouse_k_means_spark.operators.ann_index import (
+                    ivf_skew_factor,
+                )
+
+                rep = ivf_stats(spark, store, table=args.table,
+                                version=args.version)
+                rep.write.mode("overwrite").parquet(args.out)
+                summary.update(
+                    out=args.out,
+                    rows_out=spark.read.parquet(args.out).count(),
+                    skew_factor=round(
+                        ivf_skew_factor(spark, store, table=args.table,
+                                        version=args.version), 3
+                    ),
+                )
         else:  # query
             q = spark.read.parquet(args.input)
             if args.kind == "pq":

@@ -67,6 +67,7 @@ NAMES = [
     "histogram_numeric",
     "hll_incremental",
     "hll_rollup",
+    "hybrid_ann_retrieval",
     "hybrid_retrieval",
     "interval_union",
     "inverted_index",
@@ -95,6 +96,7 @@ NAMES = [
     "pipeline_e2e",
     "pq_ann",
     "pq_index_query",
+    "pq_maintenance",
     "profile",
     "pyds_read",
     "range_join",
@@ -208,6 +210,10 @@ def encode_pairs(timings: dict[str, float]) -> str:
 # APPEND-DISCIPLINE: when new queries land in NAMES, prepend their
 # list here in the same commit (pinned by tests/test_bench_codes.py).
 ROUND_ADDITIONS: list[list[str]] = [
+    # r11 additions (decoding BENCH_r10 needs the pre-r11 table)
+    [
+        "hybrid_ann_retrieval", "pq_maintenance",
+    ],
     # r10 additions (BENCH_r10 marker 9156 -> r9-era marker 872f)
     [
         "hybrid_retrieval", "ivf_maintenance", "pq_index_query",

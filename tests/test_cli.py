@@ -682,8 +682,10 @@ def test_pipeline_cli_ann_lifecycle(tmp_path, capsys, spark):
 
 
 def test_pipeline_cli_ann_pq_kind(tmp_path, capsys, spark):
-    """ann --kind pq drives the persistent PQ index; stats/refit are
-    refused for pq (cell concepts)."""
+    """ann --kind pq drives the persistent PQ index through the FULL
+    lifecycle: build / append / query / stats (quantization error) /
+    refit (inherits the committed geometry) — r11, PQ maintenance
+    parity with IVF."""
     import json as _json
 
     from clickhouse_k_means_spark.pipeline import main as pmain
@@ -699,22 +701,37 @@ def test_pipeline_cli_ann_pq_kind(tmp_path, capsys, spark):
         assert pmain(argv) == 0
         return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
-    b = run(["ann", "build", "--kind", "pq", "--input", vecs,
-             "--state", state, "--m-sub", "2", "--n-codes", "8"])
+    b = run(["ann", "build", "--kind", "pq", "--table", "pq_index",
+             "--input", vecs, "--state", state,
+             "--m-sub", "2", "--n-codes", "8"])
     assert b["kind"] == "pq" and b["version"] == 1
-    a = run(["ann", "append", "--kind", "pq", "--input", vecs,
-             "--state", state])
+    a = run(["ann", "append", "--kind", "pq", "--table", "pq_index",
+             "--input", vecs, "--state", state])
     assert a["version"] == 2  # full re-ingest: key-idempotent commit
     qin = str(tmp_path / "q")
     spark.createDataFrame(
         [(0, [16.1, 1.0, 0.0, 0.5])], "vec_id bigint, embedding array<double>"
     ).write.parquet(qin)
     out = str(tmp_path / "res")
-    q = run(["ann", "query", "--kind", "pq", "--input", qin,
-             "--state", state, "--out", out, "--k", "3"])
+    q = run(["ann", "query", "--kind", "pq", "--table", "pq_index",
+             "--input", qin, "--state", state, "--out", out, "--k", "3"])
     assert q["rows_out"] == 3
     got = sorted(r["n"] for r in spark.read.parquet(out).collect())
     assert 16 in got
-    assert pmain(["ann", "stats", "--kind", "pq", "--state", state,
-                  "--out", out]) == 2
-    assert pmain(["ann", "refit", "--kind", "pq", "--state", state]) == 2
+    st_out = str(tmp_path / "pq_stats")
+    st = run(["ann", "stats", "--kind", "pq", "--table", "pq_index",
+              "--state", state, "--out", st_out])
+    assert st["rows_out"] == 2  # one row per subspace (m_sub=2)
+    assert st["qerr"] >= 0
+    r = run(["ann", "refit", "--kind", "pq", "--table", "pq_index",
+             "--state", state])
+    assert r["version"] == 3  # atomic replace commit after the append
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    books = (
+        SnapshotStateStore(state)
+        .read(spark, "pq_index")
+        .filter("n is null")
+        .count()
+    )
+    assert books == 2 * 8  # geometry inherited: 2 subspaces x 8 codes

@@ -2543,6 +2543,138 @@ def test_ivf_stats_and_refit_restore_drifted_index(spark, tmp_path):
     assert drift_cells.isdisjoint(old_cells), (drift_cells, old_cells)
 
 
+def test_pq_stats_and_refit_restore_drifted_codebooks(spark, tmp_path):
+    """VERDICT r10 item 4: ``pq_stats`` makes codebook drift visible
+    (stored-code quantization error), ``pq_refit_due`` advises, and
+    ``pq_refit`` repairs — ADC error restored on a deliberately
+    drifted corpus, history still time-travelable."""
+    import math
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        pq_append,
+        pq_index,
+        pq_qerr,
+        pq_query,
+        pq_refit,
+        pq_refit_due,
+        pq_stats,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "pqd"))
+    # original corpus: unit directions spread over the e0-e1 plane —
+    # the version-1 codebooks represent that plane well and see only
+    # zeros in the e2-e3 subspace
+    old = spark.createDataFrame(
+        [
+            (
+                i,
+                [
+                    math.cos(i * math.pi / 64),
+                    math.sin(i * math.pi / 64),
+                    0.0,
+                    0.0,
+                ],
+            )
+            for i in range(32)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    pq_index(old, store, m_sub=2, n_codes=4, seed=42)
+    st0 = pq_stats(spark, store).collect()
+    assert [r["sub"] for r in sorted(st0, key=lambda r: r["sub"])] == [0, 1]
+    assert all(r["n_sample"] == 32 for r in st0)
+    qerr0 = pq_qerr(spark, store)
+    assert not pq_refit_due(spark, store)  # healthy: refit buys ~1.0x
+    # drifted ingest: unit directions in the e2-e3 plane — every code
+    # row lands on the ~zero code in subspace 1, so the stored-code
+    # quantization error spikes (the silent-ADC-decay scenario)
+    drift = spark.createDataFrame(
+        [
+            (
+                100 + i,
+                [
+                    0.0,
+                    0.0,
+                    math.cos(i * math.pi / 64),
+                    math.sin(i * math.pi / 64),
+                ],
+            )
+            for i in range(32)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    pq_append(drift, store)
+    v_drifted = store.latest_version("pq_index")
+    st_drift = sorted(
+        pq_stats(spark, store).collect(), key=lambda r: r["sub"]
+    )
+    qerr1 = pq_qerr(spark, store)
+    assert qerr1 > 2 * qerr0, (qerr0, qerr1)
+    assert pq_refit_due(spark, store)
+
+    def drift_recall(version=None):
+        """hits@3 for a drift-region query vs exact cosine top-3,
+        rerank bounded so ADC quality (not the exact rerank) decides
+        the shortlist."""
+        q = spark.createDataFrame(
+            [(0, [0.0, 0.0, 1.0, 0.1])],
+            "vec_id bigint, embedding array<double>",
+        )
+        got = {
+            r["n"]
+            for r in pq_query(
+                q, store, k=3, rerank=16, query_key="vec_id",
+                version=version,
+            ).collect()
+        }
+        qv = [0.0, 0.0, 1.0, 0.1]
+        nrm = math.sqrt(sum(x * x for x in qv))
+        exact = sorted(
+            (
+                (
+                    -sum(a * b for a, b in zip(r["embedding"], qv)) / nrm,
+                    r["vec_id"],
+                )
+                for r in drift.collect()
+            ),
+        )[:3]
+        return len(got & {v for _, v in exact})
+
+    r_drifted = drift_recall()
+    # refit inherits the committed geometry (m_sub=2, n_codes=4):
+    # one atomic replace commit, history preserved
+    v_refit = pq_refit(spark, store, seed=42)
+    assert v_refit == v_drifted + 1
+    qerr2 = pq_qerr(spark, store)
+    assert qerr2 < qerr1, (qerr1, qerr2)
+    assert drift_recall() == 3 >= r_drifted
+    books = (
+        store.read(spark, "pq_index")
+        .filter(F.col("n").isNull())
+        .select("sub", "code")
+        .collect()
+    )
+    assert {r["sub"] for r in books} == {0, 1}  # inherited m_sub
+    assert len(books) == 8  # inherited n_codes=4 per subspace
+    # time travel: stats pinned BEFORE the refit replay the drifted
+    # error bit-for-bit, and a pinned query replays the old index
+    st_pinned = sorted(
+        pq_stats(spark, store, version=v_drifted).collect(),
+        key=lambda r: r["sub"],
+    )
+    assert [r["qerr_e9"] for r in st_pinned] == [
+        r["qerr_e9"] for r in st_drift
+    ]
+    assert drift_recall(version=v_drifted) == r_drifted
+    # explicit resize still works
+    pq_refit(spark, store, n_codes=2, seed=42)
+    resized = (
+        store.read(spark, "pq_index").filter(F.col("n").isNull()).count()
+    )
+    assert resized == 4  # 2 subspaces x 2 codes
+
+
 def test_incremental_embed_dedup_refuses_legacy_two_table_state(
     spark, tmp_path
 ):
