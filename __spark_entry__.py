@@ -4171,6 +4171,37 @@ def q_pq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_brute(spark, sf_dir, approx, min_hits=8)
 
 
+def q_ivfpq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent IVF-PQ index replay (operators/ann_index.ivfpq_* —
+    r11, the FAISS-IVFPQ composed architecture: coarse cells for
+    SELECTIVITY x residual PQ codes for MEMORY): build on the odd-id
+    half (nlist=8, m_sub=16, n_codes=64), ivfpq_append the even half
+    through the COMMITTED quantizer + codebooks (key-idempotent), then
+    probe nprobe=5 cells with the probe-masked ADC LUT and
+    exact-rerank the 512-row shortlist. Gate: per query, hits@10 >=
+    min_hits vs exact brute force over the full corpus (measured
+    6-10/10 at sf0.001/0.01 — the compounded cell-miss + ADC-shortlist
+    approximation, hence the margin under pq_index_query's 8)."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivfpq_append,
+        ivfpq_index,
+        ivfpq_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    q, c = _ann_queries_corpus(spark, sf_dir)
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="ivfpqidx_"))
+    ivfpq_index(c.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
+                nlist=8, m_sub=16, n_codes=64, seed=42)
+    ivfpq_append(c.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
+    approx = ivfpq_query(
+        q, store, k=10, nprobe=5, rerank=512, query_key="vec_id"
+    )
+    return _recall_vs_brute(spark, sf_dir, approx, min_hits=5)
+
+
 def q_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index maintenance lifecycle (operators/ann_index.ivf_stats
     + ivf_refit — VERDICT r9 item 4): build the index on the odd-id
@@ -4689,6 +4720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of the r12 window ---
         "pq_maintenance": q_pq_maintenance,
         "hybrid_ann_retrieval": q_hybrid_ann_retrieval,
+        "ivfpq_index_query": q_ivfpq_index_query,
         # --- R wrap: the r7 red queue-jumpers (re-gated green r8) and
         # the whole r8 window cohort — re-gate when the circular
         # pointer comes back around ---
@@ -6165,6 +6197,14 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": (
             "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "
             "8::BIGINT as hits_floor, 1::BIGINT as recall_pass"
+        ),
+        "ivfpq_index_query": (
+            # persisted-IVFPQ replay: coarse quantizer + residual
+            # codebook fit + committed-geometry append + probe-masked
+            # ADC probe all run Spark-side; the gate asserts the
+            # per-query recall floor
+            "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "
+            "5::BIGINT as hits_floor, 1::BIGINT as recall_pass"
         ),
         # single availableNow batch → the decay blend reduces to plain
         # per-cluster means over the nearest of the initial centroids

@@ -432,6 +432,9 @@ def main() -> None:
         # r11 addition: BM25 + persistent-IVF vector leg fused by
         # integer RRF (the lexical+vector hybrid stack)
         ("hybrid_ann_retrieval", entry.q_hybrid_ann_retrieval, 2),
+        # r11 addition: composed IVF-PQ index (cells x residual codes)
+        # build+append+masked-ADC probe + in-query recall gate
+        ("ivfpq_index_query", entry.q_ivfpq_index_query, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -281,6 +281,94 @@ def pq_encode_batch(codebooks: list[np.ndarray]):
     return _encode
 
 
+def ivfpq_encode_batch(centroids: np.ndarray, codebooks: list[np.ndarray]):
+    """Factory: pandas_udf mapping ``array<double>`` vectors to their
+    IVFPQ representation ``struct<cell int, codes array<int>>`` —
+    nearest coarse cell + product-quantized RESIDUAL code word
+    (Jégou et al. TPAMI 2011 §IV: quantize ``x - centroid[cell]``, not
+    ``x``; residual energy is a fraction of vector energy, so the same
+    code budget buys far finer resolution).
+
+    ``centroids`` is the ``(nlist, dim)`` coarse quantizer and
+    ``codebooks[s]`` the ``(n_codes, dsub)`` residual codebook for
+    subspace ``s`` — both trained on NORMALIZED vectors. One Arrow
+    batch = one normalize + one cell matmul/argmin + m residual
+    matmuls: the corpus is encoded in a single pass, never shuffled.
+    """
+    m_sub = len(codebooks)
+    dsub = codebooks[0].shape[1]
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    cent_t = np.ascontiguousarray(cent.T)
+    cent_sq = (cent * cent).sum(axis=1)
+    cts = [np.ascontiguousarray(c.T) for c in codebooks]
+    c_sqs = [(c * c).sum(axis=1) for c in codebooks]
+
+    @pandas_udf("cell int, codes array<int>")
+    def _encode(v: pd.Series) -> pd.DataFrame:
+        x = normalize_rows(np.array(v.tolist(), dtype=np.float64))
+        cells = (-2.0 * (x @ cent_t) + cent_sq).argmin(axis=1)
+        resid = x - cent[cells]
+        codes = np.empty((len(x), m_sub), dtype=np.int32)
+        for s in range(m_sub):
+            rs = resid[:, s * dsub : (s + 1) * dsub]
+            codes[:, s] = (-2.0 * (rs @ cts[s]) + c_sqs[s]).argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cells.astype(np.int32), "codes": list(codes)}
+        )
+
+    return _encode
+
+
+def ivfpq_adc_batch(
+    centroids: np.ndarray,
+    codebooks: list[np.ndarray],
+    q_mat: np.ndarray,
+    probe_mask: np.ndarray | None = None,
+):
+    """Factory: pandas_udf mapping an IVFPQ row's ``(cell, codes)``
+    columns to the ``array<double>`` of asymmetric squared distances
+    to each of the ``Q`` queries in ``q_mat`` (normalized rows).
+
+    The lookup table folds the coarse centroid INTO the residual
+    entry — ``lut[q, cell, s, c] = |q_s - centroid[cell]_s -
+    codebook_s[c]|²`` (Q x nlist x m x n_codes doubles, tiny at any
+    realistic geometry) — so scoring a corpus row is m lookups + adds
+    per query, reading only the ``cell``/``codes`` columns.
+    ``probe_mask[q, cell] = False`` poisons that (query, cell) pair to
+    +inf: rows in unprobed cells score infinite and a single
+    ``!= inf`` filter realizes per-query nprobe selectivity without a
+    join (callers filter; see ``ivfpq_query``)."""
+    m_sub = len(codebooks)
+    dsub = codebooks[0].shape[1]
+    cent = np.asarray(centroids, dtype=np.float64)
+    luts = []
+    for s in range(m_sub):
+        q_s = q_mat[:, s * dsub : (s + 1) * dsub]  # (Q, dsub)
+        c_s = cent[:, s * dsub : (s + 1) * dsub]  # (nlist, dsub)
+        # (Q, nlist, n_codes, dsub) -> sum sq -> (Q, nlist, n_codes)
+        diff = (
+            q_s[:, None, None, :]
+            - c_s[None, :, None, :]
+            - codebooks[s][None, None, :, :]
+        )
+        luts.append((diff * diff).sum(axis=3))
+    lut = np.stack(luts, axis=2)  # (Q, nlist, m, n_codes)
+    if probe_mask is not None:
+        lut = lut.copy()
+        lut[~probe_mask, :, :] = np.inf
+
+    @pandas_udf("array<double>")
+    def _adc(cell: pd.Series, codes: pd.Series) -> pd.Series:
+        cl = cell.to_numpy(dtype=np.int64)  # (n,)
+        cm = np.array(codes.tolist(), dtype=np.int64)  # (n, m)
+        acc = np.zeros((lut.shape[0], len(cm)), dtype=np.float64)
+        for s in range(m_sub):
+            acc += lut[:, cl, s, cm[:, s]]
+        return pd.Series(list(acc.T))
+
+    return _adc
+
+
 def pq_adc_batch(codebooks: list[np.ndarray], q_mat: np.ndarray):
     """Factory: pandas_udf mapping a PQ code column (``array<int>``)
     to the ``array<double>`` of asymmetric (ADC) squared distances to

@@ -902,3 +902,296 @@ def pq_refit(
         F.col("v").alias("v"),
     )
     return store.replace(book_rows.unionByName(assign), table)
+
+
+# ---- persistent IVF-PQ index (r11) -----------------------------------
+#
+# The composed index (Jégou et al. TPAMI 2011 §IV — FAISS's IVFPQ, the
+# architecture every production billion-vector deployment runs): the
+# IVF coarse quantizer buys SELECTIVITY (a query scans nprobe/nlist of
+# the corpus) and the PQ codes buy MEMORY (the scan reads m bytes per
+# row, not dim x 8) — the two bargains the standalone indexes above
+# make separately, taken together. PQ here quantizes the RESIDUAL
+# ``x - centroid[cell]`` (not x): residual energy is a small fraction
+# of vector energy, so the same code budget yields far finer
+# resolution — the reason IVFPQ beats flat PQ at equal bytes.
+#
+# Same single-table atomic layout, three row kinds discriminated by
+# (n IS NULL, sub IS NULL)::
+#
+#     n (nullable)  cell   sub   code  codes        v
+#     NULL          j      NULL  NULL  NULL         coarse centroid_j
+#     NULL          NULL   s     c     NULL         residual codebook
+#     vec_id        cell   NULL  NULL  array<int>   raw vector
+#
+# One commit carries quantizer + codebooks + codes (a crash can never
+# orphan any layer); appends encode through the COMMITTED geometry;
+# queries probe nprobe cells and ADC-scan only those cells' code
+# rows (cell isin -> row-group pruning; the LUT folds the centroid
+# into the residual entry so scoring stays m lookups per row). Time
+# travel pins all three layers at once.
+
+
+_IVFPQ_SCHEMA = (
+    "n bigint, cell int, sub int, code int, "
+    "codes array<int>, v array<double>"
+)
+
+
+def _committed_ivfpq(
+    spark: SparkSession, store, table: str, version: int | None
+):
+    """(coarse centroid matrix, residual codebooks) committed at
+    ``version`` — nlist + m_sub*n_codes rows, collected (tiny)."""
+    import numpy as np
+
+    snap = store.read(spark, table, version=version)
+    rows = snap.filter(F.col("n").isNull()).select(
+        "cell", "sub", "code", "v"
+    ).collect()
+    cents = {
+        int(r["cell"]): list(map(float, r["v"]))
+        for r in rows
+        if r["sub"] is None
+    }
+    if not cents:
+        raise ValueError(f"ivfpq index {table!r} has no committed quantizer")
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        if r["sub"] is not None:
+            by_sub.setdefault(int(r["sub"]), {})[int(r["code"])] = list(
+                map(float, r["v"])
+            )
+    if not by_sub:
+        raise ValueError(f"ivfpq index {table!r} has no committed codebooks")
+    centroids = np.asarray(
+        [cents[j] for j in sorted(cents)], dtype=np.float64
+    )
+    books = [
+        np.asarray(
+            [by_sub[s][c] for c in sorted(by_sub[s])], dtype=np.float64
+        )
+        for s in sorted(by_sub)
+    ]
+    return centroids, books
+
+
+def _has_ivfpq(spark: SparkSession, store, table: str) -> bool:
+    if not store.exists(table):
+        return False
+    try:
+        _committed_ivfpq(spark, store, table, None)
+        return True
+    except ValueError:
+        return False
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    store,
+    table: str = "ivfpq_index",
+    nlist: int = 8,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> int:
+    """Build and COMMIT the IVF-PQ index: coarse quantizer fit +
+    global residual-codebook fit (both on the same deterministic
+    hash-ordered NORMALIZED sample, ``quantizer_sample_n``-sized for
+    the larger of nlist/n_codes) + full-corpus encode in ONE Arrow
+    pass (cell assignment and residual codes together), one atomic
+    commit. Returns the version. Refuses a rebuild over a committed
+    index (truncate first) — replacing the quantizer or codebooks
+    under existing codes would silently mis-score every ADC lookup."""
+    import numpy as np
+
+    from clickhouse_k_means_spark.functions.vector import (
+        ivfpq_encode_batch,
+        normalize_rows,
+    )
+
+    _require_integral_key(corpus, key, "ivfpq_index")
+    spark = corpus.sparkSession
+    if _has_ivfpq(spark, store, table):
+        raise ValueError(
+            f"ivfpq index {table!r} already exists — truncate it first "
+            "(appends must go through ivfpq_append so they encode via "
+            "the committed quantizer + codebooks)"
+        )
+    sample = (
+        corpus.select(F.col(key).alias("sk"), F.col(vec).alias("sv"))
+        .orderBy(F.xxhash64(F.lit(seed), F.col("sk")))
+        .limit(quantizer_sample_n(max(nlist, n_codes)))
+        .collect()
+    )
+    if not sample:
+        raise ValueError("ivfpq_index: empty corpus")
+    x = normalize_rows(
+        np.asarray([r["sv"] for r in sample], dtype=np.float64)
+    )
+    dim = x.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    centroids = numpy_kmeans(
+        x, k=min(nlist, len(x)), seed=seed, n_iter=10
+    )
+    # residuals of the SAME sample through the fresh quantizer train
+    # the global residual codebooks (FAISS by_residual default)
+    d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    resid = x - centroids[d2.argmin(axis=1)]
+    books = [
+        numpy_kmeans(
+            resid[:, s * dsub : (s + 1) * dsub],
+            k=min(n_codes, len(x)),
+            seed=seed + s,
+            n_iter=10,
+        )
+        for s in range(m_sub)
+    ]
+    cent_rows = spark.createDataFrame(
+        [
+            (None, j, None, None, None, [float(v) for v in centroids[j]])
+            for j in range(len(centroids))
+        ],
+        _IVFPQ_SCHEMA,
+    )
+    book_rows = spark.createDataFrame(
+        [
+            (None, None, s, c, None, [float(v) for v in books[s][c]])
+            for s in range(m_sub)
+            for c in range(len(books[s]))
+        ],
+        _IVFPQ_SCHEMA,
+    )
+    encode = ivfpq_encode_batch(centroids, books)
+    enc = corpus.select(
+        _key_as_n(key, "ivfpq_index"),
+        encode(F.col(vec).cast("array<double>")).alias("e"),
+        F.col(vec).cast("array<double>").alias("v"),
+    )
+    assign = enc.select(
+        "n",
+        F.col("e.cell").alias("cell"),
+        F.lit(None).cast("int").alias("sub"),
+        F.lit(None).cast("int").alias("code"),
+        F.col("e.codes").alias("codes"),
+        "v",
+    )
+    return store.append(
+        cent_rows.unionByName(book_rows).unionByName(assign), table
+    )
+
+
+def ivfpq_append(
+    new_vecs: DataFrame,
+    store,
+    table: str = "ivfpq_index",
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> int:
+    """Encode ``new_vecs`` through the COMMITTED quantizer + codebooks
+    and append their code rows (one atomic commit, no re-fit).
+    Key-idempotent like the other appends (shared ``_fresh_rows``
+    probe), so at-least-once retries add zero rows."""
+    from clickhouse_k_means_spark.functions.vector import ivfpq_encode_batch
+
+    spark = new_vecs.sparkSession
+    _require_integral_key(new_vecs, key, "ivfpq_append")
+    centroids, books = _committed_ivfpq(spark, store, table, None)
+    encode = ivfpq_encode_batch(centroids, books)
+    assign = new_vecs.select(
+        _key_as_n(key, "ivfpq_append"),
+        encode(F.col(vec).cast("array<double>")).alias("e"),
+        F.col(vec).cast("array<double>").alias("v"),
+    ).select(
+        "n",
+        F.col("e.cell").alias("cell"),
+        F.lit(None).cast("int").alias("sub"),
+        F.lit(None).cast("int").alias("code"),
+        F.col("e.codes").alias("codes"),
+        "v",
+    ).dropDuplicates(["n"])
+    return store.append(_fresh_rows(new_vecs, assign, store, table), table)
+
+
+def ivfpq_query(
+    queries: DataFrame,
+    store,
+    table: str = "ivfpq_index",
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int | None = None,
+    query_key: str = "q",
+    vec: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """Probe the committed IVF-PQ index: per-query nprobe nearest
+    cells (driver-side over the nlist centroids), ADC over ONLY those
+    cells' code rows (``cell isin`` pushes to row-group pruning; the
+    probe-masked LUT poisons unprobed (query, cell) pairs to +inf so
+    per-query selectivity needs no join), exact-cosine re-rank of the
+    ``rerank`` shortlist (default 4k). ``(q, n, score, rank)`` —
+    the family's output contract served from persisted state;
+    ``version`` pins all three layers for exact replays. Queries are
+    the bounded broadcast side (collected for the LUT)."""
+    import numpy as np
+
+    from clickhouse_k_means_spark.functions.vector import (
+        ivfpq_adc_batch,
+        normalize_rows,
+    )
+
+    spark = queries.sparkSession
+    centroids, books = _committed_ivfpq(spark, store, table, version)
+    nlist, dim = centroids.shape
+    nprobe = min(nprobe, nlist)
+    rerank = rerank or 4 * k
+    qrows = queries.select(
+        F.col(query_key).alias("q"), F.col(vec).alias("qv")
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "q bigint, n bigint, score double, rank int"
+        )
+    q_mat = normalize_rows(
+        np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+    )
+    qd2 = ((q_mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd2, axis=1)[:, :nprobe]  # (Q, nprobe)
+    mask = np.zeros((len(q_mat), nlist), dtype=bool)
+    np.put_along_axis(mask, probe, True, axis=1)
+    probed = sorted({int(c) for c in probe.ravel()})
+    adc = ivfpq_adc_batch(centroids, books, q_mat, probe_mask=mask)
+    coded = (
+        store.read(spark, table, version=version)
+        .filter(F.col("n").isNotNull())
+        # driver-known probe list -> parquet row-group pruning; the
+        # LUT mask then narrows per query within the union
+        .filter(F.col("cell").isin(probed))
+        .select("n", "cell", "codes", F.col("v").alias("cv"))
+    )
+    scored = coded.select(
+        "n", "cv", F.posexplode(adc("cell", "codes")).alias("qi", "ad2")
+    ).filter(F.col("ad2") != float("inf"))
+    short = top_k_by_group(
+        scored, rerank, "qi", [F.col("ad2").asc(), F.col("n").asc()]
+    )
+    qdf = spark.createDataFrame(
+        [
+            (i, int(r["q"]), [float(v) for v in r["qv"]])
+            for i, r in enumerate(qrows)
+        ],
+        "qi int, q bigint, qv array<double>",
+    )
+    rer = short.join(F.broadcast(qdf), "qi").select(
+        "q", "n", cosine_fixed("qv", "cv", dim).alias("score")
+    )
+    order = [F.col("score").desc(), F.col("n").asc()]
+    ranked = top_k_by_group(rer, k, "q", order)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(*order)
+    return ranked.withColumn("rank", F.row_number().over(w))

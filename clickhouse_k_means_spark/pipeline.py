@@ -207,10 +207,11 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--key", default="vec_id", help="key column")
     an.add_argument("--vec", default="embedding", help="vector column")
     an.add_argument(
-        "--kind", choices=["ivf", "pq"], default="ivf",
-        help="index family: IVF cells (compute-side) or PQ codes "
-        "(memory-side); stats/refit report occupancy skew (ivf) or "
-        "codebook quantization error (pq)",
+        "--kind", choices=["ivf", "pq", "ivfpq"], default="ivf",
+        help="index family: IVF cells (compute-side), PQ codes "
+        "(memory-side), or the composed IVFPQ (cells x residual "
+        "codes); stats/refit report occupancy skew (ivf) or codebook "
+        "quantization error (pq) — not yet built for ivfpq",
     )
     an.add_argument(
         "--nlist", type=int, default=None,
@@ -295,6 +296,9 @@ def main(argv: list[str] | None = None) -> int:
             ivf_query,
             ivf_refit,
             ivf_stats,
+            ivfpq_append,
+            ivfpq_index,
+            ivfpq_query,
             pq_append,
             pq_index,
             pq_query,
@@ -304,6 +308,11 @@ def main(argv: list[str] | None = None) -> int:
         store = SnapshotStateStore(args.state)
         summary = {"cmd": "ann", "action": args.action, "kind": args.kind,
                    "state": args.state, "table": args.table}
+        if args.kind == "ivfpq" and args.action in ("stats", "refit"):
+            print("ann: ivfpq maintenance (stats/refit) is not built yet "
+                  "— query pinning and idempotent appends are; use a new "
+                  "table + rebuild to refresh geometry", file=sys.stderr)
+            return 2
         if args.action in ("build", "append", "query") and not args.input:
             print(f"ann {args.action}: --input required", file=sys.stderr)
             return 2
@@ -312,7 +321,13 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         if args.action == "build":
             vecs = spark.read.parquet(args.input)
-            if args.kind == "pq":
+            if args.kind == "ivfpq":
+                v = ivfpq_index(vecs, store, table=args.table,
+                                nlist=args.nlist or 8,
+                                m_sub=args.m_sub or 8,
+                                n_codes=args.n_codes or 16,
+                                seed=args.seed, key=args.key, vec=args.vec)
+            elif args.kind == "pq":
                 v = pq_index(vecs, store, table=args.table,
                              m_sub=args.m_sub or 8,
                              n_codes=args.n_codes or 16,
@@ -324,7 +339,8 @@ def main(argv: list[str] | None = None) -> int:
             summary.update(version=int(v), rows_in=vecs.count())
         elif args.action == "append":
             vecs = spark.read.parquet(args.input)
-            appender = pq_append if args.kind == "pq" else ivf_append
+            appender = {"pq": pq_append, "ivfpq": ivfpq_append}.get(
+                args.kind, ivf_append)
             v = appender(vecs, store, table=args.table,
                          key=args.key, vec=args.vec)
             summary.update(version=int(v), rows_in=vecs.count())
@@ -377,7 +393,12 @@ def main(argv: list[str] | None = None) -> int:
                 )
         else:  # query
             q = spark.read.parquet(args.input)
-            if args.kind == "pq":
+            if args.kind == "ivfpq":
+                res = ivfpq_query(q, store, table=args.table, k=args.k,
+                                  nprobe=args.nprobe, rerank=args.rerank,
+                                  query_key=args.key, vec=args.vec,
+                                  version=args.version)
+            elif args.kind == "pq":
                 res = pq_query(q, store, table=args.table, k=args.k,
                                rerank=args.rerank, query_key=args.key,
                                vec=args.vec, version=args.version)

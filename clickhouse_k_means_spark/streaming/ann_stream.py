@@ -1,6 +1,8 @@
-"""Streaming ingest into the persistent IVF index: ``foreachBatch`` +
-``operators/ann_index.ivf_append`` — the vector-corpus companion to
-``dedup_stream`` (documents) and ``sketch_stream`` (aggregates).
+"""Streaming ingest into the persistent ANN indexes: ``foreachBatch``
++ ``operators/ann_index.ivf_append`` (``StreamingIvfIngest``) or
+``pq_append`` (``StreamingPqIngest``, r11) — the vector-corpus
+companion to ``dedup_stream`` (documents) and ``sketch_stream``
+(aggregates).
 
 The reference has no streaming surface; this composes two certified
 pieces — the committed-quantizer append (every batch buckets through
@@ -82,4 +84,33 @@ class StreamingIvfIngest:
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
+        )
+
+
+class StreamingPqIngest(StreamingIvfIngest):
+    """The PQ twin (r11): per-batch COMMITTED-CODEBOOK encodes via
+    ``pq_append`` — same exactly-once story (``pq_append`` shares
+    ``ivf_append``'s key-idempotence probe, so a replayed micro-batch
+    appends zero code rows) and the same bootstrap contract (run
+    ``pq_index`` on a seed corpus first; a stream attached to a table
+    with no committed codebooks fails loudly on its first non-empty
+    batch). Maintenance (``pq_stats`` / ``pq_refit``) runs between
+    batches under the single-writer contract; a refit mid-stream is
+    safe because Structured Streaming serializes micro-batches and
+    every batch re-reads the LATEST committed codebooks."""
+
+    def __init__(
+        self,
+        store,
+        table: str = "pq_index",
+        key: str = "vec_id",
+        vec: str = "embedding",
+    ):
+        super().__init__(store, table=table, key=key, vec=vec)
+
+    def process_batch(self, batch: DataFrame) -> int:
+        from clickhouse_k_means_spark.operators.ann_index import pq_append
+
+        return pq_append(
+            batch, self.store, table=self.table, key=self.key, vec=self.vec
         )

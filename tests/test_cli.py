@@ -735,3 +735,46 @@ def test_pipeline_cli_ann_pq_kind(tmp_path, capsys, spark):
         .count()
     )
     assert books == 2 * 8  # geometry inherited: 2 subspaces x 8 codes
+
+
+def test_pipeline_cli_ann_ivfpq_kind(tmp_path, capsys, spark):
+    """ann --kind ivfpq drives the composed IVF-PQ index
+    (build / append / query); maintenance is refused loudly (r11 —
+    not built yet for the composed kind)."""
+    import json as _json
+
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    vecs = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(1, 33)],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(vecs)
+    state = str(tmp_path / "state")
+
+    def run(argv):
+        assert pmain(argv) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    b = run(["ann", "build", "--kind", "ivfpq", "--table", "ivfpq",
+             "--input", vecs, "--state", state, "--nlist", "2",
+             "--m-sub", "2", "--n-codes", "4"])
+    assert b["kind"] == "ivfpq" and b["version"] == 1
+    a = run(["ann", "append", "--kind", "ivfpq", "--table", "ivfpq",
+             "--input", vecs, "--state", state])
+    assert a["version"] == 2  # full re-ingest: key-idempotent commit
+    qin = str(tmp_path / "q")
+    spark.createDataFrame(
+        [(0, [16.1, 1.0, 0.0, 0.5])], "vec_id bigint, embedding array<double>"
+    ).write.parquet(qin)
+    out = str(tmp_path / "res")
+    q = run(["ann", "query", "--kind", "ivfpq", "--table", "ivfpq",
+             "--input", qin, "--state", state, "--out", out,
+             "--k", "3", "--nprobe", "2", "--rerank", "8"])
+    assert q["rows_out"] == 3
+    got = sorted(r["n"] for r in spark.read.parquet(out).collect())
+    assert 16 in got
+    assert pmain(["ann", "stats", "--kind", "ivfpq", "--table", "ivfpq",
+                  "--state", state, "--out", out]) == 2
+    assert pmain(["ann", "refit", "--kind", "ivfpq", "--table", "ivfpq",
+                  "--state", state]) == 2

@@ -2543,6 +2543,85 @@ def test_ivf_stats_and_refit_restore_drifted_index(spark, tmp_path):
     assert drift_cells.isdisjoint(old_cells), (drift_cells, old_cells)
 
 
+def test_ivfpq_index_build_append_query_time_travel(spark, tmp_path):
+    """Persistent IVF-PQ index (r11 — the FAISS-IVFPQ composition):
+    ONE atomic commit carries quantizer + residual codebooks + codes;
+    appends encode through the COMMITTED geometry and are
+    key-idempotent; queries probe nprobe cells via the masked ADC LUT
+    and exact-rerank; version pinning replays all three layers;
+    rebuild over a committed index refuses loudly."""
+    import math
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivfpq_append,
+        ivfpq_index,
+        ivfpq_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "ivfpq"))
+    # two well-separated direction clusters in 4-D: cells split them
+    base = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.01), math.sin(i * 0.01), 0.0, 0.0])
+            for i in range(16)
+        ]
+        + [
+            (100 + i, [0.0, 0.0, math.cos(i * 0.01), math.sin(i * 0.01)])
+            for i in range(16)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    v1 = ivfpq_index(base, store, nlist=2, m_sub=2, n_codes=4, seed=42)
+    snap = store.read(spark, "ivfpq_index")
+    assert snap.filter("n is null and sub is null").count() == 2  # cells
+    assert snap.filter("n is null and sub is not null").count() == 8
+    assert snap.filter("n is not null").count() == 32
+    # rebuild refuses
+    with pytest.raises(ValueError, match="already exists"):
+        ivfpq_index(base, store, nlist=2, m_sub=2, n_codes=4)
+    # append through committed geometry; retry adds zero rows
+    batch = spark.createDataFrame(
+        [(200, [0.0, 0.0, 0.7071, 0.7071]), (200, [0.0, 0.0, 0.7071, 0.7071])],
+        "vec_id bigint, embedding array<double>",
+    )
+    v2 = ivfpq_append(batch, store)
+    ivfpq_append(batch, store)
+    assert store.read(spark, "ivfpq_index").filter("n is not null").count() == 33
+    assert v2 == v1 + 1
+    # query: e2-e3-plane query must find e2-e3-plane neighbors only
+    # (nprobe=1 of 2 cells -> the masked LUT excludes the other plane)
+    q = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.8, 0.6])], "vec_id bigint, embedding array<double>"
+    )
+    got = ivfpq_query(
+        q, store, k=5, nprobe=1, rerank=16, query_key="vec_id"
+    ).collect()
+    assert len(got) == 5
+    assert all(r["n"] >= 100 for r in got), [r["n"] for r in got]
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [
+        1, 2, 3, 4, 5,
+    ]
+    # exactness of the rerank: top-1 is the true nearest by cosine
+    qv = [0.0, 0.0, 0.8, 0.6]
+    best = max(
+        (r for r in base.collect() if r["vec_id"] >= 100),
+        key=lambda r: sum(a * b for a, b in zip(r["embedding"], qv)),
+    )["vec_id"]
+    top = min(got, key=lambda r: r["rank"])
+    assert top["n"] in (best, 200)  # 200 is the appended near-diagonal
+    # time travel: pinned BEFORE the append, vec 200 is invisible
+    got_v1 = ivfpq_query(
+        q, store, k=33, nprobe=2, rerank=64, query_key="vec_id", version=v1
+    ).collect()
+    assert all(r["n"] != 200 for r in got_v1)
+    # empty-query short circuit
+    assert (
+        ivfpq_query(q.filter("vec_id < 0"), store, query_key="vec_id").count()
+        == 0
+    )
+
+
 def test_pq_stats_and_refit_restore_drifted_codebooks(spark, tmp_path):
     """VERDICT r10 item 4: ``pq_stats`` makes codebook drift visible
     (stored-code quantization error), ``pq_refit_due`` advises, and
@@ -2992,6 +3071,75 @@ def test_streaming_ivf_ingest_exactly_once_and_bootstrap(spark, tmp_path):
     )
     q2 = ing2.attach(stream, checkpoint=str(tmp_path / "ckpt3"))
     with pytest.raises(Exception, match="quantizer|Foreach|STREAM"):
+        q2.awaitTermination()
+
+
+def test_streaming_pq_ingest_exactly_once_and_bootstrap(spark, tmp_path):
+    """streaming/ann_stream.StreamingPqIngest (r11 — the PQ twin):
+    one atomic code-row version per micro-batch; a FULL replay adds
+    zero rows (pq_append shares the key-idempotence probe); a table
+    with no committed codebooks fails the stream loudly."""
+    from clickhouse_k_means_spark.operators.ann_index import (
+        pq_index,
+        pq_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.ann_stream import (
+        StreamingPqIngest,
+    )
+
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    seed = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.0]) for i in range(1, 17, 2)],
+        "vec_id bigint, embedding array<double>",
+    )
+    pq_index(seed, store, m_sub=2, n_codes=4, seed=42)
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.0]) for i in range(2, 10, 2)],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.0]) for i in range(10, 18, 2)],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    def attach(ckpt):
+        ing = StreamingPqIngest(store)
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = ing.attach(stream, checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination()
+        return ing
+
+    ing = attach("ckpt1")
+    assert ing.n_batches == 2 and len(ing.versions) == 2
+    coded = store.read(spark, "pq_index").filter(F.col("n").isNotNull())
+    assert coded.count() == 16  # 8 seed + 8 streamed, exactly once
+    assert coded.select("n").distinct().count() == 16
+    attach("ckpt2")  # full replay, fresh checkpoint: zero added
+    assert (
+        store.read(spark, "pq_index").filter(F.col("n").isNotNull()).count()
+        == 16
+    )
+    # streamed vectors are queryable (exact rerank recovers vec 10)
+    q = spark.createDataFrame(
+        [(0, [10.2, 1.0, 0.5, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    got = pq_query(q, store, k=1, rerank=16, query_key="vec_id").collect()
+    assert got[0]["n"] == 10
+    # bootstrap contract: no committed codebooks -> loud failure
+    empty_store = SnapshotStateStore(str(tmp_path / "empty"))
+    ing2 = StreamingPqIngest(empty_store)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .parquet(f"{src}/*")
+    )
+    q2 = ing2.attach(stream, checkpoint=str(tmp_path / "ckpt3"))
+    with pytest.raises(Exception, match="codebooks|Foreach|STREAM"):
         q2.awaitTermination()
 
 
