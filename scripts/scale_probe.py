@@ -306,6 +306,77 @@ def main() -> None:
         cov = coverage_topk(docs, queries, top_n=10)
         _noop(rrf_fuse([bm, cov], k_const=60, top_n=10))
 
+    def q_pq_maintenance():
+        # r11: drift -> qerr -> refit lifecycle (refit re-ENCODES the
+        # whole committed corpus through fresh codebooks — the probe's
+        # question is whether that one Arrow pass + replace commit
+        # stays ~flat like ivf_refit's re-assign; the qerr samples are
+        # bounded driver reads and must not grow with the corpus)
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from clickhouse_k_means_spark.operators.ann_index import (
+            pq_append,
+            pq_index,
+            pq_qerr,
+            pq_query,
+            pq_refit,
+        )
+        from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        store = SnapshotStateStore(tempfile.mkdtemp(prefix="pqmaintprobe_"))
+        drift = F.transform("embedding", lambda x: x * 0.05 + 3.0)
+        pq_index(emb.filter("vec_id % 2 = 1"), store, m_sub=16,
+                 n_codes=64, seed=42)
+        pq_append(
+            emb.filter("vec_id % 2 = 0").select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                drift.alias("embedding"),
+            ),
+            store,
+        )
+        pq_qerr(spark, store)
+        pq_refit(spark, store, seed=42)
+        pq_qerr(spark, store)
+        _noop(pq_query(emb.filter("vec_id < 5"), store, k=10,
+                       rerank=256, query_key="vec_id"))
+
+    def q_hybrid_ann_retrieval():
+        # r11: BM25 + persistent-IVF vector leg + RRF — expect the
+        # wall split between the tokenize scan (linear) and the index
+        # build's Arrow assign pass (linear); the fusion term is
+        # rank-bounded like hybrid_retrieval's
+        _noop(entry.q_hybrid_ann_retrieval(spark, sf_dir))
+
+    def q_ivfpq_index():
+        # r11: composed index build (one-pass encode) + append +
+        # masked-ADC probe — the scan term should track pq_ann's code
+        # column economics, the probe term ivf_index's cell pruning
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from clickhouse_k_means_spark.operators.ann_index import (
+            ivfpq_append,
+            ivfpq_index,
+            ivfpq_query,
+        )
+        from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        store = SnapshotStateStore(tempfile.mkdtemp(prefix="ivfpqprobe_"))
+        ivfpq_index(emb.filter("vec_id % 2 = 1"), store, nlist=64,
+                    m_sub=16, n_codes=64, seed=42)
+        ivfpq_append(emb.filter("vec_id % 2 = 0"), store)
+        _noop(ivfpq_query(emb.filter("vec_id < 5"), store, k=10,
+                          nprobe=8, rerank=512, query_key="vec_id"))
+
     sets = {
         "r7": [
             ("semdedup", q_semdedup),
@@ -314,6 +385,11 @@ def main() -> None:
         "r10": [
             ("ivf_maintenance", q_ivf_maintenance),
             ("hybrid_retrieval", q_hybrid_retrieval),
+        ],
+        "r11": [
+            ("pq_maintenance", q_pq_maintenance),
+            ("hybrid_ann_retrieval", q_hybrid_ann_retrieval),
+            ("ivfpq_index", q_ivfpq_index),
         ],
         "r9": [
             ("cdc_dedup", q_cdc_dedup),

@@ -186,6 +186,10 @@ _SCALAR_BNLJ_OK = {
     # same recall-gate pattern (r10): brute side is the 5-query set;
     # the gated path is the committed-code ADC scan + shortlist rerank
     "pq_index_query",
+    # same recall-gate pattern (r11): brute side is the 3-query drift
+    # probe set (pq_maintenance) / the 5-query set (ivfpq); the gated
+    # paths are the refit ADC scan and the probe-masked IVFPQ scan
+    "pq_maintenance", "ivfpq_index_query",
 }
 
 # Documented SinglePartition funnels: cumulative_uniques runs its
