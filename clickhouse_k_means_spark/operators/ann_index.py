@@ -290,6 +290,33 @@ def ivf_query(
     return ranked.withColumn("rank", F.row_number().over(w))
 
 
+def _occupancy_stats(cells: DataFrame, counts: DataFrame) -> DataFrame:
+    """Shared occupancy tail for the cell-bearing indexes: left-join
+    counts onto the full cell list (EMPTY cells included), grand total
+    via broadcast cross-join scalar — the repo-wide convention
+    (VERDICT r10 what's-wrong #2: a Window.partitionBy() here was the
+    one SinglePartition window left in the codebase; post-agg and
+    nlist-sized so harmless, but it spammed WindowExec warnings and
+    forced the plan audit to carve out what it elsewhere bans
+    categorically). ``filled`` is nlist rows — the eager checkpoint
+    keeps the snapshot scan from re-deriving under both the total and
+    the final select."""
+    filled = (
+        cells.join(counts, "cell", "left")
+        .select("cell", F.coalesce("n_vecs", F.lit(0)).alias("n_vecs"))
+        .localCheckpoint(eager=True)
+    )
+    total = filled.agg(F.sum("n_vecs").alias("__total"))
+    return filled.crossJoin(F.broadcast(total)).select(
+        "cell",
+        "n_vecs",
+        F.when(F.col("__total") == 0, F.lit(0))
+        .otherwise((F.col("n_vecs") * 1_000_000) / F.col("__total"))
+        .cast("bigint")
+        .alias("occupancy_ppm"),
+    )
+
+
 def ivf_stats(
     spark: SparkSession,
     store,
@@ -314,28 +341,7 @@ def ivf_stats(
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
-    # grand total via broadcast cross-join scalar — the repo-wide
-    # convention (VERDICT r10 what's-wrong #2: a
-    # Window.partitionBy() here was the one SinglePartition window
-    # left in the codebase; post-agg and nlist-sized so harmless, but
-    # it spammed WindowExec warnings and forced the plan audit to
-    # carve out what it elsewhere bans categorically). ``filled`` is
-    # nlist rows — the eager checkpoint keeps the snapshot scan from
-    # re-deriving under both the total and the final select.
-    filled = (
-        cells.join(counts, "cell", "left")
-        .select("cell", F.coalesce("n_vecs", F.lit(0)).alias("n_vecs"))
-        .localCheckpoint(eager=True)
-    )
-    total = filled.agg(F.sum("n_vecs").alias("__total"))
-    return filled.crossJoin(F.broadcast(total)).select(
-        "cell",
-        "n_vecs",
-        F.when(F.col("__total") == 0, F.lit(0))
-        .otherwise((F.col("n_vecs") * 1_000_000) / F.col("__total"))
-        .cast("bigint")
-        .alias("occupancy_ppm"),
-    )
+    return _occupancy_stats(cells, counts)
 
 
 def ivf_skew_factor(
@@ -1195,3 +1201,258 @@ def ivfpq_query(
 
     w = Window.partitionBy("q").orderBy(*order)
     return ranked.withColumn("rank", F.row_number().over(w))
+
+
+# ---- IVF-PQ maintenance (r11) ----------------------------------------
+#
+# Both parents' failure modes apply to the composition: drifted ingest
+# skews CELL OCCUPANCY (the IVF disease — probes scan far more than
+# nprobe/nlist of the corpus) AND inflates RESIDUAL quantization error
+# (the PQ disease — ADC ranks on distances the codebooks can't
+# represent). The diagnostics mirror the parents (``ivfpq_stats`` =
+# occupancy, ``ivfpq_qerr`` = residual error), the advisor fires on
+# EITHER, and one refit repairs BOTH layers atomically.
+
+
+def _ivfpq_sample(
+    spark: SparkSession,
+    store,
+    table: str,
+    version: int | None,
+    sample_n: int,
+    seed: int,
+):
+    """Deterministic hash-ordered sample of committed code rows:
+    (normalized matrix, cell vector, code matrix) + the committed
+    geometry — the bounded driver read both diagnostics share."""
+    import numpy as np
+
+    from clickhouse_k_means_spark.functions.vector import normalize_rows
+
+    centroids, books = _committed_ivfpq(spark, store, table, version)
+    rows = (
+        store.read(spark, table, version=version)
+        .filter(F.col("n").isNotNull())
+        .select("n", "cell", "codes", "v")
+        .orderBy(F.xxhash64(F.lit(seed), F.col("n")))
+        .limit(sample_n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"ivfpq index {table!r} holds no vectors")
+    x = normalize_rows(
+        np.asarray([r["v"] for r in rows], dtype=np.float64)
+    )
+    cells = np.asarray([r["cell"] for r in rows], dtype=np.int64)
+    codes = np.asarray([r["codes"] for r in rows], dtype=np.int64)
+    return x, cells, codes, centroids, books
+
+
+def ivfpq_stats(
+    spark: SparkSession,
+    store,
+    table: str = "ivfpq_index",
+    version: int | None = None,
+) -> DataFrame:
+    """Cell-occupancy diagnostic for the composed index — the
+    ``ivf_stats`` contract (``(cell, n_vecs, occupancy_ppm)``
+    including EMPTY cells, skew factor = max ppm · nlist/1e6) over the
+    IVFPQ layout's centroid/code rows."""
+    snap = store.read(spark, table, version=version)
+    cells = snap.filter(
+        F.col("n").isNull() & F.col("sub").isNull()
+    ).select("cell")
+    counts = (
+        snap.filter(F.col("n").isNotNull())
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    return _occupancy_stats(cells, counts)
+
+
+def ivfpq_skew_factor(
+    spark: SparkSession,
+    store,
+    table: str = "ivfpq_index",
+    version: int | None = None,
+) -> float:
+    """Occupancy skew factor (``ivf_skew_factor`` contract) over the
+    composed index."""
+    rows = ivfpq_stats(spark, store, table, version).collect()
+    if not rows:
+        raise ValueError(f"ivfpq index {table!r} has no cells")
+    return max(int(r["occupancy_ppm"]) for r in rows) * len(rows) / 1e6
+
+
+def ivfpq_qerr(
+    spark: SparkSession,
+    store,
+    table: str = "ivfpq_index",
+    version: int | None = None,
+    sample_n: int = _PQ_STATS_SAMPLE_N,
+    seed: int = 42,
+) -> float:
+    """Mean squared RESIDUAL quantization error of the stored codes
+    (the ``pq_qerr`` contract, measured against
+    ``x - centroid[cell]``): the memory-layer drift summary for the
+    composed index. One bounded driver sample, no corpus pass."""
+    x, cells, codes, centroids, books = _ivfpq_sample(
+        spark, store, table, version, sample_n, seed
+    )
+    dsub = books[0].shape[1]
+    resid = x - centroids[cells]
+    total = 0.0
+    for s, book in enumerate(books):
+        diff = resid[:, s * dsub : (s + 1) * dsub] - book[codes[:, s]]
+        total += float((diff * diff).sum(axis=1).mean())
+    return total
+
+
+def ivfpq_refit_due(
+    spark: SparkSession,
+    store,
+    table: str = "ivfpq_index",
+    skew_threshold: float = 4.0,
+    qerr_threshold: float = 1.5,
+    sample_n: int = _PQ_STATS_SAMPLE_N,
+    seed: int = 42,
+) -> bool:
+    """The composed advisor: True when EITHER parent's disease is
+    present — cell-occupancy skew past ``skew_threshold`` (the
+    ``ivf_refit_due`` signal) or a candidate two-layer refit on the
+    same deterministic sample would cut the residual quantization
+    error by more than ``qerr_threshold``x (the ``pq_refit_due``
+    decision-relevant measurement). The scheduled-job form:
+    ``if ivfpq_refit_due(...): ivfpq_refit(...)``."""
+    if skew_threshold <= 1.0 or qerr_threshold <= 1.0:
+        raise ValueError(
+            "thresholds must exceed 1.0: "
+            f"{skew_threshold}/{qerr_threshold}"
+        )
+    if ivfpq_skew_factor(spark, store, table) > skew_threshold:
+        return True
+    x, cells, codes, centroids, books = _ivfpq_sample(
+        spark, store, table, None, sample_n, seed
+    )
+    nlist = centroids.shape[0]
+    n_codes = books[0].shape[0]
+    dsub = books[0].shape[1]
+    resid = x - centroids[cells]
+    current = 0.0
+    for s, book in enumerate(books):
+        diff = resid[:, s * dsub : (s + 1) * dsub] - book[codes[:, s]]
+        current += float((diff * diff).sum(axis=1).mean())
+    # candidate: the exact two-layer fit ivfpq_refit would run
+    cand_cent = numpy_kmeans(x, k=min(nlist, len(x)), seed=seed, n_iter=10)
+    d2 = ((x[:, None, :] - cand_cent[None, :, :]) ** 2).sum(axis=2)
+    cand_resid = x - cand_cent[d2.argmin(axis=1)]
+    candidate = 0.0
+    for s in range(len(books)):
+        rs = cand_resid[:, s * dsub : (s + 1) * dsub]
+        book = numpy_kmeans(
+            rs, k=min(n_codes, len(x)), seed=seed + s, n_iter=10
+        )
+        bd2 = ((rs[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+        candidate += float(bd2.min(axis=1).mean())
+    if candidate == 0.0:
+        return current > 0.0
+    return current / candidate > qerr_threshold
+
+
+def ivfpq_refit(
+    spark: SparkSession,
+    store,
+    table: str = "ivfpq_index",
+    nlist: int | None = None,
+    m_sub: int | None = None,
+    n_codes: int | None = None,
+    seed: int = 42,
+) -> int:
+    """Re-fit BOTH layers on the CURRENT corpus and re-encode: fresh
+    coarse quantizer + fresh residual codebooks (the ``ivfpq_index``
+    sample protocol over the vectors the index holds NOW), every
+    committed vector re-encoded in ONE Arrow pass, quantizer +
+    codebooks + codes committed as ONE replace-snapshot version.
+    History stays time-travelable. Geometry defaults to INHERITING
+    the committed nlist/m_sub/n_codes (the family's ADVICE-r10 rule:
+    the maintenance loop must not silently resize). Returns the
+    version.
+
+    Scale shape: identical to ``ivfpq_index`` — one bounded driver
+    sample fit, one Arrow encode pass, one atomic commit; the corpus
+    is never shuffled."""
+    import numpy as np
+
+    from clickhouse_k_means_spark.functions.vector import (
+        ivfpq_encode_batch,
+        normalize_rows,
+    )
+
+    centroids, books = _committed_ivfpq(spark, store, table, None)
+    if nlist is None:
+        nlist = centroids.shape[0]
+    if m_sub is None:
+        m_sub = len(books)
+    if n_codes is None:
+        n_codes = books[0].shape[0]
+    current = (
+        store.read(spark, table)
+        .filter(F.col("n").isNotNull())
+        .select("n", "v")
+    )
+    sample = (
+        current.select(F.col("n").alias("sk"), F.col("v").alias("sv"))
+        .orderBy(F.xxhash64(F.lit(seed), F.col("sk")))
+        .limit(quantizer_sample_n(max(nlist, n_codes)))
+        .collect()
+    )
+    if not sample:
+        raise ValueError(f"ivfpq_refit: index {table!r} holds no vectors")
+    x = normalize_rows(
+        np.asarray([r["sv"] for r in sample], dtype=np.float64)
+    )
+    dim = x.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    fresh_cent = numpy_kmeans(x, k=min(nlist, len(x)), seed=seed, n_iter=10)
+    d2 = ((x[:, None, :] - fresh_cent[None, :, :]) ** 2).sum(axis=2)
+    resid = x - fresh_cent[d2.argmin(axis=1)]
+    fresh_books = [
+        numpy_kmeans(
+            resid[:, s * dsub : (s + 1) * dsub],
+            k=min(n_codes, len(x)),
+            seed=seed + s,
+            n_iter=10,
+        )
+        for s in range(m_sub)
+    ]
+    cent_rows = spark.createDataFrame(
+        [
+            (None, j, None, None, None, [float(v) for v in fresh_cent[j]])
+            for j in range(len(fresh_cent))
+        ],
+        _IVFPQ_SCHEMA,
+    )
+    book_rows = spark.createDataFrame(
+        [
+            (None, None, s, c, None, [float(v) for v in fresh_books[s][c]])
+            for s in range(m_sub)
+            for c in range(len(fresh_books[s]))
+        ],
+        _IVFPQ_SCHEMA,
+    )
+    encode = ivfpq_encode_batch(fresh_cent, fresh_books)
+    assign = current.select(
+        "n", encode(F.col("v")).alias("e"), "v"
+    ).select(
+        "n",
+        F.col("e.cell").alias("cell"),
+        F.lit(None).cast("int").alias("sub"),
+        F.lit(None).cast("int").alias("code"),
+        F.col("e.codes").alias("codes"),
+        "v",
+    )
+    return store.replace(
+        cent_rows.unionByName(book_rows).unionByName(assign), table
+    )

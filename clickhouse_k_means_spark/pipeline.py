@@ -210,8 +210,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--kind", choices=["ivf", "pq", "ivfpq"], default="ivf",
         help="index family: IVF cells (compute-side), PQ codes "
         "(memory-side), or the composed IVFPQ (cells x residual "
-        "codes); stats/refit report occupancy skew (ivf) or codebook "
-        "quantization error (pq) — not yet built for ivfpq",
+        "codes); stats/refit report occupancy skew (ivf), codebook "
+        "quantization error (pq), or both (ivfpq)",
     )
     an.add_argument(
         "--nlist", type=int, default=None,
@@ -308,11 +308,6 @@ def main(argv: list[str] | None = None) -> int:
         store = SnapshotStateStore(args.state)
         summary = {"cmd": "ann", "action": args.action, "kind": args.kind,
                    "state": args.state, "table": args.table}
-        if args.kind == "ivfpq" and args.action in ("stats", "refit"):
-            print("ann: ivfpq maintenance (stats/refit) is not built yet "
-                  "— query pinning and idempotent appends are; use a new "
-                  "table + rebuild to refresh geometry", file=sys.stderr)
-            return 2
         if args.action in ("build", "append", "query") and not args.input:
             print(f"ann {args.action}: --input required", file=sys.stderr)
             return 2
@@ -345,7 +340,15 @@ def main(argv: list[str] | None = None) -> int:
                          key=args.key, vec=args.vec)
             summary.update(version=int(v), rows_in=vecs.count())
         elif args.action == "refit":
-            if args.kind == "pq":
+            if args.kind == "ivfpq":
+                from clickhouse_k_means_spark.operators.ann_index import (
+                    ivfpq_refit,
+                )
+
+                v = ivfpq_refit(spark, store, table=args.table,
+                                nlist=args.nlist, m_sub=args.m_sub,
+                                n_codes=args.n_codes, seed=args.seed)
+            elif args.kind == "pq":
                 from clickhouse_k_means_spark.operators.ann_index import (
                     pq_refit,
                 )
@@ -358,7 +361,30 @@ def main(argv: list[str] | None = None) -> int:
                               nlist=args.nlist, seed=args.seed)
             summary.update(version=int(v))
         elif args.action == "stats":
-            if args.kind == "pq":
+            if args.kind == "ivfpq":
+                from clickhouse_k_means_spark.operators.ann_index import (
+                    ivfpq_qerr,
+                    ivfpq_skew_factor,
+                    ivfpq_stats,
+                )
+
+                rep = ivfpq_stats(spark, store, table=args.table,
+                                  version=args.version)
+                rep.write.mode("overwrite").parquet(args.out)
+                summary.update(
+                    out=args.out,
+                    rows_out=spark.read.parquet(args.out).count(),
+                    skew_factor=round(
+                        ivfpq_skew_factor(spark, store, table=args.table,
+                                          version=args.version), 3
+                    ),
+                    qerr=round(
+                        ivfpq_qerr(spark, store, table=args.table,
+                                   version=args.version,
+                                   seed=args.seed), 9
+                    ),
+                )
+            elif args.kind == "pq":
                 from clickhouse_k_means_spark.operators.ann_index import (
                     pq_qerr,
                     pq_stats,

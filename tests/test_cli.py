@@ -738,9 +738,10 @@ def test_pipeline_cli_ann_pq_kind(tmp_path, capsys, spark):
 
 
 def test_pipeline_cli_ann_ivfpq_kind(tmp_path, capsys, spark):
-    """ann --kind ivfpq drives the composed IVF-PQ index
-    (build / append / query); maintenance is refused loudly (r11 —
-    not built yet for the composed kind)."""
+    """ann --kind ivfpq drives the composed IVF-PQ index through the
+    FULL lifecycle: build / append / query / stats (occupancy skew +
+    residual qerr) / refit (inherits the committed two-layer
+    geometry)."""
     import json as _json
 
     from clickhouse_k_means_spark.pipeline import main as pmain
@@ -774,7 +775,17 @@ def test_pipeline_cli_ann_ivfpq_kind(tmp_path, capsys, spark):
     assert q["rows_out"] == 3
     got = sorted(r["n"] for r in spark.read.parquet(out).collect())
     assert 16 in got
-    assert pmain(["ann", "stats", "--kind", "ivfpq", "--table", "ivfpq",
-                  "--state", state, "--out", out]) == 2
-    assert pmain(["ann", "refit", "--kind", "ivfpq", "--table", "ivfpq",
-                  "--state", state]) == 2
+    st_out = str(tmp_path / "ivfpq_stats")
+    st = run(["ann", "stats", "--kind", "ivfpq", "--table", "ivfpq",
+              "--state", state, "--out", st_out])
+    assert st["rows_out"] == 2  # one row per coarse cell (nlist=2)
+    assert st["skew_factor"] >= 1.0 and st["qerr"] >= 0
+    r = run(["ann", "refit", "--kind", "ivfpq", "--table", "ivfpq",
+             "--state", state])
+    assert r["version"] == 3  # atomic replace commit after the append
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    snap = SnapshotStateStore(state).read(spark, "ivfpq")
+    # geometry inherited: 2 cells + 2 subspaces x 4 codes
+    assert snap.filter("n is null and sub is null").count() == 2
+    assert snap.filter("n is null and sub is not null").count() == 8

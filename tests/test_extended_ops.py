@@ -2622,6 +2622,102 @@ def test_ivfpq_index_build_append_query_time_travel(spark, tmp_path):
     )
 
 
+def test_ivfpq_stats_and_refit_restore_drifted_index(spark, tmp_path):
+    """IVF-PQ maintenance (r11): drifted ingest skews BOTH layers —
+    cell occupancy (the IVF disease) and residual quantization error
+    (the PQ disease). ``ivfpq_stats``/``ivfpq_qerr`` show it, the
+    combined advisor fires, one ``ivfpq_refit`` repairs both layers
+    atomically; history stays time-travelable."""
+    import math
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivfpq_append,
+        ivfpq_index,
+        ivfpq_qerr,
+        ivfpq_query,
+        ivfpq_refit,
+        ivfpq_refit_due,
+        ivfpq_skew_factor,
+        ivfpq_stats,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "ivfpqm"))
+    old = spark.createDataFrame(
+        [
+            (
+                i,
+                [
+                    math.cos(i * math.pi / 64),
+                    math.sin(i * math.pi / 64),
+                    0.0,
+                    0.0,
+                ],
+            )
+            for i in range(32)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivfpq_index(old, store, nlist=4, m_sub=2, n_codes=4, seed=42)
+    st0 = ivfpq_stats(spark, store).collect()
+    assert len(st0) == 4 and sum(r["n_vecs"] for r in st0) == 32
+    qerr0 = ivfpq_qerr(spark, store)
+    assert not ivfpq_refit_due(spark, store)
+    # drift: a tight far direction in the e2-e3 plane — piles into few
+    # cells AND its residuals exceed what the old codebooks represent
+    drift = spark.createDataFrame(
+        [
+            (
+                100 + i,
+                [
+                    0.0,
+                    0.0,
+                    math.cos(i * math.pi / 256),
+                    math.sin(i * math.pi / 256),
+                ],
+            )
+            for i in range(96)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivfpq_append(drift, store)
+    v_drifted = store.latest_version("ivfpq_index")
+    skew_b = ivfpq_skew_factor(spark, store)
+    qerr_b = ivfpq_qerr(spark, store)
+    assert qerr_b > 2 * qerr0, (qerr0, qerr_b)
+    assert ivfpq_refit_due(spark, store)
+
+    def drift_recall(version=None):
+        q = spark.createDataFrame(
+            [(0, [0.0, 0.0, 1.0, 0.01])],
+            "vec_id bigint, embedding array<double>",
+        )
+        got = {
+            r["n"]
+            for r in ivfpq_query(
+                q, store, k=5, nprobe=1, rerank=16, query_key="vec_id",
+                version=version,
+            ).collect()
+        }
+        return len(got & set(range(100, 196)))
+
+    r_drifted = drift_recall()
+    v_refit = ivfpq_refit(spark, store, seed=42)  # inherits 4/2/4
+    assert v_refit == v_drifted + 1
+    skew_a = ivfpq_skew_factor(spark, store)
+    qerr_a = ivfpq_qerr(spark, store)
+    assert qerr_a < qerr_b, (qerr_b, qerr_a)
+    assert skew_a < skew_b, (skew_b, skew_a)
+    assert drift_recall() == 5 >= r_drifted
+    snap = store.read(spark, "ivfpq_index")
+    assert snap.filter("n is null and sub is null").count() == 4
+    assert snap.filter("n is null and sub is not null").count() == 8
+    assert snap.filter("n is not null").count() == 128
+    # time travel: pinned stats + query replay the drifted index
+    assert ivfpq_skew_factor(spark, store, version=v_drifted) == skew_b
+    assert drift_recall(version=v_drifted) == r_drifted
+
+
 def test_pq_stats_and_refit_restore_drifted_codebooks(spark, tmp_path):
     """VERDICT r10 item 4: ``pq_stats`` makes codebook drift visible
     (stored-code quantization error), ``pq_refit_due`` advises, and
