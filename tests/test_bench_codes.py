@@ -251,6 +251,8 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         "tpch_q4": 0.68, "tpch_q18": 0.47, "tpch_q13": 0.30,
         "dedup_components": 1.36, "hll_incremental": 0.70,
         "winsorize": 0.63, "domain_kl": 0.52, "embed_covariance": 1.24,
+        "bucketed_join": 0.78, "funnel": 0.39, "unigram_lm": 1.05,
+        "near_dedup": 2.08,
     })
     # undiluted (the r10 behavior): median over the bar, flag FALSE
     med0, flag0 = bench.contention_stats(r10, anchors)
@@ -264,6 +266,7 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
     excl = excl - {
         "tpch_q4", "tpch_q18", "tpch_q13", "dedup_components",
         "hll_incremental", "winsorize", "domain_kl", "embed_covariance",
+        "bucketed_join", "funnel", "unigram_lm", "near_dedup",
         "pq_maintenance", "hybrid_ann_retrieval", "ivfpq_index_query",
     }
     med1, flag1 = bench.contention_stats(r10, anchors, frac_exclude=excl)
