@@ -254,3 +254,43 @@ def test_r10_tpch_plans_push_filters_and_broadcast(spark, sf_dir):
     pushed20 = " ".join(q20["pushed_filters"])
     assert "StringStartsWith(p_name,small)" in pushed20, pushed20
     assert "GreaterThanOrEqual(l_shipdate" in pushed20, pushed20
+
+
+def test_ivfpq_query_plan_prunes_cells_and_stays_arrow(spark, tmp_path):
+    """The composed index's probe keeps both scale bargains visible in
+    the PLAN (r11): the driver-known probe-cell list reaches the
+    parquet scan as an In(cell, ...) PushedFilter (row-group pruning —
+    the IVF selectivity bargain), the ADC runs as ArrowEvalPython
+    (vectorized, never row-at-a-time), the bounded query set rides a
+    broadcast, and nothing plans a cartesian or SinglePartition
+    funnel."""
+    import math
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivfpq_index,
+        ivfpq_query,
+    )
+    from clickhouse_k_means_spark.plans.audit import audit_plan
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "ivfpq"))
+    base = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.02), math.sin(i * 0.02), 0.1, 0.2])
+            for i in range(64)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivfpq_index(base, store, nlist=4, m_sub=2, n_codes=4, seed=42)
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.1, 0.1, 0.2])], "vec_id bigint, embedding array<double>"
+    )
+    out = ivfpq_query(q, store, k=5, nprobe=2, rerank=16, query_key="vec_id")
+    r = audit_plan(out)
+    pushed = " ".join(r["pushed_filters"])
+    assert "In(cell" in pushed, pushed
+    assert "IsNotNull(n)" in pushed, pushed
+    assert not r["has_cartesian"] and not r["single_partition"], r
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time
