@@ -4363,6 +4363,94 @@ def q_pq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ maintenance lifecycle (operators/ann_index.ivfpq_stats /
+    ivfpq_qerr / ivfpq_refit_due / ivfpq_refit — r11): the composed
+    index inherits BOTH parents' failure modes, so the gate checks
+    both repairs at once. Build on the odd-id half (nlist=8, m_sub=8,
+    n_codes=16), ivfpq_append a DRIFTED batch (the q_ivf_maintenance
+    drift construction: even ids >= 6 compressed+shifted to a tight
+    far direction — they pile into few cells AND their residuals
+    exceed the committed codebooks), then ivfpq_refit (inheriting the
+    committed three-layer geometry) and gate, per drift-region query
+    NOT in the index (drift images of vec_id 0/2/4): (a) recall@10 >=
+    min_hits on the REFIT index vs exact brute force over the full
+    mixed corpus, (b) the occupancy skew factor strictly dropping
+    across the refit (the IVF disease healed), (c) the residual
+    quantization error strictly dropping (the PQ disease healed), and
+    (d) the combined advisor having fired pre-refit. Every step is
+    seeded/deterministic, so the oracle asserts the gate exactly."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivfpq_append,
+        ivfpq_index,
+        ivfpq_qerr,
+        ivfpq_query,
+        ivfpq_refit,
+        ivfpq_refit_due,
+        ivfpq_skew_factor,
+    )
+    from clickhouse_k_means_spark.operators.similarity import brute_force_topk
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    drift_vec = F.transform("embedding", lambda x: x * 0.05 + 3.0)
+    original = emb.filter(F.pmod("vec_id", F.lit(2)) == 1)
+    drifted = emb.filter(
+        (F.pmod("vec_id", F.lit(2)) == 0) & (F.col("vec_id") >= 6)
+    ).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        drift_vec.alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id").isin(0, 2, 4)).select(
+        "vec_id", drift_vec.alias("embedding")
+    )
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="ivfpqmaint_"))
+    ivfpq_index(original, store, nlist=8, m_sub=8, n_codes=16, seed=42)
+    ivfpq_append(drifted, store)
+    skew_b = ivfpq_skew_factor(spark, store)
+    qerr_b = ivfpq_qerr(spark, store)
+    was_due = ivfpq_refit_due(spark, store)
+    ivfpq_refit(spark, store, seed=42)  # inherits 8/8/16
+    skew_a = ivfpq_skew_factor(spark, store)
+    qerr_a = ivfpq_qerr(spark, store)
+    approx = ivfpq_query(
+        queries, store, k=10, nprobe=4, rerank=320, query_key="vec_id"
+    )
+    corpus = original.unionByName(drifted)
+    exact = brute_force_topk(
+        queries, corpus, k=10, query_key="vec_id", corpus_key="vec_id"
+    ).select("q", "n", F.lit(1).alias("hit"))
+    marked = approx.filter(F.col("rank") <= 10).select("q", "n").join(
+        exact, ["q", "n"], "left"
+    )
+    min_hits = 5
+    per_q = (
+        queries.select(F.col("vec_id").alias("q"))
+        .join(
+            marked.groupBy("q").agg(
+                F.sum(F.coalesce("hit", F.lit(0))).alias("hits")
+            ),
+            "q",
+            "left",
+        )
+        .select("q", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
+    return per_q.select(
+        "q",
+        F.least(F.col("hits"), F.lit(min_hits)).cast("bigint").alias(
+            "hits_floor"
+        ),
+        (F.col("hits") >= min_hits).cast("bigint").alias("recall_pass"),
+        F.lit(1 if skew_a < skew_b else 0).cast("bigint").alias("skew_drop"),
+        F.lit(1 if qerr_a < qerr_b else 0).cast("bigint").alias("qerr_drop"),
+        F.lit(1 if was_due else 0).cast("bigint").alias("refit_was_due"),
+    )
+
+
 def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid DBSCAN over the first two embedding dimensions
     (operators/density.grid_dbscan): eps-sided cells, dense-cell
@@ -4721,6 +4809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_maintenance": q_pq_maintenance,
         "hybrid_ann_retrieval": q_hybrid_ann_retrieval,
         "ivfpq_index_query": q_ivfpq_index_query,
+        "ivfpq_maintenance": q_ivfpq_maintenance,
         # --- R wrap: the r7 red queue-jumpers (re-gated green r8) and
         # the whole r8 window cohort — re-gate when the circular
         # pointer comes back around ---
@@ -6205,6 +6294,16 @@ def oracle_sql() -> dict[str, str]:
             # per-query recall floor
             "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "
             "5::BIGINT as hits_floor, 1::BIGINT as recall_pass"
+        ),
+        "ivfpq_maintenance": (
+            # drift -> (skew AND qerr) -> one two-layer refit: the
+            # gate asserts post-refit recall, BOTH diseases strictly
+            # healed, and the combined advisor having fired (all
+            # measured in-query from seeded deterministic steps)
+            "select unnest([0, 2, 4])::BIGINT as q, "
+            "5::BIGINT as hits_floor, 1::BIGINT as recall_pass, "
+            "1::BIGINT as skew_drop, 1::BIGINT as qerr_drop, "
+            "1::BIGINT as refit_was_due"
         ),
         # single availableNow batch → the decay blend reduces to plain
         # per-cluster means over the nearest of the initial centroids

@@ -435,6 +435,9 @@ def main() -> None:
         # r11 addition: composed IVF-PQ index (cells x residual codes)
         # build+append+masked-ADC probe + in-query recall gate
         ("ivfpq_index_query", entry.q_ivfpq_index_query, 2),
+        # r11 addition: IVFPQ drift -> (skew AND qerr) -> two-layer
+        # refit lifecycle incl. in-query recall gate
+        ("ivfpq_maintenance", entry.q_ivfpq_maintenance, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

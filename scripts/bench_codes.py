@@ -75,6 +75,7 @@ NAMES = [
     "ivf_index_query",
     "ivf_maintenance",
     "ivfpq_index_query",
+    "ivfpq_maintenance",
     "kmeans_fit",
     "knn_join",
     "knn_join_partitioned",
@@ -213,7 +214,8 @@ def encode_pairs(timings: dict[str, float]) -> str:
 ROUND_ADDITIONS: list[list[str]] = [
     # r11 additions (decoding BENCH_r10 needs the pre-r11 table)
     [
-        "hybrid_ann_retrieval", "ivfpq_index_query", "pq_maintenance",
+        "hybrid_ann_retrieval", "ivfpq_index_query", "ivfpq_maintenance",
+        "pq_maintenance",
     ],
     # r10 additions (BENCH_r10 marker 9156 -> r9-era marker 872f)
     [

@@ -189,7 +189,7 @@ _SCALAR_BNLJ_OK = {
     # same recall-gate pattern (r11): brute side is the 3-query drift
     # probe set (pq_maintenance) / the 5-query set (ivfpq); the gated
     # paths are the refit ADC scan and the probe-masked IVFPQ scan
-    "pq_maintenance", "ivfpq_index_query",
+    "pq_maintenance", "ivfpq_index_query", "ivfpq_maintenance",
 }
 
 # Documented SinglePartition funnels: cumulative_uniques runs its

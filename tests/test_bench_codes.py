@@ -268,6 +268,7 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         "hll_incremental", "winsorize", "domain_kl", "embed_covariance",
         "bucketed_join", "funnel", "unigram_lm", "near_dedup",
         "pq_maintenance", "hybrid_ann_retrieval", "ivfpq_index_query",
+        "ivfpq_maintenance",
     }
     med1, flag1 = bench.contention_stats(r10, anchors, frac_exclude=excl)
     assert flag1 and med1 == med0, (med1, flag1)
