@@ -352,6 +352,47 @@ def main() -> None:
         # rank-bounded like hybrid_retrieval's
         _noop(entry.q_hybrid_ann_retrieval(spark, sf_dir))
 
+    def q_ivfpq_maintenance():
+        # r11: the composed drift -> (skew AND qerr) -> two-layer
+        # refit lifecycle — the probe's question is whether the
+        # two-layer refit (sample fits + ONE re-encode pass + replace
+        # commit) stays ~flat like ivf_refit/pq_refit
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from clickhouse_k_means_spark.operators.ann_index import (
+            ivfpq_append,
+            ivfpq_index,
+            ivfpq_qerr,
+            ivfpq_query,
+            ivfpq_refit,
+            ivfpq_skew_factor,
+        )
+        from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        store = SnapshotStateStore(tempfile.mkdtemp(prefix="ivfpqmprobe_"))
+        drift = F.transform("embedding", lambda x: x * 0.05 + 3.0)
+        ivfpq_index(emb.filter("vec_id % 2 = 1"), store, nlist=64,
+                    m_sub=16, n_codes=64, seed=42)
+        ivfpq_append(
+            emb.filter("vec_id % 2 = 0").select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                drift.alias("embedding"),
+            ),
+            store,
+        )
+        ivfpq_skew_factor(spark, store)
+        ivfpq_qerr(spark, store)
+        ivfpq_refit(spark, store, seed=42)
+        ivfpq_skew_factor(spark, store)
+        ivfpq_qerr(spark, store)
+        _noop(ivfpq_query(emb.filter("vec_id < 5"), store, k=10,
+                          nprobe=8, rerank=512, query_key="vec_id"))
+
     def q_ivfpq_index():
         # r11: composed index build (one-pass encode) + append +
         # masked-ADC probe — the scan term should track pq_ann's code
@@ -390,6 +431,7 @@ def main() -> None:
             ("pq_maintenance", q_pq_maintenance),
             ("hybrid_ann_retrieval", q_hybrid_ann_retrieval),
             ("ivfpq_index", q_ivfpq_index),
+            ("ivfpq_maintenance", q_ivfpq_maintenance),
         ],
         "r9": [
             ("cdc_dedup", q_cdc_dedup),

@@ -252,7 +252,9 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         "dedup_components": 1.36, "hll_incremental": 0.70,
         "winsorize": 0.63, "domain_kl": 0.52, "embed_covariance": 1.24,
         "bucketed_join": 0.78, "funnel": 0.39, "unigram_lm": 1.05,
-        "near_dedup": 2.08,
+        "near_dedup": 2.08, "outliers": 0.64, "profile": 0.81,
+        "skew_report": 0.23, "domain_cap": 0.16, "topk_heavy": 0.58,
+        "array_set_ops": 0.21,
     })
     # undiluted (the r10 behavior): median over the bar, flag FALSE
     med0, flag0 = bench.contention_stats(r10, anchors)
@@ -267,6 +269,8 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         "tpch_q4", "tpch_q18", "tpch_q13", "dedup_components",
         "hll_incremental", "winsorize", "domain_kl", "embed_covariance",
         "bucketed_join", "funnel", "unigram_lm", "near_dedup",
+        "outliers", "profile", "skew_report", "domain_cap",
+        "topk_heavy", "array_set_ops",
         "pq_maintenance", "hybrid_ann_retrieval", "ivfpq_index_query",
         "ivfpq_maintenance",
     }
