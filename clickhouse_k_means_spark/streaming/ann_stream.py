@@ -60,11 +60,13 @@ class StreamingIvfIngest:
             batch, self.store, table=self.table, key=self.key, vec=self.vec
         )
 
+    _DEFAULT_QUERY_NAME = "streaming_ivf_ingest"
+
     def attach(
         self,
         stream: DataFrame,
         checkpoint: str,
-        query_name: str = "streaming_ivf_ingest",
+        query_name: str | None = None,
     ):
         """Ingest the stream into the index (caller awaits).
 
@@ -80,7 +82,7 @@ class StreamingIvfIngest:
 
         return (
             stream.writeStream.foreachBatch(_on_batch)
-            .queryName(query_name)
+            .queryName(query_name or self._DEFAULT_QUERY_NAME)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
@@ -98,6 +100,8 @@ class StreamingPqIngest(StreamingIvfIngest):
     batches under the single-writer contract; a refit mid-stream is
     safe because Structured Streaming serializes micro-batches and
     every batch re-reads the LATEST committed codebooks."""
+
+    _DEFAULT_QUERY_NAME = "streaming_pq_ingest"
 
     def __init__(
         self,
