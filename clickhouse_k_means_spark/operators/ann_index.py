@@ -1166,7 +1166,10 @@ def ivfpq_query(
         np.asarray([r["qv"] for r in qrows], dtype=np.float64)
     )
     qd2 = ((q_mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-    probe = np.argsort(qd2, axis=1)[:, :nprobe]  # (Q, nprobe)
+    # stable sort: an exact distance tie breaks to the LOWEST cell id
+    # (the nearest_cells_batch convention), not quicksort's
+    # platform-dependent order — probe sets must replay bit-identically
+    probe = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
     mask = np.zeros((len(q_mat), nlist), dtype=bool)
     np.put_along_axis(mask, probe, True, axis=1)
     probed = sorted({int(c) for c in probe.ravel()})
