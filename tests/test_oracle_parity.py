@@ -138,17 +138,17 @@ def test_entry_smoke(spark):
     assert {f.name for f in df.schema} == {"j", "n", "avg_dist"}
 
 
-def test_driver_window_pins_r11_rotation():
+def test_driver_window_pins_r12_rotation():
     """Rotation contract (VERDICT r5 item 2): the driver records rows
-    for the FIRST 50 registry entries only. r11 window = 6-query fixed
-    head + the next 44 rotation slots exactly as the r10 comment
-    scheduled (VERDICT r10 item 1 — "hold the rotation"): the seven
-    r10 additions taking their FIRST driver rows (tpch_q9a, tpch_q11a,
-    tpch_q20a, ivf_maintenance, stream_ann_ingest, hybrid_retrieval,
-    pq_index_query), then the pointer's continuation through
-    locf_fill. New r11 queries sit at position 50+ so they first-gate
-    at the front of the r12 window; the gated r10-window cohort
-    (cdc_dedup .. token_counts) rotated to the back."""
+    for the FIRST 50 registry entries only. r12 window = 6-query fixed
+    head + the next 44 rotation slots exactly as the r11 comment
+    scheduled (VERDICT r11 item 1 — "hold the rotation"): the four
+    r11 additions taking their FIRST driver rows (pq_maintenance,
+    hybrid_ann_retrieval, ivfpq_index_query, ivfpq_maintenance), then
+    the pointer's continuation through monthly_revenue. New r12
+    queries sit at position 50+ so they first-gate at the front of the
+    r13 window; the gated r11-window cohort (tpch_q9a .. locf_fill)
+    rotated to the back."""
     keys = list(QUERIES)
     window = keys[:50]
     head = {
@@ -156,18 +156,18 @@ def test_driver_window_pins_r11_rotation():
         "elbow_total", "kmeans_fit_history",
     }
     assert head <= set(window), sorted(head - set(window))
-    # VERDICT r10 item 1: the seven r10 additions open the rotation
+    # VERDICT r11 item 1: the four r11 additions open the rotation
     # part of the window, in the scheduled order
-    assert keys[6:13] == [
-        "tpch_q9a", "tpch_q11a", "tpch_q20a", "ivf_maintenance",
-        "stream_ann_ingest", "hybrid_retrieval", "pq_index_query",
+    assert keys[6:10] == [
+        "pq_maintenance", "hybrid_ann_retrieval", "ivfpq_index_query",
+        "ivfpq_maintenance",
     ]
     # the pointer's natural continuation fills the rest of the window
-    assert keys[13] == "doc_fingerprint"
-    assert keys[49] == "locf_fill"
+    assert keys[10] == "tpch_q14"
+    assert keys[49] == "monthly_revenue"
     assert all(k in ORACLES for k in window)
-    # the gated r10-window cohort sits at the BACK of the rotation
-    assert keys[-44] == "cdc_dedup" and keys[-1] == "token_counts"
+    # the gated r11-window cohort sits at the BACK of the rotation
+    assert keys[-44] == "tpch_q9a" and keys[-1] == "locf_fill"
     # the cadence must close: ceil(rotating / slots) rounds per full
     # sweep, with slots = 50 - len(fixed head). The registry comment
     # documents the CURRENT ceil — keep them in sync (VERDICT r5
