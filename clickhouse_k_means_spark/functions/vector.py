@@ -330,40 +330,57 @@ def ivfpq_adc_batch(
     to each of the ``Q`` queries in ``q_mat`` (normalized rows).
 
     The lookup table folds the coarse centroid INTO the residual
-    entry — ``lut[q, cell, s, c] = |q_s - centroid[cell]_s -
-    codebook_s[c]|²`` (Q x nlist x m x n_codes doubles, tiny at any
-    realistic geometry) — so scoring a corpus row is m lookups + adds
-    per query, reading only the ``cell``/``codes`` columns.
-    ``probe_mask[q, cell] = False`` poisons that (query, cell) pair to
-    +inf: rows in unprobed cells score infinite and a single
-    ``!= inf`` filter realizes per-query nprobe selectivity without a
-    join (callers filter; see ``ivfpq_query``)."""
+    entry — ``lut[q, p, s, c] = |q_s - centroid[probed[p]]_s -
+    codebook_s[c]|²`` — built ONLY over the union of probed cells
+    (``probe_mask.any(axis=0)``), with cell ids remapped to a compact
+    probed-cell index baked into the closure (ADVICE r11: the full
+    Q x nlist x m x n_codes table is multi-GB at realistic geometry
+    nlist=1024, m=16, n_codes=256, Q=100; the probed union is bounded
+    by Q*nprobe regardless of nlist). Each per-subspace slab is
+    computed via the expanded form ``|t|² - 2·t·c + |c|²`` with a
+    (Q, P, n_codes) matmul — no (Q, P, n_codes, dsub) 4-D transient.
+    Scoring a corpus row is m lookups + adds per query, reading only
+    the ``cell``/``codes`` columns. ``probe_mask[q, cell] = False``
+    poisons that (query, cell) pair to +inf — as does any cell outside
+    the probed union — so rows in unprobed cells score infinite and a
+    single ``!= inf`` filter realizes per-query nprobe selectivity
+    without a join (callers filter; see ``ivfpq_query``)."""
     m_sub = len(codebooks)
     dsub = codebooks[0].shape[1]
     cent = np.asarray(centroids, dtype=np.float64)
+    nlist = cent.shape[0]
+    n_q = q_mat.shape[0]
+    if probe_mask is not None:
+        probed = np.flatnonzero(probe_mask.any(axis=0))
+    else:
+        probed = np.arange(nlist)
+    cell_to_idx = np.full(nlist, -1, dtype=np.int64)
+    cell_to_idx[probed] = np.arange(len(probed))
     luts = []
     for s in range(m_sub):
         q_s = q_mat[:, s * dsub : (s + 1) * dsub]  # (Q, dsub)
-        c_s = cent[:, s * dsub : (s + 1) * dsub]  # (nlist, dsub)
-        # (Q, nlist, n_codes, dsub) -> sum sq -> (Q, nlist, n_codes)
-        diff = (
-            q_s[:, None, None, :]
-            - c_s[None, :, None, :]
-            - codebooks[s][None, None, :, :]
+        c_s = cent[probed][:, s * dsub : (s + 1) * dsub]  # (P, dsub)
+        cb = codebooks[s]  # (n_codes, dsub)
+        t = q_s[:, None, :] - c_s[None, :, :]  # (Q, P, dsub)
+        tsq = (t * t).sum(axis=2)  # (Q, P)
+        cbsq = (cb * cb).sum(axis=1)  # (n_codes,)
+        # (Q, P, n_codes) straight from the matmul — no 4-D transient
+        luts.append(
+            tsq[:, :, None] - 2.0 * (t @ cb.T) + cbsq[None, None, :]
         )
-        luts.append((diff * diff).sum(axis=3))
-    lut = np.stack(luts, axis=2)  # (Q, nlist, m, n_codes)
+    lut = np.stack(luts, axis=2)  # (Q, P, m, n_codes)
     if probe_mask is not None:
-        lut = lut.copy()
-        lut[~probe_mask, :, :] = np.inf
+        lut[~probe_mask[:, probed], :, :] = np.inf
 
     @pandas_udf("array<double>")
     def _adc(cell: pd.Series, codes: pd.Series) -> pd.Series:
-        cl = cell.to_numpy(dtype=np.int64)  # (n,)
+        cl = cell_to_idx[cell.to_numpy(dtype=np.int64)]  # (n,)
         cm = np.array(codes.tolist(), dtype=np.int64)  # (n, m)
-        acc = np.zeros((lut.shape[0], len(cm)), dtype=np.float64)
+        acc = np.zeros((n_q, len(cm)), dtype=np.float64)
+        ok = cl >= 0
         for s in range(m_sub):
-            acc += lut[:, cl, s, cm[:, s]]
+            acc[:, ok] += lut[:, cl[ok], s, cm[ok, s]]
+        acc[:, ~ok] = np.inf
         return pd.Series(list(acc.T))
 
     return _adc

@@ -420,8 +420,16 @@ def ivf_refit(
     )
     if not sample:
         raise ValueError(f"ivf_refit: index {table!r} holds no vectors")
+    if len(sample) < nlist:
+        # ADVICE r11 (pq_refit sibling): clamping would silently
+        # commit fewer cells than the inherited nlist
+        raise ValueError(
+            f"ivf_refit: corpus sample ({len(sample)} rows) is smaller "
+            f"than the inherited nlist={nlist}; refusing to silently "
+            "shrink the committed geometry"
+        )
     x = np.asarray([r["sv"] for r in sample], dtype=np.float64)
-    centers = numpy_kmeans(x, k=min(nlist, len(sample)), seed=seed, n_iter=10)
+    centers = numpy_kmeans(x, k=nlist, seed=seed, n_iter=10)
     centers_l = [list(map(float, c)) for c in centers]
     cent_rows = spark.createDataFrame(
         [(None, j, c) for j, c in enumerate(centers_l)],
@@ -790,15 +798,23 @@ def pq_refit_due(
     """The maintenance advisor: True when refitting would cut the
     quantization error by more than ``threshold``×. Measures the
     DECISION-RELEVANT quantity directly: fit candidate codebooks on
-    the same deterministic sample (driver-side, the exact fit
-    ``pq_refit`` would run), encode the sample through them, and
-    compare ``qerr_current / qerr_candidate``. No version archaeology
-    needed (unlike a commit-time-baseline design, this stays correct
-    after truncate/rebuild cycles and on stores that predate the
-    diagnostic), and the advisor costs one bounded sample fit — no
-    corpus pass. The scheduled-job form:
+    the EXACT sample protocol ``pq_refit`` uses — the first
+    ``quantizer_sample_n(n_codes)`` rows of the shared hash-ordered
+    sample (same ``xxhash64(seed, n)`` order, so the prefix IS the
+    refit's fit set; ADVICE r11: the advisor previously fit on the
+    full ``sample_n`` diagnostic sample and could disagree with the
+    actual refit) — then score the whole diagnostic sample through
+    them and compare ``qerr_current / qerr_candidate``. No version
+    archaeology needed (unlike a commit-time-baseline design, this
+    stays correct after truncate/rebuild cycles and on stores that
+    predate the diagnostic), and the advisor costs one bounded sample
+    fit — no corpus pass. The scheduled-job form:
     ``if pq_refit_due(...): pq_refit(...)``."""
     import numpy as np
+
+    from clickhouse_k_means_spark.functions.vector import (
+        quantizer_sample_n,
+    )
 
     if threshold <= 1.0:
         raise ValueError(f"threshold must exceed 1.0: {threshold}")
@@ -808,11 +824,15 @@ def pq_refit_due(
     n_codes = books[0].shape[0]
     dsub = books[0].shape[1]
     current = float(errs.sum())
+    x_fit = x[: quantizer_sample_n(n_codes)]
     candidate = 0.0
     for s in range(len(books)):
         xs = x[:, s * dsub : (s + 1) * dsub]
         book = numpy_kmeans(
-            xs, k=min(n_codes, len(xs)), seed=seed + s, n_iter=10
+            x_fit[:, s * dsub : (s + 1) * dsub],
+            k=min(n_codes, len(x_fit)),
+            seed=seed + s,
+            n_iter=10,
         )
         d2 = ((xs[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
         candidate += float(d2.min(axis=1).mean())
@@ -881,11 +901,20 @@ def pq_refit(
     dim = x.shape[1]
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    if len(x) < n_codes:
+        # ADVICE r11: clamping k to the sample would silently commit a
+        # SMALLER geometry than the inherited n_codes — the documented
+        # no-silent-resize rule says fail loudly instead
+        raise ValueError(
+            f"pq_refit: corpus sample ({len(x)} rows) is smaller than "
+            f"the inherited n_codes={n_codes}; refusing to silently "
+            "shrink the committed geometry"
+        )
     dsub = dim // m_sub
     fresh = [
         numpy_kmeans(
             x[:, s * dsub : (s + 1) * dsub],
-            k=min(n_codes, len(x)),
+            k=n_codes,
             seed=seed + s,
             n_iter=10,
         )
@@ -1323,10 +1352,18 @@ def ivfpq_refit_due(
     """The composed advisor: True when EITHER parent's disease is
     present — cell-occupancy skew past ``skew_threshold`` (the
     ``ivf_refit_due`` signal) or a candidate two-layer refit on the
-    same deterministic sample would cut the residual quantization
-    error by more than ``qerr_threshold``x (the ``pq_refit_due``
-    decision-relevant measurement). The scheduled-job form:
+    REFIT'S OWN sample protocol (the first
+    ``quantizer_sample_n(max(nlist, n_codes))`` rows of the shared
+    hash-ordered sample — the prefix is exactly ``ivfpq_refit``'s fit
+    set; ADVICE r11) would cut the residual quantization error, scored
+    over the whole diagnostic sample, by more than ``qerr_threshold``x
+    (the ``pq_refit_due`` decision-relevant measurement). The
+    scheduled-job form:
     ``if ivfpq_refit_due(...): ivfpq_refit(...)``."""
+    from clickhouse_k_means_spark.functions.vector import (
+        quantizer_sample_n,
+    )
+
     if skew_threshold <= 1.0 or qerr_threshold <= 1.0:
         raise ValueError(
             "thresholds must exceed 1.0: "
@@ -1345,15 +1382,23 @@ def ivfpq_refit_due(
     for s, book in enumerate(books):
         diff = resid[:, s * dsub : (s + 1) * dsub] - book[codes[:, s]]
         current += float((diff * diff).sum(axis=1).mean())
-    # candidate: the exact two-layer fit ivfpq_refit would run
-    cand_cent = numpy_kmeans(x, k=min(nlist, len(x)), seed=seed, n_iter=10)
+    # candidate: the exact two-layer fit ivfpq_refit would run, scored
+    # on the full diagnostic sample
+    x_fit = x[: quantizer_sample_n(max(nlist, n_codes))]
+    cand_cent = numpy_kmeans(
+        x_fit, k=min(nlist, len(x_fit)), seed=seed, n_iter=10
+    )
     d2 = ((x[:, None, :] - cand_cent[None, :, :]) ** 2).sum(axis=2)
     cand_resid = x - cand_cent[d2.argmin(axis=1)]
+    fit_resid = cand_resid[: len(x_fit)]
     candidate = 0.0
     for s in range(len(books)):
         rs = cand_resid[:, s * dsub : (s + 1) * dsub]
         book = numpy_kmeans(
-            rs, k=min(n_codes, len(x)), seed=seed + s, n_iter=10
+            fit_resid[:, s * dsub : (s + 1) * dsub],
+            k=min(n_codes, len(x_fit)),
+            seed=seed + s,
+            n_iter=10,
         )
         bd2 = ((rs[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
         candidate += float(bd2.min(axis=1).mean())
@@ -1417,14 +1462,22 @@ def ivfpq_refit(
     dim = x.shape[1]
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    if len(x) < max(nlist, n_codes):
+        # ADVICE r11: the no-silent-resize rule — never clamp the
+        # committed geometry down to a small sample
+        raise ValueError(
+            f"ivfpq_refit: corpus sample ({len(x)} rows) is smaller "
+            f"than the inherited nlist={nlist}/n_codes={n_codes}; "
+            "refusing to silently shrink the committed geometry"
+        )
     dsub = dim // m_sub
-    fresh_cent = numpy_kmeans(x, k=min(nlist, len(x)), seed=seed, n_iter=10)
+    fresh_cent = numpy_kmeans(x, k=nlist, seed=seed, n_iter=10)
     d2 = ((x[:, None, :] - fresh_cent[None, :, :]) ** 2).sum(axis=2)
     resid = x - fresh_cent[d2.argmin(axis=1)]
     fresh_books = [
         numpy_kmeans(
             resid[:, s * dsub : (s + 1) * dsub],
-            k=min(n_codes, len(x)),
+            k=n_codes,
             seed=seed + s,
             n_iter=10,
         )

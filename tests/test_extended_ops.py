@@ -3339,3 +3339,98 @@ def test_ivf_refit_due_advisor(spark, tmp_path):
     assert ivf_skew_factor(spark, store) < skew_drifted
     with pytest.raises(ValueError, match="threshold"):
         ivf_refit_due(spark, store, threshold=1.0)
+
+
+def test_refit_refuses_to_shrink_committed_geometry(spark, tmp_path):
+    """ADVICE r11: when the corpus sample is smaller than the
+    inherited (or explicitly requested) geometry, every refit RAISES
+    instead of silently committing fewer codes/cells — the
+    no-silent-resize rule the builders already follow."""
+    import math
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivf_index,
+        ivf_refit,
+        ivfpq_index,
+        ivfpq_refit,
+        pq_index,
+        pq_refit,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.7), math.sin(i * 0.7), 0.1 * i, 1.0])
+            for i in range(8)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    pq_store = SnapshotStateStore(str(tmp_path / "pq"))
+    pq_index(vecs, pq_store, m_sub=2, n_codes=4, seed=42)
+    with pytest.raises(ValueError, match="smaller than the inherited"):
+        pq_refit(spark, pq_store, n_codes=64)
+    ivf_store = SnapshotStateStore(str(tmp_path / "ivf"))
+    ivf_index(vecs, ivf_store, nlist=2, seed=42)
+    with pytest.raises(ValueError, match="smaller than the inherited"):
+        ivf_refit(spark, ivf_store, nlist=64)
+    ivfpq_store = SnapshotStateStore(str(tmp_path / "ivfpq"))
+    ivfpq_index(vecs, ivfpq_store, nlist=2, m_sub=2, n_codes=4, seed=42)
+    with pytest.raises(ValueError, match="smaller than the inherited"):
+        ivfpq_refit(spark, ivfpq_store, n_codes=64)
+
+
+def test_ivfpq_adc_lut_is_compact_over_probed_union(spark):
+    """ADVICE r11 (medium): the ADC LUT is built over the UNION of
+    probed cells only — (Q, P, m, n_codes), P = |union| — not all
+    nlist cells; cells outside the union score +inf for every query,
+    probed (q, cell) pairs match the exact folded-residual distance,
+    and masked pairs inside the union are +inf per query."""
+    import numpy as np
+    import pandas as pd
+
+    from clickhouse_k_means_spark.functions.vector import ivfpq_adc_batch
+
+    rng = np.random.RandomState(7)
+    nlist, m_sub, n_codes, dsub = 16, 2, 4, 2
+    centroids = rng.randn(nlist, m_sub * dsub)
+    books = [rng.randn(n_codes, dsub) for _ in range(m_sub)]
+    q_mat = rng.randn(3, m_sub * dsub)
+    # queries probe cells {1, 5}, {5, 9}, {1, 9} -> union {1, 5, 9}
+    mask = np.zeros((3, nlist), dtype=bool)
+    mask[0, [1, 5]] = mask[1, [5, 9]] = mask[2, [1, 9]] = True
+    adc = ivfpq_adc_batch(centroids, books, q_mat, probe_mask=mask)
+    # the baked LUT's cell axis must span exactly the 3-cell union
+    lut = adc.func.__closure__
+    luts = [
+        c.cell_contents
+        for c in lut
+        if isinstance(c.cell_contents, np.ndarray)
+        and c.cell_contents.ndim == 4
+    ]
+    assert luts and luts[0].shape == (3, 3, m_sub, n_codes), [
+        getattr(c.cell_contents, "shape", None) for c in lut
+    ]
+    # drive the pandas UDF body directly (the .func escape hatch):
+    # rows in cells 1 (probed by q0/q2), 5, 9, and 2 (outside union)
+    cells = pd.Series([1, 5, 9, 2])
+    codes = pd.Series([[0, 1], [2, 3], [1, 0], [3, 2]])
+    out = np.array(adc.func(cells, codes).tolist())  # (4 rows, 3 queries)
+    assert out.shape == (4, 3)
+    # outside-union row: +inf for every query
+    assert np.isinf(out[3]).all()
+    # masked-inside-union: q1 never probes cell 1 -> inf; q0 does
+    assert np.isinf(out[0][1]) and np.isfinite(out[0][0])
+    # probed pairs equal the exact folded-residual distance
+    for row, (cell, cds) in enumerate(zip(cells, codes)):
+        for qi in range(3):
+            if not mask[qi, cell]:
+                continue
+            want = 0.0
+            for s in range(m_sub):
+                recon = (
+                    centroids[cell, s * dsub : (s + 1) * dsub]
+                    + books[s][cds[s]]
+                )
+                d = q_mat[qi, s * dsub : (s + 1) * dsub] - recon
+                want += float((d * d).sum())
+            assert abs(out[row][qi] - want) < 1e-9, (row, qi)
