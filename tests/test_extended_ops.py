@@ -3434,3 +3434,79 @@ def test_ivfpq_adc_lut_is_compact_over_probed_union(spark):
                 d = q_mat[qi, s * dsub : (s + 1) * dsub] - recon
                 want += float((d * d).sum())
             assert abs(out[row][qi] - want) < 1e-9, (row, qi)
+
+
+def test_streaming_ivfpq_ingest_exactly_once_and_bootstrap(spark, tmp_path):
+    """streaming/ann_stream.StreamingIvfPqIngest (r12 — VERDICT r11
+    item 5, the composed-index twin): one atomic code-row version per
+    micro-batch, queryable between batches; a FULL replay adds zero
+    rows (ivfpq_append shares the key-idempotence probe); a table with
+    no committed geometry fails the stream loudly; the per-kind query
+    name distinguishes it from the IVF/PQ ingests."""
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivfpq_index,
+        ivfpq_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.ann_stream import (
+        StreamingIvfPqIngest,
+    )
+
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    seed = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.0]) for i in range(1, 17, 2)],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivfpq_index(seed, store, nlist=2, m_sub=2, n_codes=4, seed=42)
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.0]) for i in range(2, 10, 2)],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.0]) for i in range(10, 18, 2)],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    def attach(ckpt):
+        ing = StreamingIvfPqIngest(store)
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = ing.attach(stream, checkpoint=str(tmp_path / ckpt))
+        assert q.name == "streaming_ivfpq_ingest"
+        q.awaitTermination()
+        return ing
+
+    ing = attach("ckpt1")
+    assert ing.n_batches == 2 and len(ing.versions) == 2
+    coded = store.read(spark, "ivfpq_index").filter(F.col("n").isNotNull())
+    assert coded.count() == 16  # 8 seed + 8 streamed, exactly once
+    assert coded.select("n").distinct().count() == 16
+    attach("ckpt2")  # full replay, fresh checkpoint: zero added
+    assert (
+        store.read(spark, "ivfpq_index")
+        .filter(F.col("n").isNotNull())
+        .count()
+        == 16
+    )
+    # streamed vectors are queryable (exact rerank recovers vec 10)
+    q = spark.createDataFrame(
+        [(0, [10.2, 1.0, 0.5, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    got = ivfpq_query(
+        q, store, k=1, nprobe=2, rerank=16, query_key="vec_id"
+    ).collect()
+    assert got[0]["n"] == 10
+    # bootstrap contract: no committed geometry -> loud failure
+    empty_store = SnapshotStateStore(str(tmp_path / "empty"))
+    ing2 = StreamingIvfPqIngest(empty_store)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .parquet(f"{src}/*")
+    )
+    q2 = ing2.attach(stream, checkpoint=str(tmp_path / "ckpt3"))
+    with pytest.raises(Exception, match="quantizer|codebooks|Foreach|STREAM"):
+        q2.awaitTermination()
