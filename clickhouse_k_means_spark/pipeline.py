@@ -192,7 +192,8 @@ def build_parser() -> argparse.ArgumentParser:
         "build / append / query / stats / refit (operators/ann_index)",
     )
     an.add_argument(
-        "action", choices=["build", "append", "query", "stats", "refit"]
+        "action",
+        choices=["build", "append", "query", "stats", "refit", "delete"],
     )
     an.add_argument("--state", required=True, help="state-store directory")
     an.add_argument("--table", default="ivf_index", help="index table name")
@@ -236,6 +237,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="query/stats: pin a committed snapshot version (time travel)",
     )
     an.add_argument("--seed", type=int, default=42)
+    an.add_argument(
+        "--keys", default=None,
+        help="delete: comma list of keys to remove (or pass --input "
+        "parquet holding the key column); absent keys are a no-op — "
+        "no version churn",
+    )
 
     pr = sub.add_parser("profile", help="one-scan table profile")
     pr.add_argument("--input", required=True, help="input parquet path")
@@ -310,6 +317,9 @@ def main(argv: list[str] | None = None) -> int:
                    "state": args.state, "table": args.table}
         if args.action in ("build", "append", "query") and not args.input:
             print(f"ann {args.action}: --input required", file=sys.stderr)
+            return 2
+        if args.action == "delete" and not (args.input or args.keys):
+            print("ann delete: --keys or --input required", file=sys.stderr)
             return 2
         if args.action in ("query", "stats") and not args.out:
             print(f"ann {args.action}: --out required", file=sys.stderr)
@@ -417,6 +427,21 @@ def main(argv: list[str] | None = None) -> int:
                                         version=args.version), 3
                     ),
                 )
+        elif args.action == "delete":
+            # kind-agnostic: ann_delete works uniformly over the
+            # family's n-IS-NOT-NULL vector-row convention
+            from clickhouse_k_means_spark.operators.ann_index import (
+                ann_delete,
+            )
+
+            before = store.latest_version(args.table)
+            if args.keys:
+                keys = [int(k) for k in args.keys.split(",") if k.strip()]
+            else:
+                keys = spark.read.parquet(args.input)
+            v = ann_delete(spark, keys, store, table=args.table,
+                           key=args.key)
+            summary.update(version=int(v), deleted_any=bool(v != before))
         else:  # query
             q = spark.read.parquet(args.input)
             if args.kind == "ivfpq":

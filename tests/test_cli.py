@@ -789,3 +789,56 @@ def test_pipeline_cli_ann_ivfpq_kind(tmp_path, capsys, spark):
     # geometry inherited: 2 cells + 2 subspaces x 4 codes
     assert snap.filter("n is null and sub is null").count() == 2
     assert snap.filter("n is null and sub is not null").count() == 8
+
+
+def test_pipeline_cli_ann_delete(tmp_path, capsys, spark):
+    """ann delete (r12 — VERDICT r11 item 6 CLI exposure): removes the
+    named keys as one replace-commit, works from --keys or --input,
+    is a no-op (no version churn) when the keys are absent, and the
+    pre-delete version stays queryable."""
+    import json as _json
+
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    vecs = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 17)],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(vecs)
+    state = str(tmp_path / "state")
+
+    def run(argv):
+        assert pmain(argv) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    b = run(["ann", "build", "--input", vecs, "--state", state,
+             "--nlist", "4"])
+    assert b["version"] == 1
+    d = run(["ann", "delete", "--state", state, "--keys", "3,4"])
+    assert d["version"] == 2 and d["deleted_any"] is True
+    qin = str(tmp_path / "q")
+    spark.createDataFrame(
+        [(0, [3.1, 1.0])], "vec_id bigint, embedding array<double>"
+    ).write.parquet(qin)
+    q_out = str(tmp_path / "qres")
+    run(["ann", "query", "--input", qin, "--state", state,
+         "--out", q_out, "--k", "3", "--nprobe", "4"])
+    assert {r["n"] for r in spark.read.parquet(q_out).collect()}.isdisjoint(
+        {3, 4}
+    )
+    # pinned pre-delete version still sees key 3
+    run(["ann", "query", "--input", qin, "--state", state,
+         "--out", q_out, "--k", "3", "--nprobe", "4", "--version", "1"])
+    assert 3 in {r["n"] for r in spark.read.parquet(q_out).collect()}
+    # absent keys: no version churn
+    d2 = run(["ann", "delete", "--state", state, "--keys", "3,4"])
+    assert d2["version"] == 2 and d2["deleted_any"] is False
+    # --input parquet form
+    kin = str(tmp_path / "kin")
+    spark.createDataFrame(
+        [(5, [0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    ).write.parquet(kin)
+    d3 = run(["ann", "delete", "--state", state, "--input", kin])
+    assert d3["version"] == 3 and d3["deleted_any"] is True
+    # neither --keys nor --input fails loudly
+    assert pmain(["ann", "delete", "--state", state]) == 2

@@ -3510,3 +3510,110 @@ def test_streaming_ivfpq_ingest_exactly_once_and_bootstrap(spark, tmp_path):
     q2 = ing2.attach(stream, checkpoint=str(tmp_path / "ckpt3"))
     with pytest.raises(Exception, match="quantizer|codebooks|Foreach|STREAM"):
         q2.awaitTermination()
+
+
+def test_ann_delete_uniform_across_index_family(spark, tmp_path):
+    """Key-level delete (r12 — VERDICT r11 item 6): ann_delete removes
+    the named code rows from ivf/pq/ivfpq indexes uniformly as ONE
+    filtered replace-commit — deleted keys vanish from queries at the
+    new version, remain at the pinned pre-delete version (time travel
+    preserved), geometry rows are untouched, and deleting absent keys
+    (or a double-delete) commits nothing: zero version churn."""
+    import math
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_delete,
+        ivf_index,
+        ivf_query,
+        ivfpq_index,
+        ivfpq_query,
+        pq_index,
+        pq_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.3), math.sin(i * 0.3), 1.0, 0.5])
+            for i in range(32)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = vecs.filter("vec_id = 3")
+
+    def check(build, query, store, table, **qkw):
+        build()
+        v1 = store.latest_version(table)
+        geom_before = (
+            store.read(spark, table).filter(F.col("n").isNull()).count()
+        )
+        # vec 3 is its own nearest neighbor before the delete
+        assert (
+            query(version=None, **qkw).filter("rank = 1").collect()[0]["n"]
+            == 3
+        )
+        v2 = ann_delete(spark, [3, 4, 9999], store, table=table)
+        assert v2 == v1 + 1
+        got = {r["n"] for r in query(version=None, **qkw).collect()}
+        assert 3 not in got and 4 not in got and got
+        # pinned pre-delete version still sees the deleted keys
+        assert (
+            query(version=v1, **qkw).filter("rank = 1").collect()[0]["n"]
+            == 3
+        )
+        # geometry untouched by the delete
+        assert (
+            store.read(spark, table).filter(F.col("n").isNull()).count()
+            == geom_before
+        )
+        # double-delete / absent keys / empty list: no version churn
+        assert ann_delete(spark, [3, 4], store, table=table) == v2
+        assert ann_delete(spark, [], store, table=table) == v2
+        # DataFrame-shaped delete set (the takedown-feed form)
+        v3 = ann_delete(
+            spark, vecs.filter("vec_id = 5"), store, table=table
+        )
+        assert v3 == v2 + 1
+        assert 5 not in {r["n"] for r in query(version=None, **qkw).collect()}
+        assert store.latest_version(table) == v3
+
+    ivf_store = SnapshotStateStore(str(tmp_path / "ivf"))
+    check(
+        lambda: ivf_index(vecs, ivf_store, nlist=2, seed=42),
+        lambda version, **kw: ivf_query(
+            q, ivf_store, k=8, nprobe=2, query_key="vec_id",
+            version=version,
+        ),
+        ivf_store,
+        "ivf_index",
+    )
+    pq_store = SnapshotStateStore(str(tmp_path / "pq"))
+    check(
+        lambda: pq_index(vecs, pq_store, m_sub=2, n_codes=8, seed=42),
+        lambda version, **kw: pq_query(
+            q, pq_store, k=8, rerank=32, query_key="vec_id",
+            version=version,
+        ),
+        pq_store,
+        "pq_index",
+    )
+    ivfpq_store = SnapshotStateStore(str(tmp_path / "ivfpq"))
+    check(
+        lambda: ivfpq_index(
+            vecs, ivfpq_store, nlist=2, m_sub=2, n_codes=8, seed=42
+        ),
+        lambda version, **kw: ivfpq_query(
+            q, ivfpq_store, k=8, nprobe=2, rerank=32, query_key="vec_id",
+            version=version,
+        ),
+        ivfpq_store,
+        "ivfpq_index",
+    )
+    # missing table fails loudly
+    with pytest.raises(ValueError, match="does not exist"):
+        ann_delete(spark, [1], ivf_store, table="nope")
+    # keys DataFrame without the key column fails loudly
+    with pytest.raises(ValueError, match="lacks column"):
+        ann_delete(
+            spark, vecs.select("embedding"), ivf_store, table="ivf_index"
+        )
