@@ -2960,6 +2960,123 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the persistent COMPOSED index
+    (streaming/ann_stream.StreamingIvfPqIngest — r12, VERDICT r11
+    item 5): build quantizer + residual codebooks on the odd-id half,
+    stream the even-id half in two micro-batches (one atomic
+    three-layer version each), then REPLAY the whole stream with a
+    fresh checkpoint — the at-least-once worst case. Gate: every
+    corpus vector indexed exactly once and the replay added ZERO code
+    rows (ivfpq_append's shared key-idempotence probe — marker-free
+    exactly-once index content, same contract as stream_ann_ingest)."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.ann_index import ivfpq_index
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.ann_stream import (
+        StreamingIvfPqIngest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    d = tempfile.mkdtemp(prefix="ivfpq_stream_")
+    store = SnapshotStateStore(f"{d}/store")
+    ivfpq_index(emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
+                nlist=8, m_sub=16, n_codes=64, seed=42)
+    even = emb.filter(F.pmod("vec_id", F.lit(2)) == 0)
+    even.filter(F.pmod("vec_id", F.lit(4)) == 0).coalesce(1).write.parquet(
+        f"{d}/src/a"
+    )
+    even.filter(F.pmod("vec_id", F.lit(4)) == 2).coalesce(1).write.parquet(
+        f"{d}/src/b"
+    )
+
+    def run(ckpt: str) -> None:
+        ing = StreamingIvfPqIngest(store)
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src/*")
+        )
+        ing.attach(stream, checkpoint=f"{d}/{ckpt}").awaitTermination()
+
+    run("ckpt1")
+    n_first = (
+        store.read(spark, "ivfpq_index")
+        .filter(F.col("n").isNotNull())
+        .count()
+    )
+    run("ckpt2")  # full replay, fresh checkpoint
+    snap = store.read(spark, "ivfpq_index").filter(F.col("n").isNotNull())
+    return snap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assign"),
+        F.count_distinct("n").cast("bigint").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.lit(n_first)).cast("bigint").alias(
+            "replay_added"
+        ),
+    )
+
+
+def q_ann_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level delete lifecycle on the persistent IVF index
+    (operators/ann_index.ann_delete — r12, VERDICT r11 item 6): build
+    on the odd-id half, append the even half, ann_delete the
+    ``vec_id % 25 == 7`` keys (a DataFrame-shaped takedown feed),
+    then DOUBLE-delete them — the retry shape that must commit
+    nothing. Output: exact cosine top-5 per query (vec 7 — itself
+    deleted — plus 10 and 21) at the POST-delete head AND at the
+    PINNED pre-delete version, tagged. The query probes
+    nprobe = nlist, so both rankings are exact brute-force cosine and
+    DuckDB replays them value-for-value on round(sim, 4) with id
+    tie-break from k=100 (the hybrid_ann_retrieval margin trick);
+    ``no_churn`` gates the idempotence contract (the double-delete
+    returned the same version)."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_delete,
+        ivf_append,
+        ivf_index,
+        ivf_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="anndel_"))
+    ivf_index(emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
+              nlist=8, seed=42)
+    v1 = ivf_append(emb.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
+    doomed = emb.filter(F.pmod("vec_id", F.lit(25)) == 7)
+    v2 = ann_delete(spark, doomed, store, table="ivf_index")
+    v3 = ann_delete(spark, doomed, store, table="ivf_index")
+
+    qvecs = emb.filter(F.col("vec_id").isin(7, 10, 21)).select(
+        F.col("vec_id").alias("q"), "embedding"
+    )
+
+    def leg(version, tag: str) -> DataFrame:
+        raw = ivf_query(
+            qvecs, store, k=100, nprobe=8, query_key="q", version=version
+        )
+        w = Window.partitionBy("q").orderBy(
+            F.round("score", 4).desc(), F.col("n").asc()
+        )
+        return (
+            raw.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 5)
+            .select(F.lit(tag).alias("tag"), "q", "rank", "n")
+        )
+
+    out = leg(None, "post").unionAll(leg(v1, "pre"))
+    return out.withColumn(
+        "no_churn", F.lit(1 if v3 == v2 else 0).cast("bigint")
+    )
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 dimension history: two deterministic upsert batches over
     customer balances (batch 2 bumps every third key), then the
@@ -4723,10 +4840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * fixed head (6): the flagship k-means pipeline queries
     #     (yh_contract .. kmeans_fit_history) stay in the window every
     #     round.
-    #   * rotating list R (180 entries = this 186-entry registry minus
+    #   * rotating list R (182 entries = this 188-entry registry minus
     #     the head, order = this dict's order after the head): each
     #     round the window advances 44 slots, so every query gets a
-    #     driver CORRECTNESS row at least every ceil(180/44) = 5
+    #     driver CORRECTNESS row at least every ceil(182/44) = 5
     #     rounds (VERDICT r10 item 6: the r11 additions pushed the
     #     exactly-saturated 4 to the honest 5). Between driver rows,
     #     every entry stays certified EVERY round by
@@ -4805,8 +4922,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "set_ops": q_set_ops,
         "monthly_revenue": q_monthly_revenue,
-        # --- r12 additions (position 50+) go HERE: first-gate at the
-        # FRONT of the r13 window ---
+        # --- r12 additions (position 50+): first-gate at the FRONT
+        # of the r13 window ---
+        "stream_ivfpq_ingest": q_stream_ivfpq_ingest,
+        "ann_delete_replay": q_ann_delete_replay,
         "cube_revenue": q_cube_revenue,
         "boilerplate": q_boilerplate,
         "domain_kl": q_domain_kl,
@@ -6283,6 +6402,34 @@ def oracle_sql() -> dict[str, str]:
             "select count(*)::BIGINT as n_assign, "
             "count(*)::BIGINT as n_distinct, 0::BIGINT as replay_added "
             "from embeddings"
+        ),
+        "stream_ivfpq_ingest": (
+            # same exactly-once contract for the composed index: every
+            # corpus vector carries one code row, replay added zero
+            "select count(*)::BIGINT as n_assign, "
+            "count(*)::BIGINT as n_distinct, 0::BIGINT as replay_added "
+            "from embeddings"
+        ),
+        "ann_delete_replay": (
+            # the delete lifecycle replayed exactly: the post-delete
+            # leg ranks over the corpus minus the vec_id % 25 == 7
+            # takedown set, the pinned pre-delete leg over the full
+            # corpus; both exact cosine top-5 on round(sim,4) with id
+            # tie-break; no_churn = the double-delete committed nothing
+            f"{emb_cte}, q as (select vec_id, v from e "
+            "where vec_id in (7, 10, 21)) "
+            "select 'post' as tag, qa.vec_id as q, "
+            f"row_number() over (partition by qa.vec_id order by "
+            f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
+            "qb.vec_id as n, 1::BIGINT as no_churn "
+            "from q qa, e qb where qb.vec_id % 25 <> 7 "
+            "qualify rank <= 5 "
+            "union all "
+            "select 'pre' as tag, qa.vec_id as q, "
+            f"row_number() over (partition by qa.vec_id order by "
+            f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
+            "qb.vec_id as n, 1::BIGINT as no_churn "
+            "from q qa, e qb qualify rank <= 5"
         ),
         "pq_ann": (
             "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "

@@ -438,6 +438,12 @@ def main() -> None:
         # r11 addition: IVFPQ drift -> (skew AND qerr) -> two-layer
         # refit lifecycle incl. in-query recall gate
         ("ivfpq_maintenance", entry.q_ivfpq_maintenance, 2),
+        # r12 addition: streaming ingest into the composed IVF-PQ
+        # index + full at-least-once replay (exactly-once gate)
+        ("stream_ivfpq_ingest", entry.q_stream_ivfpq_ingest, 2),
+        # r12 addition: key-level delete lifecycle (build/append,
+        # takedown delete, idempotent double-delete, time travel)
+        ("ann_delete_replay", entry.q_ann_delete_replay, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

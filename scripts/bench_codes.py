@@ -23,6 +23,7 @@ agreement within a commit is pinned by tests/test_bench_codes.py.
 from __future__ import annotations
 
 NAMES = [
+    "ann_delete_replay",
     "ann_topk",
     "anomaly_zscore",
     "array_funcs",
@@ -129,6 +130,7 @@ NAMES = [
     "stream_ann_ingest",
     "stream_enrich",
     "stream_ingest",
+    "stream_ivfpq_ingest",
     "stream_join",
     "text_quality",
     "tfidf_top_terms",
@@ -212,6 +214,10 @@ def encode_pairs(timings: dict[str, float]) -> str:
 # APPEND-DISCIPLINE: when new queries land in NAMES, prepend their
 # list here in the same commit (pinned by tests/test_bench_codes.py).
 ROUND_ADDITIONS: list[list[str]] = [
+    # r12 additions (decoding BENCH_r11 needs the pre-r12 table)
+    [
+        "ann_delete_replay", "stream_ivfpq_ingest",
+    ],
     # r11 additions (decoding BENCH_r10 needs the pre-r11 table)
     [
         "hybrid_ann_retrieval", "ivfpq_index_query", "ivfpq_maintenance",
