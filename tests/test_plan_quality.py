@@ -8,6 +8,7 @@ from __future__ import annotations
 import re
 
 import __spark_entry__ as entry
+from pyspark.sql import functions as F
 
 
 def _plan(df) -> str:
@@ -294,3 +295,44 @@ def test_ivfpq_query_plan_prunes_cells_and_stays_arrow(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+
+def test_ann_delete_plan_broadcasts_keys_and_pushes_scan_filters(
+    spark, tmp_path
+):
+    """ann_delete's rewrite (r12) keeps the 100-TB shape in the PLAN:
+    the delete set rides a BroadcastExchange into the anti-join (the
+    corpus side is never shuffled for the join), the n-IS-NOT-NULL
+    row discrimination reaches the snapshot scan as a PushedFilter,
+    and nothing plans a cartesian or SinglePartition funnel."""
+    import math
+
+    from clickhouse_k_means_spark.operators.ann_index import ivf_index
+    from clickhouse_k_means_spark.plans.audit import audit_plan
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    store = SnapshotStateStore(str(tmp_path / "ivf"))
+    base = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.02), math.sin(i * 0.02)])
+            for i in range(64)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    ivf_index(base, store, nlist=4, seed=42)
+    # rebuild the delete rewrite's plan exactly as ann_delete commits
+    # it (the committed frame, pre-write): geometry passthrough union
+    # anti-joined survivors
+    cur = store.read(spark, "ivf_index")
+    kdf = spark.createDataFrame([(3,), (4,)], "n bigint")
+    kept = cur.filter(F.col("n").isNotNull()).join(
+        F.broadcast(kdf), "n", "left_anti"
+    )
+    out = cur.filter(F.col("n").isNull()).unionByName(kept)
+    r = audit_plan(out)
+    assert not r["has_cartesian"] and not r["single_partition"], r
+    pushed = " ".join(r["pushed_filters"])
+    assert "IsNotNull(n)" in pushed, pushed
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
