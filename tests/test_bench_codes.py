@@ -255,6 +255,8 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         "near_dedup": 2.08, "outliers": 0.64, "profile": 0.81,
         "skew_report": 0.23, "domain_cap": 0.16, "topk_heavy": 0.58,
         "array_set_ops": 0.21,
+        # r12 re-anchors (VERDICT r11 item 3) — r10-era values
+        "embed_neardup_lsh": 1.33, "weighted_sample": 0.52,
     })
     # undiluted (the r10 behavior): median over the bar, flag FALSE
     med0, flag0 = bench.contention_stats(r10, anchors)
@@ -289,6 +291,9 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         "topk_heavy", "array_set_ops",
         "pq_maintenance", "hybrid_ann_retrieval", "ivfpq_index_query",
         "ivfpq_maintenance",
+        # re-based or added in r12 — not re-based at the r10 moment
+        "embed_neardup_lsh", "weighted_sample",
+        "stream_ivfpq_ingest", "ann_delete_replay",
     }
     med1, flag1 = bench.contention_stats(r10, anchors, frac_exclude=excl)
     assert flag1 and med1 == med0, (med1, flag1)
