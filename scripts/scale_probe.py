@@ -418,7 +418,48 @@ def main() -> None:
         _noop(ivfpq_query(emb.filter("vec_id < 5"), store, k=10,
                           nprobe=8, rerank=512, query_key="vec_id"))
 
+    def q_ann_delete():
+        # r12: key-level delete — build + append, then one filtered
+        # replace-commit dropping ~4% of keys, then a double-delete
+        # (the no-churn probe). The probe's question is whether the
+        # rewrite pass stays ~linear with NO extra shuffle beyond the
+        # broadcast anti-join (the corpus side must never shuffle)
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from clickhouse_k_means_spark.operators.ann_index import (
+            ann_delete,
+            ivf_append,
+            ivf_index,
+            ivf_query,
+        )
+        from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        store = SnapshotStateStore(tempfile.mkdtemp(prefix="anndelprobe_"))
+        ivf_index(emb.filter("vec_id % 2 = 1"), store, nlist=64, seed=42)
+        ivf_append(emb.filter("vec_id % 2 = 0"), store)
+        doomed = emb.filter("vec_id % 25 = 7")
+        v2 = ann_delete(spark, doomed, store)
+        v3 = ann_delete(spark, doomed, store)
+        assert v3 == v2, (v2, v3)
+        _noop(ivf_query(emb.filter("vec_id < 5"), store, k=10, nprobe=8,
+                        query_key="vec_id"))
+
+    def q_stream_ivfpq_ingest():
+        # r12: micro-batch ingest into the composed index + full
+        # replay — expect the per-batch encode pass (linear) to
+        # dominate, the idempotence probe to stay broadcast-semi
+        _noop(entry.q_stream_ivfpq_ingest(spark, sf_dir))
+
     sets = {
+        "r12": [
+            ("ann_delete", q_ann_delete),
+            ("stream_ivfpq_ingest", q_stream_ivfpq_ingest),
+        ],
         "r7": [
             ("semdedup", q_semdedup),
             ("knn_join", q_knn_join),
