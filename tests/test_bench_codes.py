@@ -255,8 +255,11 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         "near_dedup": 2.08, "outliers": 0.64, "profile": 0.81,
         "skew_report": 0.23, "domain_cap": 0.16, "topk_heavy": 0.58,
         "array_set_ops": 0.21,
-        # r12 re-anchors (VERDICT r11 item 3) — r10-era values
+        # r12 re-anchors (VERDICT r11 item 3 + the proactive sweep) —
+        # r10-era values
         "embed_neardup_lsh": 1.33, "weighted_sample": 0.52,
+        "corr": 0.38, "sequence_match": 0.26, "scd2": 0.81,
+        "histogram_incremental": 0.67, "chi_square": 0.27,
     })
     # undiluted (the r10 behavior): median over the bar, flag FALSE
     med0, flag0 = bench.contention_stats(r10, anchors)
@@ -294,6 +297,8 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         # re-based or added in r12 — not re-based at the r10 moment
         "embed_neardup_lsh", "weighted_sample",
         "stream_ivfpq_ingest", "ann_delete_replay",
+        "corr", "sequence_match", "scd2",
+        "histogram_incremental", "chi_square",
     }
     med1, flag1 = bench.contention_stats(r10, anchors, frac_exclude=excl)
     assert flag1 and med1 == med0, (med1, flag1)
