@@ -1580,3 +1580,103 @@ def ann_delete(
     kept = vec_rows.join(F.broadcast(kdf), "n", "left_anti")
     geometry = cur.filter(F.col("n").isNull())
     return store.replace(geometry.unionByName(kept), table)
+
+
+def ann_upsert(
+    new_vecs: DataFrame,
+    store,
+    table: str = "ivf_index",
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> int:
+    """Atomic update-or-insert into a persistent index (uniform across
+    ``ivf_index`` / ``pq_index`` / ``ivfpq_index`` tables — the family
+    is detected from the committed layout's columns). The batch is
+    encoded through the COMMITTED geometry (no re-fit), the named
+    keys' OLD code rows are dropped, and survivors + fresh encodes +
+    untouched geometry commit as ONE replace-snapshot version.
+
+    Closes the append family's update gap: the appends are
+    key-idempotent BY DESIGN (``_fresh_rows`` — a retried batch adds
+    zero rows), which means an UPDATED vector for an existing key is
+    silently ignored by ``*_append``, and the delete-then-append
+    workaround leaves an intermediate version where the key is absent.
+    ``ann_upsert`` replaces in place: every version either has the old
+    payload or the new one, never neither. Retries are content-
+    idempotent (re-upserting the same batch recommits identical rows)
+    but DO add a version — the operator cannot know the committed
+    payload already matches without reading it; use ``*_append`` for
+    at-least-once insert-only streams.
+
+    Scale shape: one encode pass over the batch (Arrow), one broadcast
+    anti-join over the code rows for micro-batches (the
+    ``_BROADCAST_APPEND_KEYS`` bound — backfill-scale batches fall
+    back to one shuffled anti-join, the ``_fresh_rows`` rule), one
+    atomic commit; the corpus is never shuffled, geometry rows pass
+    through untouched. A large upsert shifts the data distribution
+    like a large append does — run the family's maintenance advisor
+    afterwards."""
+    spark = new_vecs.sparkSession
+    _require_integral_key(new_vecs, key, "ann_upsert")
+    if not store.exists(table):
+        raise ValueError(f"ann_upsert: index {table!r} does not exist")
+    if not new_vecs.head(1):
+        return store.latest_version(table)
+    cur = store.read(spark, table)
+    cols = set(cur.columns)
+    if cols == {"n", "cell", "sub", "code", "codes", "v"}:
+        from clickhouse_k_means_spark.functions.vector import (
+            ivfpq_encode_batch,
+        )
+
+        centroids, books = _committed_ivfpq(spark, store, table, None)
+        encode = ivfpq_encode_batch(centroids, books)
+        assign = new_vecs.select(
+            _key_as_n(key, "ann_upsert"),
+            encode(F.col(vec).cast("array<double>")).alias("e"),
+            F.col(vec).cast("array<double>").alias("v"),
+        ).select(
+            "n",
+            F.col("e.cell").alias("cell"),
+            F.lit(None).cast("int").alias("sub"),
+            F.lit(None).cast("int").alias("code"),
+            F.col("e.codes").alias("codes"),
+            "v",
+        )
+    elif cols == {"n", "sub", "code", "codes", "v"}:
+        from clickhouse_k_means_spark.functions.vector import pq_encode_batch
+
+        books = _committed_codebooks(spark, store, table, None)
+        encode = pq_encode_batch(books)
+        assign = new_vecs.select(
+            _key_as_n(key, "ann_upsert"),
+            F.lit(None).cast("int").alias("sub"),
+            F.lit(None).cast("int").alias("code"),
+            encode(F.col(vec).cast("array<double>")).alias("codes"),
+            F.col(vec).cast("array<double>").alias("v"),
+        )
+    elif cols == {"n", "cell", "v"}:
+        centers_l = _committed_centroids(spark, store, table, None)
+        cell1 = nearest_cells_batch(centers_l, nprobe=1)
+        assign = new_vecs.select(
+            _key_as_n(key, "ann_upsert"),
+            cell1(F.col(vec).cast("array<double>"))[0].alias("cell"),
+            F.col(vec).cast("array<double>").alias("v"),
+        )
+    else:
+        raise ValueError(
+            f"ann_upsert: table {table!r} has layout {sorted(cols)}, "
+            "not a known index family"
+        )
+    assign = assign.dropDuplicates(["n"])
+    vec_rows = cur.filter(F.col("n").isNotNull())
+    if new_vecs.count() > _BROADCAST_APPEND_KEYS:
+        survivors = vec_rows.join(assign.select("n"), "n", "left_anti")
+    else:
+        survivors = vec_rows.join(
+            F.broadcast(assign.select("n")), "n", "left_anti"
+        )
+    geometry = cur.filter(F.col("n").isNull())
+    return store.replace(
+        geometry.unionByName(survivors).unionByName(assign), table
+    )

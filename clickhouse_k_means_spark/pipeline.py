@@ -193,7 +193,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     an.add_argument(
         "action",
-        choices=["build", "append", "query", "stats", "refit", "delete"],
+        choices=[
+            "build", "append", "upsert", "query", "stats", "refit", "delete",
+        ],
     )
     an.add_argument("--state", required=True, help="state-store directory")
     an.add_argument("--table", default="ivf_index", help="index table name")
@@ -315,7 +317,7 @@ def main(argv: list[str] | None = None) -> int:
         store = SnapshotStateStore(args.state)
         summary = {"cmd": "ann", "action": args.action, "kind": args.kind,
                    "state": args.state, "table": args.table}
-        if args.action in ("build", "append", "query") and not args.input:
+        if args.action in ("build", "append", "upsert", "query") and not args.input:
             print(f"ann {args.action}: --input required", file=sys.stderr)
             return 2
         if args.action == "delete" and not (args.input or args.keys):
@@ -348,6 +350,17 @@ def main(argv: list[str] | None = None) -> int:
                 args.kind, ivf_append)
             v = appender(vecs, store, table=args.table,
                          key=args.key, vec=args.vec)
+            summary.update(version=int(v), rows_in=vecs.count())
+        elif args.action == "upsert":
+            # kind-agnostic: ann_upsert detects the family from the
+            # committed layout (like ann_delete)
+            from clickhouse_k_means_spark.operators.ann_index import (
+                ann_upsert,
+            )
+
+            vecs = spark.read.parquet(args.input)
+            v = ann_upsert(vecs, store, table=args.table,
+                           key=args.key, vec=args.vec)
             summary.update(version=int(v), rows_in=vecs.count())
         elif args.action == "refit":
             if args.kind == "ivfpq":

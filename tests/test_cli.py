@@ -842,3 +842,51 @@ def test_pipeline_cli_ann_delete(tmp_path, capsys, spark):
     assert d3["version"] == 3 and d3["deleted_any"] is True
     # neither --keys nor --input fails loudly
     assert pmain(["ann", "delete", "--state", state]) == 2
+
+
+def test_pipeline_cli_ann_upsert(tmp_path, capsys, spark):
+    """ann upsert (r12): updates a committed key's vector in place and
+    inserts new keys as one replace-commit; the pinned pre-upsert
+    version keeps the old payload."""
+    import json as _json
+
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    vecs = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 17)],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(vecs)
+    state = str(tmp_path / "state")
+
+    def run(argv):
+        assert pmain(argv) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    b = run(["ann", "build", "--input", vecs, "--state", state,
+             "--nlist", "4"])
+    assert b["version"] == 1
+    # move key 3 to the far end of the line, insert key 99
+    up = str(tmp_path / "up")
+    spark.createDataFrame(
+        [(3, [30.0, 1.0]), (99, [31.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(up)
+    u = run(["ann", "upsert", "--state", state, "--input", up])
+    assert u["version"] == 2 and u["rows_in"] == 2
+    qin = str(tmp_path / "q")
+    spark.createDataFrame(
+        [(0, [30.4, 1.0])], "vec_id bigint, embedding array<double>"
+    ).write.parquet(qin)
+    q_out = str(tmp_path / "qres")
+    run(["ann", "query", "--input", qin, "--state", state,
+         "--out", q_out, "--k", "2", "--nprobe", "4"])
+    assert {r["n"] for r in spark.read.parquet(q_out).collect()} == {3, 99}
+    # pinned pre-upsert: key 3 still near the origin end, 99 absent
+    run(["ann", "query", "--input", qin, "--state", state,
+         "--out", q_out, "--k", "2", "--nprobe", "4", "--version", "1"])
+    assert {r["n"] for r in spark.read.parquet(q_out).collect()}.isdisjoint(
+        {3, 99}
+    )
+    # --input required
+    assert pmain(["ann", "upsert", "--state", state]) == 2

@@ -3617,3 +3617,117 @@ def test_ann_delete_uniform_across_index_family(spark, tmp_path):
         ann_delete(
             spark, vecs.select("embedding"), ivf_store, table="ivf_index"
         )
+
+
+def test_ann_upsert_updates_in_place_across_index_family(spark, tmp_path):
+    """Atomic update-or-insert (r12): the appends are key-idempotent —
+    an UPDATED vector for a committed key is silently skipped — so
+    ann_upsert is the update path: one replace-commit drops the key's
+    old code rows and lands the re-encode, for all three families
+    (layout-detected). Pinned pre-upsert versions keep the old
+    payload; geometry is untouched; an empty batch commits nothing."""
+    import math
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_upsert,
+        ivf_index,
+        ivf_query,
+        ivfpq_index,
+        ivfpq_query,
+        pq_index,
+        pq_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    # two well-separated direction clusters; key 3 starts in cluster A
+    vecs = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.01), math.sin(i * 0.01), 0.0, 0.0])
+            for i in range(16)
+        ]
+        + [
+            (100 + i, [0.0, 0.0, math.cos(i * 0.01), math.sin(i * 0.01)])
+            for i in range(16)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    # the update moves key 3 to cluster B and inserts brand-new key 500
+    batch = spark.createDataFrame(
+        [
+            (3, [0.0, 0.0, 0.6, 0.8]),
+            (500, [0.0, 0.0, 0.8, 0.6]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    probe_b = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.7, 0.7])], "vec_id bigint, embedding array<double>"
+    )
+
+    def check(build, query, store, table, **qkw):
+        build()
+        v1 = store.latest_version(table)
+        geom_before = (
+            store.read(spark, table).filter(F.col("n").isNull()).count()
+        )
+        n_before = (
+            store.read(spark, table).filter(F.col("n").isNotNull()).count()
+        )
+        v2 = ann_upsert(batch, store, table=table)
+        assert v2 == v1 + 1
+        snap = store.read(spark, table).filter(F.col("n").isNotNull())
+        # exactly one NEW key: 3 was replaced in place, 500 inserted
+        assert snap.count() == n_before + 1
+        assert snap.filter("n = 3").count() == 1
+        # geometry untouched
+        assert (
+            store.read(spark, table).filter(F.col("n").isNull()).count()
+            == geom_before
+        )
+        # the moved key now answers cluster-B probes ahead of most of
+        # cluster A: both upserted keys rank in the B-probe's top-k
+        got = {r["n"] for r in query(version=None, **qkw).collect()}
+        assert 3 in got and 500 in got, got
+        # pinned pre-upsert version: key 3 still carries the OLD
+        # cluster-A payload (absent from B-probe top-k), 500 absent
+        got_v1 = {r["n"] for r in query(version=v1, **qkw).collect()}
+        assert 3 not in got_v1 and 500 not in got_v1, got_v1
+        # empty batch: no version churn
+        assert (
+            ann_upsert(batch.filter("vec_id < 0"), store, table=table) == v2
+        )
+
+    ivf_store = SnapshotStateStore(str(tmp_path / "ivf"))
+    check(
+        lambda: ivf_index(vecs, ivf_store, nlist=2, seed=42),
+        lambda version, **kw: ivf_query(
+            probe_b, ivf_store, k=10, nprobe=1, query_key="vec_id",
+            version=version,
+        ),
+        ivf_store,
+        "ivf_index",
+    )
+    pq_store = SnapshotStateStore(str(tmp_path / "pq"))
+    check(
+        lambda: pq_index(vecs, pq_store, m_sub=2, n_codes=8, seed=42),
+        lambda version, **kw: pq_query(
+            probe_b, pq_store, k=10, rerank=16, query_key="vec_id",
+            version=version,
+        ),
+        pq_store,
+        "pq_index",
+    )
+    ivfpq_store = SnapshotStateStore(str(tmp_path / "ivfpq"))
+    check(
+        lambda: ivfpq_index(
+            vecs, ivfpq_store, nlist=2, m_sub=2, n_codes=8, seed=42
+        ),
+        lambda version, **kw: ivfpq_query(
+            probe_b, ivfpq_store, k=10, nprobe=1, rerank=16,
+            query_key="vec_id", version=version,
+        ),
+        ivfpq_store,
+        "ivfpq_index",
+    )
+    # unknown layout / missing table fail loudly
+    with pytest.raises(ValueError, match="does not exist"):
+        ann_upsert(batch, ivf_store, table="nope")
