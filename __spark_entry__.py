@@ -3077,6 +3077,67 @@ def q_ann_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic update-or-insert lifecycle on the persistent IVF index
+    (operators/ann_index.ann_upsert — r12): build on the odd-id half,
+    append the even half, then ONE ann_upsert whose batch (a) UPDATES
+    every ``vec_id % 30 == 11`` key to its NEGATED vector and (b)
+    INSERTS a clone of each such row at ``vec_id + 1_000_000`` with
+    the original payload — the re-embedding shape the key-idempotent
+    appends silently ignore. Output: exact cosine top-5 per query
+    (the ORIGINAL vectors of 11, 41, and 2) at the POST-upsert head
+    AND at the PINNED pre-upsert version, tagged. Full-probe
+    (nprobe = nlist) makes both rankings exact so DuckDB replays them
+    value-for-value on round(sim, 4) with id tie-break (negation is
+    IEEE-exact in both engines, the ann_delete_replay precedent)."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_upsert,
+        ivf_append,
+        ivf_index,
+        ivf_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="annups_"))
+    ivf_index(emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
+              nlist=8, seed=42)
+    v1 = ivf_append(emb.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
+    src = emb.filter(F.pmod("vec_id", F.lit(30)) == 11)
+    batch = src.select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    ).unionAll(
+        src.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    ann_upsert(batch, store, table="ivf_index")
+
+    qvecs = emb.filter(F.col("vec_id").isin(11, 41, 2)).select(
+        F.col("vec_id").alias("q"), "embedding"
+    )
+
+    def leg(version, tag: str) -> DataFrame:
+        raw = ivf_query(
+            qvecs, store, k=100, nprobe=8, query_key="q", version=version
+        )
+        w = Window.partitionBy("q").orderBy(
+            F.round("score", 4).desc(), F.col("n").asc()
+        )
+        return (
+            raw.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 5)
+            .select(F.lit(tag).alias("tag"), "q", "rank", "n")
+        )
+
+    return leg(None, "post").unionAll(leg(v1, "pre"))
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 dimension history: two deterministic upsert batches over
     customer balances (batch 2 bumps every third key), then the
@@ -4840,10 +4901,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * fixed head (6): the flagship k-means pipeline queries
     #     (yh_contract .. kmeans_fit_history) stay in the window every
     #     round.
-    #   * rotating list R (182 entries = this 188-entry registry minus
+    #   * rotating list R (183 entries = this 189-entry registry minus
     #     the head, order = this dict's order after the head): each
     #     round the window advances 44 slots, so every query gets a
-    #     driver CORRECTNESS row at least every ceil(182/44) = 5
+    #     driver CORRECTNESS row at least every ceil(183/44) = 5
     #     rounds (VERDICT r10 item 6: the r11 additions pushed the
     #     exactly-saturated 4 to the honest 5). Between driver rows,
     #     every entry stays certified EVERY round by
@@ -4926,6 +4987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of the r13 window ---
         "stream_ivfpq_ingest": q_stream_ivfpq_ingest,
         "ann_delete_replay": q_ann_delete_replay,
+        "ann_upsert_replay": q_ann_upsert_replay,
         "cube_revenue": q_cube_revenue,
         "boilerplate": q_boilerplate,
         "domain_kl": q_domain_kl,
@@ -6430,6 +6492,28 @@ def oracle_sql() -> dict[str, str]:
             f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
             "qb.vec_id as n, 1::BIGINT as no_churn "
             "from q qa, e qb qualify rank <= 5"
+        ),
+        "ann_upsert_replay": (
+            # the upsert lifecycle replayed exactly: post corpus =
+            # vec_id%30==11 keys swapped IN PLACE to their negated
+            # vectors plus their original payloads cloned at +1e6;
+            # queries carry the ORIGINAL vectors; both legs exact
+            # cosine top-5 on round(sim,4) with id tie-break
+            f"{emb_cte}, q as (select vec_id, v from e "
+            "where vec_id in (11, 41, 2)), "
+            "e2 as (select vec_id, case when vec_id % 30 = 11 then "
+            "list_transform(v, x -> -x) else v end as v from e "
+            "union all select vec_id + 1000000 as vec_id, v from e "
+            "where vec_id % 30 = 11) "
+            "select 'post' as tag, qa.vec_id as q, "
+            f"row_number() over (partition by qa.vec_id order by "
+            f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
+            "qb.vec_id as n from q qa, e2 qb qualify rank <= 5 "
+            "union all "
+            "select 'pre' as tag, qa.vec_id as q, "
+            f"row_number() over (partition by qa.vec_id order by "
+            f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
+            "qb.vec_id as n from q qa, e qb qualify rank <= 5"
         ),
         "pq_ann": (
             "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "

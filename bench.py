@@ -444,6 +444,9 @@ def main() -> None:
         # r12 addition: key-level delete lifecycle (build/append,
         # takedown delete, idempotent double-delete, time travel)
         ("ann_delete_replay", entry.q_ann_delete_replay, 2),
+        # r12 addition: atomic update-or-insert lifecycle (in-place
+        # re-encode + clone inserts, exact two-version replay)
+        ("ann_upsert_replay", entry.q_ann_upsert_replay, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -25,6 +25,7 @@ from __future__ import annotations
 NAMES = [
     "ann_delete_replay",
     "ann_topk",
+    "ann_upsert_replay",
     "anomaly_zscore",
     "array_funcs",
     "array_set_ops",
@@ -216,7 +217,7 @@ def encode_pairs(timings: dict[str, float]) -> str:
 ROUND_ADDITIONS: list[list[str]] = [
     # r12 additions (decoding BENCH_r11 needs the pre-r12 table)
     [
-        "ann_delete_replay", "stream_ivfpq_ingest",
+        "ann_delete_replay", "ann_upsert_replay", "stream_ivfpq_ingest",
     ],
     # r11 additions (decoding BENCH_r10 needs the pre-r11 table)
     [

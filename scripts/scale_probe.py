@@ -455,9 +455,43 @@ def main() -> None:
         # dominate, the idempotence probe to stay broadcast-semi
         _noop(entry.q_stream_ivfpq_ingest(spark, sf_dir))
 
+    def q_ann_upsert():
+        # r12: atomic update-or-insert — one batch-encode pass + one
+        # broadcast anti-join rewrite; same no-corpus-shuffle question
+        # as ann_delete with the encode term added
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from clickhouse_k_means_spark.operators.ann_index import (
+            ann_upsert,
+            ivf_append,
+            ivf_index,
+            ivf_query,
+        )
+        from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        store = SnapshotStateStore(tempfile.mkdtemp(prefix="annupsprobe_"))
+        ivf_index(emb.filter("vec_id % 2 = 1"), store, nlist=64, seed=42)
+        ivf_append(emb.filter("vec_id % 2 = 0"), store)
+        src = emb.filter("vec_id % 25 = 7")
+        batch = src.select(
+            "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+        ).unionAll(
+            src.select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                       "embedding")
+        )
+        ann_upsert(batch, store)
+        _noop(ivf_query(emb.filter("vec_id < 5"), store, k=10, nprobe=8,
+                        query_key="vec_id"))
+
     sets = {
         "r12": [
             ("ann_delete", q_ann_delete),
+            ("ann_upsert", q_ann_upsert),
             ("stream_ivfpq_ingest", q_stream_ivfpq_ingest),
         ],
         "r7": [

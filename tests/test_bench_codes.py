@@ -296,7 +296,7 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         "ivfpq_maintenance",
         # re-based or added in r12 — not re-based at the r10 moment
         "embed_neardup_lsh", "weighted_sample",
-        "stream_ivfpq_ingest", "ann_delete_replay",
+        "stream_ivfpq_ingest", "ann_delete_replay", "ann_upsert_replay",
         "corr", "sequence_match", "scd2",
         "histogram_incremental", "chi_square",
     }
