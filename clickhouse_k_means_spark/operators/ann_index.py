@@ -808,7 +808,10 @@ def pq_refit_due(
     archaeology needed (unlike a commit-time-baseline design, this
     stays correct after truncate/rebuild cycles and on stores that
     predate the diagnostic), and the advisor costs one bounded sample
-    fit — no corpus pass. The scheduled-job form:
+    fit — no corpus pass. Degenerate edge: on a corpus smaller than
+    ``n_codes`` the advisor CLAMPS its candidate fit where the refit
+    itself would raise (the no-silent-resize rule applies to commits,
+    not diagnostics). The scheduled-job form:
     ``if pq_refit_due(...): pq_refit(...)``."""
     import numpy as np
 
@@ -1550,12 +1553,15 @@ def ann_delete(
     atomic replace-snapshot; ``version=`` pins on any reader replay
     the pre-delete index exactly.
 
-    Scale shape: one broadcast anti-join over the code rows (the
-    delete set is the small side — takedown lists are bounded), one
-    rewrite pass, one atomic commit; no shuffle of the corpus, no
-    re-fit, no re-encode. The count probe that guards the no-op path
-    is a broadcast-semi aggregate, the same probe shape the
-    key-idempotent appends use."""
+    Scale shape: one broadcast anti-join over the code rows for a
+    takedown-sized delete set, one rewrite pass, one atomic commit;
+    no shuffle of the corpus, no re-fit, no re-encode. The probe that
+    guards the no-op path is a broadcast-semi ``head(1)``, the same
+    probe shape the key-idempotent appends use. A DataFrame delete set
+    past ``_BROADCAST_APPEND_KEYS`` rows is a purge, not a takedown —
+    broadcasting it would blow the 8 GB broadcast / driver limits with
+    a confusing OOM, so both the probe and the rewrite fall back to
+    shuffled joins (the ``_fresh_rows`` rule)."""
     if not store.exists(table):
         raise ValueError(f"ann_delete: index {table!r} does not exist")
     if isinstance(keys, DataFrame):
@@ -1568,16 +1574,19 @@ def ann_delete(
             .where(F.col("n").isNotNull())
             .distinct()
         )
+        small = keys.count() <= _BROADCAST_APPEND_KEYS
     else:
         ks = sorted({int(k) for k in keys})
         if not ks:
             return store.latest_version(table)
         kdf = spark.createDataFrame([(k,) for k in ks], "n bigint")
+        small = True
+    probe = F.broadcast(kdf) if small else kdf
     cur = store.read(spark, table)
     vec_rows = cur.filter(F.col("n").isNotNull())
-    if not vec_rows.join(F.broadcast(kdf), "n", "left_semi").head(1):
+    if not vec_rows.join(probe, "n", "left_semi").head(1):
         return store.latest_version(table)
-    kept = vec_rows.join(F.broadcast(kdf), "n", "left_anti")
+    kept = vec_rows.join(probe, "n", "left_anti")
     geometry = cur.filter(F.col("n").isNull())
     return store.replace(geometry.unionByName(kept), table)
 
