@@ -4914,16 +4914,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     round — CORRECTNESS_r11 was 50/50 green).
     #   * new queries are INSERTED into the next round's slice so they
     #     first-gate one round after they land.
-    # r12 window (this round) = 6 fixed + the next 44 rotation slots,
-    # exactly as the r11 comment scheduled (VERDICT r11 item 1 — "hold
-    # the rotation"): the four r11 additions take their FIRST driver
-    # rows at the FRONT of the window (pq_maintenance,
-    # hybrid_ann_retrieval, ivfpq_index_query, ivfpq_maintenance —
-    # judge pre-verified green via scripts/gate_emulator.py), then the
-    # pointer's natural continuation (tpch_q14 .. monthly_revenue, 40
-    # slots). The gated r11-window cohort (tpch_q9a .. locf_fill)
-    # rotates to the BACK. New r12 queries sit at position 50+ and
-    # first-gate at the front of the r13 window.
+    # r13 window (this round) = 6 fixed + the next 44 rotation slots,
+    # exactly as the r12 comment scheduled (VERDICT r12 item 2 — "hold
+    # the rotation"): the seven r12 additions take their FIRST driver
+    # rows at the FRONT of the window (stream_ivfpq_ingest,
+    # ann_delete_replay, ann_upsert_replay, cube_revenue, boilerplate,
+    # domain_kl, embed_covariance — judge pre-verified green via
+    # scripts/gate_emulator.py), then the pointer's natural
+    # continuation (moving_avg .. inverted_index, 37 slots). The gated
+    # r12-window cohort (pq_maintenance .. monthly_revenue) rotates to
+    # the BACK. New r13 queries sit at position 50+ and first-gate at
+    # the front of the r14 window.
     # The rotation pin test (tests/test_oracle_parity.py) asserts all
     # of this.
     return {
@@ -4933,58 +4934,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeanspp_pick": q_kmeanspp_pick,
         "elbow_total": q_elbow_total,
         "kmeans_fit_history": q_kmeans_fit_history,
-        # --- r12 window rotation slots (44): the four r11 additions
-        # taking their FIRST driver rows (VERDICT r11 item 1 — judge
+        # --- r13 window rotation slots (44): the seven r12 additions
+        # taking their FIRST driver rows (VERDICT r12 item 2 — judge
         # pre-verified green via scripts/gate_emulator.py), then the
-        # pointer's natural continuation ---
-        "pq_maintenance": q_pq_maintenance,
-        "hybrid_ann_retrieval": q_hybrid_ann_retrieval,
-        "ivfpq_index_query": q_ivfpq_index_query,
-        "ivfpq_maintenance": q_ivfpq_maintenance,
-        # R wrap: the r7 red queue-jumpers (re-gated green r8) and the
-        # r8 window cohort — the circular pointer's continuation
-        "tpch_q14": q_tpch_q14,
-        "tpch_q8a": q_tpch_q8a,
-        "pyds_read": q_pyds_read,
-        "multimodal_codec_stats": q_multimodal_codec_stats,
-        "interval_union": q_interval_union,
-        "stream_join": q_stream_join,
-        "array_set_ops": q_array_set_ops,
-        "triangles": q_triangles,
-        "weighted_quantiles": q_weighted_quantiles,
-        "anomaly_zscore": q_anomaly_zscore,
-        "semdedup": q_semdedup,
-        "repetition_stats": q_repetition_stats,
-        "pii_redact": q_pii_redact,
-        "stratified_sample": q_stratified_sample,
-        "approx_ndv": q_approx_ndv,
-        "approx_quantiles": q_approx_quantiles,
-        "jaccard_pairs": q_jaccard_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "hll_rollup": q_hll_rollup,
-        "simhash_docs": q_simhash_docs,
-        "embed_neardup": q_embed_neardup,
-        "silhouette_sampled": q_silhouette_sampled,
-        "lsh_pairs": q_lsh_pairs,
-        "embed_neardup_lsh": q_embed_neardup_lsh,
-        "time_buckets": q_time_buckets,
-        "range_join": q_range_join,
-        "dedup_exact": q_dedup_exact,
-        "minhash_sigs": q_minhash_sigs,
-        "join_agg_segment": q_join_agg_segment,
-        "hash_split": q_hash_split,
-        "sql_scalar_subquery": q_sql_scalar_subquery,
-        "latest_two": q_latest_two,
-        "anti_join": q_anti_join,
-        "pivot_events": q_pivot_events,
-        "topk_global": q_topk_global,
-        "offset_pick": q_offset_pick,
-        "window_running": q_window_running,
-        "json_extract": q_json_extract,
-        "set_ops": q_set_ops,
-        "monthly_revenue": q_monthly_revenue,
-        # --- r12 additions (position 50+): first-gate at the FRONT
-        # of the r13 window ---
+        # pointer's natural continuation through the r9-window
+        # cohort ---
         "stream_ivfpq_ingest": q_stream_ivfpq_ingest,
         "ann_delete_replay": q_ann_delete_replay,
         "ann_upsert_replay": q_ann_upsert_replay,
@@ -4992,9 +4946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "domain_kl": q_domain_kl,
         "embed_covariance": q_embed_covariance,
-        # --- r9-window cohort (all gated green in CORRECTNESS_r09) —
-        # rotated to the back; re-gate when the circular pointer comes
-        # back around ---
         "moving_avg": q_moving_avg,
         "funnel": q_funnel,
         "retention": q_retention,
@@ -5032,6 +4983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame": q_range_frame,
         "chunk_docs": q_chunk_docs,
         "inverted_index": q_inverted_index,
+        # --- r13 additions land here (position 50+): first-gate at
+        # the FRONT of the r14 window ---
+        # --- r9-window cohort remainder — continues the pointer after
+        # the r13 additions ---
         "bigram_lm": q_bigram_lm,
         "outliers": q_outliers,
         "pagerank": q_pagerank,
@@ -5133,6 +5088,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_json": q_variant_json,
         "ngram_sim": q_ngram_sim,
         "locf_fill": q_locf_fill,
+        # --- r12-window cohort (all gated green in CORRECTNESS_r12) —
+        # rotated to the back; re-gate when the circular pointer comes
+        # back around ---
+        "pq_maintenance": q_pq_maintenance,
+        "hybrid_ann_retrieval": q_hybrid_ann_retrieval,
+        "ivfpq_index_query": q_ivfpq_index_query,
+        "ivfpq_maintenance": q_ivfpq_maintenance,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q8a": q_tpch_q8a,
+        "pyds_read": q_pyds_read,
+        "multimodal_codec_stats": q_multimodal_codec_stats,
+        "interval_union": q_interval_union,
+        "stream_join": q_stream_join,
+        "array_set_ops": q_array_set_ops,
+        "triangles": q_triangles,
+        "weighted_quantiles": q_weighted_quantiles,
+        "anomaly_zscore": q_anomaly_zscore,
+        "semdedup": q_semdedup,
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
+        "approx_ndv": q_approx_ndv,
+        "approx_quantiles": q_approx_quantiles,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "hll_rollup": q_hll_rollup,
+        "simhash_docs": q_simhash_docs,
+        "embed_neardup": q_embed_neardup,
+        "silhouette_sampled": q_silhouette_sampled,
+        "lsh_pairs": q_lsh_pairs,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
+        "time_buckets": q_time_buckets,
+        "range_join": q_range_join,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sigs": q_minhash_sigs,
+        "join_agg_segment": q_join_agg_segment,
+        "hash_split": q_hash_split,
+        "sql_scalar_subquery": q_sql_scalar_subquery,
+        "latest_two": q_latest_two,
+        "anti_join": q_anti_join,
+        "pivot_events": q_pivot_events,
+        "topk_global": q_topk_global,
+        "offset_pick": q_offset_pick,
+        "window_running": q_window_running,
+        "json_extract": q_json_extract,
+        "set_ops": q_set_ops,
+        "monthly_revenue": q_monthly_revenue,
     }
 
 

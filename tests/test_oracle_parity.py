@@ -138,17 +138,18 @@ def test_entry_smoke(spark):
     assert {f.name for f in df.schema} == {"j", "n", "avg_dist"}
 
 
-def test_driver_window_pins_r12_rotation():
+def test_driver_window_pins_r13_rotation():
     """Rotation contract (VERDICT r5 item 2): the driver records rows
-    for the FIRST 50 registry entries only. r12 window = 6-query fixed
-    head + the next 44 rotation slots exactly as the r11 comment
-    scheduled (VERDICT r11 item 1 — "hold the rotation"): the four
-    r11 additions taking their FIRST driver rows (pq_maintenance,
-    hybrid_ann_retrieval, ivfpq_index_query, ivfpq_maintenance), then
-    the pointer's continuation through monthly_revenue. New r12
-    queries sit at position 50+ so they first-gate at the front of the
-    r13 window; the gated r11-window cohort (tpch_q9a .. locf_fill)
-    rotated to the back."""
+    for the FIRST 50 registry entries only. r13 window = 6-query fixed
+    head + the next 44 rotation slots exactly as the r12 comment
+    scheduled (VERDICT r12 item 2 — "hold the rotation"): the seven
+    r12 additions taking their FIRST driver rows (stream_ivfpq_ingest,
+    ann_delete_replay, ann_upsert_replay, cube_revenue, boilerplate,
+    domain_kl, embed_covariance), then the pointer's continuation
+    through inverted_index. New r13 queries sit at position 50+ so
+    they first-gate at the front of the r14 window; the gated
+    r12-window cohort (pq_maintenance .. monthly_revenue) rotated to
+    the back."""
     keys = list(QUERIES)
     window = keys[:50]
     head = {
@@ -156,18 +157,18 @@ def test_driver_window_pins_r12_rotation():
         "elbow_total", "kmeans_fit_history",
     }
     assert head <= set(window), sorted(head - set(window))
-    # VERDICT r11 item 1: the four r11 additions open the rotation
+    # VERDICT r12 item 2: the seven r12 additions open the rotation
     # part of the window, in the scheduled order
-    assert keys[6:10] == [
-        "pq_maintenance", "hybrid_ann_retrieval", "ivfpq_index_query",
-        "ivfpq_maintenance",
+    assert keys[6:13] == [
+        "stream_ivfpq_ingest", "ann_delete_replay", "ann_upsert_replay",
+        "cube_revenue", "boilerplate", "domain_kl", "embed_covariance",
     ]
     # the pointer's natural continuation fills the rest of the window
-    assert keys[10] == "tpch_q14"
-    assert keys[49] == "monthly_revenue"
+    assert keys[13] == "moving_avg"
+    assert keys[49] == "inverted_index"
     assert all(k in ORACLES for k in window)
-    # the gated r11-window cohort sits at the BACK of the rotation
-    assert keys[-44] == "tpch_q9a" and keys[-1] == "locf_fill"
+    # the gated r12-window cohort sits at the BACK of the rotation
+    assert keys[-44] == "pq_maintenance" and keys[-1] == "monthly_revenue"
     # the cadence must close: ceil(rotating / slots) rounds per full
     # sweep, with slots = 50 - len(fixed head). The registry comment
     # documents the CURRENT ceil — keep them in sync (VERDICT r5
