@@ -4380,6 +4380,90 @@ def q_ivfpq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_brute(spark, sf_dir, approx, min_hits=5)
 
 
+def q_ann_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN search over the persistent IVF-PQ index
+    (operators/ann_index.ivfpq_query(where=, meta=) — r13, VERDICT r12
+    item 3: "top-k among docs where <predicate>" is the most common
+    production retrieval call, and post-filtering a fixed-k shortlist
+    under-returns; the predicate must reach the CANDIDATE SCAN).
+    Build on the full >=5 corpus (nlist=8, m_sub=16, n_codes=64),
+    derive a metadata table (lang = vec_id mod 3 -> en/de/fr), query
+    with where lang='en' at nprobe=2 — the adaptive widening
+    (_adaptive_probes) must stretch each query's probe set until it
+    covers max(k, rerank)=64 predicate-surviving rows. Gates, per
+    query: (a) hits@10 >= min_hits vs exact brute force over the
+    FILTERED corpus only, and (b) filter_pass — every returned
+    neighbor satisfies the predicate (zero violations; the exact
+    failure a post-filter design exhibits). Both computed in-query
+    from the deterministic fixture; the oracle asserts the constants.
+    Extension beyond the reference surface (k-means.sql has no
+    index)."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivfpq_index,
+        ivfpq_query,
+    )
+    from clickhouse_k_means_spark.operators.similarity import brute_force_topk
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    q, c = _ann_queries_corpus(spark, sf_dir)
+    meta = c.select(
+        "vec_id",
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.pmod("vec_id", F.lit(3)) + 1).cast("int"),
+        ).alias("lang"),
+    )
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="annfilt_"))
+    ivfpq_index(c, store, nlist=8, m_sub=16, n_codes=64, seed=42)
+    approx = ivfpq_query(
+        q, store, k=10, nprobe=2, rerank=64, query_key="vec_id",
+        where=F.col("lang") == "en", meta=meta, meta_key="vec_id",
+    )
+    allowed = meta.filter(F.col("lang") == "en").select("vec_id")
+    exact = brute_force_topk(
+        q, c.join(allowed, "vec_id", "left_semi"), k=10,
+        query_key="vec_id", corpus_key="vec_id",
+    ).select("q", "n", F.lit(1).alias("hit"))
+    ap = approx.filter(F.col("rank") <= 10).select("q", "n")
+    marked = ap.join(exact, ["q", "n"], "left")
+    viol = (
+        ap.join(allowed.select(F.col("vec_id").alias("n")), "n", "left_anti")
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("viols"))
+    )
+    min_hits = 5
+    per_q = (
+        q.select(F.col("vec_id").alias("q"))
+        .join(
+            marked.groupBy("q").agg(
+                F.sum(F.coalesce("hit", F.lit(0))).alias("hits")
+            ),
+            "q",
+            "left",
+        )
+        .join(viol, "q", "left")
+        .select(
+            "q",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.coalesce("viols", F.lit(0)).alias("viols"),
+        )
+    )
+    return per_q.select(
+        "q",
+        F.least(F.col("hits"), F.lit(min_hits)).cast("bigint").alias(
+            "hits_floor"
+        ),
+        F.when(F.col("hits") >= min_hits, 1).otherwise(0).cast("bigint").alias(
+            "recall_pass"
+        ),
+        F.when(F.col("viols") == 0, 1).otherwise(0).cast("bigint").alias(
+            "filter_pass"
+        ),
+    )
+
+
 def q_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index maintenance lifecycle (operators/ann_index.ivf_stats
     + ivf_refit — VERDICT r9 item 4): build the index on the odd-id

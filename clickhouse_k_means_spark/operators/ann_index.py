@@ -145,6 +145,90 @@ def _fresh_rows(new_vecs: DataFrame, assign: DataFrame, store, table: str):
     return assign.join(F.broadcast(conflicts), "n", "left_anti")
 
 
+def _predicate_filter(where, meta, meta_key: str, fn: str):
+    """Resolve a query-time metadata predicate (``where=``) into a
+    filter over the index's candidate scan (VERDICT r12 item 3 — the
+    filtered-search half of the persistent-index extension: "top-k
+    among docs where lang='en' and date>X" post-filtered from a
+    fixed-k shortlist under-returns; the predicate must reach the
+    CANDIDATE SCAN instead). Two forms:
+
+    - ``meta is None``: ``where`` (a Column or SQL string) is a
+      predicate over the INDEX table's own columns (``n`` plus the
+      family's payload columns) — applied directly to the scan, so an
+      ``n``-only predicate pushes to the parquet scan alongside the
+      ``cell isin`` pruning.
+    - ``meta`` a DataFrame: ``where`` filters ``meta`` and the
+      surviving ``meta_key`` values gate the scan through one LEFT
+      SEMI join on ``n``. The join strategy is left to AQE — a
+      selective predicate's key side broadcasts from runtime stats, a
+      broad one keeps a shuffled semi-join — so no driver-side sizing
+      action ever runs over the caller's metadata plan (the
+      ``ann_delete`` bounded-probe lesson, taken one step further).
+
+    Returns a callable ``scan -> filtered_scan``."""
+    cond = F.expr(where) if isinstance(where, str) else where
+    if meta is None:
+        return lambda scan: scan.filter(cond)
+    _require_integral_key(meta, meta_key, fn)
+    keys = (
+        meta.filter(cond)
+        .select(F.col(meta_key).cast("bigint").alias("n"))
+        .distinct()
+    )
+    return lambda scan: scan.join(keys, "n", "left_semi")
+
+
+def _filtered_cell_counts(allowed: DataFrame) -> dict[int, int]:
+    """Per-cell predicate-surviving row counts — the nlist-bounded
+    statistic the adaptive probe widening needs. One aggregation pass
+    over the FILTERED rows' ``cell`` column (columnar scan + semi
+    join; runs only when ``where=`` is given), collecting at most
+    nlist rows."""
+    return {
+        int(r["cell"]): int(r["cnt"])
+        for r in allowed.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
+
+def _adaptive_probes(q_mat, centroids, counts: dict[int, int], nprobe: int, need: int):
+    """Per-query probe cell lists for a FILTERED probe. Each query
+    walks cells in ITS OWN distance order (the exact
+    ``nearest_cells_batch`` arithmetic: ``-2 q·c + |c|²`` scored with
+    a stable argsort, ties to the lowest cell id) keeping only cells
+    that still hold predicate-surviving rows, and stops once it has
+    probed at least ``nprobe`` non-empty cells (the caller's quality
+    floor) AND those cells cumulatively hold at least ``need``
+    surviving rows — so k results survive the filter by construction
+    whenever that many exist anywhere in the index. A selective
+    predicate therefore degrades toward an exact scan OF THE SURVIVORS
+    ONLY, which is the cheap and correct direction. Driver-side over
+    nlist-sized arrays; returns (per-query cell lists, sorted union
+    for the row-group-pruning ``isin``)."""
+    import numpy as np
+
+    ct = np.ascontiguousarray(centroids.T)
+    c_sq = (centroids * centroids).sum(axis=1)
+    scores = -2.0 * (q_mat @ ct) + c_sq
+    order = np.argsort(scores, axis=1, kind="stable")
+    cnt = np.zeros(centroids.shape[0], dtype=np.int64)
+    for c, v in counts.items():
+        cnt[c] = v
+    probes = []
+    for qi in range(len(q_mat)):
+        cells: list[int] = []
+        covered = 0
+        for c in order[qi]:
+            if cnt[c] <= 0:
+                continue
+            cells.append(int(c))
+            covered += int(cnt[c])
+            if len(cells) >= nprobe and covered >= need:
+                break
+        probes.append(cells)
+    return probes, sorted({c for cs in probes for c in cs})
+
+
 def _has_quantizer(spark: SparkSession, store, table: str) -> bool:
     """True iff the LATEST snapshot carries committed centroid rows.
     A logically-truncated table (SnapshotStateStore.truncate commits
@@ -253,12 +337,28 @@ def ivf_query(
     query_key: str = "q",
     vec: str = "embedding",
     version: int | None = None,
+    where=None,
+    meta: DataFrame | None = None,
+    meta_key: str = "n",
 ) -> DataFrame:
     """Probe the committed index: ``(q, n, score, rank)`` — the
     ``ivf_topk`` output contract served from persisted state. Queries
     are the bounded broadcast side (same contract as the other ANN
-    query paths); ``version`` pins a snapshot for exact replays."""
+    query paths); ``version`` pins a snapshot for exact replays.
+
+    ``where=`` (with optional ``meta=``/``meta_key=``) runs a FILTERED
+    search: the predicate is pushed into the candidate scan (see
+    ``_predicate_filter``) and the probe set widens per query until it
+    covers at least ``4*k`` predicate-surviving rows
+    (``_adaptive_probes``) — so the top-k among the survivors is
+    served from genuinely-scanned candidates, never post-filtered from
+    a fixed-k shortlist that under-returns."""
     spark = queries.sparkSession
+    if where is not None:
+        return _ivf_query_filtered(
+            queries, store, table, k, nprobe, query_key, vec, version,
+            where, meta, meta_key,
+        )
     centers_l = _committed_centroids(spark, store, table, version)
     dim = len(centers_l[0])
     cellp = nearest_cells_batch(centers_l, nprobe=min(nprobe, len(centers_l)))
@@ -280,6 +380,77 @@ def ivf_query(
         .select("n", "cell", F.col("v").alias("cv"))
     )
     scored = cells.join(F.broadcast(q), "cell").select(
+        "q", "n", cosine_fixed("qv", "cv", dim).alias("score")
+    )
+    order = [F.col("score").desc(), F.col("n").asc()]
+    ranked = top_k_by_group(scored, k, "q", order)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(*order)
+    return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def _ivf_query_filtered(
+    queries: DataFrame,
+    store,
+    table: str,
+    k: int,
+    nprobe: int,
+    query_key: str,
+    vec: str,
+    version: int | None,
+    where,
+    meta: DataFrame | None,
+    meta_key: str,
+) -> DataFrame:
+    """The ``where=`` arm of ``ivf_query``. Plan: predicate → candidate
+    scan (semi-join or direct filter, ``_predicate_filter``), ONE
+    nlist-bounded aggregation for per-cell survivor counts, per-query
+    adaptive probe lists driver-side, then the family's scan-join-
+    rerank tail over ``cell isin (probed)`` — the isin pushes through
+    the semi join to the parquet scan, so the snapshot is never fully
+    re-read. Queries are collected driver-side (the bounded-broadcast
+    contract the PQ paths already use) because the adaptive widening
+    needs each query's own cell-distance order."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    centers_l = _committed_centroids(spark, store, table, version)
+    dim = len(centers_l[0])
+    flt = _predicate_filter(where, meta, meta_key, "ivf_query")
+    allowed = flt(
+        store.read(spark, table, version=version)
+        .filter(F.col("n").isNotNull())
+    )
+    qrows = queries.select(
+        F.col(query_key).alias("q"),
+        F.col(vec).cast("array<double>").alias("qv"),
+    ).collect()
+    counts = _filtered_cell_counts(allowed) if qrows else {}
+    if not qrows or not counts:
+        return spark.createDataFrame(
+            [], "q bigint, n bigint, score double, rank int"
+        )
+    q_mat = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+    probes, probed = _adaptive_probes(
+        q_mat,
+        np.asarray(centers_l, dtype=np.float64),
+        counts,
+        nprobe=min(nprobe, len(centers_l)),
+        need=4 * k,
+    )
+    qdf = spark.createDataFrame(
+        [
+            (int(r["q"]), [float(x) for x in r["qv"]], probes[i])
+            for i, r in enumerate(qrows)
+        ],
+        "q bigint, qv array<double>, cells array<int>",
+    )
+    qx = qdf.select("q", "qv", F.explode("cells").alias("cell"))
+    cand = allowed.filter(F.col("cell").isin(probed)).select(
+        "n", "cell", F.col("v").alias("cv")
+    )
+    scored = cand.join(F.broadcast(qx), "cell").select(
         "q", "n", cosine_fixed("qv", "cv", dim).alias("score")
     )
     order = [F.col("score").desc(), F.col("n").asc()]
@@ -614,6 +785,9 @@ def pq_query(
     query_key: str = "q",
     vec: str = "embedding",
     version: int | None = None,
+    where=None,
+    meta: DataFrame | None = None,
+    meta_key: str = "n",
 ) -> DataFrame:
     """Probe the committed PQ index: ADC over the committed code
     column (per-query lookup tables baked into the UDF closure — the
@@ -622,7 +796,15 @@ def pq_query(
     ``pq_topk``'s contract served from persisted state; ``version``
     pins a snapshot for exact replays. Queries are the bounded
     broadcast side (collected driver-side for the lookup tables, the
-    ``pq_topk`` contract)."""
+    ``pq_topk`` contract).
+
+    ``where=`` (with optional ``meta=``/``meta_key=``) runs a FILTERED
+    search: the predicate gates the code scan itself
+    (``_predicate_filter``), so the ADC shortlist is drawn from
+    predicate-surviving rows ONLY — k results survive by construction
+    whenever that many survivors exist, with no widening needed (a PQ
+    scan has no probe set to widen; the filter just shrinks the one
+    pass)."""
     import numpy as np
 
     from clickhouse_k_means_spark.functions.vector import (
@@ -648,8 +830,10 @@ def pq_query(
     coded = (
         store.read(spark, table, version=version)
         .filter(F.col("n").isNotNull())
-        .select("n", "codes", F.col("v").alias("cv"))
     )
+    if where is not None:
+        coded = _predicate_filter(where, meta, meta_key, "pq_query")(coded)
+    coded = coded.select("n", "codes", F.col("v").alias("cv"))
     scored = coded.select(
         "n", "cv", F.posexplode(adc("codes")).alias("qi", "ad2")
     )
@@ -825,9 +1009,21 @@ def pq_refit_due(
         spark, store, table, None, sample_n, seed
     )
     n_codes = books[0].shape[0]
+    fit_n = quantizer_sample_n(n_codes)
+    if fit_n > sample_n and len(x) == sample_n:
+        # geometry-bound redraw (ADVICE r12): past n_codes > sample_n/8
+        # the refit's fit prefix outgrows the diagnostic sample, and
+        # truncating to it would reintroduce the advisor/refit
+        # disagreement the prefix contract exists to fix. The hash
+        # order is shared, so the original draw is the new one's
+        # prefix; skipped when the corpus itself is smaller than
+        # sample_n (a redraw could not return more rows).
+        errs, x, books = _pq_sample_err(
+            spark, store, table, None, fit_n, seed
+        )
     dsub = books[0].shape[1]
     current = float(errs.sum())
-    x_fit = x[: quantizer_sample_n(n_codes)]
+    x_fit = x[:fit_n]
     candidate = 0.0
     for s in range(len(books)):
         xs = x[:, s * dsub : (s + 1) * dsub]
@@ -1165,6 +1361,9 @@ def ivfpq_query(
     query_key: str = "q",
     vec: str = "embedding",
     version: int | None = None,
+    where=None,
+    meta: DataFrame | None = None,
+    meta_key: str = "n",
 ) -> DataFrame:
     """Probe the committed IVF-PQ index: per-query nprobe nearest
     cells (driver-side over the nlist centroids), ADC over ONLY those
@@ -1174,7 +1373,15 @@ def ivfpq_query(
     ``rerank`` shortlist (default 4k). ``(q, n, score, rank)`` —
     the family's output contract served from persisted state;
     ``version`` pins all three layers for exact replays. Queries are
-    the bounded broadcast side (collected for the LUT)."""
+    the bounded broadcast side (collected for the LUT).
+
+    ``where=`` (with optional ``meta=``/``meta_key=``) runs a FILTERED
+    search: the predicate gates the code scan (``_predicate_filter``)
+    and each query's probe set widens — in its own cell-distance order
+    — until it covers at least ``max(k, rerank)`` predicate-surviving
+    rows (``_adaptive_probes``), so the ADC shortlist and hence the
+    exact re-rank are drawn from survivors only and k results survive
+    the filter whenever that many exist in the index."""
     import numpy as np
 
     from clickhouse_k_means_spark.functions.vector import (
@@ -1197,18 +1404,42 @@ def ivfpq_query(
     q_mat = normalize_rows(
         np.asarray([r["qv"] for r in qrows], dtype=np.float64)
     )
-    qd2 = ((q_mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-    # stable sort: an exact distance tie breaks to the LOWEST cell id
-    # (the nearest_cells_batch convention), not quicksort's
-    # platform-dependent order — probe sets must replay bit-identically
-    probe = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
-    mask = np.zeros((len(q_mat), nlist), dtype=bool)
-    np.put_along_axis(mask, probe, True, axis=1)
-    probed = sorted({int(c) for c in probe.ravel()})
+    scan = store.read(spark, table, version=version).filter(
+        F.col("n").isNotNull()
+    )
+    if where is not None:
+        allowed = _predicate_filter(where, meta, meta_key, "ivfpq_query")(
+            scan
+        )
+        counts = _filtered_cell_counts(allowed)
+        if not counts:
+            return spark.createDataFrame(
+                [], "q bigint, n bigint, score double, rank int"
+            )
+        # the IVF-PQ cell metric is squared L2 of the NORMALIZED query
+        # against the coarse centroids — _adaptive_probes scores the
+        # rank-equivalent -2q·c + |c|² form (|q|² is rank-invariant)
+        # with the same stable argsort / lowest-cell-id tie rule
+        probes, probed = _adaptive_probes(
+            q_mat, centroids, counts, nprobe=nprobe, need=max(k, rerank)
+        )
+        mask = np.zeros((len(q_mat), nlist), dtype=bool)
+        for qi, cs in enumerate(probes):
+            mask[qi, cs] = True
+        scan = allowed
+    else:
+        qd2 = ((q_mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        # stable sort: an exact distance tie breaks to the LOWEST cell
+        # id (the nearest_cells_batch convention), not quicksort's
+        # platform-dependent order — probe sets must replay
+        # bit-identically
+        probe = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
+        mask = np.zeros((len(q_mat), nlist), dtype=bool)
+        np.put_along_axis(mask, probe, True, axis=1)
+        probed = sorted({int(c) for c in probe.ravel()})
     adc = ivfpq_adc_batch(centroids, books, q_mat, probe_mask=mask)
     coded = (
-        store.read(spark, table, version=version)
-        .filter(F.col("n").isNotNull())
+        scan
         # driver-known probe list -> parquet row-group pruning; the
         # LUT mask then narrows per query within the union
         .filter(F.col("cell").isin(probed))
@@ -1379,6 +1610,16 @@ def ivfpq_refit_due(
     )
     nlist = centroids.shape[0]
     n_codes = books[0].shape[0]
+    fit_n = quantizer_sample_n(max(nlist, n_codes))
+    if fit_n > sample_n and len(x) == sample_n:
+        # geometry-bound redraw (ADVICE r12) — same contract as
+        # pq_refit_due: the fit prefix must never truncate to the
+        # diagnostic sample, or the advisor fits on a different set
+        # than ivfpq_refit would. Shared hash order makes the original
+        # draw the redraw's prefix.
+        x, cells, codes, centroids, books = _ivfpq_sample(
+            spark, store, table, None, fit_n, seed
+        )
     dsub = books[0].shape[1]
     resid = x - centroids[cells]
     current = 0.0
@@ -1387,7 +1628,7 @@ def ivfpq_refit_due(
         current += float((diff * diff).sum(axis=1).mean())
     # candidate: the exact two-layer fit ivfpq_refit would run, scored
     # on the full diagnostic sample
-    x_fit = x[: quantizer_sample_n(max(nlist, n_codes))]
+    x_fit = x[:fit_n]
     cand_cent = numpy_kmeans(
         x_fit, k=min(nlist, len(x_fit)), seed=seed, n_iter=10
     )
@@ -1565,16 +1806,18 @@ def ann_delete(
     if not store.exists(table):
         raise ValueError(f"ann_delete: index {table!r} does not exist")
     if isinstance(keys, DataFrame):
-        if key not in keys.columns:
-            raise ValueError(
-                f"ann_delete: keys DataFrame lacks column {key!r}"
-            )
-        kdf = (
-            keys.select(F.col(key).cast("bigint").alias("n"))
-            .where(F.col("n").isNotNull())
-            .distinct()
+        # same ADVICE-r9 loud-failure rule the appends/upsert enforce:
+        # a non-integral key column would cast to NULL and turn a
+        # malformed takedown feed into a silent no-op (ADVICE r12)
+        _require_integral_key(keys, key, "ann_delete")
+        kdf = keys.select(_key_as_n(key, "ann_delete")).distinct()
+        # bounded sizing probe: limit(N+1).count() scans at most N+1
+        # rows instead of running a full action over the caller's
+        # delete-set plan just to pick broadcast vs shuffle
+        small = (
+            keys.limit(_BROADCAST_APPEND_KEYS + 1).count()
+            <= _BROADCAST_APPEND_KEYS
         )
-        small = keys.count() <= _BROADCAST_APPEND_KEYS
     else:
         ks = sorted({int(k) for k in keys})
         if not ks:
@@ -1597,6 +1840,7 @@ def ann_upsert(
     table: str = "ivf_index",
     key: str = "vec_id",
     vec: str = "embedding",
+    metadata: dict | None = None,
 ) -> int:
     """Atomic update-or-insert into a persistent index (uniform across
     ``ivf_index`` / ``pq_index`` / ``ivfpq_index`` tables — the family
@@ -1617,6 +1861,19 @@ def ann_upsert(
     payload already matches without reading it; use ``*_append`` for
     at-least-once insert-only streams.
 
+    Within-batch duplicate keys keep ONE arbitrary row (the same
+    keep-any ``dropDuplicates`` contract the appends document) — and
+    because upsert REPLACES, the kept payload is observable: a batch
+    that carries conflicting payloads for the same key commits a
+    nondeterministic winner. De-duplicate upstream (e.g. keep the
+    latest CDC row per key) when the batch can conflict (ADVICE r12).
+
+    ``metadata`` rides the replace-commit manifest atomically — the
+    hook ``streaming.ann_stream.StreamingUpsertIngest`` uses for its
+    ``batch_id`` replay marker (r13): because retries add versions by
+    design here, the streaming form NEEDS the marker, unlike the
+    key-idempotent append twins which are marker-free.
+
     Scale shape: one encode pass over the batch (Arrow), one broadcast
     anti-join over the code rows for micro-batches (the
     ``_BROADCAST_APPEND_KEYS`` bound — backfill-scale batches fall
@@ -1629,6 +1886,12 @@ def ann_upsert(
     _require_integral_key(new_vecs, key, "ann_upsert")
     if not store.exists(table):
         raise ValueError(f"ann_upsert: index {table!r} does not exist")
+    # materialize the batch ONCE (the incremental_exact_dedup rule):
+    # the emptiness probe, the broadcast-sizing count, and the
+    # encode+commit below all read this checkpoint instead of
+    # re-running the caller's (possibly expensive) batch plan three
+    # times (VERDICT r12)
+    new_vecs = new_vecs.localCheckpoint(eager=True)
     if not new_vecs.head(1):
         return store.latest_version(table)
     cur = store.read(spark, table)
@@ -1687,5 +1950,52 @@ def ann_upsert(
         )
     geometry = cur.filter(F.col("n").isNull())
     return store.replace(
-        geometry.unionByName(survivors).unionByName(assign), table
+        geometry.unionByName(survivors).unionByName(assign), table,
+        metadata=metadata,
+    )
+
+
+def ann_compact_due(
+    store,
+    table: str = "ivf_index",
+    max_versions: int = 32,
+    dead_ratio: float = 1.0,
+    min_dead_bytes: int = 0,
+) -> bool:
+    """The storage-compaction advisor (r13 — VERDICT r12 item 6):
+    ``ann_delete``/``ann_upsert``/refits are REPLACE commits, so a
+    takedown- or CDC-heavy index accretes one full stale table copy
+    per churn commit; the store's ``optimize``/``vacuum`` exist but
+    nothing told the scheduler WHEN. True when either storage disease
+    is present, read from ``store.storage_stats`` (one manifest read +
+    one directory listing, no data IO):
+
+    - retained versions exceed ``max_versions`` (manifest sprawl —
+      every read resolves the latest manifest fast, but history
+      accumulates unbounded), or
+    - dead bytes (on disk, unreferenced by the head snapshot — what
+      ``vacuum`` reclaims) exceed ``dead_ratio`` × live bytes AND
+      ``min_dead_bytes`` (raise the floor in production so a few
+      stale MB never triggers a maintenance pass).
+
+    The scheduled-job form (the ``ivf_refit_due`` pattern applied to
+    storage)::
+
+        if ann_compact_due(store, t):
+            store.optimize(spark, t)   # bin-pack head, history kept
+            store.vacuum(t)            # reclaim — TIME TRAVEL PRUNED
+
+    Caveat the CLI documents too: ``vacuum`` trades retention for
+    space — after it, pinned reads reach only the head version. Run
+    ``optimize`` alone when readers still replay old versions."""
+    if max_versions < 1:
+        raise ValueError(f"max_versions must be >= 1: {max_versions}")
+    if dead_ratio <= 0:
+        raise ValueError(f"dead_ratio must be positive: {dead_ratio}")
+    s = store.storage_stats(table)
+    if s["versions"] > max_versions:
+        return True
+    return (
+        s["dead_bytes"] >= max(min_dead_bytes, 1)
+        and s["dead_bytes"] > dead_ratio * s["live_bytes"]
     )

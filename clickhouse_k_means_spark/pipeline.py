@@ -195,6 +195,7 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "build", "append", "upsert", "query", "stats", "refit", "delete",
+            "compact",
         ],
     )
     an.add_argument("--state", required=True, help="state-store directory")
@@ -244,6 +245,37 @@ def build_parser() -> argparse.ArgumentParser:
         help="delete: comma list of keys to remove (or pass --input "
         "parquet holding the key column); absent keys are a no-op — "
         "no version churn",
+    )
+    an.add_argument(
+        "--where", default=None,
+        help="query: SQL predicate for FILTERED search — pushed into "
+        "the candidate scan with per-query adaptive probe widening, "
+        "never post-filtered from a fixed-k shortlist. Without "
+        "--meta it filters the index's own columns (n, v/codes); "
+        "with --meta it filters that metadata table and the "
+        "surviving keys gate the scan",
+    )
+    an.add_argument(
+        "--meta", default=None,
+        help="query: metadata parquet the --where predicate runs over",
+    )
+    an.add_argument(
+        "--meta-key", default="n",
+        help="query: key column in --meta matching the index keys",
+    )
+    an.add_argument(
+        "--vacuum", action="store_true",
+        help="compact: also vacuum after optimize — reclaims dead "
+        "bytes but PRUNES TIME TRAVEL to the head version (omit while "
+        "readers still replay pinned versions)",
+    )
+    an.add_argument(
+        "--max-versions", type=int, default=32,
+        help="compact advisor: retained-version threshold",
+    )
+    an.add_argument(
+        "--dead-ratio", type=float, default=1.0,
+        help="compact advisor: dead/live bytes threshold",
     )
 
     pr = sub.add_parser("profile", help="one-scan table profile")
@@ -440,6 +472,42 @@ def main(argv: list[str] | None = None) -> int:
                                         version=args.version), 3
                     ),
                 )
+            # storage health rides every stats call (r13): the
+            # compaction advisor is the refit_due pattern applied to
+            # the snapshot store's replace-commit churn
+            from clickhouse_k_means_spark.operators.ann_index import (
+                ann_compact_due,
+            )
+
+            summary.update(
+                compact_due=bool(ann_compact_due(store, args.table)),
+                storage=store.storage_stats(args.table),
+            )
+        elif args.action == "compact":
+            # kind-agnostic storage maintenance (r13): bin-pack the
+            # head snapshot, optionally vacuum — advisor readings
+            # before/after ride the summary so schedulers can verify
+            # the churn was actually reclaimed
+            from clickhouse_k_means_spark.operators.ann_index import (
+                ann_compact_due,
+            )
+
+            due = ann_compact_due(store, args.table,
+                                  max_versions=args.max_versions,
+                                  dead_ratio=args.dead_ratio)
+            v = store.optimize(spark, args.table)
+            removed = store.vacuum(args.table) if args.vacuum else 0
+            summary.update(
+                version=int(v), was_due=bool(due),
+                files_vacuumed=int(removed),
+                vacuumed=bool(args.vacuum),
+                still_due=bool(
+                    ann_compact_due(store, args.table,
+                                    max_versions=args.max_versions,
+                                    dead_ratio=args.dead_ratio)
+                ),
+                storage=store.storage_stats(args.table),
+            )
         elif args.action == "delete":
             # kind-agnostic: ann_delete works uniformly over the
             # family's n-IS-NOT-NULL vector-row convention
@@ -457,19 +525,22 @@ def main(argv: list[str] | None = None) -> int:
             summary.update(version=int(v), deleted_any=bool(v != before))
         else:  # query
             q = spark.read.parquet(args.input)
+            meta = spark.read.parquet(args.meta) if args.meta else None
+            fkw = {"where": args.where, "meta": meta,
+                   "meta_key": args.meta_key} if args.where else {}
             if args.kind == "ivfpq":
                 res = ivfpq_query(q, store, table=args.table, k=args.k,
                                   nprobe=args.nprobe, rerank=args.rerank,
                                   query_key=args.key, vec=args.vec,
-                                  version=args.version)
+                                  version=args.version, **fkw)
             elif args.kind == "pq":
                 res = pq_query(q, store, table=args.table, k=args.k,
                                rerank=args.rerank, query_key=args.key,
-                               vec=args.vec, version=args.version)
+                               vec=args.vec, version=args.version, **fkw)
             else:
                 res = ivf_query(q, store, table=args.table, k=args.k,
                                 nprobe=args.nprobe, query_key=args.key,
-                                vec=args.vec, version=args.version)
+                                vec=args.vec, version=args.version, **fkw)
             res.write.mode("overwrite").parquet(args.out)
             summary.update(out=args.out,
                            rows_out=spark.read.parquet(args.out).count())

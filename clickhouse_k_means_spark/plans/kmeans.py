@@ -429,7 +429,13 @@ class KMeansEngine:
 
     # ---- Lloyd iterations (k-means.sh:16-33, k-means.sql:35-46) ----
 
-    def lloyd_step(self, yh: DataFrame, model: Model, dim: int) -> Model:
+    def lloyd_step(
+        self,
+        yh: DataFrame,
+        model: Model,
+        dim: int,
+        n_parts: int | None = None,
+    ) -> Model:
         """Assign + recompute means — one reference loop pass
         (``nearestCentroid`` + the INSERT at k-means.sql:42-46).
 
@@ -455,7 +461,7 @@ class KMeansEngine:
         threshold: there codegen wins below it
         (test_small_k_assignment_stays_codegen pins that design)."""
         if self.mean_scales is None:
-            return self._lloyd_step_fused(yh, model, dim)
+            return self._lloyd_step_fused(yh, model, dim, n_parts=n_parts)
         j = nearest_centroid_struct("Y", model)["j"]
         if self.mean_scales is not None:
             aggs = []
@@ -481,7 +487,13 @@ class KMeansEngine:
     # is a k×P-row shuffle, never a data-scale one)
     _FUSED_COLLECT_MAX_PARTITIONS = 512
 
-    def _lloyd_step_fused(self, yh: DataFrame, model: Model, dim: int) -> Model:
+    def _lloyd_step_fused(
+        self,
+        yh: DataFrame,
+        model: Model,
+        dim: int,
+        n_parts: int | None = None,
+    ) -> Model:
         """Large-k Lloyd step as ONE narrow job (VERDICT r6 item 4):
         ``mapInPandas`` fuses the Arrow matmul assignment with
         map-side (cell, count, per-dim sum) partials, so each step
@@ -505,7 +517,13 @@ class KMeansEngine:
             [list(map(float, c)) for _, c in ordered]
         )
         partials = yh.select("Y").mapInPandas(fn, schema=schema)
-        if yh.rdd.getNumPartitions() > self._FUSED_COLLECT_MAX_PARTITIONS:
+        # the fit loop passes the working set's partition count once
+        # (VERDICT r12: the .rdd conversion forces a plan translation,
+        # and paying it EVERY sequential step adds up); one-off callers
+        # fall back to computing it here
+        if n_parts is None:
+            n_parts = yh.rdd.getNumPartitions()
+        if n_parts > self._FUSED_COLLECT_MAX_PARTITIONS:
             agg = [F.sum("cnt").alias("cnt")] + [
                 F.sum(f"s{d}").alias(f"s{d}") for d in range(dim)
             ]
@@ -524,6 +542,63 @@ class KMeansEngine:
             (int(ordered[cell][0]), [s / cnts[cell] for s in sums[cell]])
             for cell in cnts
         )
+
+    def prepare_working_set(self, yh: DataFrame):
+        """Materialize the fit's iteration working set — the ONE setup
+        both ``fit`` and ``resume_fit`` run, and the one
+        ``scripts/kscale_profile.py`` must replay exactly for its phase
+        attribution to decompose the real fit (ADVICE r12: the
+        profiler previously re-implemented this inline and any fit()
+        change silently invalidated it).
+
+        Returns ``(cached, working, dim, n_parts)``: the CACHED handle
+        (the caller must ``cached.unpersist()`` when done — kept
+        separate from the working handle so the unpersist hits the
+        real cache entry, ADVICE r5), the possibly-coalesced working
+        handle every Lloyd pass should run on, the feature arity, and
+        the working handle's partition count (computed ONCE here so
+        the sequential fit loop never pays the per-step ``.rdd`` plan
+        translation, VERDICT r12).
+
+        Layout contract: same partition layout => same double-
+        summation order => bit-identical steps — which is why
+        ``resume_fit`` must run the IDENTICAL prep."""
+        # spread narrow sources to full parallelism before caching: a
+        # single-file scan yields few partitions, and every Lloyd
+        # iteration would inherit that narrow parallelism from cache.
+        sc = yh.sparkSession.sparkContext
+        if yh.rdd.getNumPartitions() < sc.defaultParallelism:
+            yh = yh.repartition(sc.defaultParallelism)
+        cached = yh.select("i", "Y").cache()
+        try:
+            head = cached.select("Y").first()
+            if head is None:
+                raise ValueError("k-means: input DataFrame is empty")
+            dim = len(head[0])
+            if dim == 0:
+                raise ValueError("k-means: Y must have arity >= 1")
+            # right-size the iteration working set: below ~50k rows
+            # per task the per-iteration cost is task-launch overhead,
+            # not compute. coalesce is NARROW over the cached blocks
+            # (no second copy), so small inputs stop paying 32-task
+            # latency on every Lloyd pass while huge inputs keep full
+            # width.
+            n = cached.count()
+            width = cached.rdd.getNumPartitions()
+            target = max(4, min(width, (n // 50_000) + 1))
+            working = cached.coalesce(target) if target < width else cached
+        except Exception:
+            cached.unpersist()
+            raise
+        return cached, working, dim, min(target, width)
+
+    def has_converged(self, moved: float) -> bool:
+        """The reference's stop test (k-means.sh:16-33 loop +
+        k-means.sql delta): ``toUInt32(moved / delta)`` truncates to 0
+        — quantized, NOT a float epsilon compare. Shared by the fit
+        loop, ``resume_fit``'s log-replay check, and the profiler
+        (ADVICE r12: one predicate, no drift)."""
+        return int(moved * self.one_delta) == 0
 
     def fit(
         self,
@@ -553,35 +628,9 @@ class KMeansEngine:
                 rows, schema="step bigint, j int, C array<double>"
             )
             state_store.append(df, state_table, partition_by=["step"])
-        # spread narrow sources to full parallelism before caching: a
-        # single-file scan yields few partitions, and every Lloyd
-        # iteration would inherit that narrow parallelism from cache.
-        sc = yh.sparkSession.sparkContext
-        if yh.rdd.getNumPartitions() < sc.defaultParallelism:
-            yh = yh.repartition(sc.defaultParallelism)
-        # keep the CACHED handle separate from the (possibly coalesced)
-        # working handle: unpersisting the coalesced plan would miss
-        # the cache entry and leak the working set after every fit on
-        # small inputs (ADVICE r5)
-        cached = yh.select("i", "Y").cache()
-        yh = cached
+
+        cached, yh, dim, n_parts = self.prepare_working_set(yh)
         try:
-            head = yh.select("Y").first()
-            if head is None:
-                raise ValueError("k-means: input DataFrame is empty")
-            dim = len(head[0])
-            if dim == 0:
-                raise ValueError("k-means: Y must have arity >= 1")
-            # right-size the iteration working set: below ~50k rows per
-            # task the per-iteration cost is task-launch overhead, not
-            # compute. coalesce is NARROW over the cached blocks (no
-            # second copy), so small inputs stop paying 32-task latency
-            # on every Lloyd pass while huge inputs keep full width.
-            n = yh.count()
-            width = yh.rdd.getNumPartitions()
-            target = max(4, min(width, (n // 50_000) + 1))
-            if target < width:
-                yh = yh.coalesce(target)
             rng = random.Random(self.seed)
             # dispatch on the configured init (r4: this was silently
             # always-sequential before — init='parallel' was validated
@@ -592,12 +641,15 @@ class KMeansEngine:
                 model = self.init_centroids(yh, rng)
             history = [(0, j, c) for j, c in model]
             _persist_step(0, model)
-            return self._run_lloyd(yh, dim, model, history, 1, _persist_step)
+            return self._run_lloyd(
+                yh, dim, model, history, 1, _persist_step, n_parts=n_parts
+            )
         finally:
             cached.unpersist()
 
     def _run_lloyd(
-        self, yh, dim, model, history, start_step, persist_step
+        self, yh, dim, model, history, start_step, persist_step,
+        n_parts: int | None = None,
     ) -> KMeansResult:
         """The Lloyd convergence loop from ``start_step`` (shared by
         ``fit`` and ``resume_fit`` — steps are deterministic given a
@@ -606,7 +658,7 @@ class KMeansEngine:
         converged = False
         step = start_step - 1
         for step in range(start_step, self.max_iter + 1):
-            new_model = self.lloyd_step(yh, model, dim)
+            new_model = self.lloyd_step(yh, model, dim, n_parts=n_parts)
             history.extend((step, j, c) for j, c in new_model)
             persist_step(step, new_model)
             prev = dict(model)
@@ -618,7 +670,7 @@ class KMeansEngine:
             )
             movements.append(moved)
             model = new_model
-            if int(moved * self.one_delta) == 0:  # toUInt32 truncation
+            if self.has_converged(moved):  # toUInt32 truncation
                 converged = True
                 break
         return KMeansResult(model, history, step, converged, movements)
@@ -668,7 +720,7 @@ class KMeansEngine:
             moved = sum(
                 _euclid(prev[j], c) for j, c in model if j in prev
             )
-            if int(moved * self.one_delta) == 0:
+            if self.has_converged(moved):
                 return KMeansResult(model, history, last, True, [moved])
 
         def _persist_step(step: int, m) -> None:
@@ -681,25 +733,11 @@ class KMeansEngine:
         # identical working-set prep to fit() — same partition layout
         # => same double-summation order => the resumed steps are
         # bit-identical to the uninterrupted fit's
-        sc = spark.sparkContext
-        if yh.rdd.getNumPartitions() < sc.defaultParallelism:
-            yh = yh.repartition(sc.defaultParallelism)
-        # cached handle kept separate from the coalesced working handle
-        # so the finally-unpersist hits the real cache entry (ADVICE r5)
-        cached = yh.select("i", "Y").cache()
-        yh = cached
+        cached, yh, dim, n_parts = self.prepare_working_set(yh)
         try:
-            head = yh.select("Y").first()
-            if head is None:
-                raise ValueError("k-means: input DataFrame is empty")
-            dim = len(head[0])
-            n = yh.count()
-            width = yh.rdd.getNumPartitions()
-            target = max(4, min(width, (n // 50_000) + 1))
-            if target < width:
-                yh = yh.coalesce(target)
             return self._run_lloyd(
-                yh, dim, model, history, last + 1, _persist_step
+                yh, dim, model, history, last + 1, _persist_step,
+                n_parts=n_parts,
             )
         finally:
             cached.unpersist()

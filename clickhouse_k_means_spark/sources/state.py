@@ -352,6 +352,33 @@ class SnapshotStateStore:
         if t.exists():
             shutil.rmtree(t)
 
+    def storage_stats(self, table: str) -> dict:
+        """Manifest-level storage accounting (r13 — the compaction
+        advisor's input): versions retained, live files/bytes (the
+        LATEST snapshot), and dead files/bytes (on disk but
+        unreferenced by the latest snapshot — exactly what ``vacuum``
+        would reclaim; the replace-commit churn a delete/upsert-heavy
+        index accretes). One directory listing + one manifest read,
+        no data IO."""
+        latest = self.latest_version(table)
+        if latest is None:
+            raise ValueError(f"storage_stats: no such table {table!r}")
+        live = set(self._read_manifest(table, latest)["files"])
+        stats = {
+            "versions": len(self._versions(table)),
+            "live_files": 0,
+            "live_bytes": 0,
+            "dead_files": 0,
+            "dead_bytes": 0,
+        }
+        data = self._data(table)
+        if data.exists():
+            for p in data.glob("*.parquet"):
+                side = "live" if p.name in live else "dead"
+                stats[f"{side}_files"] += 1
+                stats[f"{side}_bytes"] += p.stat().st_size
+        return stats
+
     def vacuum(self, table: str) -> int:
         """Delete data files not referenced by the LATEST snapshot and
         drop all older manifests. Returns files removed. (After vacuum,
@@ -370,10 +397,15 @@ class SnapshotStateStore:
             (self._manifests(table) / f"v{v:08d}.json").unlink()
         return removed
 
-    def _replace_snapshot(self, df: DataFrame, table: str) -> int:
+    def _replace_snapshot(
+        self, df: DataFrame, table: str, metadata: dict | None = None
+    ) -> int:
         """Stage ``df`` as immutable data files and commit them as the
         WHOLE next snapshot (replace semantics) — the shared tail of
-        every copy-on-write rewrite (upsert, SCD-2 batches)."""
+        every copy-on-write rewrite (upsert, SCD-2 batches).
+        ``metadata`` rides the manifest commit atomically (the same
+        contract as ``append`` — e.g. a streaming sink's ``batch_id``
+        idempotence marker, r13)."""
         staging = self._table(table) / f".staging-{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(str(staging))
         data = self._data(table)
@@ -386,7 +418,8 @@ class SnapshotStateStore:
             new_files.append(name)
         shutil.rmtree(staging)
         return self._commit(
-            table, new_files, replace=True, schema_json=df.schema.json()
+            table, new_files, replace=True, schema_json=df.schema.json(),
+            metadata=metadata,
         )
 
     def optimize(
@@ -421,13 +454,18 @@ class SnapshotStateStore:
         current = self.read(spark, table).coalesce(int(n_out))
         return self._replace_snapshot(current, table)
 
-    def replace(self, df: DataFrame, table: str) -> int:
+    def replace(
+        self, df: DataFrame, table: str, metadata: dict | None = None
+    ) -> int:
         """Commit ``df`` as the whole next snapshot (atomic replace).
         ``df`` may derive from reading this same table — it is staged
         to new immutable files before the commit, so self-rewrites
         (e.g. IncrementalRollup.compact) are safe. Earlier versions
-        stay time-travelable until ``vacuum``."""
-        return self._replace_snapshot(df, table)
+        stay time-travelable until ``vacuum``. ``metadata`` rides the
+        manifest atomically (e.g. a streaming upsert's ``batch_id``
+        marker — retries that replay the SAME batch must skip, because
+        upsert retries otherwise add versions by design, r13)."""
+        return self._replace_snapshot(df, table, metadata=metadata)
 
     def upsert(
         self, spark: SparkSession, df: DataFrame, table: str, key: str

@@ -1,8 +1,10 @@
 """Streaming ingest into the persistent ANN indexes: ``foreachBatch``
 + ``operators/ann_index.ivf_append`` (``StreamingIvfIngest``),
-``pq_append`` (``StreamingPqIngest``, r11), or ``ivfpq_append``
+``pq_append`` (``StreamingPqIngest``, r11), ``ivfpq_append``
 (``StreamingIvfPqIngest``, r12 — the composed production
-architecture) — the vector-corpus companion to ``dedup_stream``
+architecture), or ``ann_upsert`` (``StreamingUpsertIngest``, r13 —
+the CDC-feed twin, batch-id-marked because upsert retries add
+versions by design) — the vector-corpus companion to ``dedup_stream``
 (documents) and ``sketch_stream`` (aggregates).
 
 The reference has no streaming surface; this composes two certified
@@ -121,6 +123,87 @@ class StreamingIvfPqIngest(StreamingIvfIngest):
 
         return ivfpq_append(
             batch, self.store, table=self.table, key=self.key, vec=self.vec
+        )
+
+
+class StreamingUpsertIngest(StreamingIvfIngest):
+    """CDC-feed ingest (r13 — VERDICT r12 item 4): ``foreachBatch`` →
+    ``ann_upsert``, so a stream of CHANGED embeddings (the common
+    upstream: re-embedded documents, refreshed profiles) lands as
+    atomic update-or-insert versions, uniform across the
+    ivf/pq/ivfpq families.
+
+    Exactly-once story — DIFFERENT from the append twins: appends are
+    key-idempotent so replays converge marker-free, but ``ann_upsert``
+    retries add a version BY DESIGN (its docstring: the operator
+    cannot know the committed payload already matches). So this sink
+    carries the ``SnapshotStreamSink`` batch-id marker: each
+    micro-batch's ``batch_id`` rides the upsert's replace-commit
+    manifest ATOMICALLY (``ann_upsert(metadata=...)``), and a replayed
+    batch (id ≤ the last committed marker, backward manifest scan so
+    interleaved maintenance commits can't erase it — ADVICE r5) is
+    SKIPPED instead of committing a duplicate version.
+
+    Within-batch duplicate keys follow ``ann_upsert``'s keep-any
+    contract — de-duplicate the CDC feed to latest-per-key upstream
+    when a micro-batch can carry conflicting payloads (ADVICE r12).
+
+    Bootstrap contract: the index (quantizer/codebooks) must exist
+    before the stream starts; maintenance between batches under the
+    single-writer contract, exactly like the append twins."""
+
+    _DEFAULT_QUERY_NAME = "streaming_upsert_ingest"
+
+    def __init__(
+        self,
+        store,
+        table: str = "ivf_index",
+        key: str = "vec_id",
+        vec: str = "embedding",
+    ):
+        super().__init__(store, table=table, key=key, vec=vec)
+        self.n_skipped = 0
+
+    def last_batch_id(self) -> int | None:
+        b = self.store.latest_metadata_value(self.table, "batch_id")
+        return int(b) if b is not None else None
+
+    def process_batch(self, batch: DataFrame, batch_id: int | None = None) -> int:
+        from clickhouse_k_means_spark.operators.ann_index import ann_upsert
+
+        meta = {"batch_id": int(batch_id)} if batch_id is not None else None
+        return ann_upsert(
+            batch, self.store, table=self.table, key=self.key,
+            vec=self.vec, metadata=meta,
+        )
+
+    def attach(
+        self,
+        stream: DataFrame,
+        checkpoint: str,
+        query_name: str | None = None,
+    ):
+        """Upsert the stream into the index (caller awaits). One
+        replace-snapshot version per non-empty NEW micro-batch;
+        replayed batches are skipped via the committed marker."""
+
+        def _on_batch(batch: DataFrame, batch_id: int) -> None:
+            last = self.last_batch_id()
+            if last is not None and batch_id <= last:
+                self.n_skipped += 1
+                return
+            if not batch.head(1):
+                return
+            self.n_batches += 1
+            self.n_seen += batch.count()
+            self.versions.append(self.process_batch(batch, batch_id))
+
+        return (
+            stream.writeStream.foreachBatch(_on_batch)
+            .queryName(query_name or self._DEFAULT_QUERY_NAME)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
         )
 
 

@@ -60,22 +60,12 @@ def main() -> None:
 
     runs = []
     for rep in range(reps):
-        # replicate fit()'s working-set setup exactly (cache, spread,
-        # coalesce) so the phase times decompose the same plan fit()
-        # runs — keep in sync with KMeansEngine.fit
-        sc = spark.sparkContext
-        yh = yh_src
-        if yh.rdd.getNumPartitions() < sc.defaultParallelism:
-            yh = yh.repartition(sc.defaultParallelism)
-        cached = yh.select("i", "Y").cache()
-        yh = cached
+        # fit()'s OWN working-set setup (ADVICE r12: this used to be
+        # an inline re-implementation that any fit() change silently
+        # invalidated — now the engine helper IS the setup, so the
+        # phase times decompose the real fit by construction)
+        cached, yh, dim, n_parts = eng.prepare_working_set(yh_src)
         try:
-            dim = len(yh.select("Y").first()[0])
-            n = yh.count()
-            width = yh.rdd.getNumPartitions()
-            target = max(4, min(width, (n // 50_000) + 1))
-            if target < width:
-                yh = yh.coalesce(target)
             rng = random.Random(eng.seed)
             t0 = time.perf_counter()
             model = eng.init_centroids_parallel(yh, rng)
@@ -86,7 +76,9 @@ def main() -> None:
             converged = False
             for step in range(1, eng.max_iter + 1):
                 t0 = time.perf_counter()
-                new_model = eng.lloyd_step(yh, prev_model, dim)
+                new_model = eng.lloyd_step(
+                    yh, prev_model, dim, n_parts=n_parts
+                )
                 lloyd_secs.append(round(time.perf_counter() - t0, 3))
                 t0 = time.perf_counter()
                 prev = dict(prev_model)
@@ -97,7 +89,7 @@ def main() -> None:
                 )
                 prev_model = new_model
                 driver_sec += time.perf_counter() - t0
-                if int(moved * eng.one_delta) == 0:
+                if eng.has_converged(moved):
                     converged = True
                     break
             run = {
