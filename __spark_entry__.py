@@ -3138,6 +3138,169 @@ def q_ann_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leg(None, "post").unionAll(leg(v1, "pre"))
 
 
+def q_stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert into the persistent IVF index
+    (streaming/ann_stream.StreamingUpsertIngest — r13, VERDICT r12
+    item 4): build on the odd-id half, append the even half, then
+    stream TWO micro-batches — one UPDATING every ``vec_id % 30 ==
+    11`` key to its negated vector, one INSERTING clones at
+    ``vec_id + 1_000_000`` — and REPLAY the whole stream with a fresh
+    checkpoint. Unlike the append twins, ``ann_upsert`` retries add
+    versions by design, so exactly-once here rides the ``batch_id``
+    marker committed ATOMICALLY in each upsert's replace manifest:
+    the gate asserts the replay added ZERO versions
+    (``replay_versions``) while both batches were skipped
+    (``replay_skipped``). Output: exact cosine top-5 per query (the
+    ORIGINAL vectors of 11, 41, 2) at the POST-stream head AND the
+    PINNED pre-stream version, tagged — updated payload visible at
+    head, old payload at the pin (the ann_upsert_replay legs, served
+    through the stream)."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivf_append,
+        ivf_index,
+        ivf_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.ann_stream import (
+        StreamingUpsertIngest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    d = tempfile.mkdtemp(prefix="ups_stream_")
+    store = SnapshotStateStore(f"{d}/store")
+    ivf_index(emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
+              nlist=8, seed=42)
+    v_pre = ivf_append(emb.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
+    src = emb.filter(F.pmod("vec_id", F.lit(30)) == 11)
+    src.select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    ).coalesce(1).write.parquet(f"{d}/src/a")
+    src.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    ).coalesce(1).write.parquet(f"{d}/src/b")
+
+    def run(ckpt: str) -> StreamingUpsertIngest:
+        ing = StreamingUpsertIngest(store)
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src/*")
+        )
+        ing.attach(stream, checkpoint=f"{d}/{ckpt}").awaitTermination()
+        return ing
+
+    run("ckpt1")
+    v_head = store.latest_version("ivf_index")
+    ing2 = run("ckpt2")  # full replay, fresh checkpoint -> same ids
+    v_replay = store.latest_version("ivf_index")
+
+    qvecs = emb.filter(F.col("vec_id").isin(11, 41, 2)).select(
+        F.col("vec_id").alias("q"), "embedding"
+    )
+
+    def leg(version, tag: str) -> DataFrame:
+        raw = ivf_query(
+            qvecs, store, k=100, nprobe=8, query_key="q", version=version
+        )
+        w = Window.partitionBy("q").orderBy(
+            F.round("score", 4).desc(), F.col("n").asc()
+        )
+        return (
+            raw.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 5)
+            .select(F.lit(tag).alias("tag"), "q", "rank", "n")
+        )
+
+    return (
+        leg(None, "post")
+        .unionAll(leg(v_pre, "pre"))
+        .withColumn(
+            "replay_versions",
+            F.lit(int(v_replay - v_head)).cast("bigint"),
+        )
+        .withColumn(
+            "replay_skipped",
+            F.lit(1 if ing2.n_skipped == 2 else 0).cast("bigint"),
+        )
+    )
+
+
+def q_ann_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index storage-compaction lifecycle (operators/ann_index.
+    ann_compact_due + store optimize/vacuum — r13, VERDICT r12
+    item 6): delete/upsert are replace-commits, so churn accretes one
+    full stale table copy per commit. Build the IVF index on the FULL
+    corpus, run three upsert churn rounds (negating disjoint key
+    slices — updates only, row count invariant), and gate the whole
+    advisor contract: the advisor FIRES after churn (``due_churn``,
+    dead bytes ~3x live), a PINNED pre-churn read works before AND
+    after ``optimize`` (``history_kept`` — optimize preserves time
+    travel), ``vacuum`` reclaims files (``reclaimed``), the advisor
+    CLEARS after compaction (``due_after`` = 0), and the head
+    snapshot's rows + key checksum survive the whole sequence
+    (``head_intact``, ``head_rows``). Every step is deterministic so
+    the oracle asserts the constants (head_rows = the corpus count)."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_compact_due,
+        ann_upsert,
+        ivf_index,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="anncomp_"))
+    v1 = ivf_index(emb, store, nlist=8, seed=42)
+    due_fresh = ann_compact_due(store, "ivf_index")
+    for r in range(3):
+        batch = emb.filter(F.pmod("vec_id", F.lit(20)) == r).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+        ann_upsert(batch, store, table="ivf_index")
+    due_churn = ann_compact_due(store, "ivf_index")
+
+    def head_sig() -> tuple[int, int]:
+        vec = store.read(spark, "ivf_index").filter(F.col("n").isNotNull())
+        row = vec.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("n").alias("s")
+        ).collect()[0]
+        return int(row["c"]), int(row["s"])
+
+    pre_rows = store.read(spark, "ivf_index", version=v1).count()
+    sig_before = head_sig()
+    store.optimize(spark, "ivf_index")
+    history_kept = (
+        store.read(spark, "ivf_index", version=v1).count() == pre_rows
+    )
+    removed = store.vacuum("ivf_index")
+    due_after = ann_compact_due(store, "ivf_index")
+    sig_after = head_sig()
+    return spark.createDataFrame(
+        [
+            (
+                0 if due_fresh else 1,
+                1 if due_churn else 0,
+                1 if history_kept else 0,
+                1 if removed > 0 else 0,
+                0 if due_after else 1,
+                1 if sig_after == sig_before else 0,
+                sig_after[0],
+            )
+        ],
+        "fresh_clean bigint, due_churn bigint, history_kept bigint, "
+        "reclaimed bigint, due_after_clean bigint, head_intact bigint, "
+        "head_rows bigint",
+    )
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 dimension history: two deterministic upsert batches over
     customer balances (batch 2 bumps every third key), then the
@@ -5067,8 +5230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame": q_range_frame,
         "chunk_docs": q_chunk_docs,
         "inverted_index": q_inverted_index,
-        # --- r13 additions land here (position 50+): first-gate at
-        # the FRONT of the r14 window ---
+        # --- r13 additions (position 50+): first-gate at the FRONT
+        # of the r14 window ---
+        "ann_filtered_query": q_ann_filtered_query,
+        "stream_upsert_ingest": q_stream_upsert_ingest,
+        "ann_compaction": q_ann_compaction,
         # --- r9-window cohort remainder — continues the pointer after
         # the r13 additions ---
         "bigram_lm": q_bigram_lm,
@@ -6600,6 +6766,50 @@ def oracle_sql() -> dict[str, str]:
             f"row_number() over (partition by qa.vec_id order by "
             f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
             "qb.vec_id as n from q qa, e qb qualify rank <= 5"
+        ),
+        "stream_upsert_ingest": (
+            # the streamed upsert lifecycle replayed exactly (the
+            # ann_upsert_replay oracle, served through two
+            # micro-batches): post corpus = vec_id%30==11 keys negated
+            # in place plus original payloads cloned at +1e6; the
+            # marker gates ride as constants (replay added 0 versions,
+            # both replayed batches skipped)
+            f"{emb_cte}, q as (select vec_id, v from e "
+            "where vec_id in (11, 41, 2)), "
+            "e2 as (select vec_id, case when vec_id % 30 = 11 then "
+            "list_transform(v, x -> -x) else v end as v from e "
+            "union all select vec_id + 1000000 as vec_id, v from e "
+            "where vec_id % 30 = 11) "
+            "select 'post' as tag, qa.vec_id as q, "
+            f"row_number() over (partition by qa.vec_id order by "
+            f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
+            "qb.vec_id as n, 0::BIGINT as replay_versions, "
+            "1::BIGINT as replay_skipped "
+            "from q qa, e2 qb qualify rank <= 5 "
+            "union all "
+            "select 'pre' as tag, qa.vec_id as q, "
+            f"row_number() over (partition by qa.vec_id order by "
+            f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
+            "qb.vec_id as n, 0::BIGINT as replay_versions, "
+            "1::BIGINT as replay_skipped "
+            "from q qa, e qb qualify rank <= 5"
+        ),
+        "ann_compaction": (
+            # deterministic churn -> advisor -> optimize/vacuum
+            # lifecycle; every flag is asserted in-query, head_rows is
+            # the corpus count (churn is updates-only by construction)
+            "select 1::BIGINT as fresh_clean, 1::BIGINT as due_churn, "
+            "1::BIGINT as history_kept, 1::BIGINT as reclaimed, "
+            "1::BIGINT as due_after_clean, 1::BIGINT as head_intact, "
+            "(select count(*) from embeddings)::BIGINT as head_rows"
+        ),
+        "ann_filtered_query": (
+            # predicate-pushed filtered search: recall floor vs
+            # filtered brute force + zero predicate violations, both
+            # asserted in-query from the deterministic fixture
+            "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "
+            "5::BIGINT as hits_floor, 1::BIGINT as recall_pass, "
+            "1::BIGINT as filter_pass"
         ),
         "pq_ann": (
             "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "
