@@ -447,6 +447,15 @@ def main() -> None:
         # r12 addition: atomic update-or-insert lifecycle (in-place
         # re-encode + clone inserts, exact two-version replay)
         ("ann_upsert_replay", entry.q_ann_upsert_replay, 2),
+        # r13 addition: filtered ANN search (predicate-pushed candidate
+        # scan + adaptive probe widening + in-query recall gate)
+        ("ann_filtered_query", entry.q_ann_filtered_query, 2),
+        # r13 addition: streaming CDC upsert with the batch-id marker
+        # (replay adds zero versions) + exact two-version replay legs
+        ("stream_upsert_ingest", entry.q_stream_upsert_ingest, 2),
+        # r13 addition: storage churn -> compaction advisor ->
+        # optimize/vacuum lifecycle with time-travel gates
+        ("ann_compaction", entry.q_ann_compaction, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -23,7 +23,9 @@ agreement within a commit is pinned by tests/test_bench_codes.py.
 from __future__ import annotations
 
 NAMES = [
+    "ann_compaction",
     "ann_delete_replay",
+    "ann_filtered_query",
     "ann_topk",
     "ann_upsert_replay",
     "anomaly_zscore",
@@ -133,6 +135,7 @@ NAMES = [
     "stream_ingest",
     "stream_ivfpq_ingest",
     "stream_join",
+    "stream_upsert_ingest",
     "text_quality",
     "tfidf_top_terms",
     "time_buckets",
@@ -215,6 +218,10 @@ def encode_pairs(timings: dict[str, float]) -> str:
 # APPEND-DISCIPLINE: when new queries land in NAMES, prepend their
 # list here in the same commit (pinned by tests/test_bench_codes.py).
 ROUND_ADDITIONS: list[list[str]] = [
+    # r13 additions (decoding BENCH_r12 needs the pre-r13 table)
+    [
+        "ann_compaction", "ann_filtered_query", "stream_upsert_ingest",
+    ],
     # r12 additions (decoding BENCH_r11 needs the pre-r12 table)
     [
         "ann_delete_replay", "ann_upsert_replay", "stream_ivfpq_ingest",

@@ -260,6 +260,9 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         "embed_neardup_lsh": 1.33, "weighted_sample": 0.52,
         "corr": 0.38, "sequence_match": 0.26, "scd2": 0.81,
         "histogram_incremental": 0.67, "chi_square": 0.27,
+        # r13 re-anchors (VERDICT r12 item 1 quiet solos) — r10-era
+        # values
+        "stateful_stats": 2.03, "bisect_kmeans": 16.81,
     })
     # undiluted (the r10 behavior): median over the bar, flag FALSE
     med0, flag0 = bench.contention_stats(r10, anchors)
@@ -299,6 +302,9 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         "stream_ivfpq_ingest", "ann_delete_replay", "ann_upsert_replay",
         "corr", "sequence_match", "scd2",
         "histogram_incremental", "chi_square",
+        # re-based or added in r13 — not re-based at the r10 moment
+        "stateful_stats", "bisect_kmeans",
+        "ann_filtered_query", "stream_upsert_ingest", "ann_compaction",
     }
     med1, flag1 = bench.contention_stats(r10, anchors, frac_exclude=excl)
     assert flag1 and med1 == med0, (med1, flag1)
