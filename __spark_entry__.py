@@ -3229,6 +3229,53 @@ def q_stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct-metric recall advisor (operators/ann_index.
+    ann_recall_probe / ann_recall_due — r13): the maintenance family's
+    missing third signal — ivf_stats watches occupancy and pq_qerr
+    watches quantization error, both PROXIES; this probes recall@k
+    itself, the metric operators alert on. Build the IVF index on the
+    odd-id half, append the even half, then (a) probe at FULL nprobe
+    (= nlist, the exact path — recall must be EXACTLY 1e6 ppm because
+    index query and brute force share the (score desc, n asc) tie
+    rule), (b) probe at the production nprobe=2 budget and gate it
+    against a floor set under the measured value at both driver
+    scales, (c) assert the advisor does NOT fire at that floor. All
+    three are deterministic (hash-ordered sample, seeded build), so
+    the oracle asserts the constants."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_recall_due,
+        ann_recall_probe,
+        ivf_append,
+        ivf_index,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="annrec_"))
+    ivf_index(emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
+              nlist=8, seed=42)
+    ivf_append(emb.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
+    full = ann_recall_probe(
+        spark, store, k=10, sample_n=16, seed=42, nprobe=8
+    )
+    floor = 450_000
+    at_budget = ann_recall_probe(
+        spark, store, k=10, sample_n=16, seed=42, nprobe=2
+    )
+    due = ann_recall_due(
+        spark, store, floor_ppm=floor, k=10, sample_n=16, seed=42, nprobe=2
+    )
+    return spark.createDataFrame(
+        [(full, min(at_budget, floor), 1 if due else 0)],
+        "recall_full bigint, recall_floor bigint, due_at_floor bigint",
+    )
+
+
 def q_ann_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index storage-compaction lifecycle (operators/ann_index.
     ann_compact_due + store optimize/vacuum — r13, VERDICT r12
@@ -5235,6 +5282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_query": q_ann_filtered_query,
         "stream_upsert_ingest": q_stream_upsert_ingest,
         "ann_compaction": q_ann_compaction,
+        "ann_recall": q_ann_recall,
         # --- r9-window cohort remainder — continues the pointer after
         # the r13 additions ---
         "bigram_lm": q_bigram_lm,
@@ -6810,6 +6858,14 @@ def oracle_sql() -> dict[str, str]:
             "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "
             "5::BIGINT as hits_floor, 1::BIGINT as recall_pass, "
             "1::BIGINT as filter_pass"
+        ),
+        "ann_recall": (
+            # direct-metric recall advisor: full probe is the exact
+            # path (shared tie rule) so recall is EXACTLY 1e6 ppm;
+            # the nprobe=2 budget gates a floor and the advisor stays
+            # quiet at it — all deterministic, constants asserted
+            "select 1000000::BIGINT as recall_full, "
+            "450000::BIGINT as recall_floor, 0::BIGINT as due_at_floor"
         ),
         "pq_ann": (
             "select unnest([0, 1, 2, 3, 4])::BIGINT as q, "

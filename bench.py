@@ -456,6 +456,9 @@ def main() -> None:
         # r13 addition: storage churn -> compaction advisor ->
         # optimize/vacuum lifecycle with time-travel gates
         ("ann_compaction", entry.q_ann_compaction, 2),
+        # r13 addition: direct-metric recall advisor (full-probe exact
+        # leg + production-budget floor + advisor-quiet gate)
+        ("ann_recall", entry.q_ann_recall, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -1999,3 +1999,123 @@ def ann_compact_due(
         s["dead_bytes"] >= max(min_dead_bytes, 1)
         and s["dead_bytes"] > dead_ratio * s["live_bytes"]
     )
+
+
+def ann_recall_probe(
+    spark: SparkSession,
+    store,
+    table: str = "ivf_index",
+    k: int = 10,
+    sample_n: int = 16,
+    seed: int = 42,
+    version: int | None = None,
+    **query_kw,
+) -> int:
+    """Measured recall@``k`` of the committed index against exact
+    brute force, in ppm (r13 — completes the maintenance advisor
+    family): ``ivf_stats`` watches occupancy skew and ``pq_qerr``
+    watches quantization error, but both are PROXIES — this probes
+    the metric a production retrieval operator actually alerts on.
+
+    Protocol: ``sample_n`` committed vectors drawn by the family's
+    deterministic hash order (``xxhash64(seed, n)``) become
+    self-queries; the family's own query path (detected from the
+    committed layout, ``query_kw`` forwards nprobe/rerank) runs
+    against exact ``brute_force_topk`` over the committed vectors —
+    both rank (score desc, n asc), so the intersection is
+    bit-deterministic and the returned ppm is comparable across
+    versions and engines. Returns
+    ``floor(1e6 * hits / exact_pairs)``.
+
+    Cost: ONE corpus pass (bounded queries x corpus exact cosine) on
+    top of the family query path — the expensive, SCHEDULED
+    diagnostic, not a per-query check. ``version=`` probes a pinned
+    snapshot. At 100 TB: still one scan, queries broadcast; run it on
+    the maintenance cadence, not the query path."""
+    if k < 1 or sample_n < 1:
+        raise ValueError(f"k and sample_n must be >= 1: {k}, {sample_n}")
+    from clickhouse_k_means_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    cur = store.read(spark, table, version=version)
+    cols = set(cur.columns)
+    vec_rows = cur.filter(F.col("n").isNotNull())
+    qrows = (
+        vec_rows.select("n", "v")
+        .orderBy(F.xxhash64(F.lit(seed), F.col("n")))
+        .limit(sample_n)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(f"ann_recall_probe: {table!r} holds no vectors")
+    queries = spark.createDataFrame(
+        [(int(r["n"]), [float(x) for x in r["v"]]) for r in qrows],
+        "q bigint, embedding array<double>",
+    )
+    if cols == {"n", "cell", "sub", "code", "codes", "v"}:
+        approx = ivfpq_query(
+            queries, store, table=table, k=k, version=version, **query_kw
+        )
+    elif cols == {"n", "sub", "code", "codes", "v"}:
+        approx = pq_query(
+            queries, store, table=table, k=k, version=version, **query_kw
+        )
+    elif cols == {"n", "cell", "v"}:
+        approx = ivf_query(
+            queries, store, table=table, k=k, version=version, **query_kw
+        )
+    else:
+        raise ValueError(
+            f"ann_recall_probe: table {table!r} has layout {sorted(cols)}, "
+            "not a known index family"
+        )
+    exact = brute_force_topk(
+        queries,
+        vec_rows.select(F.col("n").alias("vec_id"), F.col("v").alias("embedding")),
+        k=k,
+        query_key="q",
+        corpus_key="vec_id",
+    )
+    hit_row = (
+        approx.filter(F.col("rank") <= k)
+        .select("q", "n")
+        .join(exact.select("q", "n"), ["q", "n"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .collect()[0]
+    )
+    exact_pairs = exact.count()
+    return (int(hit_row["hits"]) * 1_000_000) // int(exact_pairs)
+
+
+def ann_recall_due(
+    spark: SparkSession,
+    store,
+    table: str = "ivf_index",
+    floor_ppm: int = 800_000,
+    k: int = 10,
+    sample_n: int = 16,
+    seed: int = 42,
+    **query_kw,
+) -> bool:
+    """The recall advisor: True when the measured ``ann_recall_probe``
+    ppm falls below ``floor_ppm`` — the direct-metric sibling of
+    ``ivf_refit_due``/``pq_refit_due`` (which fire on proxy signals at
+    proxy thresholds). The scheduled-job form::
+
+        if ann_recall_due(spark, store, t, nprobe=4):
+            <family>_refit(spark, store, t)
+
+    Pass the SAME query parameters production uses (nprobe/rerank via
+    ``query_kw``) — recall is a property of the index AND the probe
+    budget, so an advisor probing wider than production would mask a
+    real regression."""
+    if not 0 < floor_ppm <= 1_000_000:
+        raise ValueError(f"floor_ppm must be in (0, 1e6]: {floor_ppm}")
+    return (
+        ann_recall_probe(
+            spark, store, table, k=k, sample_n=sample_n, seed=seed,
+            **query_kw,
+        )
+        < floor_ppm
+    )

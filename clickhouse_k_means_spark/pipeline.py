@@ -264,6 +264,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="query: key column in --meta matching the index keys",
     )
     an.add_argument(
+        "--recall", action="store_true",
+        help="stats: also probe measured recall@k vs exact brute "
+        "force (ann_recall_probe, ppm) — costs one corpus pass, the "
+        "scheduled diagnostic; uses --k/--nprobe/--rerank as the "
+        "probe budget",
+    )
+    an.add_argument(
         "--vacuum", action="store_true",
         help="compact: also vacuum after optimize — reclaims dead "
         "bytes but PRUNES TIME TRAVEL to the head version (omit while "
@@ -483,6 +490,20 @@ def main(argv: list[str] | None = None) -> int:
                 compact_due=bool(ann_compact_due(store, args.table)),
                 storage=store.storage_stats(args.table),
             )
+            if args.recall:
+                from clickhouse_k_means_spark.operators.ann_index import (
+                    ann_recall_probe,
+                )
+
+                rkw = {"nprobe": args.nprobe} if args.kind != "pq" else {}
+                if args.rerank and args.kind in ("pq", "ivfpq"):
+                    rkw["rerank"] = args.rerank
+                summary.update(
+                    recall_ppm=ann_recall_probe(
+                        spark, store, args.table, k=args.k,
+                        seed=args.seed, version=args.version, **rkw
+                    )
+                )
         elif args.action == "compact":
             # kind-agnostic storage maintenance (r13): bin-pack the
             # head snapshot, optionally vacuum — advisor readings

@@ -26,6 +26,7 @@ NAMES = [
     "ann_compaction",
     "ann_delete_replay",
     "ann_filtered_query",
+    "ann_recall",
     "ann_topk",
     "ann_upsert_replay",
     "anomaly_zscore",
@@ -220,7 +221,8 @@ def encode_pairs(timings: dict[str, float]) -> str:
 ROUND_ADDITIONS: list[list[str]] = [
     # r13 additions (decoding BENCH_r12 needs the pre-r13 table)
     [
-        "ann_compaction", "ann_filtered_query", "stream_upsert_ingest",
+        "ann_compaction", "ann_filtered_query", "ann_recall",
+        "stream_upsert_ingest",
     ],
     # r12 additions (decoding BENCH_r11 needs the pre-r12 table)
     [

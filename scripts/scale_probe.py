@@ -488,7 +488,39 @@ def main() -> None:
         _noop(ivf_query(emb.filter("vec_id < 5"), store, k=10, nprobe=8,
                         query_key="vec_id"))
 
+    def q_ann_filtered_query():
+        # r13: predicate-pushed filtered probe — the question is
+        # whether the semi-join + per-cell count pass stay linear in
+        # the SURVIVORS (never the corpus) and the widened isin scan
+        # tracks the filter's selectivity
+        _noop(entry.q_ann_filtered_query(spark, sf_dir))
+
+    def q_stream_upsert_ingest():
+        # r13: marker-gated streaming upsert + full replay — the
+        # replay leg must cost two manifest reads (both batches
+        # skipped), so the probe should track ann_upsert's encode +
+        # rewrite economics for the FIRST run only
+        _noop(entry.q_stream_upsert_ingest(spark, sf_dir))
+
+    def q_ann_compaction():
+        # r13: churn + advisor + optimize/vacuum — the advisor is one
+        # manifest read + listing (no data IO); optimize is one
+        # coalesced rewrite of the head snapshot
+        _noop(entry.q_ann_compaction(spark, sf_dir))
+
+    def q_ann_recall():
+        # r13: bounded self-query sample + ONE corpus brute-force pass
+        # — expect near-flat wall at 10x (the exact pass is 16 queries
+        # x corpus, Arrow-fused) with linear scan bytes
+        _noop(entry.q_ann_recall(spark, sf_dir))
+
     sets = {
+        "r13": [
+            ("ann_filtered_query", q_ann_filtered_query),
+            ("stream_upsert_ingest", q_stream_upsert_ingest),
+            ("ann_compaction", q_ann_compaction),
+            ("ann_recall", q_ann_recall),
+        ],
         "r12": [
             ("ann_delete", q_ann_delete),
             ("ann_upsert", q_ann_upsert),

@@ -160,6 +160,10 @@ _SWEEP_SKIP = (
     "dedup", "near_dedup", "ssjoin", "bucketed", "formats",
     "orc", "histogram", "hll", "fit", "lloyd", "kmeanspp",
     "elbow", "nearest",
+    # r13 lifecycle queries whose returned frame is a LITERAL result
+    # row (the whole churn/probe sequence executes at construction) —
+    # zero plan signal here, guarded by their dedicated tests
+    "ann_compaction", "ann_recall",
 )
 
 # ONE-ROW (or literal-probe) broadcast joins: Spark plans a
@@ -190,6 +194,10 @@ _SCALAR_BNLJ_OK = {
     # probe set (pq_maintenance) / the 5-query set (ivfpq); the gated
     # paths are the refit ADC scan and the probe-masked IVFPQ scan
     "pq_maintenance", "ivfpq_index_query", "ivfpq_maintenance",
+    # same recall-gate pattern (r13): brute side is the 5-query set
+    # against the FILTERED corpus; the gated path is the
+    # predicate-pushed adaptively-widened IVFPQ scan
+    "ann_filtered_query",
 }
 
 # Documented SinglePartition funnels: cumulative_uniques runs its

@@ -4067,3 +4067,63 @@ def test_refit_due_redraws_when_fit_prefix_outgrows_sample(spark, tmp_path):
     small = pq_refit_due(spark, store, sample_n=64, seed=42)
     full = pq_refit_due(spark, store, sample_n=2048, seed=42)
     assert small == full
+
+
+def test_ann_recall_probe_and_advisor(spark, tmp_path):
+    """ann_recall_probe (r13): full-probe recall is EXACTLY 1e6 ppm
+    (the index query and brute force share the (score desc, n asc)
+    tie rule, so at nprobe=nlist the sets are identical); a starved
+    probe budget (nprobe=1 on a two-cluster fixture with cross-cluster
+    queries) measures strictly less; the advisor fires exactly when
+    the measured value crosses the floor; layout detection covers the
+    PQ family; validation is loud."""
+    import math
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_recall_due,
+        ann_recall_probe,
+        ivf_index,
+        pq_index,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.2), math.sin(i * 0.2), 0.0, 0.0])
+            for i in range(24)
+        ]
+        + [
+            (100 + i, [0.0, 0.0, math.cos(i * 0.2), math.sin(i * 0.2)])
+            for i in range(24)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    store = SnapshotStateStore(str(tmp_path / "rec"))
+    ivf_index(vecs, store, nlist=4, seed=42)
+    full = ann_recall_probe(spark, store, k=5, sample_n=8, seed=42, nprobe=4)
+    assert full == 1_000_000
+    starved = ann_recall_probe(
+        spark, store, k=5, sample_n=8, seed=42, nprobe=1
+    )
+    assert starved <= full
+    # the advisor inverts exactly at the measured value
+    assert ann_recall_due(
+        spark, store, floor_ppm=min(full, starved + 1), k=5, sample_n=8,
+        seed=42, nprobe=1,
+    ) == (starved < min(full, starved + 1))
+    assert not ann_recall_due(
+        spark, store, floor_ppm=max(1, starved), k=5, sample_n=8,
+        seed=42, nprobe=1,
+    )
+    # PQ layout detection: rerank >= corpus makes the path exact
+    pq_store = SnapshotStateStore(str(tmp_path / "recpq"))
+    pq_index(vecs, pq_store, m_sub=2, n_codes=8, seed=42)
+    pq_full = ann_recall_probe(
+        spark, pq_store, table="pq_index", k=5, sample_n=8, seed=42,
+        rerank=64,
+    )
+    assert pq_full == 1_000_000
+    with pytest.raises(ValueError, match="floor_ppm"):
+        ann_recall_due(spark, store, floor_ppm=0)
+    with pytest.raises(ValueError, match="sample_n"):
+        ann_recall_probe(spark, store, sample_n=0)
