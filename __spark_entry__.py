@@ -2182,6 +2182,74 @@ def q_hybrid_ann_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, ann], k_const=60, top_n=10)
 
 
+def q_hybrid_filtered_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED lexical + vector hybrid retrieval (r13 — the
+    composition production calls "hybrid search with a metadata
+    filter", built from the round's filtered-ANN surface): the shared
+    predicate (``id % 3 != 2`` over the coinciding doc_id/vec_id key
+    space) pre-filters BOTH legs — BM25 runs over the filtered docs
+    DataFrame so n_docs/avgdl/idf derive from the survivors (never
+    post-filtered ranks), and the vector leg runs
+    ``ivf_query(where=, meta=)`` against the PERSISTENT index so the
+    predicate reaches the candidate scan. The vector leg full-probes
+    (nprobe = nlist) making it exact cosine over the survivors, which
+    is what lets the DuckDB oracle replay both legs and the integer
+    RRF fusion value-for-value (the hybrid_ann_retrieval pattern; the
+    selective-probe recall question is separately gated by
+    ann_filtered_query). Note vec 20 (query 2's own vector) is
+    predicate-EXCLUDED, so a correct filter drops the rank-1
+    self-match — the exact signal a post-filter design would get
+    wrong."""
+    import tempfile
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivf_append,
+        ivf_index,
+        ivf_query,
+    )
+    from clickhouse_k_means_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(
+        docs.filter(F.pmod("doc_id", F.lit(3)) != 2), BM25_QUERIES, top_n=10
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    store = SnapshotStateStore(tempfile.mkdtemp(prefix="hybridfilt_"))
+    ivf_index(
+        emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store, nlist=8, seed=42
+    )
+    ivf_append(emb.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
+    meta = emb.select("vec_id")
+    qvecs = emb.filter(F.col("vec_id").isin(10, 20, 30)).select(
+        F.expr("vec_id div 10").alias("q"), "embedding"
+    )
+    raw = ivf_query(
+        qvecs, store, k=100, nprobe=8, query_key="q",
+        where=F.pmod("vec_id", F.lit(3)) != 2, meta=meta,
+        meta_key="vec_id",
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.round("score", 4).desc(), F.col("n").asc()
+    )
+    ann = (
+        raw.withColumn("r2", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("r2") <= 10)
+        .select(
+            F.col("q").alias("query_id"),
+            F.col("r2").alias("rank"),
+            F.col("n").alias("doc_id"),
+        )
+    )
+    return rrf_fuse([bm, ann], k_const=60, top_n=10)
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document exact span dedup (C4-style line dedup, tiled to
     10-token spans): per-doc span counts + md5 of the reassembled
@@ -5283,6 +5351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_ingest": q_stream_upsert_ingest,
         "ann_compaction": q_ann_compaction,
         "ann_recall": q_ann_recall,
+        "hybrid_filtered_retrieval": q_hybrid_filtered_retrieval,
         # --- r9-window cohort remainder — continues the pointer after
         # the r13 additions ---
         "bigram_lm": q_bigram_lm,
@@ -6014,6 +6083,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_topk_sql(),
         "hybrid_retrieval": _hybrid_retrieval_sql(),
         "hybrid_ann_retrieval": _hybrid_ann_retrieval_sql(),
+        "hybrid_filtered_retrieval": _hybrid_filtered_retrieval_sql(),
         "span_dedup_incremental": (
             # two-batch replay: batch-1 keepers become the span
             # history; batch-2 keepers additionally anti-join it
@@ -7877,13 +7947,17 @@ def _pii_redact_sql() -> str:
     )
 
 
-def _bm25_topk_sql(top_n: int = 5) -> str:
+def _bm25_topk_sql(top_n: int = 5, where_sql: str = "") -> str:
     """Replays q_bm25_topk exactly: same tokenizer regex, same
     integer fixed-point BM25 (operators/retrieval.py docstring), the
     query VALUES generated from the same BM25_QUERIES constant so the
     two sides cannot drift. Every sum/count is ::BIGINT-cast at the
     point DuckDB would widen to HUGEINT (the q14/q8a lesson).
-    ``top_n`` parameterized for the hybrid_retrieval composition."""
+    ``top_n`` parameterized for the hybrid_retrieval composition;
+    ``where_sql`` (e.g. ``"where doc_id % 3 != 2"``) PRE-filters the
+    corpus so n_docs/avgdl/idf derive from the survivors — the
+    filtered-hybrid composition's BM25 semantics (r13), matching a
+    Spark side that passes a filtered docs DataFrame."""
     k1, b = 1200, 750
     vocab = sorted({t for ts in BM25_QUERIES.values() for t in ts})
     in_list = ", ".join(f"'{t}'" for t in vocab)
@@ -7900,7 +7974,7 @@ def _bm25_topk_sql(top_n: int = 5) -> str:
         "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) "
         "= '' then []::VARCHAR[] else string_split(trim(regexp_replace("
         "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') end as tk "
-        "from documents), "
+        f"from documents {where_sql}), "
         "base as (select doc_id, len(tk)::BIGINT as dl, tk from tkc), "
         "scal as (select count(*)::BIGINT as n_docs, "
         "((sum(dl) * 1000) // count(*))::BIGINT as avgdl_milli from base), "
@@ -7991,6 +8065,46 @@ def _hybrid_ann_retrieval_sql() -> str:
         "e as (select vec_id, embedding::DOUBLE[] as v from embeddings), "
         "vq as (select m.query_id, e.v as qv from (values (1, 10), "
         "(2, 20), (3, 30)) m(query_id, src) join e on e.vec_id = m.src), "
+        "scored as (select vq.query_id::BIGINT as query_id, "
+        f"e.vec_id as doc_id, round({cosqe}, 4) as sim "
+        "from vq cross join e), "
+        "ann as (select query_id, doc_id, rank from ("
+        "select query_id, doc_id, row_number() over ("
+        "partition by query_id order by sim desc, doc_id)::BIGINT as rank "
+        "from scored) where rank <= 10), "
+        "u as (select query_id, doc_id, "
+        "(1000000000 // (60 + rank))::BIGINT as c from bm "
+        "union all select query_id, doc_id, "
+        "(1000000000 // (60 + rank))::BIGINT as c from ann), "
+        "f as (select query_id, doc_id, sum(c)::BIGINT as rrf_ppb, "
+        "count(*)::BIGINT as n_lists from u group by 1, 2) "
+        "select query_id, rank, doc_id, rrf_ppb, n_lists from ("
+        "select *, row_number() over (partition by query_id "
+        "order by rrf_ppb desc, doc_id)::BIGINT as rank from f) "
+        "where rank <= 10"
+    )
+
+
+def _hybrid_filtered_retrieval_sql() -> str:
+    """Replays q_hybrid_filtered_retrieval end-to-end: BM25 over the
+    PRE-FILTERED corpus (stats derive from the survivors), the vector
+    leg as EXACT cosine over the FILTERED embeddings (valid because
+    the Spark side full-probes nprobe = nlist through the predicate-
+    pushed scan — so the persistent index serves exactly this
+    ranking), and the integer RRF fusion. The predicate is the shared
+    ``id % 3 != 2`` slice on both key spaces (doc_id == vec_id by
+    fixture design)."""
+    cosqe = (
+        f"(({_dot64_sql('vq.qv', 'e.v')}) / "
+        f"(sqrt({_dot64_sql('vq.qv', 'vq.qv')}) * "
+        f"sqrt({_dot64_sql('e.v', 'e.v')})))"
+    )
+    return (
+        f"with bm as ({_bm25_topk_sql(10, 'where doc_id % 3 != 2')}), "
+        "e0 as (select vec_id, embedding::DOUBLE[] as v from embeddings), "
+        "e as (select * from e0 where vec_id % 3 != 2), "
+        "vq as (select m.query_id, e0.v as qv from (values (1, 10), "
+        "(2, 20), (3, 30)) m(query_id, src) join e0 on e0.vec_id = m.src), "
         "scored as (select vq.query_id::BIGINT as query_id, "
         f"e.vec_id as doc_id, round({cosqe}, 4) as sim "
         "from vq cross join e), "

@@ -459,6 +459,10 @@ def main() -> None:
         # r13 addition: direct-metric recall advisor (full-probe exact
         # leg + production-budget floor + advisor-quiet gate)
         ("ann_recall", entry.q_ann_recall, 2),
+        # r13 addition: filtered hybrid — predicate pre-filters BOTH
+        # legs (BM25 stats over survivors + predicate-pushed vector
+        # leg), integer RRF fusion, full-value oracle replay
+        ("hybrid_filtered_retrieval", entry.q_hybrid_filtered_retrieval, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

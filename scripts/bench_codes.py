@@ -73,6 +73,7 @@ NAMES = [
     "hll_incremental",
     "hll_rollup",
     "hybrid_ann_retrieval",
+    "hybrid_filtered_retrieval",
     "hybrid_retrieval",
     "interval_union",
     "inverted_index",
@@ -222,7 +223,7 @@ ROUND_ADDITIONS: list[list[str]] = [
     # r13 additions (decoding BENCH_r12 needs the pre-r13 table)
     [
         "ann_compaction", "ann_filtered_query", "ann_recall",
-        "stream_upsert_ingest",
+        "hybrid_filtered_retrieval", "stream_upsert_ingest",
     ],
     # r12 additions (decoding BENCH_r11 needs the pre-r12 table)
     [

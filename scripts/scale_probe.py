@@ -514,12 +514,19 @@ def main() -> None:
         # x corpus, Arrow-fused) with linear scan bytes
         _noop(entry.q_ann_recall(spark, sf_dir))
 
+    def q_hybrid_filtered_retrieval():
+        # r13: both legs pre-filtered — BM25 postings stay vocabulary-
+        # filtered, the vector leg is the predicate-pushed index scan;
+        # fusion is a rank-bounded union+agg
+        _noop(entry.q_hybrid_filtered_retrieval(spark, sf_dir))
+
     sets = {
         "r13": [
             ("ann_filtered_query", q_ann_filtered_query),
             ("stream_upsert_ingest", q_stream_upsert_ingest),
             ("ann_compaction", q_ann_compaction),
             ("ann_recall", q_ann_recall),
+            ("hybrid_filtered_retrieval", q_hybrid_filtered_retrieval),
         ],
         "r12": [
             ("ann_delete", q_ann_delete),

@@ -305,7 +305,7 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         # re-based or added in r13 — not re-based at the r10 moment
         "stateful_stats", "bisect_kmeans",
         "ann_filtered_query", "stream_upsert_ingest", "ann_compaction",
-        "ann_recall",
+        "ann_recall", "hybrid_filtered_retrieval",
     }
     med1, flag1 = bench.contention_stats(r10, anchors, frac_exclude=excl)
     assert flag1 and med1 == med0, (med1, flag1)
