@@ -2077,15 +2077,16 @@ def ann_recall_probe(
         query_key="q",
         corpus_key="vec_id",
     )
-    hit_row = (
-        approx.filter(F.col("rank") <= k)
-        .select("q", "n")
-        .join(exact.select("q", "n"), ["q", "n"], "left_semi")
-        .agg(F.count(F.lit(1)).alias("hits"))
-        .collect()[0]
-    )
-    exact_pairs = exact.count()
-    return (int(hit_row["hits"]) * 1_000_000) // int(exact_pairs)
+    # both result sets are bounded (<= k * sample_n rows), so the
+    # intersection runs driver-side on ONE collect each — the corpus
+    # brute-force pass executes exactly once (a join + count here
+    # would re-derive it)
+    ex = {(int(r["q"]), int(r["n"])) for r in exact.select("q", "n").collect()}
+    ap = {
+        (int(r["q"]), int(r["n"]))
+        for r in approx.filter(F.col("rank") <= k).select("q", "n").collect()
+    }
+    return (len(ex & ap) * 1_000_000) // len(ex)
 
 
 def ann_recall_due(
