@@ -3613,7 +3613,10 @@ def test_ann_delete_uniform_across_index_family(spark, tmp_path):
     with pytest.raises(ValueError, match="does not exist"):
         ann_delete(spark, [1], ivf_store, table="nope")
     # keys DataFrame without the key column fails loudly
-    with pytest.raises(ValueError, match="lacks column"):
+    # r13: the missing-column failure now comes from the family's
+    # shared _require_integral_key (uniform wording across
+    # index/append/upsert/delete)
+    with pytest.raises(ValueError, match="no column"):
         ann_delete(
             spark, vecs.select("embedding"), ivf_store, table="ivf_index"
         )
