@@ -260,9 +260,10 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         "embed_neardup_lsh": 1.33, "weighted_sample": 0.52,
         "corr": 0.38, "sequence_match": 0.26, "scd2": 0.81,
         "histogram_incremental": 0.67, "chi_square": 0.27,
-        # r13 re-anchors (VERDICT r12 item 1 quiet solos) — r10-era
-        # values
+        # r13 re-anchors (VERDICT r12 item 1 quiet solos + the
+        # self-check's pipeline_e2e finding) — r10-era values
         "stateful_stats": 2.03, "bisect_kmeans": 16.81,
+        "pipeline_e2e": 2.74,
     })
     # undiluted (the r10 behavior): median over the bar, flag FALSE
     med0, flag0 = bench.contention_stats(r10, anchors)
@@ -303,7 +304,7 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         "corr", "sequence_match", "scd2",
         "histogram_incremental", "chi_square",
         # re-based or added in r13 — not re-based at the r10 moment
-        "stateful_stats", "bisect_kmeans",
+        "stateful_stats", "bisect_kmeans", "pipeline_e2e",
         "ann_filtered_query", "stream_upsert_ingest", "ann_compaction",
         "ann_recall", "hybrid_filtered_retrieval",
     }
