@@ -613,3 +613,124 @@ def test_cdc_dedup_global_keep_invariants(spark, texts):
             # kept words are a subsequence of the doc's own words
             it = iter(all_words)
             assert all(w in it for w in kept_words), (kept_words, all_words)
+
+
+@given(
+    st.integers(2, 12),          # nlist
+    st.integers(1, 6),           # n queries
+    st.integers(1, 8),           # nprobe
+    st.integers(1, 200),         # need
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_adaptive_probes_invariants(nlist, nq, nprobe, need, data):
+    """_adaptive_probes (r13 filtered-ANN widening), driver-side pure
+    function — invariants for ANY survivor distribution:
+    1. only cells with predicate-surviving rows are probed;
+    2. every query's probe list follows its OWN cell-distance order
+       (the nearest_cells_batch arithmetic, stable ties);
+    3. coverage: each query covers >= min(need, total_survivors)
+       surviving rows AND probes >= min(nprobe, n_nonempty) cells —
+       so top-k survives the filter whenever k survivors exist;
+    4. minimality: dropping the last probed cell would violate the
+       nprobe floor or the need target (no gratuitous scan width);
+    5. the returned union is exactly the sorted set of probed cells.
+    """
+    import numpy as np
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        _adaptive_probes,
+    )
+
+    rng = np.random.RandomState(data.draw(st.integers(0, 2**31 - 1)))
+    dim = 4
+    centroids = rng.randn(nlist, dim)
+    q_mat = rng.randn(nq, dim)
+    counts = {
+        c: int(v)
+        for c, v in enumerate(
+            data.draw(
+                st.lists(
+                    st.integers(0, 50), min_size=nlist, max_size=nlist
+                )
+            )
+        )
+        if v > 0
+    }
+    total = sum(counts.values())
+    probes, probed = _adaptive_probes(
+        q_mat, centroids, counts, nprobe=nprobe, need=need
+    )
+    assert len(probes) == nq
+    # the exact scoring arithmetic the implementation promises
+    scores = -2.0 * (q_mat @ np.ascontiguousarray(centroids.T)) + (
+        centroids * centroids
+    ).sum(axis=1)
+    order = np.argsort(scores, axis=1, kind="stable")
+    n_nonempty = len(counts)
+    for qi, cells in enumerate(probes):
+        # (1) survivors only, no duplicates
+        assert all(counts.get(c, 0) > 0 for c in cells)
+        assert len(set(cells)) == len(cells)
+        # (2) the query's own distance order, restricted to non-empty
+        expect = [int(c) for c in order[qi] if counts.get(int(c), 0) > 0]
+        assert cells == expect[: len(cells)]
+        covered = sum(counts[c] for c in cells)
+        # (3) coverage floors
+        assert covered >= min(need, total)
+        assert len(cells) >= min(nprobe, n_nonempty)
+        # (4) minimality: the prefix without the last cell must fail
+        # a floor (unless the list is exhausted at the floors already)
+        if cells and len(cells) > min(nprobe, n_nonempty):
+            prev_cov = covered - counts[cells[-1]]
+            assert prev_cov < need
+    # (5) union contract
+    assert probed == sorted({c for cs in probes for c in cs})
+
+
+@given(
+    st.integers(1, 100),                    # versions
+    st.integers(0, 10**10),                 # live_bytes
+    st.integers(0, 10**10),                 # dead_bytes
+    st.integers(1, 64),                     # max_versions
+    st.floats(0.1, 8.0),                    # dead_ratio
+    st.integers(0, 10**9),                  # min_dead_bytes
+)
+@settings(max_examples=80, deadline=None)
+def test_ann_compact_due_threshold_algebra(
+    versions, live, dead, max_versions, dead_ratio, min_dead
+):
+    """ann_compact_due's decision is a pure function of
+    storage_stats: fires iff version sprawl OR (dead past the floor
+    AND past dead_ratio x live); never fires on a dead-byte-free
+    table below the version cap; monotone in dead bytes."""
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_compact_due,
+    )
+
+    class _Stub:
+        def __init__(self, s):
+            self._s = s
+
+        def storage_stats(self, table):
+            return dict(self._s)
+
+    s = {
+        "versions": versions, "live_files": 1, "live_bytes": live,
+        "dead_files": 1 if dead else 0, "dead_bytes": dead,
+    }
+    got = ann_compact_due(
+        _Stub(s), "t", max_versions=max_versions,
+        dead_ratio=dead_ratio, min_dead_bytes=min_dead,
+    )
+    expect = versions > max_versions or (
+        dead >= max(min_dead, 1) and dead > dead_ratio * live
+    )
+    assert got == expect
+    # monotone: MORE dead bytes never un-fires the advisor
+    if got:
+        s2 = dict(s, dead_bytes=dead * 2 + 1)
+        assert ann_compact_due(
+            _Stub(s2), "t", max_versions=max_versions,
+            dead_ratio=dead_ratio, min_dead_bytes=min_dead,
+        )
