@@ -5276,17 +5276,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     round — CORRECTNESS_r11 was 50/50 green).
     #   * new queries are INSERTED into the next round's slice so they
     #     first-gate one round after they land.
-    # r13 window (this round) = 6 fixed + the next 44 rotation slots,
-    # exactly as the r12 comment scheduled (VERDICT r12 item 2 — "hold
-    # the rotation"): the seven r12 additions take their FIRST driver
-    # rows at the FRONT of the window (stream_ivfpq_ingest,
-    # ann_delete_replay, ann_upsert_replay, cube_revenue, boilerplate,
-    # domain_kl, embed_covariance — judge pre-verified green via
-    # scripts/gate_emulator.py), then the pointer's natural
-    # continuation (moving_avg .. inverted_index, 37 slots). The gated
-    # r12-window cohort (pq_maintenance .. monthly_revenue) rotates to
-    # the BACK. New r13 queries sit at position 50+ and first-gate at
-    # the front of the r14 window.
+    # r14 window (this round) = 6 fixed + the next 44 rotation slots,
+    # exactly as the r13 comment scheduled (VERDICT r13 item 3 — "hold
+    # the rotation"): the five r13 additions take their FIRST driver
+    # rows at the FRONT of the window (ann_filtered_query,
+    # stream_upsert_ingest, ann_compaction, ann_recall,
+    # hybrid_filtered_retrieval — judge pre-verified green via
+    # scripts/gate_emulator.py in the r13 session), then the pointer's
+    # natural continuation: the r9-window remainder (bigram_lm ..
+    # tpch_q16, 7 slots) and the first 32 of the r10-window cohort
+    # (cdc_dedup .. decontaminate) — the circular pointer coming back
+    # around, giving those 32 their fresh driver rows inside the
+    # 5-round cadence. The gated r13-window cohort (stream_ivfpq_ingest
+    # .. inverted_index) rotates to the BACK. New r14 queries sit at
+    # position 50+ and first-gate at the front of the r15 window.
     # The rotation pin test (tests/test_oracle_parity.py) asserts all
     # of this.
     return {
@@ -5296,64 +5299,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeanspp_pick": q_kmeanspp_pick,
         "elbow_total": q_elbow_total,
         "kmeans_fit_history": q_kmeans_fit_history,
-        # --- r13 window rotation slots (44): the seven r12 additions
-        # taking their FIRST driver rows (VERDICT r12 item 2 — judge
+        # --- r14 window rotation slots (44): the five r13 additions
+        # taking their FIRST driver rows (VERDICT r13 item 3 — judge
         # pre-verified green via scripts/gate_emulator.py), then the
-        # pointer's natural continuation through the r9-window
-        # cohort ---
-        "stream_ivfpq_ingest": q_stream_ivfpq_ingest,
-        "ann_delete_replay": q_ann_delete_replay,
-        "ann_upsert_replay": q_ann_upsert_replay,
-        "cube_revenue": q_cube_revenue,
-        "boilerplate": q_boilerplate,
-        "domain_kl": q_domain_kl,
-        "embed_covariance": q_embed_covariance,
-        "moving_avg": q_moving_avg,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "bm25_topk": q_bm25_topk,
-        "span_dedup": q_span_dedup,
-        "span_dedup_incremental": q_span_dedup_incremental,
-        "embed_dedup_incremental": q_embed_dedup_incremental,
-        "pivot_native": q_pivot_native,
-        "unpivot_events": q_unpivot_events,
-        "near_dedup_incremental": q_near_dedup_incremental,
-        "data_quality": q_data_quality,
-        "correlated_min": q_correlated_min,
-        "gap_fill": q_gap_fill,
-        "window_ranks": q_window_ranks,
-        "fuzzy_match": q_fuzzy_match,
-        "quantiles": q_quantiles,
-        "dedup_incremental": q_dedup_incremental,
-        "mix_sources": q_mix_sources,
-        "bucketed_join": q_bucketed_join,
-        "unigram_lm": q_unigram_lm,
-        "weighted_sample": q_weighted_sample,
-        "near_dedup": q_near_dedup,
-        "hll_incremental": q_hll_incremental,
-        "formats_roundtrip": q_formats_roundtrip,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q18": q_tpch_q18,
-        "histogram_incremental": q_histogram_incremental,
-        "curriculum": q_curriculum,
-        "hashed_features": q_hashed_features,
-        "doc_clusters": q_doc_clusters,
-        "pq_ann": q_pq_ann,
-        "streaming_kmeans": q_streaming_kmeans,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "range_frame": q_range_frame,
-        "chunk_docs": q_chunk_docs,
-        "inverted_index": q_inverted_index,
-        # --- r13 additions (position 50+): first-gate at the FRONT
-        # of the r14 window ---
+        # pointer's natural continuation ---
         "ann_filtered_query": q_ann_filtered_query,
         "stream_upsert_ingest": q_stream_upsert_ingest,
         "ann_compaction": q_ann_compaction,
         "ann_recall": q_ann_recall,
         "hybrid_filtered_retrieval": q_hybrid_filtered_retrieval,
-        # --- r9-window cohort remainder — continues the pointer after
-        # the r13 additions ---
+        # r9-window cohort remainder (pointer continuation)
         "bigram_lm": q_bigram_lm,
         "outliers": q_outliers,
         "pagerank": q_pagerank,
@@ -5361,9 +5316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest": q_stream_ingest,
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
-        # --- r10-window cohort (all gated green in CORRECTNESS_r10) —
-        # rotated to the back; re-gate when the circular pointer comes
-        # back around ---
+        # r10-window cohort, first 32 — the circular pointer back
+        # around (gated green in CORRECTNESS_r10; fresh driver rows
+        # this round)
         "cdc_dedup": q_cdc_dedup,
         "knn_join_partitioned": q_knn_join_partitioned,
         "ivf_index_query": q_ivf_index_query,
@@ -5396,6 +5351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "limit_by_latest": q_limit_by_latest,
         "silhouette_sums": q_silhouette_sums,
         "decontaminate": q_decontaminate,
+        # --- r14 additions (position 50+): first-gate at the FRONT
+        # of the r15 window --- (inserted here as they land)
+        # --- r10-window cohort remainder — continues the pointer
+        # after the r14 additions ---
         "pack_sequences": q_pack_sequences,
         "tpch_q5": q_tpch_q5,
         "ann_topk": q_ann_topk,
@@ -5502,6 +5461,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "set_ops": q_set_ops,
         "monthly_revenue": q_monthly_revenue,
+        # --- r13-window cohort (all gated green in CORRECTNESS_r13)
+        # — rotated to the back; re-gate when the circular pointer
+        # comes back around ---
+        "stream_ivfpq_ingest": q_stream_ivfpq_ingest,
+        "ann_delete_replay": q_ann_delete_replay,
+        "ann_upsert_replay": q_ann_upsert_replay,
+        "cube_revenue": q_cube_revenue,
+        "boilerplate": q_boilerplate,
+        "domain_kl": q_domain_kl,
+        "embed_covariance": q_embed_covariance,
+        "moving_avg": q_moving_avg,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "bm25_topk": q_bm25_topk,
+        "span_dedup": q_span_dedup,
+        "span_dedup_incremental": q_span_dedup_incremental,
+        "embed_dedup_incremental": q_embed_dedup_incremental,
+        "pivot_native": q_pivot_native,
+        "unpivot_events": q_unpivot_events,
+        "near_dedup_incremental": q_near_dedup_incremental,
+        "data_quality": q_data_quality,
+        "correlated_min": q_correlated_min,
+        "gap_fill": q_gap_fill,
+        "window_ranks": q_window_ranks,
+        "fuzzy_match": q_fuzzy_match,
+        "quantiles": q_quantiles,
+        "dedup_incremental": q_dedup_incremental,
+        "mix_sources": q_mix_sources,
+        "bucketed_join": q_bucketed_join,
+        "unigram_lm": q_unigram_lm,
+        "weighted_sample": q_weighted_sample,
+        "near_dedup": q_near_dedup,
+        "hll_incremental": q_hll_incremental,
+        "formats_roundtrip": q_formats_roundtrip,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q18": q_tpch_q18,
+        "histogram_incremental": q_histogram_incremental,
+        "curriculum": q_curriculum,
+        "hashed_features": q_hashed_features,
+        "doc_clusters": q_doc_clusters,
+        "pq_ann": q_pq_ann,
+        "streaming_kmeans": q_streaming_kmeans,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "range_frame": q_range_frame,
+        "chunk_docs": q_chunk_docs,
+        "inverted_index": q_inverted_index,
     }
 
 

@@ -138,18 +138,20 @@ def test_entry_smoke(spark):
     assert {f.name for f in df.schema} == {"j", "n", "avg_dist"}
 
 
-def test_driver_window_pins_r13_rotation():
+def test_driver_window_pins_r14_rotation():
     """Rotation contract (VERDICT r5 item 2): the driver records rows
-    for the FIRST 50 registry entries only. r13 window = 6-query fixed
-    head + the next 44 rotation slots exactly as the r12 comment
-    scheduled (VERDICT r12 item 2 — "hold the rotation"): the seven
-    r12 additions taking their FIRST driver rows (stream_ivfpq_ingest,
-    ann_delete_replay, ann_upsert_replay, cube_revenue, boilerplate,
-    domain_kl, embed_covariance), then the pointer's continuation
-    through inverted_index. New r13 queries sit at position 50+ so
-    they first-gate at the front of the r14 window; the gated
-    r12-window cohort (pq_maintenance .. monthly_revenue) rotated to
-    the back."""
+    for the FIRST 50 registry entries only. r14 window = 6-query fixed
+    head + the next 44 rotation slots exactly as the r13 comment
+    scheduled (VERDICT r13 item 3 — "hold the rotation"): the five
+    r13 additions taking their FIRST driver rows (ann_filtered_query,
+    stream_upsert_ingest, ann_compaction, ann_recall,
+    hybrid_filtered_retrieval), then the pointer's continuation: the
+    r9-window remainder (bigram_lm .. tpch_q16) and the first 32 of
+    the r10-window cohort (cdc_dedup .. decontaminate) — the circular
+    pointer back around. New r14 queries sit at position 50+ so they
+    first-gate at the front of the r15 window; the gated r13-window
+    cohort (stream_ivfpq_ingest .. inverted_index) rotated to the
+    back."""
     keys = list(QUERIES)
     window = keys[:50]
     head = {
@@ -157,18 +159,20 @@ def test_driver_window_pins_r13_rotation():
         "elbow_total", "kmeans_fit_history",
     }
     assert head <= set(window), sorted(head - set(window))
-    # VERDICT r12 item 2: the seven r12 additions open the rotation
+    # VERDICT r13 item 3: the five r13 additions open the rotation
     # part of the window, in the scheduled order
-    assert keys[6:13] == [
-        "stream_ivfpq_ingest", "ann_delete_replay", "ann_upsert_replay",
-        "cube_revenue", "boilerplate", "domain_kl", "embed_covariance",
+    assert keys[6:11] == [
+        "ann_filtered_query", "stream_upsert_ingest", "ann_compaction",
+        "ann_recall", "hybrid_filtered_retrieval",
     ]
-    # the pointer's natural continuation fills the rest of the window
-    assert keys[13] == "moving_avg"
-    assert keys[49] == "inverted_index"
+    # the pointer's natural continuation fills the rest of the window:
+    # r9-window remainder, then the r10 cohort coming back around
+    assert keys[11] == "bigram_lm"
+    assert keys[18] == "cdc_dedup"
+    assert keys[49] == "decontaminate"
     assert all(k in ORACLES for k in window)
-    # the gated r12-window cohort sits at the BACK of the rotation
-    assert keys[-44] == "pq_maintenance" and keys[-1] == "monthly_revenue"
+    # the gated r13-window cohort sits at the BACK of the rotation
+    assert keys[-44] == "stream_ivfpq_ingest" and keys[-1] == "inverted_index"
     # the cadence must close: ceil(rotating / slots) rounds per full
     # sweep, with slots = 50 - len(fixed head). The registry comment
     # documents the CURRENT ceil — keep them in sync (VERDICT r5
