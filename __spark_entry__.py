@@ -52,6 +52,49 @@ from clickhouse_k_means_spark.sources.dataset import (
 )
 
 # ---------------------------------------------------------------------------
+# Scratch stores
+# ---------------------------------------------------------------------------
+
+_SCRATCH_PARENT: str | None = None
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Self-cleaning replacement for ``tempfile.mkdtemp`` in the
+    fixture-building entries (VERDICT r13 item 1: the per-run
+    ``ivfidx_*``/``pqidx_*``/... snapshot stores were NEVER removed —
+    thousands of orphaned /tmp dirs accreted across bench rounds, the
+    prime suspect for ivf_index_query's monotone r11→r13 wall-clock
+    climb). All scratch dirs of one process live under a single
+    pid-tagged parent removed at interpreter exit; on first use the
+    process also sweeps parents whose owning pid is dead, so a crashed
+    run's litter is bounded to one round. The dirs stay alive for the
+    whole process lifetime — a returned DataFrame's lazy plan can
+    still read its store at collect time."""
+    global _SCRATCH_PARENT
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if _SCRATCH_PARENT is None:
+        base = tempfile.gettempdir()
+        for p in os.listdir(base):
+            if not p.startswith("ckm_scratch_"):
+                continue
+            try:
+                pid = int(p.rsplit("_", 1)[-1])
+                os.kill(pid, 0)  # raises if the owner is gone
+            except (ValueError, ProcessLookupError, PermissionError) as e:
+                if isinstance(e, PermissionError):
+                    continue  # alive under another uid — leave it
+                shutil.rmtree(os.path.join(base, p), ignore_errors=True)
+        _SCRATCH_PARENT = os.path.join(base, f"ckm_scratch_{os.getpid()}")
+        os.makedirs(_SCRATCH_PARENT, exist_ok=True)
+        atexit.register(shutil.rmtree, _SCRATCH_PARENT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_PARENT)
+
+
+# ---------------------------------------------------------------------------
 # Shared constants
 # ---------------------------------------------------------------------------
 
@@ -715,14 +758,13 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     once at write, amortized over every later query). The oracle is
     the plain logical join — bucketing must not change RESULTS, only
     the physical plan (guarded in tests/test_bucketed.py)."""
-    import tempfile
     import uuid
 
     from clickhouse_k_means_spark.sources.bucketed import write_bucketed
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    d = tempfile.mkdtemp(prefix="bkt_gate_")
+    d = _scratch_dir("bkt_gate_")
     tag = uuid.uuid4().hex[:8]
     bo = write_bucketed(
         orders.select("o_orderkey", "o_custkey", "o_totalprice"),
@@ -1333,7 +1375,6 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the clustered files — must equal the oracle's direct rollup
     (fidelity gate; the per-file min/max narrowing the clustering
     buys is plan-guarded in test_extended_ops)."""
-    import tempfile
 
     from clickhouse_k_means_spark.sources.zorder import write_zordered
 
@@ -1342,7 +1383,7 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
     )
-    out = tempfile.mkdtemp(prefix="zorder_rt_") + "/events_z"
+    out = _scratch_dir("zorder_rt_") + "/events_z"
     write_zordered(ev, out, cols=["user_id", "value_c"], n_files=8)
     back = spark.read.parquet(out).filter(
         (F.col("user_id") < 40) & (F.col("value_c").between(1000, 20000))
@@ -1525,13 +1566,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of sf_dir) and commits the new hashes. Returns per-batch
     (n_survivors, n_committed); DuckDB replays the same keep-first +
     hash-history set logic."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.dedup import incremental_exact_dedup
     from clickhouse_k_means_spark.sources.state import SnapshotStateStore
 
     docs = load_table(spark, sf_dir, "documents")
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="dedup_inc_"))
+    store = SnapshotStateStore(_scratch_dir("dedup_inc_"))
     b1 = docs.filter(F.pmod("doc_id", F.lit(3)) != 0)
     b2 = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
     s1, n1 = incremental_exact_dedup(b1, store, table="seen")
@@ -1554,13 +1594,12 @@ def q_near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. Returns per-batch (n_survivors, n_committed); DuckDB replays
     the identical two-layer logic including the transitive-drop
     semantics."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.dedup import incremental_near_dedup
     from clickhouse_k_means_spark.sources.state import SnapshotStateStore
 
     docs = load_table(spark, sf_dir, "documents")
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="neardedup_inc_"))
+    store = SnapshotStateStore(_scratch_dir("neardedup_inc_"))
     b1 = docs.filter(F.pmod("doc_id", F.lit(3)) != 0)
     b2 = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
     s1, n1 = incremental_near_dedup(b1, store, table="bands")
@@ -1724,7 +1763,6 @@ def q_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(cos,4) >= 0.8) is exactly replayed brute-force by DuckDB;
     the operator's SRP-bucketed candidates must therefore achieve full
     recall on this slice or the row sets diverge."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.similarity import (
         incremental_embed_dedup,
@@ -1732,7 +1770,7 @@ def q_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_k_means_spark.sources.state import SnapshotStateStore
 
     emb = _emb_neardup_slice(spark, sf_dir).withColumnRenamed("e", "embedding")
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="embdedup_inc_"))
+    store = SnapshotStateStore(_scratch_dir("embdedup_inc_"))
     out = []
     for batch_no, batch in (
         (1, emb.filter(F.pmod("vec_id", F.lit(3)) != 0)),
@@ -2139,7 +2177,6 @@ def q_hybrid_ann_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     index before the rounded re-rank — a 10x margin over the fused
     top-10, so a rounded-vs-raw boundary inversion would need ~90
     four-decimal cosine ties."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import (
         ivf_append,
@@ -2158,7 +2195,7 @@ def q_hybrid_ann_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="hybridann_"))
+    store = SnapshotStateStore(_scratch_dir("hybridann_"))
     ivf_index(
         emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store, nlist=8, seed=42
     )
@@ -2200,7 +2237,6 @@ def q_hybrid_filtered_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate-EXCLUDED, so a correct filter drops the rank-1
     self-match — the exact signal a post-filter design would get
     wrong."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import (
         ivf_append,
@@ -2221,7 +2257,7 @@ def q_hybrid_filtered_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="hybridfilt_"))
+    store = SnapshotStateStore(_scratch_dir("hybridfilt_"))
     ivf_index(
         emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store, nlist=8, seed=42
     )
@@ -2272,7 +2308,6 @@ def q_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_id % 3 != 0``, batch 2 = ``doc_id % 2 == 0`` (overlapping
     content). Per-doc rows for both batches: batch 2's keepers exclude
     every span batch 1 committed. DuckDB replays both layers."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.dedup import (
         incremental_span_dedup,
@@ -2280,7 +2315,7 @@ def q_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_k_means_spark.sources.state import SnapshotStateStore
 
     docs = load_table(spark, sf_dir, "documents")
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="spandedup_inc_"))
+    store = SnapshotStateStore(_scratch_dir("spandedup_inc_"))
     out = []
     for batch_no, batch in (
         (1, docs.filter(F.pmod("doc_id", F.lit(3)) != 0)),
@@ -2325,7 +2360,6 @@ def q_cdc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (overlapping content). Batch 2's keepers exclude every chunk
     batch 1 committed — at ANY alignment, the property the span form
     lacks. DuckDB replays both layers."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.dedup import (
         incremental_cdc_dedup,
@@ -2333,7 +2367,7 @@ def q_cdc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_k_means_spark.sources.state import SnapshotStateStore
 
     docs = load_table(spark, sf_dir, "documents")
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="cdcdedup_inc_"))
+    store = SnapshotStateStore(_scratch_dir("cdcdedup_inc_"))
     out = []
     for batch_no, batch in (
         (1, docs.filter(F.pmod("doc_id", F.lit(3)) != 0)),
@@ -2424,14 +2458,13 @@ def q_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.value, then the merged (bin, cnt) table — EXACTLY equal to
     a single-shot histogram (integer merge), replayed row-for-row by
     the oracle's direct binning of the full table."""
-    import tempfile
 
     from clickhouse_k_means_spark.functions.sketches import IncrementalHistogram
     from clickhouse_k_means_spark.sources.state import SnapshotStateStore
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
     hist = IncrementalHistogram(
-        SnapshotStateStore(tempfile.mkdtemp(prefix="hist_inc_")),
+        SnapshotStateStore(_scratch_dir("hist_inc_")),
         lo=0.0, width=20.0, n_bins=25,
     )
     for i in range(3):
@@ -2444,7 +2477,6 @@ def q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, no inference) → CSV → read → aggregate. The rollup must
     equal the oracle's direct-from-parquet answer, proving both
     writers/readers preserve keys, doubles, dates, and strings."""
-    import tempfile
 
     from clickhouse_k_means_spark.sources.formats import (
         read_csv,
@@ -2456,7 +2488,7 @@ def q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
     )
-    d = tempfile.mkdtemp(prefix="fmt_rt_")
+    d = _scratch_dir("fmt_rt_")
     write_jsonl(orders, f"{d}/jsonl")
     back_j = read_jsonl(spark, f"{d}/jsonl", orders)
     write_csv(back_j, f"{d}/csv")
@@ -2474,14 +2506,13 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority, bloom filter on the key) → read back with a partition
     filter → aggregate. Equals the oracle's direct-from-parquet
     answer over the same partition subset."""
-    import tempfile
 
     from clickhouse_k_means_spark.sources.formats import read_orc, write_orc
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
     )
-    d = tempfile.mkdtemp(prefix="orc_rt_")
+    d = _scratch_dir("orc_rt_")
     write_orc(
         orders,
         f"{d}/orc",
@@ -2508,13 +2539,12 @@ def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge contract (incremental within 2% of the single-shot sketch —
     bit-equal in dense mode; the sparse→dense promotion zone can
     differ by ~1%, see IncrementalDistinct docstring)."""
-    import tempfile
 
     from clickhouse_k_means_spark.functions.sketches import IncrementalDistinct
     from clickhouse_k_means_spark.sources.state import SnapshotStateStore
 
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    inc = IncrementalDistinct(SnapshotStateStore(tempfile.mkdtemp(prefix="hll_inc_")))
+    inc = IncrementalDistinct(SnapshotStateStore(_scratch_dir("hll_inc_")))
     for i in range(3):
         inc.update(ev.filter(F.pmod("user_id", F.lit(3)) == i), "user_id")
     est = inc.estimate(spark)
@@ -2949,7 +2979,6 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink (one atomic commit per micro-batch), then the committed
     snapshot is rolled up — it must equal the oracle's direct batch
     rollup, proving no row was lost or doubled."""
-    import tempfile
 
     from clickhouse_k_means_spark.sources.state import SnapshotStateStore
     from clickhouse_k_means_spark.streaming.snapshot_sink import (
@@ -2957,7 +2986,7 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from clickhouse_k_means_spark.streaming.windows import stream_events
 
-    d = tempfile.mkdtemp(prefix="snap_ingest_")
+    d = _scratch_dir("snap_ingest_")
     store = SnapshotStateStore(f"{d}/store")
     sink = SnapshotStreamSink(store, "events_ingest")
     stream = stream_events(spark, sf_dir)
@@ -2981,7 +3010,6 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct == corpus count, straight from the snapshot) and the
     replay added ZERO rows (ivf_append's key-idempotence, ADVICE r9
     — marker-free exactly-once index content)."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import ivf_index
     from clickhouse_k_means_spark.sources.state import SnapshotStateStore
@@ -2992,7 +3020,7 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    d = tempfile.mkdtemp(prefix="ann_stream_")
+    d = _scratch_dir("ann_stream_")
     store = SnapshotStateStore(f"{d}/store")
     ivf_index(emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
               nlist=8, seed=42)
@@ -3038,7 +3066,6 @@ def q_stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus vector indexed exactly once and the replay added ZERO code
     rows (ivfpq_append's shared key-idempotence probe — marker-free
     exactly-once index content, same contract as stream_ann_ingest)."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import ivfpq_index
     from clickhouse_k_means_spark.sources.state import SnapshotStateStore
@@ -3049,7 +3076,7 @@ def q_stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    d = tempfile.mkdtemp(prefix="ivfpq_stream_")
+    d = _scratch_dir("ivfpq_stream_")
     store = SnapshotStateStore(f"{d}/store")
     ivfpq_index(emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
                 nlist=8, m_sub=16, n_codes=64, seed=42)
@@ -3101,7 +3128,6 @@ def q_ann_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break from k=100 (the hybrid_ann_retrieval margin trick);
     ``no_churn`` gates the idempotence contract (the double-delete
     returned the same version)."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import (
         ann_delete,
@@ -3114,7 +3140,7 @@ def q_ann_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="anndel_"))
+    store = SnapshotStateStore(_scratch_dir("anndel_"))
     ivf_index(emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
               nlist=8, seed=42)
     v1 = ivf_append(emb.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
@@ -3158,7 +3184,6 @@ def q_ann_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nprobe = nlist) makes both rankings exact so DuckDB replays them
     value-for-value on round(sim, 4) with id tie-break (negation is
     IEEE-exact in both engines, the ann_delete_replay precedent)."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import (
         ann_upsert,
@@ -3171,7 +3196,7 @@ def q_ann_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="annups_"))
+    store = SnapshotStateStore(_scratch_dir("annups_"))
     ivf_index(emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
               nlist=8, seed=42)
     v1 = ivf_append(emb.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
@@ -3223,7 +3248,6 @@ def q_stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     PINNED pre-stream version, tagged — updated payload visible at
     head, old payload at the pin (the ann_upsert_replay legs, served
     through the stream)."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import (
         ivf_append,
@@ -3238,7 +3262,7 @@ def q_stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    d = tempfile.mkdtemp(prefix="ups_stream_")
+    d = _scratch_dir("ups_stream_")
     store = SnapshotStateStore(f"{d}/store")
     ivf_index(emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
               nlist=8, seed=42)
@@ -3311,7 +3335,6 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales, (c) assert the advisor does NOT fire at that floor. All
     three are deterministic (hash-ordered sample, seeded build), so
     the oracle asserts the constants."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import (
         ann_recall_due,
@@ -3324,7 +3347,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="annrec_"))
+    store = SnapshotStateStore(_scratch_dir("annrec_"))
     ivf_index(emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
               nlist=8, seed=42)
     ivf_append(emb.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
@@ -3359,7 +3382,6 @@ def q_ann_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot's rows + key checksum survive the whole sequence
     (``head_intact``, ``head_rows``). Every step is deterministic so
     the oracle asserts the constants (head_rows = the corpus count)."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import (
         ann_compact_due,
@@ -3371,7 +3393,7 @@ def q_ann_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="anncomp_"))
+    store = SnapshotStateStore(_scratch_dir("anncomp_"))
     v1 = ivf_index(emb, store, nlist=8, seed=42)
     due_fresh = ann_compact_due(store, "ivf_index")
     for r in range(3):
@@ -3421,7 +3443,6 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer balances (batch 2 bumps every third key), then the
     interval-row rollup — the oracle reconstructs the exact same
     history from the two static batch definitions."""
-    import tempfile
 
     from clickhouse_k_means_spark.sources.state import (
         SnapshotStateStore,
@@ -3432,7 +3453,7 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k"),
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
     )
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="scd2_") + "/store")
+    store = SnapshotStateStore(_scratch_dir("scd2_") + "/store")
     upsert_scd2(store, spark, cust, "dim", key="k", seq=1)
     batch2 = cust.filter(F.pmod("k", F.lit(3)) == 0).withColumn(
         "bal_c", F.col("bal_c") + 500
@@ -3488,7 +3509,6 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 by orderkey parity) join the customer-balance history built by
     two upserts — seq-1 facts must see ORIGINAL balances even for keys
     batch 2 rewrote; seq-2 facts see the bumps."""
-    import tempfile
 
     from clickhouse_k_means_spark.sources.state import (
         SnapshotStateStore,
@@ -3500,7 +3520,7 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k"),
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
     )
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="scd2_tj_") + "/store")
+    store = SnapshotStateStore(_scratch_dir("scd2_tj_") + "/store")
     upsert_scd2(store, spark, cust, "dim", key="k", seq=1)
     batch2 = cust.filter(F.pmod("k", F.lit(3)) == 0).withColumn(
         "bal_c", F.col("bal_c") + 500
@@ -3522,7 +3542,6 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert bumping every third key and adding shifted new keys. The
     per-change-type rollup must match the oracle's reconstruction of
     the same two deterministic batch definitions."""
-    import tempfile
 
     from clickhouse_k_means_spark.sources.state import (
         SnapshotStateStore,
@@ -3533,7 +3552,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k"),
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
     )
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="cdc_") + "/store")
+    store = SnapshotStateStore(_scratch_dir("cdc_") + "/store")
     v1 = store.append(cust, "dim")
     changes = cust.filter(F.pmod("k", F.lit(3)) == 0).withColumn(
         "bal_c", F.col("bal_c") + 500
@@ -3554,13 +3573,12 @@ def q_resume_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags vs the uninterrupted fit — Lloyd steps are deterministic
     given a model and an identical working-set layout, so the resumed
     result must be bit-identical."""
-    import tempfile
 
     from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
     from clickhouse_k_means_spark.sources.state import ParquetStateStore
 
     yh = load_yh(spark, sf_dir, "lineitem")
-    d = tempfile.mkdtemp(prefix="resume_fit_")
+    d = _scratch_dir("resume_fit_")
     full_store = ParquetStateStore(f"{d}/full")
     full = KMeansEngine(k=3, seed=42, max_iter=6).fit(
         yh, state_store=full_store, state_table="wcr"
@@ -4581,7 +4599,6 @@ def q_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full corpus (measured 6-10 at sf0.001/0.01/0.1 with nlist=8,
     nprobe=7 — the quantizer sees only half the corpus, hence the
     slightly lower floor than ivf_ann's)."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import (
         ivf_append,
@@ -4591,7 +4608,7 @@ def q_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_k_means_spark.sources.state import SnapshotStateStore
 
     q, c = _ann_queries_corpus(spark, sf_dir)
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="ivfidx_"))
+    store = SnapshotStateStore(_scratch_dir("ivfidx_"))
     ivf_index(c.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
               nlist=8, seed=42)
     ivf_append(c.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
@@ -4609,7 +4626,6 @@ def q_pq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01/0.1 with m_sub=16/n_codes=64/rerank=256 — codebooks
     see only half the corpus, hence the rerank margin over pq_ann's
     100)."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import (
         pq_append,
@@ -4619,7 +4635,7 @@ def q_pq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_k_means_spark.sources.state import SnapshotStateStore
 
     q, c = _ann_queries_corpus(spark, sf_dir)
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="pqidx_"))
+    store = SnapshotStateStore(_scratch_dir("pqidx_"))
     pq_index(c.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
              m_sub=16, n_codes=64, seed=42)
     pq_append(c.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
@@ -4638,7 +4654,6 @@ def q_ivfpq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_hits vs exact brute force over the full corpus (measured
     6-10/10 at sf0.001/0.01 — the compounded cell-miss + ADC-shortlist
     approximation, hence the margin under pq_index_query's 8)."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import (
         ivfpq_append,
@@ -4648,7 +4663,7 @@ def q_ivfpq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_k_means_spark.sources.state import SnapshotStateStore
 
     q, c = _ann_queries_corpus(spark, sf_dir)
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="ivfpqidx_"))
+    store = SnapshotStateStore(_scratch_dir("ivfpqidx_"))
     ivfpq_index(c.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
                 nlist=8, m_sub=16, n_codes=64, seed=42)
     ivfpq_append(c.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
@@ -4676,7 +4691,6 @@ def q_ann_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the deterministic fixture; the oracle asserts the constants.
     Extension beyond the reference surface (k-means.sql has no
     index)."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import (
         ivfpq_index,
@@ -4693,7 +4707,7 @@ def q_ann_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.pmod("vec_id", F.lit(3)) + 1).cast("int"),
         ).alias("lang"),
     )
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="annfilt_"))
+    store = SnapshotStateStore(_scratch_dir("annfilt_"))
     ivfpq_index(c, store, nlist=8, m_sub=16, n_codes=64, seed=42)
     approx = ivfpq_query(
         q, store, k=10, nprobe=2, rerank=64, query_key="vec_id",
@@ -4754,7 +4768,6 @@ def q_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy skew factor strictly dropping across the refit
     (ivf_stats before vs after — the drift diagnostic). Every step is
     seeded/deterministic, so the oracle asserts the gate exactly."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import (
         ivf_append,
@@ -4780,7 +4793,7 @@ def q_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").isin(0, 2, 4)).select(
         "vec_id", drift_vec.alias("embedding")
     )
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="ivfmaint_"))
+    store = SnapshotStateStore(_scratch_dir("ivfmaint_"))
     ivf_index(original, store, nlist=8, seed=42)
     ivf_append(drifted, store)
     skew_b = max(
@@ -4838,7 +4851,6 @@ def q_pq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic), and (c) pq_refit_due having fired on the drifted
     index (the advisor). Every step is seeded/deterministic, so the
     oracle asserts the gate exactly."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import (
         pq_append,
@@ -4865,7 +4877,7 @@ def q_pq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").isin(0, 2, 4)).select(
         "vec_id", drift_vec.alias("embedding")
     )
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="pqmaint_"))
+    store = SnapshotStateStore(_scratch_dir("pqmaint_"))
     pq_index(original, store, m_sub=8, n_codes=16, seed=42)
     pq_append(drifted, store)
     qerr_b = pq_qerr(spark, store)
@@ -4920,7 +4932,6 @@ def q_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization error strictly dropping (the PQ disease healed), and
     (d) the combined advisor having fired pre-refit. Every step is
     seeded/deterministic, so the oracle asserts the gate exactly."""
-    import tempfile
 
     from clickhouse_k_means_spark.operators.ann_index import (
         ivfpq_append,
@@ -4948,7 +4959,7 @@ def q_ivfpq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").isin(0, 2, 4)).select(
         "vec_id", drift_vec.alias("embedding")
     )
-    store = SnapshotStateStore(tempfile.mkdtemp(prefix="ivfpqmaint_"))
+    store = SnapshotStateStore(_scratch_dir("ivfpqmaint_"))
     ivfpq_index(original, store, nlist=8, m_sub=8, n_codes=16, seed=42)
     ivfpq_append(drifted, store)
     skew_b = ivfpq_skew_factor(spark, store)
@@ -5220,7 +5231,6 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the merged per-type rollup — exactly equal to the oracle's
     one-shot aggregate over the full table (BIGINT merge: sums add,
     mins min, maxes max)."""
-    import tempfile
 
     from clickhouse_k_means_spark.functions.sketches import IncrementalRollup
     from clickhouse_k_means_spark.sources.state import SnapshotStateStore
@@ -5231,7 +5241,7 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
     )
     roll = IncrementalRollup(
-        SnapshotStateStore(tempfile.mkdtemp(prefix="rollup_inc_")),
+        SnapshotStateStore(_scratch_dir("rollup_inc_")),
         keys=["event_type"],
         metrics=["value_c"],
     )

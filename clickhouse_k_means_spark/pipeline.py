@@ -313,7 +313,22 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if (
+        getattr(args, "cmd", None) == "ann"
+        and getattr(args, "action", None) == "query"
+        and not args.where
+        and (args.meta is not None or args.meta_key != "n")
+    ):
+        # loud-failure rule (ADVICE r13 / r9): --meta / --meta-key
+        # without --where would otherwise be silently ignored, turning
+        # a malformed FILTERED query into an UNFILTERED search
+        parser.error(
+            "ann query: --meta/--meta-key require --where (a filtered "
+            "search needs its predicate; without one the metadata "
+            "table would be silently ignored)"
+        )
 
     from pyspark.sql import functions as F
 

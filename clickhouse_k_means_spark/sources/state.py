@@ -292,7 +292,7 @@ class SnapshotStateStore:
             return {}
         return self._read_manifest(table, v).get("meta", {}) or {}
 
-    def latest_metadata_value(self, table: str, key: str):
+    def latest_metadata_value(self, table: str, key: str, match: dict | None = None):
         """The most recent committed value of one metadata key,
         scanning manifests BACKWARD until a manifest carries it.
 
@@ -303,10 +303,24 @@ class SnapshotStateStore:
         scan makes the marker survive accidental mixing; manifests are
         tiny JSON so the scan costs one file read per intervening
         commit, and streams normally find it in the newest one.
-        Returns None if no manifest carries the key."""
+
+        ``match``: only consider manifests whose metadata carries ALL
+        the given sibling key/value pairs — the stream-identity
+        namespace for per-query markers (ADVICE r13: a bare table-wide
+        ``batch_id`` marker silently skips every batch of a
+        legitimately NEW streaming query, whose ids restart at 0,
+        against an OLD stream's marker; Delta's idempotent-write
+        analog keys the marker by ``(txnAppId, txnVersion)``, not
+        batch id alone). Manifests that lack a match key — e.g.
+        markers committed before the namespace existed — do NOT match,
+        so a new named stream never inherits an anonymous marker.
+
+        Returns None if no (matching) manifest carries the key."""
         for v in reversed(self._versions(table)):
             meta = self._read_manifest(table, v).get("meta", {}) or {}
-            if key in meta:
+            if key in meta and all(
+                meta.get(mk) == mv for mk, mv in (match or {}).items()
+            ):
                 return meta[key]
         return None
 

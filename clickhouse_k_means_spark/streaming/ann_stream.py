@@ -144,6 +144,19 @@ class StreamingUpsertIngest(StreamingIvfIngest):
     interleaved maintenance commits can't erase it — ADVICE r5) is
     SKIPPED instead of committing a duplicate version.
 
+    The marker is NAMESPACED by stream identity (ADVICE r13; Delta's
+    ``(txnAppId, txnVersion)`` analog): the manifest carries
+    ``{"batch_query": <query name>, "batch_id": <id>}`` and the skip
+    test compares BOTH, so a legitimately NEW streaming query into the
+    same table (different ``query_name``, fresh checkpoint, ids
+    restarting at 0) is never silently skipped against an old
+    stream's marker. The ``query_name`` is therefore the LOGICAL
+    stream id: reuse the same name (with a fresh checkpoint) to
+    dedupe replays of the same feed; pick a new name for a new feed.
+    Markers committed before the namespace existed carry no
+    ``batch_query`` and never match, which fails open to "commit" —
+    the at-least-once direction, never silent loss.
+
     Within-batch duplicate keys follow ``ann_upsert``'s keep-any
     contract — de-duplicate the CDC feed to latest-per-key upstream
     when a micro-batch can carry conflicting payloads (ADVICE r12).
@@ -163,15 +176,25 @@ class StreamingUpsertIngest(StreamingIvfIngest):
     ):
         super().__init__(store, table=table, key=key, vec=vec)
         self.n_skipped = 0
+        self.query_name = self._DEFAULT_QUERY_NAME
 
-    def last_batch_id(self) -> int | None:
-        b = self.store.latest_metadata_value(self.table, "batch_id")
+    def last_batch_id(self, query_name: str | None = None) -> int | None:
+        """Last committed marker FOR THIS LOGICAL STREAM (``None``
+        for other streams' markers or pre-namespace anonymous ones)."""
+        qname = query_name or self.query_name
+        b = self.store.latest_metadata_value(
+            self.table, "batch_id", match={"batch_query": qname}
+        )
         return int(b) if b is not None else None
 
     def process_batch(self, batch: DataFrame, batch_id: int | None = None) -> int:
         from clickhouse_k_means_spark.operators.ann_index import ann_upsert
 
-        meta = {"batch_id": int(batch_id)} if batch_id is not None else None
+        meta = (
+            {"batch_id": int(batch_id), "batch_query": self.query_name}
+            if batch_id is not None
+            else None
+        )
         return ann_upsert(
             batch, self.store, table=self.table, key=self.key,
             vec=self.vec, metadata=meta,
@@ -185,7 +208,9 @@ class StreamingUpsertIngest(StreamingIvfIngest):
     ):
         """Upsert the stream into the index (caller awaits). One
         replace-snapshot version per non-empty NEW micro-batch;
-        replayed batches are skipped via the committed marker."""
+        replayed batches of the SAME logical stream (marker keyed by
+        ``(query_name, batch_id)`` — ADVICE r13) are skipped."""
+        self.query_name = query_name or self._DEFAULT_QUERY_NAME
 
         def _on_batch(batch: DataFrame, batch_id: int) -> None:
             last = self.last_batch_id()
@@ -200,7 +225,7 @@ class StreamingUpsertIngest(StreamingIvfIngest):
 
         return (
             stream.writeStream.foreachBatch(_on_batch)
-            .queryName(query_name or self._DEFAULT_QUERY_NAME)
+            .queryName(self.query_name)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()

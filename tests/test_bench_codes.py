@@ -264,6 +264,9 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         # self-check's pipeline_e2e finding) — r10-era values
         "stateful_stats": 2.03, "bisect_kmeans": 16.81,
         "pipeline_e2e": 2.74,
+        # r14 re-anchors (VERDICT r13 item 1 settled quiet solos) —
+        # r10-era values
+        "array_funcs": 0.22, "map_agg": 0.24, "stream_enrich": 1.09,
     })
     # undiluted (the r10 behavior): median over the bar, flag FALSE
     med0, flag0 = bench.contention_stats(r10, anchors)
@@ -307,6 +310,8 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         "stateful_stats", "bisect_kmeans", "pipeline_e2e",
         "ann_filtered_query", "stream_upsert_ingest", "ann_compaction",
         "ann_recall", "hybrid_filtered_retrieval",
+        # re-based or added in r14 — not re-based at the r10 moment
+        "array_funcs", "map_agg", "stream_enrich",
     }
     med1, flag1 = bench.contention_stats(r10, anchors, frac_exclude=excl)
     assert flag1 and med1 == med0, (med1, flag1)

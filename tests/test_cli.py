@@ -890,3 +890,24 @@ def test_pipeline_cli_ann_upsert(tmp_path, capsys, spark):
     )
     # --input required
     assert pmain(["ann", "upsert", "--state", state]) == 2
+
+
+def test_pipeline_cli_ann_query_meta_requires_where(tmp_path):
+    """ADVICE r13 (low): --meta / a non-default --meta-key without
+    --where is a malformed filtered query — the parser fails loudly
+    instead of silently running an UNFILTERED search."""
+    import pytest
+
+    from clickhouse_k_means_spark.pipeline import main
+
+    base = [
+        "ann", "query", "--state", str(tmp_path / "st"),
+        "--input", str(tmp_path / "q.parquet"),
+        "--out", str(tmp_path / "out"),
+    ]
+    with pytest.raises(SystemExit) as e1:
+        main(base + ["--meta", str(tmp_path / "m.parquet")])
+    assert e1.value.code == 2
+    with pytest.raises(SystemExit) as e2:
+        main(base + ["--meta-key", "doc_id"])
+    assert e2.value.code == 2

@@ -4130,3 +4130,160 @@ def test_ann_recall_probe_and_advisor(spark, tmp_path):
         ann_recall_due(spark, store, floor_ppm=0)
     with pytest.raises(ValueError, match="sample_n"):
         ann_recall_probe(spark, store, sample_n=0)
+
+
+def test_streaming_upsert_marker_namespaced_by_query(spark, tmp_path):
+    """ADVICE r13 (medium): the replay marker is keyed by
+    (query_name, batch_id) — Delta's (txnAppId, txnVersion) analog —
+    so a legitimately NEW streaming query into the same table (fresh
+    checkpoint, ids restarting at 0) commits instead of being
+    silently skipped against an OLD stream's marker; a replay of the
+    SAME logical stream still skips; and an anonymous pre-namespace
+    marker never blocks a named stream."""
+    import math
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_upsert,
+        ivf_index,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.ann_stream import (
+        StreamingUpsertIngest,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.01), math.sin(i * 0.01), 0.0, 0.0])
+            for i in range(16)
+        ]
+        + [
+            (100 + i, [0.0, 0.0, math.cos(i * 0.01), math.sin(i * 0.01)])
+            for i in range(16)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    ivf_index(vecs, store, nlist=2, seed=42)
+    v_pre = store.latest_version("ivf_index")
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(3, [0.0, 0.0, 0.6, 0.8])], "vec_id bigint, embedding array<double>"
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(500, [0.0, 0.0, 0.8, 0.6])],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    def run(ckpt: str, name: str | None) -> StreamingUpsertIngest:
+        ing = StreamingUpsertIngest(store)
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        ing.attach(
+            stream, checkpoint=str(tmp_path / ckpt), query_name=name
+        ).awaitTermination()
+        return ing
+
+    # stream A (default name) commits one version per micro-batch
+    a = run("ckpt_a", None)
+    assert a.n_batches == 2 and a.n_skipped == 0
+    assert store.latest_version("ivf_index") == v_pre + 2
+    # a DIFFERENT logical stream into the same table: ids restart at
+    # 0, but its own namespace holds no marker — MUST commit, not skip
+    b = run("ckpt_b", "feed_b")
+    assert b.n_batches == 2 and b.n_skipped == 0
+    assert store.latest_version("ivf_index") == v_pre + 4
+    # replaying the SAME logical stream (same name, fresh checkpoint)
+    # still hits the marker and adds zero versions
+    b2 = run("ckpt_b2", "feed_b")
+    assert b2.n_skipped == 2 and b2.n_batches == 0
+    assert store.latest_version("ivf_index") == v_pre + 4
+    # an anonymous marker (no batch_query — the pre-namespace shape)
+    # interleaves; a NEW named stream must ignore it and commit
+    ann_upsert(
+        spark.createDataFrame(
+            [(600, [0.0, 0.0, 0.5, 0.9])],
+            "vec_id bigint, embedding array<double>",
+        ),
+        store,
+        metadata={"batch_id": 99},
+    )
+    c = run("ckpt_c", "feed_c")
+    assert c.n_batches == 2 and c.n_skipped == 0
+    # and feed_b's marker still skips across the interleaved commits
+    # (backward manifest scan within the namespace)
+    b3 = run("ckpt_b3", "feed_b")
+    assert b3.n_skipped == 2 and b3.n_batches == 0
+
+
+def test_ivf_query_filtered_preserves_query_key_type(spark, tmp_path):
+    """ADVICE r13 (low): adding where= to an ivf_query call must not
+    change the output schema — the filtered arm carries the caller's
+    query-key values (and type) through the driver round-trip instead
+    of int()-coercing them to bigint."""
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ivf_index,
+        ivf_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7) + 1.0, float(i % 5) + 1.0]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    ivf_index(vecs, store, nlist=2, seed=42)
+    queries = spark.createDataFrame(
+        [("qa", [1.0, 1.0]), ("qb", [6.0, 4.0])],
+        "qid string, embedding array<double>",
+    )
+    plain = ivf_query(queries, store, k=3, nprobe=2, query_key="qid")
+    filt = ivf_query(
+        queries, store, k=3, nprobe=2, query_key="qid",
+        where="n % 2 = 0",
+    )
+    assert dict(plain.dtypes)["q"] == "string"
+    assert dict(filt.dtypes)["q"] == dict(plain.dtypes)["q"]
+    rows = filt.collect()
+    assert rows and all(int(r["n"]) % 2 == 0 for r in rows)
+    assert {r["q"] for r in rows} == {"qa", "qb"}
+
+
+def test_ann_recall_due_version_pinned(spark, tmp_path):
+    """ADVICE r13 (low): ann_recall_due takes an EXPLICIT version=
+    and forwards it to the probe — a pinned-snapshot advisor reading
+    matches the pinned probe, and version never double-binds through
+    query_kw."""
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_recall_due,
+        ann_recall_probe,
+        ann_upsert,
+        ivf_index,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7) + 1.0, float(i % 5) + 1.0]) for i in range(48)],
+        "vec_id bigint, embedding array<double>",
+    )
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    v1 = ivf_index(vecs, store, nlist=2, seed=42)
+    # churn the head so the pinned version is genuinely different
+    ann_upsert(
+        spark.createDataFrame(
+            [(999, [3.0, 3.0])], "vec_id bigint, embedding array<double>"
+        ),
+        store,
+    )
+    ppm_pinned = ann_recall_probe(
+        spark, store, sample_n=4, nprobe=2, version=v1
+    )
+    assert ann_recall_due(
+        spark, store, floor_ppm=1_000_000, sample_n=4, nprobe=2, version=v1
+    ) == (ppm_pinned < 1_000_000)
+    # an impossible floor fires; a trivial floor clears — both pinned
+    assert not ann_recall_due(
+        spark, store, floor_ppm=1, sample_n=4, nprobe=2, version=v1
+    ) or ppm_pinned == 0
