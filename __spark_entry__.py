@@ -3231,6 +3231,125 @@ def q_ann_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leg(None, "post").unionAll(leg(v1, "pre"))
 
 
+def q_ann_delta_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ churn lifecycle (sources/state.merge_delta +
+    operators/ann_index.ann_delete/ann_upsert — r14, VERDICT r13
+    item 2, the named 100-TB scale-killer closed): a takedown delete
+    and a CDC upsert each commit ONE O(batch) delta layer — tombstone
+    keys + fresh rows — instead of rewriting the whole snapshot, and
+    readers resolve base ⟕ layers at query time.
+
+    Replay: build the IVF index on the FULL corpus, delta-DELETE the
+    ``vec_id % 50 == 7`` takedown set, delta-UPSERT a batch negating
+    every ``vec_id % 50 == 9`` key in place and cloning its original
+    payload at ``vec_id + 1_000_000``, then re-issue the SAME delete.
+    Gates, all asserted in-query so the oracle replays constants:
+
+    - ``delta_commits``: both churn commits carried the base file
+      list BY NAME (no restage) and left exactly two pending layers —
+      the merge-on-read contract, read from the manifests.
+    - ``o_batch``: the two layers' staged bytes total less than the
+      base snapshot's bytes — churn-commit IO scales with the batch,
+      not the corpus (the 10× probe in BASELINE.md shows the ratio
+      FALLING as the corpus grows).
+    - ``redelete_noop``: the repeated delete committed nothing
+      (key-idempotence survives the delta path: the probe runs over
+      the RESOLVED rows, where the keys are already gone).
+    - ``fold_exact``: ``optimize`` folds the two layers into a packed
+      base (0 layers) and the post-fold head top-5 is value-identical
+      to the pre-fold head top-5.
+    - time travel: the ``pre`` leg pins the pre-churn version and
+      must rank over the ORIGINAL corpus.
+
+    Output: exact cosine top-5 per query (original vectors of 7 — a
+    deleted key, 9 — an updated key, and 2 — untouched) at the
+    post-churn head and the pinned pre-churn version, full-probe so
+    DuckDB replays the ranking value-for-value on round(sim, 4) with
+    id tie-break (the ann_upsert_replay precedent)."""
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_delete,
+        ann_upsert,
+        ivf_index,
+        ivf_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = SnapshotStateStore(_scratch_dir("anndelta_"))
+    v1 = ivf_index(emb, store, nlist=8, seed=42)
+    base_files = set(store._read_manifest("ivf_index", v1)["files"])
+
+    ann_delete(
+        spark, emb.filter(F.pmod("vec_id", F.lit(50)) == 7).select("vec_id"),
+        store, table="ivf_index",
+    )
+    src = emb.filter(F.pmod("vec_id", F.lit(50)) == 9)
+    batch = src.select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    ).unionAll(
+        src.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    v3 = ann_upsert(batch, store, table="ivf_index")
+    head_m = store._read_manifest("ivf_index", v3)
+    layer_files = [
+        f
+        for layer in head_m.get("deltas") or []
+        for f in layer["tombstones"] + layer["fresh"]
+    ]
+    data_dir = store._data("ivf_index")
+    layer_bytes = sum((data_dir / f).stat().st_size for f in layer_files)
+    base_bytes = sum((data_dir / f).stat().st_size for f in base_files)
+    delta_commits = (
+        set(head_m["files"]) == base_files
+        and store.delta_layers("ivf_index") == 2
+    )
+    o_batch = 0 < layer_bytes < base_bytes
+    v4 = ann_delete(
+        spark, emb.filter(F.pmod("vec_id", F.lit(50)) == 7).select("vec_id"),
+        store, table="ivf_index",
+    )
+    redelete_noop = v4 == v3
+
+    qvecs = emb.filter(F.col("vec_id").isin(7, 9, 2)).select(
+        F.col("vec_id").alias("q"), "embedding"
+    )
+
+    def leg(version, tag: str) -> DataFrame:
+        raw = ivf_query(
+            qvecs, store, k=100, nprobe=8, query_key="q", version=version
+        )
+        w = Window.partitionBy("q").orderBy(
+            F.round("score", 4).desc(), F.col("n").asc()
+        )
+        return (
+            raw.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 5)
+            .select(F.lit(tag).alias("tag"), "q", "rank", "n")
+        )
+
+    post = leg(None, "post")
+    post_rows = sorted(map(tuple, post.collect()))
+    store.optimize(spark, "ivf_index")
+    fold_exact = (
+        store.delta_layers("ivf_index") == 0
+        and sorted(map(tuple, leg(None, "post").collect())) == post_rows
+    )
+    out = post.unionAll(leg(v1, "pre"))
+    return (
+        out.withColumn(
+            "delta_commits", F.lit(1 if delta_commits else 0).cast("bigint")
+        )
+        .withColumn("o_batch", F.lit(1 if o_batch else 0).cast("bigint"))
+        .withColumn(
+            "redelete_noop", F.lit(1 if redelete_noop else 0).cast("bigint")
+        )
+        .withColumn("fold_exact", F.lit(1 if fold_exact else 0).cast("bigint"))
+    )
+
+
 def q_stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC upsert into the persistent IVF index
     (streaming/ann_stream.StreamingUpsertIngest — r13, VERDICT r12
@@ -3370,15 +3489,20 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index storage-compaction lifecycle (operators/ann_index.
     ann_compact_due + store optimize/vacuum — r13, VERDICT r12
-    item 6): delete/upsert are replace-commits, so churn accretes one
-    full stale table copy per commit. Build the IVF index on the FULL
-    corpus, run three upsert churn rounds (negating disjoint key
-    slices — updates only, row count invariant), and gate the whole
-    advisor contract: the advisor FIRES after churn (``due_churn``,
-    dead bytes ~3x live), a PINNED pre-churn read works before AND
-    after ``optimize`` (``history_kept`` — optimize preserves time
-    travel), ``vacuum`` reclaims files (``reclaimed``), the advisor
-    CLEARS after compaction (``due_after`` = 0), and the head
+    item 6; r14 VERDICT r13 item 2: delete/upsert churn is
+    MERGE-ON-READ now — each commit writes one O(batch) delta layer
+    instead of rewriting the corpus, so the churn disease the advisor
+    watches is read amplification, the pending-layer count). Build the
+    IVF index on the FULL corpus, run three upsert churn rounds
+    (negating disjoint key slices — updates only, row count
+    invariant; three delta layers, zero corpus rewrites), and gate
+    the whole advisor contract: the advisor FIRES after churn via the
+    layer trigger (``due_churn`` at ``max_delta_layers=2``), a PINNED
+    pre-churn read works before AND after ``optimize``
+    (``history_kept`` — optimize preserves time travel), optimize
+    FOLDS the layers into a packed base (``layers_folded``: 3 → 0),
+    ``vacuum`` reclaims the superseded files (``reclaimed``), the
+    advisor CLEARS after compaction (``due_after`` = 0), and the head
     snapshot's rows + key checksum survive the whole sequence
     (``head_intact``, ``head_rows``). Every step is deterministic so
     the oracle asserts the constants (head_rows = the corpus count)."""
@@ -3395,14 +3519,15 @@ def q_ann_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = SnapshotStateStore(_scratch_dir("anncomp_"))
     v1 = ivf_index(emb, store, nlist=8, seed=42)
-    due_fresh = ann_compact_due(store, "ivf_index")
+    due_fresh = ann_compact_due(store, "ivf_index", max_delta_layers=2)
     for r in range(3):
         batch = emb.filter(F.pmod("vec_id", F.lit(20)) == r).select(
             "vec_id",
             F.transform("embedding", lambda x: -x).alias("embedding"),
         )
         ann_upsert(batch, store, table="ivf_index")
-    due_churn = ann_compact_due(store, "ivf_index")
+    due_churn = ann_compact_due(store, "ivf_index", max_delta_layers=2)
+    layers_churn = store.delta_layers("ivf_index")
 
     def head_sig() -> tuple[int, int]:
         vec = store.read(spark, "ivf_index").filter(F.col("n").isNotNull())
@@ -3417,14 +3542,16 @@ def q_ann_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     history_kept = (
         store.read(spark, "ivf_index", version=v1).count() == pre_rows
     )
+    layers_after = store.delta_layers("ivf_index")
     removed = store.vacuum("ivf_index")
-    due_after = ann_compact_due(store, "ivf_index")
+    due_after = ann_compact_due(store, "ivf_index", max_delta_layers=2)
     sig_after = head_sig()
     return spark.createDataFrame(
         [
             (
                 0 if due_fresh else 1,
                 1 if due_churn else 0,
+                1 if (layers_churn == 3 and layers_after == 0) else 0,
                 1 if history_kept else 0,
                 1 if removed > 0 else 0,
                 0 if due_after else 1,
@@ -3432,9 +3559,9 @@ def q_ann_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sig_after[0],
             )
         ],
-        "fresh_clean bigint, due_churn bigint, history_kept bigint, "
-        "reclaimed bigint, due_after_clean bigint, head_intact bigint, "
-        "head_rows bigint",
+        "fresh_clean bigint, due_churn bigint, layers_folded bigint, "
+        "history_kept bigint, reclaimed bigint, due_after_clean bigint, "
+        "head_intact bigint, head_rows bigint",
     )
 
 
@@ -5362,7 +5489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette_sums": q_silhouette_sums,
         "decontaminate": q_decontaminate,
         # --- r14 additions (position 50+): first-gate at the FRONT
-        # of the r15 window --- (inserted here as they land)
+        # of the r15 window ---
+        "ann_delta_churn": q_ann_delta_churn,
         # --- r10-window cohort remainder — continues the pointer
         # after the r14 additions ---
         "pack_sequences": q_pack_sequences,
@@ -6901,6 +7029,39 @@ def oracle_sql() -> dict[str, str]:
             f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
             "qb.vec_id as n from q qa, e qb qualify rank <= 5"
         ),
+        "ann_delta_churn": (
+            # merge-on-read churn replayed exactly: post corpus =
+            # the %50==7 takedown set REMOVED, %50==9 keys negated in
+            # place plus original payloads cloned at +1e6; queries
+            # carry ORIGINAL vectors (7 = a deleted key, 9 = an
+            # updated key, 2 = untouched); both legs exact cosine
+            # top-5 on round(sim,4) with id tie-break; the
+            # manifest-level gates (base carried by name, O(batch)
+            # layer bytes, idempotent re-delete, exact fold) ride as
+            # constants
+            f"{emb_cte}, q as (select vec_id, v from e "
+            "where vec_id in (7, 9, 2)), "
+            "e2 as (select vec_id, case when vec_id % 50 = 9 then "
+            "list_transform(v, x -> -x) else v end as v from e "
+            "where vec_id % 50 <> 7 "
+            "union all select vec_id + 1000000 as vec_id, v from e "
+            "where vec_id % 50 = 9) "
+            "select 'post' as tag, qa.vec_id as q, "
+            f"row_number() over (partition by qa.vec_id order by "
+            f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
+            "qb.vec_id as n, 1::BIGINT as delta_commits, "
+            "1::BIGINT as o_batch, 1::BIGINT as redelete_noop, "
+            "1::BIGINT as fold_exact "
+            "from q qa, e2 qb qualify rank <= 5 "
+            "union all "
+            "select 'pre' as tag, qa.vec_id as q, "
+            f"row_number() over (partition by qa.vec_id order by "
+            f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
+            "qb.vec_id as n, 1::BIGINT as delta_commits, "
+            "1::BIGINT as o_batch, 1::BIGINT as redelete_noop, "
+            "1::BIGINT as fold_exact "
+            "from q qa, e qb qualify rank <= 5"
+        ),
         "stream_upsert_ingest": (
             # the streamed upsert lifecycle replayed exactly (the
             # ann_upsert_replay oracle, served through two
@@ -6931,8 +7092,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_compaction": (
             # deterministic churn -> advisor -> optimize/vacuum
             # lifecycle; every flag is asserted in-query, head_rows is
-            # the corpus count (churn is updates-only by construction)
+            # the corpus count (churn is updates-only by construction;
+            # r14: three merge-on-read layers fold to zero on optimize)
             "select 1::BIGINT as fresh_clean, 1::BIGINT as due_churn, "
+            "1::BIGINT as layers_folded, "
             "1::BIGINT as history_kept, 1::BIGINT as reclaimed, "
             "1::BIGINT as due_after_clean, 1::BIGINT as head_intact, "
             "(select count(*) from embeddings)::BIGINT as head_rows"

@@ -463,6 +463,9 @@ def main() -> None:
         # legs (BM25 stats over survivors + predicate-pushed vector
         # leg), integer RRF fusion, full-value oracle replay
         ("hybrid_filtered_retrieval", entry.q_hybrid_filtered_retrieval, 2),
+        # r14 addition: merge-on-read churn (O(batch) delta commits,
+        # idempotent re-delete, exact fold, two-version replay legs)
+        ("ann_delta_churn", entry.q_ann_delta_churn, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -1799,19 +1799,25 @@ def ann_delete(
     Key-idempotent: deleting keys that are absent (or already deleted)
     commits NOTHING — the latest version is returned unchanged, so
     retries and double-deletes add no version churn. When at least one
-    key matches, the survivors + untouched geometry rows commit as ONE
-    atomic replace-snapshot; ``version=`` pins on any reader replay
-    the pre-delete index exactly.
+    key matches, the delete commits as ONE atomic MERGE-ON-READ delta
+    layer (r14 — VERDICT r13 item 2): only the tombstone key set is
+    staged, so the commit writes O(batch) bytes where the previous
+    copy-on-write replace staged the whole next snapshot (deleting 10
+    keys from a 100-TB index wrote 100 TB). Readers anti-join the
+    tombstones out at resolve time (``SnapshotStateStore.read``);
+    ``optimize`` folds accrued layers back into a packed base and
+    ``ann_compact_due`` says when. ``version=`` pins on any reader
+    replay the pre-delete index exactly, as before.
 
-    Scale shape: one broadcast anti-join over the code rows for a
-    takedown-sized delete set, one rewrite pass, one atomic commit;
-    no shuffle of the corpus, no re-fit, no re-encode. The probe that
-    guards the no-op path is a broadcast-semi ``head(1)``, the same
-    probe shape the key-idempotent appends use. A DataFrame delete set
-    past ``_BROADCAST_APPEND_KEYS`` rows is a purge, not a takedown —
-    broadcasting it would blow the 8 GB broadcast / driver limits with
-    a confusing OOM, so both the probe and the rewrite fall back to
-    shuffled joins (the ``_fresh_rows`` rule)."""
+    Scale shape: the no-op probe is one broadcast-semi ``head(1)``
+    over the resolved rows (the same probe shape the key-idempotent
+    appends use), then one tombstone staging write — the corpus is
+    never read in full, rewritten, or shuffled. A DataFrame delete
+    set past ``_BROADCAST_APPEND_KEYS`` rows is a purge, not a
+    takedown — broadcasting it would blow the 8 GB broadcast / driver
+    limits with a confusing OOM, so the probe falls back to a
+    shuffled semi join (the ``_fresh_rows`` rule); the commit is
+    O(batch) either way."""
     if not store.exists(table):
         raise ValueError(f"ann_delete: index {table!r} does not exist")
     if isinstance(keys, DataFrame):
@@ -1838,9 +1844,7 @@ def ann_delete(
     vec_rows = cur.filter(F.col("n").isNotNull())
     if not vec_rows.join(probe, "n", "left_semi").head(1):
         return store.latest_version(table)
-    kept = vec_rows.join(probe, "n", "left_anti")
-    geometry = cur.filter(F.col("n").isNull())
-    return store.replace(geometry.unionByName(kept), table)
+    return store.merge_delta(table, "n", tombstones=kdf)
 
 
 def ann_upsert(
@@ -1854,9 +1858,14 @@ def ann_upsert(
     """Atomic update-or-insert into a persistent index (uniform across
     ``ivf_index`` / ``pq_index`` / ``ivfpq_index`` tables — the family
     is detected from the committed layout's columns). The batch is
-    encoded through the COMMITTED geometry (no re-fit), the named
-    keys' OLD code rows are dropped, and survivors + fresh encodes +
-    untouched geometry commit as ONE replace-snapshot version.
+    encoded through the COMMITTED geometry (no re-fit) and commits as
+    ONE atomic MERGE-ON-READ delta layer (r14 — VERDICT r13 item 2):
+    tombstones for the batch keys plus the fresh encodes — an
+    O(batch) write, where the previous copy-on-write replace staged
+    the whole next snapshot per CDC micro-batch. Readers resolve the
+    layer at read time (old code rows for the named keys disappear,
+    fresh encodes appear); ``optimize`` folds layers into a packed
+    base on the ``ann_compact_due`` cadence.
 
     Closes the append family's update gap: the appends are
     key-idempotent BY DESIGN (``_fresh_rows`` — a retried batch adds
@@ -1877,20 +1886,19 @@ def ann_upsert(
     nondeterministic winner. De-duplicate upstream (e.g. keep the
     latest CDC row per key) when the batch can conflict (ADVICE r12).
 
-    ``metadata`` rides the replace-commit manifest atomically — the
+    ``metadata`` rides the delta-commit manifest atomically — the
     hook ``streaming.ann_stream.StreamingUpsertIngest`` uses for its
     ``batch_id`` replay marker (r13): because retries add versions by
     design here, the streaming form NEEDS the marker, unlike the
     key-idempotent append twins which are marker-free.
 
-    Scale shape: one encode pass over the batch (Arrow), one broadcast
-    anti-join over the code rows for micro-batches (the
-    ``_BROADCAST_APPEND_KEYS`` bound — backfill-scale batches fall
-    back to one shuffled anti-join, the ``_fresh_rows`` rule), one
-    atomic commit; the corpus is never shuffled, geometry rows pass
-    through untouched. A large upsert shifts the data distribution
-    like a large append does — run the family's maintenance advisor
-    afterwards."""
+    Scale shape: one encode pass over the batch (Arrow), one O(batch)
+    staging write, one atomic manifest commit; the corpus is never
+    read, rewritten, or shuffled — the old rows' removal is a
+    batch-sized tombstone anti-join applied at read time. Geometry
+    rows carry NULL keys and pass through every layer untouched. A
+    large upsert shifts the data distribution like a large append
+    does — run the family's maintenance advisor afterwards."""
     spark = new_vecs.sparkSession
     _require_integral_key(new_vecs, key, "ann_upsert")
     if not store.exists(table):
@@ -1950,16 +1958,10 @@ def ann_upsert(
             "not a known index family"
         )
     assign = assign.dropDuplicates(["n"])
-    vec_rows = cur.filter(F.col("n").isNotNull())
-    if new_vecs.count() > _BROADCAST_APPEND_KEYS:
-        survivors = vec_rows.join(assign.select("n"), "n", "left_anti")
-    else:
-        survivors = vec_rows.join(
-            F.broadcast(assign.select("n")), "n", "left_anti"
-        )
-    geometry = cur.filter(F.col("n").isNull())
-    return store.replace(
-        geometry.unionByName(survivors).unionByName(assign), table,
+    return store.merge_delta(
+        table, "n",
+        tombstones=assign.select("n"),
+        fresh=assign,
         metadata=metadata,
     )
 
@@ -1970,14 +1972,13 @@ def ann_compact_due(
     max_versions: int = 32,
     dead_ratio: float = 1.0,
     min_dead_bytes: int = 0,
+    max_delta_layers: int = 8,
 ) -> bool:
     """The storage-compaction advisor (r13 — VERDICT r12 item 6):
-    ``ann_delete``/``ann_upsert``/refits are REPLACE commits, so a
-    takedown- or CDC-heavy index accretes one full stale table copy
-    per churn commit; the store's ``optimize``/``vacuum`` exist but
-    nothing told the scheduler WHEN. True when either storage disease
-    is present, read from ``store.storage_stats`` (one manifest read +
-    one directory listing, no data IO):
+    churn accretes storage disease that ``optimize``/``vacuum`` cure,
+    but nothing told the scheduler WHEN. True when any is present,
+    read from ``store.storage_stats`` (one manifest read + one
+    directory listing, no data IO):
 
     - retained versions exceed ``max_versions`` (manifest sprawl —
       every read resolves the latest manifest fast, but history
@@ -1985,13 +1986,20 @@ def ann_compact_due(
     - dead bytes (on disk, unreferenced by the head snapshot — what
       ``vacuum`` reclaims) exceed ``dead_ratio`` × live bytes AND
       ``min_dead_bytes`` (raise the floor in production so a few
-      stale MB never triggers a maintenance pass).
+      stale MB never triggers a maintenance pass) — the copy-on-write
+      disease (refits, replace commits), or
+    - pending merge-on-read delta layers exceed ``max_delta_layers``
+      (r14: ``ann_delete``/``ann_upsert`` churn commits are O(batch)
+      delta layers now, so the disease they accrete is READ
+      amplification — every resolve pays one anti-join + union per
+      layer — not dead bytes; ``optimize`` folds the layers back into
+      a packed base).
 
     The scheduled-job form (the ``ivf_refit_due`` pattern applied to
     storage)::
 
         if ann_compact_due(store, t):
-            store.optimize(spark, t)   # bin-pack head, history kept
+            store.optimize(spark, t)   # fold layers + bin-pack head
             store.vacuum(t)            # reclaim — TIME TRAVEL PRUNED
 
     Caveat the CLI documents too: ``vacuum`` trades retention for
@@ -2001,8 +2009,12 @@ def ann_compact_due(
         raise ValueError(f"max_versions must be >= 1: {max_versions}")
     if dead_ratio <= 0:
         raise ValueError(f"dead_ratio must be positive: {dead_ratio}")
+    if max_delta_layers < 1:
+        raise ValueError(f"max_delta_layers must be >= 1: {max_delta_layers}")
     s = store.storage_stats(table)
     if s["versions"] > max_versions:
+        return True
+    if s.get("delta_layers", 0) > max_delta_layers:
         return True
     return (
         s["dead_bytes"] >= max(min_dead_bytes, 1)

@@ -121,7 +121,9 @@ class SnapshotStateStore:
         <root>/<table>/data/<uuid>-part-N.parquet   immutable data files
         <root>/<table>/_manifests/v<NNNNNNNN>.json  ordered snapshots
 
-    A manifest is the COMPLETE file list of its snapshot (not a delta),
+    A manifest is SELF-CONTAINED: the complete base file list of its
+    snapshot plus (r14) an ordered list of merge-on-read delta layers
+    — resolving any version never consults another manifest. It is
     committed with an exclusive-create (``os.link`` onto the final
     name): two racing writers can both stage data files, but only one
     claims version N — the loser re-reads the latest manifest and
@@ -131,7 +133,11 @@ class SnapshotStateStore:
     isolation; later appends/truncates cannot tear a read. ``truncate``
     is logical (a new empty-file-list version) so earlier versions
     remain time-travelable; ``vacuum`` reclaims files unreferenced by
-    the latest snapshot.
+    the latest snapshot. Churn commits (``merge_delta``) write
+    O(batch), not O(corpus): tombstone keys + fresh rows land as one
+    delta layer applied at read time and folded into a packed base by
+    ``optimize`` — deletion vectors / Iceberg merge-on-read, in the
+    same dependency-free form.
 
     Scale notes: the manifest holds file NAMES only (k-row state
     batches → tiny lists); data files are immutable so object-store
@@ -179,6 +185,8 @@ class SnapshotStateStore:
         replace: bool = False,
         schema_json: str | None = None,
         metadata: dict | None = None,
+        delta_layer: dict | None = None,
+        restore_deltas: list | None = None,
     ) -> int:
         """Claim the next version via exclusive create; retry on race.
 
@@ -189,6 +197,20 @@ class SnapshotStateStore:
         table schema rides in the manifest (``schema_json`` on append;
         carried forward otherwise) so an EMPTY snapshot — a fresh
         truncate — still reads back with the real column types.
+
+        MERGE-ON-READ deltas (r14 — VERDICT r13 item 2): a manifest may
+        additionally carry ``deltas`` — an ordered list of layers
+        ``{"key": col, "tombstones": [files], "fresh": [files]}``
+        applied on top of ``files`` at read time (anti-join the
+        tombstoned keys, union the fresh rows). ``delta_layer`` appends
+        one layer while carrying the base file list forward — an
+        O(batch) commit where a copy-on-write rewrite would stage the
+        whole O(corpus) snapshot. A plain append onto a delta-bearing
+        snapshot rides as a fresh-only layer (appending to the BASE
+        would expose those rows to earlier layers' tombstones); a
+        replace clears the layers (that is what folds them —
+        ``optimize``). ``restore_deltas`` lets ``rollback`` re-commit a
+        historical manifest's layers verbatim.
 
         The filesystem-specific "create this exact key only if
         absent" primitive lives behind the injectable
@@ -201,14 +223,29 @@ class SnapshotStateStore:
         while True:
             latest = self.latest_version(table)
             base_schema = None
+            base_deltas: list = []
             if latest is not None:
                 m = self._read_manifest(table, latest)
                 base = [] if replace else m["files"]
+                if not replace:
+                    base_deltas = list(m.get("deltas") or [])
                 base_schema = m.get("schema")
             else:
                 base = []
-            seen = set(base)
-            files = base + [f for f in new_files if f not in seen]
+            if delta_layer is not None:
+                files = base
+                deltas = base_deltas + [delta_layer]
+            elif base_deltas and not replace:
+                # plain append over pending deltas: new rows must land
+                # AFTER the existing layers, not inside the base
+                files = base
+                deltas = base_deltas + [
+                    {"key": None, "tombstones": [], "fresh": list(new_files)}
+                ]
+            else:
+                seen = set(base)
+                files = base + [f for f in new_files if f not in seen]
+                deltas = list(restore_deltas or []) if replace else []
             version = (latest or 0) + 1
             payload = json.dumps(
                 {
@@ -216,6 +253,7 @@ class SnapshotStateStore:
                     "files": files,
                     "schema": schema_json or base_schema,
                     "meta": metadata or {},
+                    **({"deltas": deltas} if deltas else {}),
                 }
             )
             final = mdir / f"v{version:08d}.json"
@@ -224,6 +262,23 @@ class SnapshotStateStore:
             # lost the race — recompute base and retry
 
     # ---- public surface ----
+
+    def _stage(self, df: DataFrame, table: str) -> list[str]:
+        """Write ``df`` to immutable uuid-named data files; returns
+        their names (not yet referenced by any manifest — an orphan
+        until a commit claims them, reclaimable by vacuum)."""
+        staging = self._table(table) / f".staging-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(str(staging))
+        data = self._data(table)
+        data.mkdir(parents=True, exist_ok=True)
+        batch = uuid.uuid4().hex
+        new_files: list[str] = []
+        for i, part in enumerate(sorted(staging.glob("part-*.parquet"))):
+            name = f"{batch}-part-{i}.parquet"
+            os.replace(part, data / name)
+            new_files.append(name)
+        shutil.rmtree(staging)
+        return new_files
 
     def append(
         self,
@@ -240,44 +295,118 @@ class SnapshotStateStore:
         compatibility (fit's per-step persist) and ignored: versions
         are the pruning axis here — each append IS a snapshot
         boundary, so 'read the latest two steps' is two version reads."""
-        staging = self._table(table) / f".staging-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(str(staging))
-        data = self._data(table)
-        data.mkdir(parents=True, exist_ok=True)
-        batch = uuid.uuid4().hex
-        new_files: list[str] = []
-        for i, part in enumerate(sorted(staging.glob("part-*.parquet"))):
-            name = f"{batch}-part-{i}.parquet"
-            os.replace(part, data / name)
-            new_files.append(name)
-        shutil.rmtree(staging)
+        new_files = self._stage(df, table)
         return self._commit(
             table, new_files, schema_json=df.schema.json(), metadata=metadata
+        )
+
+    def merge_delta(
+        self,
+        table: str,
+        key: str,
+        tombstones: DataFrame | None = None,
+        fresh: DataFrame | None = None,
+        metadata: dict | None = None,
+    ) -> int:
+        """MERGE-ON-READ churn commit (r14 — VERDICT r13 item 2, the
+        design every production table format uses for churn-heavy
+        tables): stage only the CHANGE — a tombstone key set
+        (single-column ``key`` DataFrame; those keys disappear from
+        the effective table) and/or fresh rows (full-schema DataFrame;
+        they land after the tombstones apply, so
+        ``tombstones=keys(batch), fresh=batch`` is an upsert) — and
+        commit them as ONE atomic delta layer on the current snapshot.
+
+        The write is O(batch): deleting 10 keys from a 100-TB index
+        stages kilobytes, where the copy-on-write ``replace`` path
+        stages the whole next snapshot. The read side applies layers
+        in order (broadcast-scale anti-join per tombstone set, union
+        per fresh set — ``read()``), which accretes one join per
+        layer; ``optimize`` folds the layers back into a packed base
+        (and ``ann_compact_due`` tells the scheduler when). Time
+        travel is preserved exactly like every other commit: earlier
+        manifests resolve without the new layer.
+
+        Same single-writer-per-table contract as ``upsert``; OCC
+        protects the manifest claim, not read-modify-write races."""
+        if tombstones is None and fresh is None:
+            raise ValueError("merge_delta: nothing to commit")
+        tomb_files: list[str] = []
+        fresh_files: list[str] = []
+        schema_json = None
+        if tombstones is not None:
+            cols = tombstones.columns
+            if cols != [key]:
+                raise ValueError(
+                    f"merge_delta: tombstones must be exactly [{key!r}], "
+                    f"got {cols}"
+                )
+            tomb_files = self._stage(tombstones, table)
+        if fresh is not None:
+            if key not in fresh.columns:
+                raise ValueError(
+                    f"merge_delta: fresh rows lack key column {key!r}"
+                )
+            fresh_files = self._stage(fresh, table)
+            schema_json = fresh.schema.json()
+        return self._commit(
+            table,
+            [],
+            schema_json=schema_json,
+            metadata=metadata,
+            delta_layer={
+                "key": key,
+                "tombstones": tomb_files,
+                "fresh": fresh_files,
+            },
         )
 
     def read(
         self, spark: SparkSession, table: str, version: int | None = None
     ) -> DataFrame:
         """Snapshot read: resolve the manifest once (latest or pinned
-        ``version`` — time travel), then read exactly those files."""
+        ``version`` — time travel), read exactly those files, then
+        apply any merge-on-read delta layers in commit order: each
+        layer anti-joins its tombstoned keys out of the rows so far
+        and unions its fresh rows in. Tombstone sets are batch-sized
+        parquet scans with known file statistics, so Catalyst's
+        size-based broadcast (and AQE) picks the map-side anti-join
+        without any driver-side sizing action; NULL keys (the index
+        tables' geometry rows) never equal a tombstone key and pass
+        through every layer untouched."""
         v = self.latest_version(table) if version is None else version
         if v is None:
             raise FileNotFoundError(f"SnapshotStateStore: no snapshots for {table!r}")
         m = self._read_manifest(table, v)
         files = m["files"]
-        if not files:
-            # empty snapshot (fresh truncate): the real table schema
-            # rides in the manifest, so truncate-then-ingest callers
-            # still see typed columns, not a placeholder
-            if m.get("schema"):
-                from pyspark.sql.types import StructType
-
-                return spark.createDataFrame(
-                    [], StructType.fromJson(json.loads(m["schema"]))
-                )
-            return spark.createDataFrame([], schema="__empty string").limit(0)
+        deltas = m.get("deltas") or []
         data = self._data(table)
-        return spark.read.parquet(*[str(data / f) for f in files])
+        if files:
+            df = spark.read.parquet(*[str(data / f) for f in files])
+        elif m.get("schema"):
+            # empty base (fresh truncate, or a delta-only table): the
+            # real table schema rides in the manifest, so callers
+            # still see typed columns, not a placeholder
+            from pyspark.sql.types import StructType
+
+            df = spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema"]))
+            )
+        else:
+            return spark.createDataFrame([], schema="__empty string").limit(0)
+        for layer in deltas:
+            if layer["tombstones"]:
+                tomb = spark.read.parquet(
+                    *[str(data / f) for f in layer["tombstones"]]
+                )
+                df = df.join(tomb, layer["key"], "left_anti")
+            if layer["fresh"]:
+                df = df.unionByName(
+                    spark.read.parquet(
+                        *[str(data / f) for f in layer["fresh"]]
+                    )
+                )
+        return df
 
     def exists(self, table: str) -> bool:
         return self.latest_version(table) is not None
@@ -346,10 +475,12 @@ class SnapshotStateStore:
         rolled-back versions stay time-travelable until vacuum) and
         the data files are immutable, so this is one manifest write,
         no data IO. The ingest CLI uses it to undo a state commit
-        whose output write failed (ADVICE r8)."""
+        whose output write failed (ADVICE r8). A delta-bearing
+        manifest restores with its layers verbatim."""
         m = self._read_manifest(table, version)
         return self._commit(
-            table, m["files"], replace=True, schema_json=m.get("schema")
+            table, m["files"], replace=True, schema_json=m.get("schema"),
+            restore_deltas=m.get("deltas") or None,
         )
 
     def drop(self, table: str) -> None:
@@ -377,9 +508,11 @@ class SnapshotStateStore:
         latest = self.latest_version(table)
         if latest is None:
             raise ValueError(f"storage_stats: no such table {table!r}")
-        live = set(self._read_manifest(table, latest)["files"])
+        m = self._read_manifest(table, latest)
+        live = self._referenced_files(m)
         stats = {
             "versions": len(self._versions(table)),
+            "delta_layers": len(m.get("deltas") or []),
             "live_files": 0,
             "live_bytes": 0,
             "dead_files": 0,
@@ -393,6 +526,27 @@ class SnapshotStateStore:
                 stats[f"{side}_bytes"] += p.stat().st_size
         return stats
 
+    @staticmethod
+    def _referenced_files(manifest: dict) -> set[str]:
+        """Every data file a manifest's snapshot resolution touches:
+        the base list plus each delta layer's tombstone and fresh
+        files."""
+        refs = set(manifest["files"])
+        for layer in manifest.get("deltas") or []:
+            refs.update(layer["tombstones"])
+            refs.update(layer["fresh"])
+        return refs
+
+    def delta_layers(self, table: str, version: int | None = None) -> int:
+        """Pending merge-on-read layers at ``version`` (default head)
+        — the read-amplification counter (each layer adds one
+        anti-join + union to every read) the compaction advisor
+        watches. One manifest read, no data IO."""
+        v = self.latest_version(table) if version is None else version
+        if v is None:
+            raise ValueError(f"delta_layers: no such table {table!r}")
+        return len(self._read_manifest(table, v).get("deltas") or [])
+
     def vacuum(self, table: str) -> int:
         """Delete data files not referenced by the LATEST snapshot and
         drop all older manifests. Returns files removed. (After vacuum,
@@ -401,7 +555,7 @@ class SnapshotStateStore:
         latest = self.latest_version(table)
         if latest is None:
             return 0
-        keep = set(self._read_manifest(table, latest)["files"])
+        keep = self._referenced_files(self._read_manifest(table, latest))
         removed = 0
         for p in self._data(table).glob("*.parquet"):
             if p.name not in keep:
@@ -458,13 +612,16 @@ class SnapshotStateStore:
         latest = self.latest_version(table)
         if latest is None:
             raise ValueError(f"optimize: no such table {table!r}")
-        files = self._read_manifest(table, latest)["files"]
+        m = self._read_manifest(table, latest)
+        files = sorted(self._referenced_files(m))
         total = sum(
             (self._data(table) / f).stat().st_size for f in files
         )
         n_out = max(1, -(-total // target_bytes))
-        if len(files) <= n_out:
-            return latest  # already packed
+        if len(files) <= n_out and not m.get("deltas"):
+            return latest  # already packed, no layers to fold
+        # resolves pending merge-on-read layers too: the replace
+        # commit below is what FOLDS deltas back into a packed base
         current = self.read(spark, table).coalesce(int(n_out))
         return self._replace_snapshot(current, table)
 

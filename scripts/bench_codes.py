@@ -25,6 +25,7 @@ from __future__ import annotations
 NAMES = [
     "ann_compaction",
     "ann_delete_replay",
+    "ann_delta_churn",
     "ann_filtered_query",
     "ann_recall",
     "ann_topk",
@@ -220,6 +221,10 @@ def encode_pairs(timings: dict[str, float]) -> str:
 # APPEND-DISCIPLINE: when new queries land in NAMES, prepend their
 # list here in the same commit (pinned by tests/test_bench_codes.py).
 ROUND_ADDITIONS: list[list[str]] = [
+    # r14 additions (decoding BENCH_r13 needs the pre-r14 table)
+    [
+        "ann_delta_churn",
+    ],
     # r13 additions (decoding BENCH_r12 needs the pre-r13 table)
     [
         "ann_compaction", "ann_filtered_query", "ann_recall",

@@ -3988,11 +3988,14 @@ def test_streaming_upsert_ingest_marker_exactly_once(spark, tmp_path):
 
 
 def test_ann_compact_due_advisor_and_compaction(spark, tmp_path):
-    """ann_compact_due (r13 — VERDICT r12 item 6 'Done ='): the
-    advisor fires after a delete/upsert churn sequence (replace
-    commits accrete dead bytes), optimize preserves pinned reads
-    above the vacuum horizon, vacuum reclaims the churn, and the
-    advisor clears afterwards with the head snapshot intact."""
+    """ann_compact_due (r13 — VERDICT r12 item 6 'Done ='; r14: churn
+    commits are merge-on-read delta layers now, so the churn disease
+    the advisor watches is READ amplification — pending layers — not
+    dead bytes): the advisor fires after a delete/upsert churn
+    sequence via the layer trigger, optimize FOLDS the layers (and
+    preserves pinned reads above the vacuum horizon), vacuum reclaims
+    the superseded files, and the advisor clears afterwards with the
+    head snapshot intact."""
     from clickhouse_k_means_spark.operators.ann_index import (
         ann_compact_due,
         ann_delete,
@@ -4007,8 +4010,9 @@ def test_ann_compact_due_advisor_and_compaction(spark, tmp_path):
     )
     store = SnapshotStateStore(str(tmp_path / "comp"))
     v1 = ivf_index(vecs, store, nlist=2, seed=42)
-    assert not ann_compact_due(store, "ivf_index")
-    # churn: two upsert rounds + one delete, each a full replace
+    assert not ann_compact_due(store, "ivf_index", max_delta_layers=2)
+    # churn: two upsert rounds + one delete — each ONE O(batch) delta
+    # layer (r14), no corpus rewrite
     for r in range(2):
         ann_upsert(
             vecs.filter(F.pmod("vec_id", F.lit(4)) == r).select(
@@ -4019,23 +4023,33 @@ def test_ann_compact_due_advisor_and_compaction(spark, tmp_path):
             table="ivf_index",
         )
     ann_delete(spark, [63], store, table="ivf_index")
-    assert ann_compact_due(store, "ivf_index")
+    assert store.delta_layers("ivf_index") == 3
+    # the layer trigger fires; the dead-bytes arm alone does NOT (the
+    # whole point of merge-on-read: churn no longer strands a full
+    # stale table copy per commit)
+    assert ann_compact_due(store, "ivf_index", max_delta_layers=2)
+    assert not ann_compact_due(store, "ivf_index", max_delta_layers=8,
+                               max_versions=32)
     # parameter validation
     with pytest.raises(ValueError, match="max_versions"):
         ann_compact_due(store, "ivf_index", max_versions=0)
     with pytest.raises(ValueError, match="dead_ratio"):
         ann_compact_due(store, "ivf_index", dead_ratio=0)
-    # version-sprawl arm fires independently of dead bytes
+    with pytest.raises(ValueError, match="max_delta_layers"):
+        ann_compact_due(store, "ivf_index", max_delta_layers=0)
+    # version-sprawl arm fires independently of dead bytes/layers
     assert ann_compact_due(store, "ivf_index", max_versions=2,
-                           dead_ratio=1e9)
+                           dead_ratio=1e9, max_delta_layers=8)
     pre_rows = store.read(spark, "ivf_index", version=v1).count()
     head_rows = store.read(spark, "ivf_index").count()
     store.optimize(spark, "ivf_index")
-    # optimize keeps time travel: the pinned pre-churn read still works
+    # optimize FOLDS the pending layers into a packed base...
+    assert store.delta_layers("ivf_index") == 0
+    # ...and keeps time travel: the pinned pre-churn read still works
     assert store.read(spark, "ivf_index", version=v1).count() == pre_rows
     removed = store.vacuum("ivf_index")
     assert removed > 0
-    assert not ann_compact_due(store, "ivf_index")
+    assert not ann_compact_due(store, "ivf_index", max_delta_layers=2)
     assert store.read(spark, "ivf_index").count() == head_rows
 
 

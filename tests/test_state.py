@@ -892,3 +892,96 @@ def test_drop_removes_table_physically(spark, tmp_path):
     store.append(spark.createDataFrame([(1,)], "id long"), "u")
     store.truncate("u")
     assert store.exists("u")
+
+
+# ---- merge-on-read delta commits (r14 — VERDICT r13 item 2) ----
+
+
+def test_merge_delta_is_o_batch_and_resolves_on_read(spark, snap):
+    """A churn commit stages ONLY the change: the base files of the
+    pre-churn snapshot are carried by name (no restage), tombstoned
+    keys disappear from the resolved read, fresh rows appear, and the
+    pinned pre-churn version replays exactly."""
+    base = spark.range(0, 100).select(
+        F.col("id").alias("n"), (F.col("id") * 10).alias("val")
+    )
+    v1 = snap.append(base, "t")
+    m1_files = set(snap._read_manifest("t", v1)["files"])
+    tomb = spark.createDataFrame([(3,), (7,)], "n bigint")
+    fresh = spark.createDataFrame([(7, 999), (200, 2000)], "n bigint, val bigint")
+    v2 = snap.merge_delta("t", "n", tombstones=tomb, fresh=fresh)
+    m2 = snap._read_manifest("t", v2)
+    # O(batch): the base file list is IDENTICAL (carried by name)
+    assert set(m2["files"]) == m1_files
+    assert len(m2["deltas"]) == 1
+    got = {r["n"]: r["val"] for r in snap.read(spark, "t").collect()}
+    assert 3 not in got            # tombstoned, no replacement
+    assert got[7] == 999           # tombstoned + fresh = upsert
+    assert got[200] == 2000        # pure insert
+    assert got[5] == 50 and len(got) == 100
+    # time travel: the pre-churn version is untouched
+    pinned = {r["n"]: r["val"] for r in snap.read(spark, "t", version=v1).collect()}
+    assert pinned[3] == 30 and pinned[7] == 70 and 200 not in pinned
+    # churn-commit bytes scale with the BATCH, not the corpus
+    layer = m2["deltas"][0]
+    data = snap._data("t")
+    batch_bytes = sum(
+        (data / f).stat().st_size
+        for f in layer["tombstones"] + layer["fresh"]
+    )
+    base_bytes = sum((data / f).stat().st_size for f in m2["files"])
+    assert batch_bytes < base_bytes
+
+
+def test_merge_delta_append_rollback_vacuum_interplay(spark, snap):
+    """Layers survive the surrounding lifecycle: a plain append over
+    pending deltas lands AFTER them (never exposed to earlier
+    tombstones), rollback restores a delta-bearing manifest verbatim,
+    vacuum keeps layer files, and optimize folds layers to zero with
+    identical resolved content."""
+    base = spark.range(0, 50).select(
+        F.col("id").alias("n"), (F.col("id") + 100).alias("val")
+    )
+    snap.append(base, "t")
+    snap.merge_delta(
+        "t", "n",
+        tombstones=spark.createDataFrame([(1,)], "n bigint"),
+    )
+    # plain append of a row with the TOMBSTONED key: must be visible
+    # (the append happens after the delete)
+    v3 = snap.append(
+        spark.createDataFrame([(1, 777)], "n bigint, val bigint"), "t"
+    )
+    got = {r["n"]: r["val"] for r in snap.read(spark, "t").collect()}
+    assert got[1] == 777 and len(got) == 50
+    assert snap.delta_layers("t") == 2  # tombstone layer + append rider
+    # another churn, then rollback to v3: layers restored verbatim
+    snap.merge_delta(
+        "t", "n", tombstones=spark.createDataFrame([(2,)], "n bigint")
+    )
+    assert 2 not in {r["n"] for r in snap.read(spark, "t").collect()}
+    snap.rollback("t", v3)
+    back = {r["n"]: r["val"] for r in snap.read(spark, "t").collect()}
+    assert back == got
+    # vacuum keeps every file the head's layers reference
+    snap.vacuum("t")
+    assert {r["n"]: r["val"] for r in snap.read(spark, "t").collect()} == got
+    # optimize folds: zero layers, same resolved rows
+    snap.optimize(spark, "t")
+    assert snap.delta_layers("t") == 0
+    assert {r["n"]: r["val"] for r in snap.read(spark, "t").collect()} == got
+
+
+def test_merge_delta_validates_inputs(spark, snap):
+    snap.append(spark.createDataFrame([(1, 2)], "n bigint, val bigint"), "t")
+    with pytest.raises(ValueError, match="nothing to commit"):
+        snap.merge_delta("t", "n")
+    with pytest.raises(ValueError, match="exactly"):
+        snap.merge_delta(
+            "t", "n",
+            tombstones=spark.createDataFrame([(1, 2)], "n bigint, x bigint"),
+        )
+    with pytest.raises(ValueError, match="lack key"):
+        snap.merge_delta(
+            "t", "n", fresh=spark.createDataFrame([(1,)], "val bigint")
+        )
