@@ -3350,6 +3350,102 @@ def q_ann_delta_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_predicate_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate takedown (operators/ann_index.ann_delete(where=) —
+    r14, VERDICT r13 item 4): production delete feeds arrive as
+    "delete all vectors where domain = 'x.com'", not key lists. Build
+    the IVF index on the FULL corpus, then two predicate deletes:
+
+    - META form: a deterministic metadata table maps ``doc_id`` →
+      ``domain`` (``vec_id % 40 == 7`` ⇒ ``'bad'``); ``where="domain
+      = 'bad'", meta=, meta_key="doc_id"`` resolves the predicate
+      over the metadata and tombstones the surviving keys — the
+      ``_predicate_filter`` contract the filtered queries share.
+    - DIRECT form: ``where="n % 40 = 13"`` over the index's own key
+      column.
+
+    Each commits ONE O(batch) tombstone layer (merge-on-read, the
+    ann_delta_churn contract); re-issuing BOTH predicates commits
+    nothing (``redelete_noop`` — the resolution runs over the
+    RESOLVED rows, where the keys are already gone), and
+    ``pred_commits`` asserts the manifest shape (base carried by
+    name, exactly two layers). Output: exact cosine top-5 per query
+    (original vectors of 7 — meta-deleted, 13 — direct-deleted, 2 —
+    untouched) at the post-takedown head and the PINNED pre-takedown
+    version, full-probe so DuckDB replays the ranking
+    value-for-value."""
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_delete,
+        ivf_index,
+        ivf_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = SnapshotStateStore(_scratch_dir("annpdel_"))
+    v1 = ivf_index(emb, store, nlist=8, seed=42)
+    base_files = set(store._read_manifest("ivf_index", v1)["files"])
+    meta = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.when(F.pmod("vec_id", F.lit(40)) == 7, F.lit("bad"))
+        .otherwise(F.lit("ok"))
+        .alias("domain"),
+    )
+    ann_delete(
+        spark, store=store, table="ivf_index",
+        where="domain = 'bad'", meta=meta, meta_key="doc_id",
+    )
+    v3 = ann_delete(
+        spark, store=store, table="ivf_index", where="n % 40 = 13"
+    )
+    head_m = store._read_manifest("ivf_index", v3)
+    pred_commits = (
+        set(head_m["files"]) == base_files
+        and store.delta_layers("ivf_index") == 2
+    )
+    # both predicates re-issued: the resolved rows no longer match,
+    # so neither commits
+    v4 = ann_delete(
+        spark, store=store, table="ivf_index",
+        where="domain = 'bad'", meta=meta, meta_key="doc_id",
+    )
+    v5 = ann_delete(
+        spark, store=store, table="ivf_index", where="n % 40 = 13"
+    )
+    redelete_noop = v4 == v3 and v5 == v3
+
+    qvecs = emb.filter(F.col("vec_id").isin(7, 13, 2)).select(
+        F.col("vec_id").alias("q"), "embedding"
+    )
+
+    def leg(version, tag: str) -> DataFrame:
+        raw = ivf_query(
+            qvecs, store, k=100, nprobe=8, query_key="q", version=version
+        )
+        w = Window.partitionBy("q").orderBy(
+            F.round("score", 4).desc(), F.col("n").asc()
+        )
+        return (
+            raw.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 5)
+            .select(F.lit(tag).alias("tag"), "q", "rank", "n")
+        )
+
+    return (
+        leg(None, "post")
+        .unionAll(leg(v1, "pre"))
+        .withColumn(
+            "pred_commits", F.lit(1 if pred_commits else 0).cast("bigint")
+        )
+        .withColumn(
+            "redelete_noop", F.lit(1 if redelete_noop else 0).cast("bigint")
+        )
+    )
+
+
 def q_stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC upsert into the persistent IVF index
     (streaming/ann_stream.StreamingUpsertIngest — r13, VERDICT r12
@@ -5491,6 +5587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r14 additions (position 50+): first-gate at the FRONT
         # of the r15 window ---
         "ann_delta_churn": q_ann_delta_churn,
+        "ann_predicate_delete": q_ann_predicate_delete,
         # --- r10-window cohort remainder — continues the pointer
         # after the r14 additions ---
         "pack_sequences": q_pack_sequences,
@@ -7060,6 +7157,31 @@ def oracle_sql() -> dict[str, str]:
             "qb.vec_id as n, 1::BIGINT as delta_commits, "
             "1::BIGINT as o_batch, 1::BIGINT as redelete_noop, "
             "1::BIGINT as fold_exact "
+            "from q qa, e qb qualify rank <= 5"
+        ),
+        "ann_predicate_delete": (
+            # predicate takedown replayed exactly: post corpus = the
+            # meta-resolved %40==7 'bad' set AND the direct %40==13
+            # set removed; queries carry ORIGINAL vectors (7 =
+            # meta-deleted, 13 = direct-deleted, 2 = untouched); both
+            # legs exact cosine top-5 on round(sim,4) with id
+            # tie-break; manifest gates ride as constants
+            f"{emb_cte}, q as (select vec_id, v from e "
+            "where vec_id in (7, 13, 2)), "
+            "e2 as (select vec_id, v from e "
+            "where vec_id % 40 <> 7 and vec_id % 40 <> 13) "
+            "select 'post' as tag, qa.vec_id as q, "
+            f"row_number() over (partition by qa.vec_id order by "
+            f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
+            "qb.vec_id as n, 1::BIGINT as pred_commits, "
+            "1::BIGINT as redelete_noop "
+            "from q qa, e2 qb qualify rank <= 5 "
+            "union all "
+            "select 'pre' as tag, qa.vec_id as q, "
+            f"row_number() over (partition by qa.vec_id order by "
+            f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
+            "qb.vec_id as n, 1::BIGINT as pred_commits, "
+            "1::BIGINT as redelete_noop "
             "from q qa, e qb qualify rank <= 5"
         ),
         "stream_upsert_ingest": (

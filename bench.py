@@ -466,6 +466,9 @@ def main() -> None:
         # r14 addition: merge-on-read churn (O(batch) delta commits,
         # idempotent re-delete, exact fold, two-version replay legs)
         ("ann_delta_churn", entry.q_ann_delta_churn, 2),
+        # r14 addition: predicate takedown (meta + direct forms, both
+        # idempotent, two-version replay legs)
+        ("ann_predicate_delete", entry.q_ann_predicate_delete, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

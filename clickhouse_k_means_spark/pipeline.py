@@ -253,15 +253,19 @@ def build_parser() -> argparse.ArgumentParser:
         "never post-filtered from a fixed-k shortlist. Without "
         "--meta it filters the index's own columns (n, v/codes); "
         "with --meta it filters that metadata table and the "
-        "surviving keys gate the scan",
+        "surviving keys gate the scan. delete: predicate TAKEDOWN "
+        "(r14) — tombstones every current key the predicate matches, "
+        "one O(batch) merge-on-read commit",
     )
     an.add_argument(
         "--meta", default=None,
-        help="query: metadata parquet the --where predicate runs over",
+        help="query/delete: metadata parquet the --where predicate "
+        "runs over",
     )
     an.add_argument(
         "--meta-key", default="n",
-        help="query: key column in --meta matching the index keys",
+        help="query/delete: key column in --meta matching the index "
+        "keys",
     )
     an.add_argument(
         "--recall", action="store_true",
@@ -317,17 +321,18 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     if (
         getattr(args, "cmd", None) == "ann"
-        and getattr(args, "action", None) == "query"
+        and getattr(args, "action", None) in ("query", "delete")
         and not args.where
         and (args.meta is not None or args.meta_key != "n")
     ):
         # loud-failure rule (ADVICE r13 / r9): --meta / --meta-key
         # without --where would otherwise be silently ignored, turning
-        # a malformed FILTERED query into an UNFILTERED search
+        # a malformed FILTERED query (or predicate takedown) into an
+        # unfiltered search / key-list delete
         parser.error(
-            "ann query: --meta/--meta-key require --where (a filtered "
-            "search needs its predicate; without one the metadata "
-            "table would be silently ignored)"
+            f"ann {args.action}: --meta/--meta-key require --where (the "
+            "predicate; without one the metadata table would be "
+            "silently ignored)"
         )
 
     from pyspark.sql import functions as F
@@ -374,8 +379,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.action in ("build", "append", "upsert", "query") and not args.input:
             print(f"ann {args.action}: --input required", file=sys.stderr)
             return 2
-        if args.action == "delete" and not (args.input or args.keys):
-            print("ann delete: --keys or --input required", file=sys.stderr)
+        if args.action == "delete" and not (
+            args.input or args.keys or args.where
+        ):
+            print(
+                "ann delete: --keys, --input, or --where required",
+                file=sys.stderr,
+            )
             return 2
         if args.action in ("query", "stats") and not args.out:
             print(f"ann {args.action}: --out required", file=sys.stderr)
@@ -552,12 +562,21 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             before = store.latest_version(args.table)
-            if args.keys:
-                keys = [int(k) for k in args.keys.split(",") if k.strip()]
+            if args.where:
+                # predicate takedown (r14): --where over the index's
+                # own columns, or over --meta with --meta-key joining
+                meta = spark.read.parquet(args.meta) if args.meta else None
+                v = ann_delete(
+                    spark, store=store, table=args.table, key=args.key,
+                    where=args.where, meta=meta, meta_key=args.meta_key,
+                )
             else:
-                keys = spark.read.parquet(args.input)
-            v = ann_delete(spark, keys, store, table=args.table,
-                           key=args.key)
+                if args.keys:
+                    keys = [int(k) for k in args.keys.split(",") if k.strip()]
+                else:
+                    keys = spark.read.parquet(args.input)
+                v = ann_delete(spark, keys, store, table=args.table,
+                               key=args.key)
             summary.update(version=int(v), deleted_any=bool(v != before))
         else:  # query
             q = spark.read.parquet(args.input)

@@ -27,6 +27,7 @@ NAMES = [
     "ann_delete_replay",
     "ann_delta_churn",
     "ann_filtered_query",
+    "ann_predicate_delete",
     "ann_recall",
     "ann_topk",
     "ann_upsert_replay",
@@ -223,7 +224,7 @@ def encode_pairs(timings: dict[str, float]) -> str:
 ROUND_ADDITIONS: list[list[str]] = [
     # r14 additions (decoding BENCH_r13 needs the pre-r14 table)
     [
-        "ann_delta_churn",
+        "ann_delta_churn", "ann_predicate_delete",
     ],
     # r13 additions (decoding BENCH_r12 needs the pre-r13 table)
     [

@@ -911,3 +911,49 @@ def test_pipeline_cli_ann_query_meta_requires_where(tmp_path):
     with pytest.raises(SystemExit) as e2:
         main(base + ["--meta-key", "doc_id"])
     assert e2.value.code == 2
+
+
+def test_pipeline_cli_ann_delete_where(tmp_path, capsys, spark):
+    """ann delete --where (r14 — VERDICT r13 item 4 CLI exposure):
+    predicate takedown over the index's own columns or a --meta
+    table; idempotent re-issue reports no churn; --meta without
+    --where fails at the parser."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    vecs = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 21)],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(vecs)
+    state = str(tmp_path / "state")
+
+    def run(argv):
+        assert pmain(argv) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run(["ann", "build", "--input", vecs, "--state", state, "--nlist", "4"])
+    # direct predicate over the index key column
+    d = run(["ann", "delete", "--state", state, "--where", "n % 5 = 0"])
+    assert d["version"] == 2 and d["deleted_any"] is True
+    # idempotent: nothing left to match
+    d2 = run(["ann", "delete", "--state", state, "--where", "n % 5 = 0"])
+    assert d2["version"] == 2 and d2["deleted_any"] is False
+    # meta form
+    mp = str(tmp_path / "meta")
+    spark.createDataFrame(
+        [(i, "bad" if i <= 2 else "ok") for i in range(1, 21)],
+        "doc_id bigint, domain string",
+    ).write.parquet(mp)
+    d3 = run([
+        "ann", "delete", "--state", state, "--where", "domain = 'bad'",
+        "--meta", mp, "--meta-key", "doc_id",
+    ])
+    assert d3["version"] == 3 and d3["deleted_any"] is True
+    # --meta without --where: parser error
+    with _pytest.raises(SystemExit) as e:
+        pmain(["ann", "delete", "--state", state, "--meta", mp])
+    assert e.value.code == 2
