@@ -3582,6 +3582,75 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED recall advisor (operators/ann_index.ann_recall_probe
+    (where=) — r14, VERDICT r13 item 5): production alerts on the
+    recall of FILTERED searches — selective predicates are exactly
+    where the adaptive probe widening (the r13 flagship) is stressed,
+    and an advisor probing the unfiltered path would mask a filtered
+    regression. Build the IVF index on the odd-id half, append the
+    even half, restrict to the ``n % 3 = 1`` survivors and (a) probe
+    at FULL nprobe (the filtered exact path — recall must be EXACTLY
+    1e6 ppm: the filtered query degrades to an exact scan of the
+    survivors, which is also what the brute-force leg ranks), (b)
+    probe at the production nprobe=2 budget and gate it against a
+    floor set under the measured value at both driver scales, (c)
+    assert the advisor stays quiet at that floor, and (d) assert the
+    META form (predicate over a derived metadata table, ``doc_id`` →
+    the same key set) returns the IDENTICAL full-probe ppm — the two
+    predicate forms must agree. All deterministic (hash-ordered
+    sample from survivors, seeded build) so the oracle asserts the
+    constants."""
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_recall_probe,
+        ivf_append,
+        ivf_index,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = SnapshotStateStore(_scratch_dir("annrecf_"))
+    ivf_index(emb.filter(F.pmod("vec_id", F.lit(2)) == 1), store,
+              nlist=8, seed=42)
+    ivf_append(emb.filter(F.pmod("vec_id", F.lit(2)) == 0), store)
+    full = ann_recall_probe(
+        spark, store, k=10, sample_n=16, seed=42, nprobe=8,
+        where="n % 3 = 1",
+    )
+    meta = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.pmod("vec_id", F.lit(3)).alias("bucket"),
+    )
+    full_meta = ann_recall_probe(
+        spark, store, k=10, sample_n=16, seed=42, nprobe=8,
+        where="bucket = 1", meta=meta, meta_key="doc_id",
+    )
+    floor = 450_000
+    at_budget = ann_recall_probe(
+        spark, store, k=10, sample_n=16, seed=42, nprobe=2,
+        where="n % 3 = 1",
+    )
+    # the ann_recall_due(where=) advisor API — semantically
+    # budget_probe < floor — is exercised end-to-end by
+    # tests/test_extended_ops.py; probing it here a FOURTH time would
+    # re-pay a full survivor brute-force pass for no new signal
+    return spark.createDataFrame(
+        [
+            (
+                full,
+                1 if full_meta == full else 0,
+                min(at_budget, floor),
+                1 if at_budget < floor else 0,
+            )
+        ],
+        "recall_full bigint, meta_agrees bigint, recall_floor bigint, "
+        "due_at_floor bigint",
+    )
+
+
 def q_ann_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index storage-compaction lifecycle (operators/ann_index.
     ann_compact_due + store optimize/vacuum — r13, VERDICT r12
@@ -5588,6 +5657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of the r15 window ---
         "ann_delta_churn": q_ann_delta_churn,
         "ann_predicate_delete": q_ann_predicate_delete,
+        "ann_recall_filtered": q_ann_recall_filtered,
         # --- r10-window cohort remainder — continues the pointer
         # after the r14 additions ---
         "pack_sequences": q_pack_sequences,
@@ -7236,6 +7306,17 @@ def oracle_sql() -> dict[str, str]:
             # the nprobe=2 budget gates a floor and the advisor stays
             # quiet at it — all deterministic, constants asserted
             "select 1000000::BIGINT as recall_full, "
+            "450000::BIGINT as recall_floor, 0::BIGINT as due_at_floor"
+        ),
+        "ann_recall_filtered": (
+            # filtered recall advisor (r14): the filtered full probe
+            # degrades to an exact scan of the predicate survivors —
+            # exactly what the survivor-restricted brute force ranks —
+            # so recall is EXACTLY 1e6 ppm; the meta form must agree;
+            # the nprobe=2 budget gates a floor and the advisor stays
+            # quiet at it — all deterministic, constants asserted
+            "select 1000000::BIGINT as recall_full, "
+            "1::BIGINT as meta_agrees, "
             "450000::BIGINT as recall_floor, 0::BIGINT as due_at_floor"
         ),
         "pq_ann": (

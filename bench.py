@@ -469,6 +469,9 @@ def main() -> None:
         # r14 addition: predicate takedown (meta + direct forms, both
         # idempotent, two-version replay legs)
         ("ann_predicate_delete", entry.q_ann_predicate_delete, 2),
+        # r14 addition: filtered recall advisor (survivor-restricted
+        # sample + filtered query path + survivor brute force)
+        ("ann_recall_filtered", entry.q_ann_recall_filtered, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -2070,6 +2070,9 @@ def ann_recall_probe(
     sample_n: int = 16,
     seed: int = 42,
     version: int | None = None,
+    where=None,
+    meta: DataFrame | None = None,
+    meta_key: str = "n",
     **query_kw,
 ) -> int:
     """Measured recall@``k`` of the committed index against exact
@@ -2092,9 +2095,25 @@ def ann_recall_probe(
     top of the family query path — the expensive, SCHEDULED
     diagnostic, not a per-query check. ``version=`` probes a pinned
     snapshot. At 100 TB: still one scan, queries broadcast; run it on
-    the maintenance cadence, not the query path."""
+    the maintenance cadence, not the query path.
+
+    FILTERED recall (r14 — VERDICT r13 item 5): production alerts on
+    the recall of FILTERED searches — selective predicates are
+    exactly where the adaptive probe widening is stressed. Pass
+    ``where=`` (and optionally ``meta=``/``meta_key=``, the
+    ``_predicate_filter`` contract the query paths share) and the
+    whole protocol restricts to the predicate survivors: queries are
+    sampled from survivors, the family query runs its FILTERED path
+    at the production budget, and the exact leg brute-forces over
+    survivors only — so the returned ppm is the recall a filtered
+    production query actually experiences."""
     if k < 1 or sample_n < 1:
         raise ValueError(f"k and sample_n must be >= 1: {k}, {sample_n}")
+    if meta is not None and where is None:
+        raise ValueError(
+            "ann_recall_probe: meta= requires where= (the predicate "
+            "that filters it)"
+        )
     from clickhouse_k_means_spark.operators.similarity import (
         brute_force_topk,
     )
@@ -2102,29 +2121,43 @@ def ann_recall_probe(
     cur = store.read(spark, table, version=version)
     cols = set(cur.columns)
     vec_rows = cur.filter(F.col("n").isNotNull())
+    if where is not None:
+        pool = _predicate_filter(where, meta, meta_key, "ann_recall_probe")(
+            vec_rows
+        )
+        fkw = {"where": where, "meta": meta, "meta_key": meta_key}
+    else:
+        pool = vec_rows
+        fkw = {}
     qrows = (
-        vec_rows.select("n", "v")
+        pool.select("n", "v")
         .orderBy(F.xxhash64(F.lit(seed), F.col("n")))
         .limit(sample_n)
         .collect()
     )
     if not qrows:
-        raise ValueError(f"ann_recall_probe: {table!r} holds no vectors")
+        raise ValueError(
+            f"ann_recall_probe: {table!r} holds no vectors"
+            + (" matching the predicate" if where is not None else "")
+        )
     queries = spark.createDataFrame(
         [(int(r["n"]), [float(x) for x in r["v"]]) for r in qrows],
         "q bigint, embedding array<double>",
     )
     if cols == {"n", "cell", "sub", "code", "codes", "v"}:
         approx = ivfpq_query(
-            queries, store, table=table, k=k, version=version, **query_kw
+            queries, store, table=table, k=k, version=version, **fkw,
+            **query_kw,
         )
     elif cols == {"n", "sub", "code", "codes", "v"}:
         approx = pq_query(
-            queries, store, table=table, k=k, version=version, **query_kw
+            queries, store, table=table, k=k, version=version, **fkw,
+            **query_kw,
         )
     elif cols == {"n", "cell", "v"}:
         approx = ivf_query(
-            queries, store, table=table, k=k, version=version, **query_kw
+            queries, store, table=table, k=k, version=version, **fkw,
+            **query_kw,
         )
     else:
         raise ValueError(
@@ -2133,7 +2166,7 @@ def ann_recall_probe(
         )
     exact = brute_force_topk(
         queries,
-        vec_rows.select(F.col("n").alias("vec_id"), F.col("v").alias("embedding")),
+        pool.select(F.col("n").alias("vec_id"), F.col("v").alias("embedding")),
         k=k,
         query_key="q",
         corpus_key="vec_id",
@@ -2159,6 +2192,9 @@ def ann_recall_due(
     sample_n: int = 16,
     seed: int = 42,
     version: int | None = None,
+    where=None,
+    meta: DataFrame | None = None,
+    meta_key: str = "n",
     **query_kw,
 ) -> bool:
     """The recall advisor: True when the measured ``ann_recall_probe``
@@ -2175,13 +2211,17 @@ def ann_recall_due(
     real regression. ``version=`` pins the probed snapshot (ADVICE
     r13: it is an EXPLICIT parameter, forwarded to
     ``ann_recall_probe`` — smuggling it through ``query_kw`` would
-    double-bind inside the family query call)."""
+    double-bind inside the family query call). ``where=``/``meta=``
+    (r14) alert on FILTERED recall — sample, query, and brute-force
+    all restricted to the predicate survivors, the
+    ``ann_recall_probe`` contract."""
     if not 0 < floor_ppm <= 1_000_000:
         raise ValueError(f"floor_ppm must be in (0, 1e6]: {floor_ppm}")
     return (
         ann_recall_probe(
             spark, store, table, k=k, sample_n=sample_n, seed=seed,
-            version=version, **query_kw,
+            version=version, where=where, meta=meta, meta_key=meta_key,
+            **query_kw,
         )
         < floor_ppm
     )

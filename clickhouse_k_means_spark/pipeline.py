@@ -321,7 +321,7 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     if (
         getattr(args, "cmd", None) == "ann"
-        and getattr(args, "action", None) in ("query", "delete")
+        and getattr(args, "action", None) in ("query", "delete", "stats")
         and not args.where
         and (args.meta is not None or args.meta_key != "n")
     ):
@@ -523,6 +523,13 @@ def main(argv: list[str] | None = None) -> int:
                 rkw = {"nprobe": args.nprobe} if args.kind != "pq" else {}
                 if args.rerank and args.kind in ("pq", "ivfpq"):
                     rkw["rerank"] = args.rerank
+                if args.where:
+                    # filtered recall (r14): the advisor probes the
+                    # FILTERED query path over predicate survivors
+                    rkw["where"] = args.where
+                    if args.meta:
+                        rkw["meta"] = spark.read.parquet(args.meta)
+                        rkw["meta_key"] = args.meta_key
                 summary.update(
                     recall_ppm=ann_recall_probe(
                         spark, store, args.table, k=args.k,

@@ -29,6 +29,7 @@ NAMES = [
     "ann_filtered_query",
     "ann_predicate_delete",
     "ann_recall",
+    "ann_recall_filtered",
     "ann_topk",
     "ann_upsert_replay",
     "anomaly_zscore",
@@ -224,7 +225,7 @@ def encode_pairs(timings: dict[str, float]) -> str:
 ROUND_ADDITIONS: list[list[str]] = [
     # r14 additions (decoding BENCH_r13 needs the pre-r14 table)
     [
-        "ann_delta_churn", "ann_predicate_delete",
+        "ann_delta_churn", "ann_predicate_delete", "ann_recall_filtered",
     ],
     # r13 additions (decoding BENCH_r12 needs the pre-r13 table)
     [

@@ -957,3 +957,31 @@ def test_pipeline_cli_ann_delete_where(tmp_path, capsys, spark):
     with _pytest.raises(SystemExit) as e:
         pmain(["ann", "delete", "--state", state, "--meta", mp])
     assert e.value.code == 2
+
+
+def test_pipeline_cli_ann_stats_recall_where(tmp_path, capsys, spark):
+    """ann stats --recall --where (r14 — VERDICT r13 item 5 CLI
+    exposure): the recall probe runs the FILTERED path over predicate
+    survivors; full probe over survivors is exact (1e6 ppm)."""
+    import json as _json
+
+    from clickhouse_k_means_spark.pipeline import main as pmain
+
+    vecs = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(i, [float(i % 5) + 1.0, float(i % 3) + 1.0]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(vecs)
+    state = str(tmp_path / "state")
+
+    def run(argv):
+        assert pmain(argv) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run(["ann", "build", "--input", vecs, "--state", state, "--nlist", "2"])
+    s = run([
+        "ann", "stats", "--state", state, "--out", str(tmp_path / "rep"),
+        "--recall", "--nprobe", "2", "--k", "3",
+        "--where", "n % 2 = 0",
+    ])
+    assert s["recall_ppm"] == 1_000_000

@@ -4355,3 +4355,52 @@ def test_ann_delete_predicate_takedown(spark, tmp_path):
         ann_delete(spark, store=store)
     with pytest.raises(ValueError, match="meta= requires"):
         ann_delete(spark, [1], store=store, meta=meta)
+
+
+def test_ann_recall_filtered_probes_survivors_only(spark, tmp_path):
+    """ann_recall_probe/due(where=) (r14 — VERDICT r13 item 5):
+    the filtered advisor samples from predicate survivors, runs the
+    family's FILTERED query path, and brute-forces over survivors
+    only — at full probe the two legs coincide exactly (1e6 ppm);
+    the meta form agrees with the direct form; the due API matches
+    probe < floor; malformed combinations fail loudly."""
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_recall_due,
+        ann_recall_probe,
+        ivf_index,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 11) + 1.0, float(i % 7) + 1.0]) for i in range(96)],
+        "vec_id bigint, embedding array<double>",
+    )
+    store = SnapshotStateStore(str(tmp_path / "recf"))
+    ivf_index(vecs, store, nlist=4, seed=42)
+    full = ann_recall_probe(
+        spark, store, k=5, sample_n=6, seed=42, nprobe=4,
+        where="n % 4 = 2",
+    )
+    assert full == 1_000_000
+    meta = vecs.select(
+        F.col("vec_id").alias("doc_id"),
+        F.pmod("vec_id", F.lit(4)).alias("bucket"),
+    )
+    assert ann_recall_probe(
+        spark, store, k=5, sample_n=6, seed=42, nprobe=4,
+        where="bucket = 2", meta=meta, meta_key="doc_id",
+    ) == full
+    # the due API is budget-probe < floor, on the FILTERED path
+    at_budget = ann_recall_probe(
+        spark, store, k=5, sample_n=6, seed=42, nprobe=1,
+        where="n % 4 = 2",
+    )
+    assert ann_recall_due(
+        spark, store, floor_ppm=1_000_000, k=5, sample_n=6, seed=42,
+        nprobe=1, where="n % 4 = 2",
+    ) == (at_budget < 1_000_000)
+    # loud failures: meta without where; predicate matching nothing
+    with pytest.raises(ValueError, match="meta= requires"):
+        ann_recall_probe(spark, store, meta=meta)
+    with pytest.raises(ValueError, match="matching the predicate"):
+        ann_recall_probe(spark, store, where="n > 1000000")
