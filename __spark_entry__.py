@@ -3446,6 +3446,93 @@ def q_ann_predicate_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (operators/ann_index.ann_cdc_apply — r14, VERDICT
+    r13 item 6): one batch carrying upserts AND deletes interleaved —
+    the shape a real change feed delivers — applied as ONE atomic
+    merge-on-read delta layer: tombstones for every batch key, fresh
+    encodes for the upserts. Build the IVF index on the FULL corpus,
+    apply a single mixed batch (DELETE ``vec_id % 40 == 3``, UPDATE
+    ``vec_id % 40 == 9`` to its negated vector, INSERT a clone of
+    each updated row's original payload at ``vec_id + 1_000_000``),
+    and gate:
+
+    - ``one_commit``: the whole mixed batch landed as exactly ONE
+      version / ONE delta layer — no intermediate version where the
+      deletes applied without the sibling upserts.
+    - time travel: the ``pre`` leg pins the pre-batch version and
+      ranks over the ORIGINAL corpus.
+
+    Output: exact cosine top-5 per query (original vectors of 3 —
+    deleted, 9 — updated, 2 — untouched) at the post-apply head and
+    the pinned pre-apply version, full-probe so DuckDB replays the
+    ranking value-for-value."""
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_cdc_apply,
+        ivf_index,
+        ivf_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = SnapshotStateStore(_scratch_dir("cdcapply_"))
+    v1 = ivf_index(emb, store, nlist=8, seed=42)
+    upd = emb.filter(F.pmod("vec_id", F.lit(40)) == 9)
+    batch = (
+        emb.filter(F.pmod("vec_id", F.lit(40)) == 3).select(
+            "vec_id",
+            F.lit(None).cast("array<double>").alias("embedding"),
+            F.lit("d").alias("op"),
+        )
+        .unionAll(
+            upd.select(
+                "vec_id",
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+                F.lit("u").alias("op"),
+            )
+        )
+        .unionAll(
+            upd.select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                "embedding",
+                F.lit("u").alias("op"),
+            )
+        )
+    )
+    v2 = ann_cdc_apply(batch, store, table="ivf_index")
+    one_commit = (
+        v2 == v1 + 1 and store.delta_layers("ivf_index") == 1
+    )
+
+    qvecs = emb.filter(F.col("vec_id").isin(3, 9, 2)).select(
+        F.col("vec_id").alias("q"), "embedding"
+    )
+
+    def leg(version, tag: str) -> DataFrame:
+        raw = ivf_query(
+            qvecs, store, k=100, nprobe=8, query_key="q", version=version
+        )
+        w = Window.partitionBy("q").orderBy(
+            F.round("score", 4).desc(), F.col("n").asc()
+        )
+        return (
+            raw.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 5)
+            .select(F.lit(tag).alias("tag"), "q", "rank", "n")
+        )
+
+    return (
+        leg(None, "post")
+        .unionAll(leg(v1, "pre"))
+        .withColumn(
+            "one_commit", F.lit(1 if one_commit else 0).cast("bigint")
+        )
+    )
+
+
 def q_stream_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC upsert into the persistent IVF index
     (streaming/ann_stream.StreamingUpsertIngest — r13, VERDICT r12
@@ -5658,6 +5745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_delta_churn": q_ann_delta_churn,
         "ann_predicate_delete": q_ann_predicate_delete,
         "ann_recall_filtered": q_ann_recall_filtered,
+        "cdc_apply": q_cdc_apply,
         # --- r10-window cohort remainder — continues the pointer
         # after the r14 additions ---
         "pack_sequences": q_pack_sequences,
@@ -7227,6 +7315,32 @@ def oracle_sql() -> dict[str, str]:
             "qb.vec_id as n, 1::BIGINT as delta_commits, "
             "1::BIGINT as o_batch, 1::BIGINT as redelete_noop, "
             "1::BIGINT as fold_exact "
+            "from q qa, e qb qualify rank <= 5"
+        ),
+        "cdc_apply": (
+            # one mixed CDC batch replayed exactly: post corpus = the
+            # %40==3 deletes REMOVED, %40==9 keys negated in place
+            # plus original payloads cloned at +1e6 — all ONE atomic
+            # commit; queries carry ORIGINAL vectors (3 = deleted,
+            # 9 = updated, 2 = untouched); both legs exact cosine
+            # top-5 on round(sim,4) with id tie-break
+            f"{emb_cte}, q as (select vec_id, v from e "
+            "where vec_id in (3, 9, 2)), "
+            "e2 as (select vec_id, case when vec_id % 40 = 9 then "
+            "list_transform(v, x -> -x) else v end as v from e "
+            "where vec_id % 40 <> 3 "
+            "union all select vec_id + 1000000 as vec_id, v from e "
+            "where vec_id % 40 = 9) "
+            "select 'post' as tag, qa.vec_id as q, "
+            f"row_number() over (partition by qa.vec_id order by "
+            f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
+            "qb.vec_id as n, 1::BIGINT as one_commit "
+            "from q qa, e2 qb qualify rank <= 5 "
+            "union all "
+            "select 'pre' as tag, qa.vec_id as q, "
+            f"row_number() over (partition by qa.vec_id order by "
+            f"round({cos}, 4) desc, qb.vec_id asc) as rank, "
+            "qb.vec_id as n, 1::BIGINT as one_commit "
             "from q qa, e qb qualify rank <= 5"
         ),
         "ann_predicate_delete": (

@@ -472,6 +472,9 @@ def main() -> None:
         # r14 addition: filtered recall advisor (survivor-restricted
         # sample + filtered query path + survivor brute force)
         ("ann_recall_filtered", entry.q_ann_recall_filtered, 2),
+        # r14 addition: mixed upsert+delete CDC batch as ONE atomic
+        # delta commit, two-version replay legs
+        ("cdc_apply", entry.q_cdc_apply, 2),
     ]:
         timed(name, lambda q=q: _materialize(q(spark, sf_dir)),
               n_reps=n_reps, into=extended)

@@ -232,6 +232,50 @@ class StreamingUpsertIngest(StreamingIvfIngest):
         )
 
 
+class StreamingCdcApply(StreamingUpsertIngest):
+    """Full CDC-feed ingest (r14 — VERDICT r13 item 6): ``foreachBatch``
+    → ``ann_cdc_apply``, so a change stream carrying an op column
+    (``'u'`` upserts and ``'d'`` deletes INTERLEAVED — what a real
+    CDC feed looks like) lands as ONE atomic merge-on-read delta
+    layer per micro-batch: tombstones for every batch key, fresh
+    encodes for the upserts. No intermediate version ever shows a
+    delete applied without its sibling upsert.
+
+    Exactly-once story: inherited from ``StreamingUpsertIngest`` —
+    applying a batch always commits a version by design, so the
+    ``(query_name, batch_id)`` namespaced marker rides each commit
+    atomically and a replayed batch of the same logical stream is
+    skipped. Same bootstrap and single-writer contracts."""
+
+    _DEFAULT_QUERY_NAME = "streaming_cdc_apply"
+
+    def __init__(
+        self,
+        store,
+        table: str = "ivf_index",
+        key: str = "vec_id",
+        vec: str = "embedding",
+        op: str = "op",
+    ):
+        super().__init__(store, table=table, key=key, vec=vec)
+        self.op = op
+
+    def process_batch(self, batch: DataFrame, batch_id: int | None = None) -> int:
+        from clickhouse_k_means_spark.operators.ann_index import (
+            ann_cdc_apply,
+        )
+
+        meta = (
+            {"batch_id": int(batch_id), "batch_query": self.query_name}
+            if batch_id is not None
+            else None
+        )
+        return ann_cdc_apply(
+            batch, self.store, table=self.table, key=self.key,
+            vec=self.vec, op=self.op, metadata=meta,
+        )
+
+
 class StreamingPqIngest(StreamingIvfIngest):
     """The PQ twin (r11): per-batch COMMITTED-CODEBOOK encodes via
     ``pq_append`` — same exactly-once story (``pq_append`` shares

@@ -43,6 +43,7 @@ NAMES = [
     "bm25_topk",
     "boilerplate",
     "bucketed_join",
+    "cdc_apply",
     "cdc_dedup",
     "cdc_dedup_incremental",
     "chi_square",
@@ -226,6 +227,7 @@ ROUND_ADDITIONS: list[list[str]] = [
     # r14 additions (decoding BENCH_r13 needs the pre-r14 table)
     [
         "ann_delta_churn", "ann_predicate_delete", "ann_recall_filtered",
+        "cdc_apply",
     ],
     # r13 additions (decoding BENCH_r12 needs the pre-r13 table)
     [

@@ -4404,3 +4404,106 @@ def test_ann_recall_filtered_probes_survivors_only(spark, tmp_path):
         ann_recall_probe(spark, store, meta=meta)
     with pytest.raises(ValueError, match="matching the predicate"):
         ann_recall_probe(spark, store, where="n > 1000000")
+
+
+def test_streaming_cdc_apply_marker_exactly_once(spark, tmp_path):
+    """StreamingCdcApply (r14 — VERDICT r13 item 6 'Done ='): a CDC
+    stream with upserts AND deletes interleaved applies each
+    micro-batch as ONE atomic marked delta commit; a full replay with
+    a fresh checkpoint adds ZERO versions; the mixed batch is visible
+    at head (delete gone, update moved, insert present); the
+    pre-stream version is pinned intact."""
+    import math
+
+    from clickhouse_k_means_spark.operators.ann_index import (
+        ann_cdc_apply,
+        ivf_index,
+        ivf_query,
+    )
+    from clickhouse_k_means_spark.sources.state import SnapshotStateStore
+    from clickhouse_k_means_spark.streaming.ann_stream import (
+        StreamingCdcApply,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [math.cos(i * 0.01), math.sin(i * 0.01), 0.0, 0.0])
+            for i in range(16)
+        ]
+        + [
+            (100 + i, [0.0, 0.0, math.cos(i * 0.01), math.sin(i * 0.01)])
+            for i in range(16)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    store = SnapshotStateStore(str(tmp_path / "store"))
+    ivf_index(vecs, store, nlist=2, seed=42)
+    v_pre = store.latest_version("ivf_index")
+    schema = "vec_id bigint, embedding array<double>, op string"
+    src = tmp_path / "src"
+    # batch a: delete key 5, move key 3 to cluster B (one atomic layer)
+    spark.createDataFrame(
+        [(5, None, "d"), (3, [0.0, 0.0, 0.6, 0.8], "u")], schema
+    ).coalesce(1).write.parquet(str(src / "a"))
+    # batch b: insert key 500, delete key 7
+    spark.createDataFrame(
+        [(500, [0.0, 0.0, 0.8, 0.6], "u"), (7, None, "d")], schema
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    def run(ckpt: str) -> StreamingCdcApply:
+        ing = StreamingCdcApply(store)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        ing.attach(stream, checkpoint=str(tmp_path / ckpt)).awaitTermination()
+        return ing
+
+    a = run("ckpt1")
+    assert a.n_batches == 2 and a.n_skipped == 0
+    v_head = store.latest_version("ivf_index")
+    assert v_head == v_pre + 2  # ONE version per mixed micro-batch
+    # full replay, fresh checkpoint: marker skips both, zero versions
+    b = run("ckpt2")
+    assert b.n_skipped == 2 and b.n_batches == 0
+    assert store.latest_version("ivf_index") == v_head
+    # head state: 5 and 7 deleted, 3 moved to B, 500 inserted
+    head_keys = {
+        r["n"]
+        for r in store.read(spark, "ivf_index")
+        .filter(F.col("n").isNotNull()).select("n").collect()
+    }
+    assert 5 not in head_keys and 7 not in head_keys
+    assert 500 in head_keys and 3 in head_keys
+    probe_b = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.7, 0.7])], "vec_id bigint, embedding array<double>"
+    )
+    hits = {
+        r["n"]
+        for r in ivf_query(
+            probe_b, store, k=10, nprobe=1, query_key="vec_id"
+        ).collect()
+    }
+    assert 3 in hits and 500 in hits
+    # pre-stream version pinned intact
+    pinned = {
+        r["n"]
+        for r in store.read(spark, "ivf_index", version=v_pre)
+        .filter(F.col("n").isNotNull()).select("n").collect()
+    }
+    assert {5, 7, 3} <= pinned and 500 not in pinned
+    # batch-form loud failures: unknown op, missing op column
+    with pytest.raises(ValueError, match="unknown op"):
+        ann_cdc_apply(
+            spark.createDataFrame([(1, [0.0, 0.0, 0.0, 0.0], "x")], schema),
+            store,
+        )
+    with pytest.raises(ValueError, match="op column"):
+        ann_cdc_apply(
+            spark.createDataFrame(
+                [(1, [0.0, 0.0, 0.0, 0.0])],
+                "vec_id bigint, embedding array<double>",
+            ),
+            store,
+        )
