@@ -520,7 +520,39 @@ def main() -> None:
         # fusion is a rank-bounded union+agg
         _noop(entry.q_hybrid_filtered_retrieval(spark, sf_dir))
 
+    def q_ann_delta_churn():
+        # r14: merge-on-read churn — the commit terms are O(batch)
+        # staging writes; the scale-variant terms are the build and
+        # the full-probe replay legs, so wall should track the
+        # ivf_index_query class while churn WRITE bytes stay constant
+        # (the dedicated churn-bytes probe in BASELINE.md)
+        _noop(entry.q_ann_delta_churn(spark, sf_dir))
+
+    def q_ann_predicate_delete():
+        # r14: predicate takedown — matched-key resolution is one
+        # columnar pass over the resolved rows (linear), the commit
+        # O(matched)
+        _noop(entry.q_ann_predicate_delete(spark, sf_dir))
+
+    def q_ann_recall_filtered():
+        # r14: three survivor-restricted probes, each ONE brute-force
+        # pass over the predicate survivors (1/3 of the corpus here)
+        # — expect the ann_recall shape scaled by selectivity
+        _noop(entry.q_ann_recall_filtered(spark, sf_dir))
+
+    def q_cdc_apply():
+        # r14: one mixed delete+upsert batch as a single delta layer —
+        # encode pass over the upserts + O(batch) staging; scale term
+        # is the build + full-probe replay legs
+        _noop(entry.q_cdc_apply(spark, sf_dir))
+
     sets = {
+        "r14": [
+            ("ann_delta_churn", q_ann_delta_churn),
+            ("ann_predicate_delete", q_ann_predicate_delete),
+            ("ann_recall_filtered", q_ann_recall_filtered),
+            ("cdc_apply", q_cdc_apply),
+        ],
         "r13": [
             ("ann_filtered_query", q_ann_filtered_query),
             ("stream_upsert_ingest", q_stream_upsert_ingest),

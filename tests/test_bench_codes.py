@@ -312,6 +312,8 @@ def test_anchor_dilution_fixed_on_actual_r10_vector():
         "ann_recall", "hybrid_filtered_retrieval",
         # re-based or added in r14 — not re-based at the r10 moment
         "array_funcs", "map_agg", "stream_enrich",
+        "ann_delta_churn", "ann_predicate_delete", "ann_recall_filtered",
+        "cdc_apply",
     }
     med1, flag1 = bench.contention_stats(r10, anchors, frac_exclude=excl)
     assert flag1 and med1 == med0, (med1, flag1)
