@@ -49,6 +49,7 @@ from clickhouse_k_means_spark.sources.dataset import (
     from_table,
     load_table,
     load_yh,
+    local_df,
 )
 
 # ---------------------------------------------------------------------------
@@ -996,7 +997,7 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a literal batch; the catalog side is the broadcast-sized dim
     table, so the cross join is |probes| × |dim| — never data-scale."""
     nation = load_table(spark, sf_dir, "nation").select("n_name")
-    probes = spark.createDataFrame(
+    probes = local_df(spark,
         [("UNTED STATES",), ("BRAZYL",), ("JAPAM",), ("GERMANIE",), ("CHIMA",)],
         "probe string",
     )
@@ -1578,7 +1579,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = s1.count()
     s2, n2 = incremental_exact_dedup(b2, store, table="seen")
     c2 = s2.count()
-    return spark.createDataFrame(
+    return local_df(spark,
         [(1, c1, n1), (2, c2, n2)],
         "batch int, n_survivors bigint, n_committed bigint",
     )
@@ -1606,7 +1607,7 @@ def q_near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = s1.count()
     s2, n2 = incremental_near_dedup(b2, store, table="bands")
     c2 = s2.count()
-    return spark.createDataFrame(
+    return local_df(spark,
         [(1, c1, n1), (2, c2, n2)],
         "batch int, n_survivors bigint, n_committed bigint",
     )
@@ -1712,7 +1713,7 @@ def _emb_neardup_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    extra = spark.createDataFrame(
+    extra = local_df(spark,
         _planted_neardups(), "vec_id bigint, e array<double>"
     )
     return emb.unionAll(extra)
@@ -1803,7 +1804,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 1000)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     )
-    extra = spark.createDataFrame(
+    extra = local_df(spark,
         _planted_neardups(), "vec_id bigint, embedding array<double>"
     )
     docs = emb.unionAll(extra)
@@ -1820,7 +1821,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _docs_nl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ the non-Latin gate rows (doc_id, text only)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    extra = spark.createDataFrame(NONLATIN_DOCS, "doc_id bigint, text string")
+    extra = local_df(spark, NONLATIN_DOCS, "doc_id bigint, text string")
     return docs.unionAll(extra)
 
 
@@ -2853,7 +2854,7 @@ def q_streaming_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single availableNow batch over one fixture file → the decay blend
     # reduces to per-cluster plain means (n_old = 0), which the DuckDB
     # oracle recomputes; c0 rounded to absorb double-sum order noise
-    raw = spark.createDataFrame(
+    raw = local_df(spark,
         [(j, float(c[0]), int(round(skm.counts[j]))) for j, c in skm.model],
         "j int, c0_raw double, weight bigint",
     )
@@ -3330,7 +3331,11 @@ def q_ann_delta_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(tag).alias("tag"), "q", "rank", "n")
         )
 
-    post = leg(None, "post")
+    # materialize the post-churn leg ONCE (r14 optimization): it is
+    # consumed three ways — the fold-equality rows here, the final
+    # union below, and the noop-sink materialization — and without the
+    # cut each consumer re-runs the full layered-read ranking
+    post = leg(None, "post").localCheckpoint(eager=True)
     post_rows = sorted(map(tuple, post.collect()))
     store.optimize(spark, "ivf_index")
     fold_exact = (
@@ -3639,7 +3644,6 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle asserts the constants."""
 
     from clickhouse_k_means_spark.operators.ann_index import (
-        ann_recall_due,
         ann_recall_probe,
         ivf_append,
         ivf_index,
@@ -3660,11 +3664,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     at_budget = ann_recall_probe(
         spark, store, k=10, sample_n=16, seed=42, nprobe=2
     )
-    due = ann_recall_due(
-        spark, store, floor_ppm=floor, k=10, sample_n=16, seed=42, nprobe=2
-    )
-    return spark.createDataFrame(
-        [(full, min(at_budget, floor), 1 if due else 0)],
+    # r14 optimization (the q_ann_recall_filtered precedent): the
+    # ann_recall_due advisor is semantically budget_probe < floor and
+    # its API is exercised end-to-end by tests/test_extended_ops.py —
+    # probing a THIRD time here re-paid a full corpus brute-force pass
+    # for no new signal. Same output values, one fewer probe.
+    return local_df(spark,
+        [(full, min(at_budget, floor), 1 if at_budget < floor else 0)],
         "recall_full bigint, recall_floor bigint, due_at_floor bigint",
     )
 
@@ -3724,7 +3730,7 @@ def q_ann_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # budget_probe < floor — is exercised end-to-end by
     # tests/test_extended_ops.py; probing it here a FOURTH time would
     # re-pay a full survivor brute-force pass for no new signal
-    return spark.createDataFrame(
+    return local_df(spark,
         [
             (
                 full,
@@ -3798,7 +3804,7 @@ def q_ann_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed = store.vacuum("ivf_index")
     due_after = ann_compact_due(store, "ivf_index", max_delta_layers=2)
     sig_after = head_sig()
-    return spark.createDataFrame(
+    return local_df(spark,
         [
             (
                 0 if due_fresh else 1,
@@ -3971,7 +3977,7 @@ def q_resume_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     resumed = KMeansEngine(k=3, seed=999, max_iter=6).resume_fit(
         yh, crashed, state_table="wcr"
     )
-    return spark.createDataFrame(
+    return local_df(spark,
         [
             (
                 int(resumed.model == full.model),
@@ -5527,7 +5533,7 @@ def q_ngram_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically first name. Probe side literal, catalog side
     broadcast-sized — the cross join is |probes| × |dim|."""
     nation = load_table(spark, sf_dir, "nation").select("n_name")
-    probes = spark.createDataFrame(
+    probes = local_df(spark,
         [("UNTED STATES",), ("BRAZYL",), ("NATON_3",), ("NATIION_12",),
          ("XXYYZZ",)],
         "probe string",

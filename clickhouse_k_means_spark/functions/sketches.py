@@ -23,6 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from clickhouse_k_means_spark.sources.dataset import local_df
 
 
 def approx_distinct_check(
@@ -233,7 +234,7 @@ class IncrementalHistogram:
     def merged(self, spark) -> DataFrame:
         """(bin, cnt) — integer-summed across every committed batch."""
         if not self.store.exists(self.table):
-            return spark.createDataFrame([], "bin bigint, cnt bigint")
+            return local_df(spark, [], "bin bigint, cnt bigint")
         return (
             self.store.read(spark, self.table)
             .groupBy("bin")
@@ -327,7 +328,7 @@ class IncrementalRollup:
         """Per-key combined state — bit-identical to aggregating all
         committed batches in one shot (sums add, mins min, maxes max)."""
         if not self.store.exists(self.table):
-            return spark.createDataFrame([], self._schema())
+            return local_df(spark, [], self._schema())
         aggs = [F.sum("cnt").cast("bigint").alias("cnt")]
         for m in self.metrics:
             aggs += [

@@ -61,6 +61,17 @@ from clickhouse_k_means_spark.functions.vector import (
 from clickhouse_k_means_spark.operators.topk import top_k_by_group
 
 
+def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """A driver-built bounded DataFrame as ONE partition — see
+    ``sources.dataset.local_df`` (r14, guide §2.2/§6): kills both the
+    32-task jobs per action over k-row geometry frames and the ~32
+    near-empty parquet files per snapshot commit (the r14 gate runs
+    showed 33-task scans over a 2-file-worth index)."""
+    from clickhouse_k_means_spark.sources.dataset import local_df
+
+    return local_df(spark, rows, schema)
+
+
 def _committed_centroids(
     spark: SparkSession, store, table: str, version: int | None
 ) -> list[list[float]]:
@@ -288,7 +299,7 @@ def ivf_index(
     centers = numpy_kmeans(x, k=min(nlist, len(sample)), seed=seed, n_iter=10)
     centers_l = [list(map(float, c)) for c in centers]
     spark = corpus.sparkSession
-    cent_rows = spark.createDataFrame(
+    cent_rows = _local_df(spark,
         [(None, j, c) for j, c in enumerate(centers_l)],
         "n bigint, cell int, v array<double>",
     )
@@ -363,17 +374,44 @@ def ivf_query(
             queries, store, table, k, nprobe, query_key, vec, version,
             where, meta, meta_key,
         )
+    import numpy as np
+
     centers_l = _committed_centroids(spark, store, table, version)
     dim = len(centers_l[0])
-    cellp = nearest_cells_batch(centers_l, nprobe=min(nprobe, len(centers_l)))
-    q = queries.select(
+    # collect the bounded query batch ONCE and pick probe cells
+    # driver-side (r14, guide §1.2): the previous shape paid one
+    # eager-checkpoint job plus one distinct().collect() job per query
+    # call just to learn the probed cell list. The arithmetic is the
+    # EXACT nearest_cells_batch scoring (-2 q·c + |c|², stable argsort,
+    # ties to the lowest cell id) on the same float64 values, so the
+    # probe sets — and therefore the results — are bit-identical; the
+    # pq/ivfpq/filtered arms already collect their query batch this
+    # way (the queries side is the bounded broadcast side by contract).
+    qtype = queries.schema[query_key].dataType.simpleString()
+    qrows = queries.select(
         F.col(query_key).alias("q"),
         F.col(vec).cast("array<double>").alias("qv"),
-        F.explode(cellp(F.col(vec).cast("array<double>"))).alias("cell"),
-    ).localCheckpoint(eager=True)  # bounded; feeds cell-list AND join
-    probed = sorted(
-        {int(r["cell"]) for r in q.select("cell").distinct().collect()}
+    ).collect()
+    if not qrows:
+        return local_df(spark,
+            [], f"q {qtype}, n bigint, score double, rank int"
+        )
+    centers_np = np.asarray(centers_l, dtype=np.float64)
+    q_mat = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+    scores_np = -2.0 * (q_mat @ centers_np.T) + (centers_np * centers_np).sum(
+        axis=1
     )
+    n_probe = min(nprobe, len(centers_l))
+    order = np.argsort(scores_np, axis=1, kind="stable")[:, :n_probe]
+    q = _local_df(
+        spark,
+        [
+            (r["q"], [float(x) for x in r["qv"]], [int(c) for c in order[i]])
+            for i, r in enumerate(qrows)
+        ],
+        f"q {qtype}, qv array<double>, cells array<int>",
+    ).select("q", "qv", F.explode("cells").alias("cell"))
+    probed = sorted({int(c) for row in order for c in row})
     cells = (
         store.read(spark, table, version=version)
         .filter(F.col("n").isNotNull())
@@ -437,7 +475,7 @@ def _ivf_query_filtered(
     ).collect()
     counts = _filtered_cell_counts(allowed) if qrows else {}
     if not qrows or not counts:
-        return spark.createDataFrame(
+        return local_df(spark,
             [], f"q {qtype}, n bigint, score double, rank int"
         )
     q_mat = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
@@ -448,7 +486,7 @@ def _ivf_query_filtered(
         nprobe=min(nprobe, len(centers_l)),
         need=4 * k,
     )
-    qdf = spark.createDataFrame(
+    qdf = _local_df(spark,
         [
             (r["q"], [float(x) for x in r["qv"]], probes[i])
             for i, r in enumerate(qrows)
@@ -611,7 +649,7 @@ def ivf_refit(
     x = np.asarray([r["sv"] for r in sample], dtype=np.float64)
     centers = numpy_kmeans(x, k=nlist, seed=seed, n_iter=10)
     centers_l = [list(map(float, c)) for c in centers]
-    cent_rows = spark.createDataFrame(
+    cent_rows = _local_df(spark,
         [(None, j, c) for j, c in enumerate(centers_l)],
         "n bigint, cell int, v array<double>",
     )
@@ -738,7 +776,7 @@ def pq_index(
         )
         for s in range(m_sub)
     ]
-    book_rows = spark.createDataFrame(
+    book_rows = _local_df(spark,
         [
             (None, s, c, None, [float(v) for v in books[s][c]])
             for s in range(m_sub)
@@ -829,7 +867,7 @@ def pq_query(
         F.col(query_key).alias("q"), F.col(vec).alias("qv")
     ).collect()
     if not qrows:
-        return spark.createDataFrame(
+        return local_df(spark,
             [], "q bigint, n bigint, score double, rank int"
         )
     q_mat = normalize_rows(
@@ -849,7 +887,7 @@ def pq_query(
     short = top_k_by_group(
         scored, rerank, "qi", [F.col("ad2").asc(), F.col("n").asc()]
     )
-    qdf = spark.createDataFrame(
+    qdf = _local_df(spark,
         [
             (i, int(r["q"]), [float(v) for v in r["qv"]])
             for i, r in enumerate(qrows)
@@ -956,7 +994,7 @@ def pq_stats(
     import math
 
     errs, x, _ = _pq_sample_err(spark, store, table, version, sample_n, seed)
-    return spark.createDataFrame(
+    return local_df(spark,
         [
             (s, int(len(x)), int(math.floor(float(e) * 1e9 + 0.5)))
             for s, e in enumerate(errs)
@@ -1128,7 +1166,7 @@ def pq_refit(
         )
         for s in range(m_sub)
     ]
-    book_rows = spark.createDataFrame(
+    book_rows = _local_df(spark,
         [
             (None, s, c, None, [float(v) for v in fresh[s][c]])
             for s in range(m_sub)
@@ -1294,14 +1332,14 @@ def ivfpq_index(
         )
         for s in range(m_sub)
     ]
-    cent_rows = spark.createDataFrame(
+    cent_rows = _local_df(spark,
         [
             (None, j, None, None, None, [float(v) for v in centroids[j]])
             for j in range(len(centroids))
         ],
         _IVFPQ_SCHEMA,
     )
-    book_rows = spark.createDataFrame(
+    book_rows = _local_df(spark,
         [
             (None, None, s, c, None, [float(v) for v in books[s][c]])
             for s in range(m_sub)
@@ -1407,7 +1445,7 @@ def ivfpq_query(
         F.col(query_key).alias("q"), F.col(vec).alias("qv")
     ).collect()
     if not qrows:
-        return spark.createDataFrame(
+        return local_df(spark,
             [], "q bigint, n bigint, score double, rank int"
         )
     q_mat = normalize_rows(
@@ -1422,7 +1460,7 @@ def ivfpq_query(
         )
         counts = _filtered_cell_counts(allowed)
         if not counts:
-            return spark.createDataFrame(
+            return local_df(spark,
                 [], "q bigint, n bigint, score double, rank int"
             )
         # the IVF-PQ cell metric is squared L2 of the NORMALIZED query
@@ -1460,7 +1498,7 @@ def ivfpq_query(
     short = top_k_by_group(
         scored, rerank, "qi", [F.col("ad2").asc(), F.col("n").asc()]
     )
-    qdf = spark.createDataFrame(
+    qdf = _local_df(spark,
         [
             (i, int(r["q"]), [float(v) for v in r["qv"]])
             for i, r in enumerate(qrows)
@@ -1736,14 +1774,14 @@ def ivfpq_refit(
         )
         for s in range(m_sub)
     ]
-    cent_rows = spark.createDataFrame(
+    cent_rows = _local_df(spark,
         [
             (None, j, None, None, None, [float(v) for v in fresh_cent[j]])
             for j in range(len(fresh_cent))
         ],
         _IVFPQ_SCHEMA,
     )
-    book_rows = spark.createDataFrame(
+    book_rows = _local_df(spark,
         [
             (None, None, s, c, None, [float(v) for v in fresh_books[s][c]])
             for s in range(m_sub)
@@ -1877,7 +1915,7 @@ def ann_delete(
         ks = sorted({int(k) for k in keys})
         if not ks:
             return store.latest_version(table)
-        kdf = spark.createDataFrame([(k,) for k in ks], "n bigint")
+        kdf = _local_df(spark, [(k,) for k in ks], "n bigint")
         small = True
     probe = F.broadcast(kdf) if small else kdf
     cur = store.read(spark, table)
@@ -2217,7 +2255,8 @@ def ann_recall_probe(
             f"ann_recall_probe: {table!r} holds no vectors"
             + (" matching the predicate" if where is not None else "")
         )
-    queries = spark.createDataFrame(
+    queries = _local_df(
+        spark,
         [(int(r["n"]), [float(x) for x in r["v"]]) for r in qrows],
         "q bigint, embedding array<double>",
     )

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from clickhouse_k_means_spark.sources.dataset import local_df
 
 
 def _value_at(pos: Column, cum_prev: Column, cum: Column, v: Column) -> Column:
@@ -263,8 +264,9 @@ def weighted_quantiles(
         F.sum("cnt").over(wv).alias("cum"),
         F.sum("cnt").over(Window.partitionBy("g")).alias("tot"),
     )
-    ps = df.sparkSession.createDataFrame(
-        [(int(p),) for p in sorted(set(ps_ppm))], "p_ppm bigint"
+    ps = local_df(
+        df.sparkSession, [(int(p),) for p in sorted(set(ps_ppm))],
+        "p_ppm bigint",
     )
     return (
         staged.join(F.broadcast(ps))

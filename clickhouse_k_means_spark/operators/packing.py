@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from clickhouse_k_means_spark.functions.hashing import hash64
+from clickhouse_k_means_spark.sources.dataset import local_df
 
 
 def hash_split(
@@ -144,8 +145,8 @@ def training_order(
     for pid, n in counts:
         offsets.append((pid, acc))
         acc += n
-    off_df = df.sparkSession.createDataFrame(
-        offsets, "__pid int, __off bigint"
+    off_df = local_df(
+        df.sparkSession, offsets, "__pid int, __off bigint"
     )
     ordered = (
         enum.join(F.broadcast(off_df), "__pid")
@@ -327,7 +328,7 @@ def pack_sequences(
         offsets.append((r["__b"], run))
         run += r["s"]
     off = F.broadcast(
-        spark.createDataFrame(offsets or [(0, 0)], "__b bigint, __off bigint")
+        local_df(spark, offsets or [(0, 0)], "__b bigint, __off bigint")
     )
     # phase 2: within-bucket cumsum (parallel across buckets) + offset
     w = (

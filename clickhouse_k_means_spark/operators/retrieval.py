@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from clickhouse_k_means_spark.functions.text import tokens
+from clickhouse_k_means_spark.sources.dataset import local_df
 
 # anything the tokenizer would have split on or lowercased
 _NOT_TOKEN_RE = re.compile(r"[^\w]|_", re.UNICODE)
@@ -157,9 +158,10 @@ def bm25_topk(
         .alias("idf_micro"),
     )
 
-    qterms = spark.createDataFrame(
+    qterms = local_df(
+        spark,
         [(int(qid), t) for qid, ts in sorted(queries.items()) for t in ts],
-        schema="query_id bigint, term string",
+        "query_id bigint, term string",
     )
 
     norm_milli = (
@@ -246,9 +248,10 @@ def coverage_topk(
     postings = base.select(
         "doc_id", "dl", F.explode(F.array_distinct("tk")).alias("term")
     ).filter(F.col("term").isin(vocab))
-    qterms = spark.createDataFrame(
+    qterms = local_df(
+        spark,
         [(int(qid), t) for qid, ts in sorted(queries.items()) for t in ts],
-        schema="query_id bigint, term string",
+        "query_id bigint, term string",
     )
     matched = (
         postings.join(F.broadcast(qterms), "term")

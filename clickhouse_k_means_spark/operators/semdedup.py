@@ -40,6 +40,7 @@ from clickhouse_k_means_spark.functions.distance import (
     l2_fixed,
 )
 from clickhouse_k_means_spark.operators.components import connected_components
+from clickhouse_k_means_spark.sources.dataset import local_df
 
 
 def _l2_hof_expr(col: str, c: list[float]):
@@ -110,7 +111,7 @@ def semantic_dedup(
     head = df.select(vec).first()
     if head is None:
         kt = df.schema[key].dataType.simpleString()
-        return df.sparkSession.createDataFrame(
+        return local_df(df.sparkSession,
             [], f"{key} {kt}, j int, grp {kt}, keep int"
         )
     dim = len(head[0])
@@ -175,7 +176,8 @@ def semantic_dedup(
         )
 
     spark = df.sparkSession
-    cdf = spark.createDataFrame(
+    cdf = local_df(
+        spark,
         [(int(j), [float(x) for x in c]) for j, c in model],
         "j int, cv array<double>",
     )

@@ -46,6 +46,7 @@ from clickhouse_k_means_spark.functions.vector import (
     srp_buckets_batch,
 )
 from clickhouse_k_means_spark.operators.topk import top_k_by_group
+from clickhouse_k_means_spark.sources.dataset import local_df
 
 
 def _sim_col(metric: str, a: str, b: str, dim: int | None = None) -> tuple[Column, bool]:
@@ -140,7 +141,7 @@ def embed_neardup_bucketed(
     """
     head = df.select(vec).first()
     if head is None:
-        return df.sparkSession.createDataFrame(
+        return local_df(df.sparkSession,
             [], "a bigint, b bigint, sim double"
         )
     dim = len(head[0])
@@ -422,7 +423,8 @@ def pq_topk(
         scored, rerank, "qi", [F.col("ad2").asc(), F.col("n").asc()]
     )
     spark = corpus.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = local_df(
+        spark,
         [(i, r["q"], [float(v) for v in r["qv"]]) for i, r in enumerate(qrows)],
         "qi int, q bigint, qv array<double>",
     )
@@ -497,7 +499,7 @@ def knn_join(
     head = df.select(vec).first()
     if head is None:
         key_type = df.schema[key].dataType.simpleString()
-        return df.sparkSession.createDataFrame(
+        return local_df(df.sparkSession,
             [], f"a {key_type}, b {key_type}, sim double, rank int"
         )
     if n_bits is None:
@@ -642,7 +644,7 @@ def knn_join_partitioned(
     head = df.select(vec).first()
     if head is None:
         key_type = df.schema[key].dataType.simpleString()
-        return df.sparkSession.createDataFrame(
+        return local_df(df.sparkSession,
             [], f"a {key_type}, b {key_type}, sim double, rank int"
         )
     import math
@@ -702,8 +704,8 @@ def knn_join_partitioned(
             )
             for r in sizes
         ]
-        mask_df = df.sparkSession.createDataFrame(
-            masks, "cell int, mask bigint"
+        mask_df = local_df(
+            df.sparkSession, masks, "cell int, mask bigint"
         )
         banded = (
             coded.join(F.broadcast(mask_df), "cell")

@@ -60,9 +60,12 @@ class KMeansResult:
 
     def history_df(self, spark) -> DataFrame:
         """WCR-parity DataFrame (step bigint, j int, C array<double>)."""
-        return spark.createDataFrame(
+        from clickhouse_k_means_spark.sources.dataset import local_df
+
+        return local_df(
+            spark,
             [(int(s), int(j), [float(x) for x in c]) for s, j, c in self.history],
-            schema="step bigint, j int, C array<double>",
+            "step bigint, j int, C array<double>",
         )
 
 
@@ -624,8 +627,14 @@ class KMeansEngine:
             if state_store is None:
                 return
             rows = [(int(step), int(j), [float(x) for x in c]) for j, c in model]
-            df = yh.sparkSession.createDataFrame(
-                rows, schema="step bigint, j int, C array<double>"
+            # ONE partition for the k-row step batch (r14, guide §6):
+            # createDataFrame otherwise slices k rows across
+            # defaultParallelism, writing up to k near-empty files per
+            # step and running a 32-task job for a k-row append
+            from clickhouse_k_means_spark.sources.dataset import local_df
+
+            df = local_df(
+                yh.sparkSession, rows, "step bigint, j int, C array<double>"
             )
             state_store.append(df, state_table, partition_by=["step"])
 
@@ -725,8 +734,11 @@ class KMeansEngine:
 
         def _persist_step(step: int, m) -> None:
             prows = [(int(step), int(j), [float(x) for x in c]) for j, c in m]
-            df = spark.createDataFrame(
-                prows, schema="step bigint, j int, C array<double>"
+            # same one-partition step batch as fit's _persist_step (r14)
+            from clickhouse_k_means_spark.sources.dataset import local_df
+
+            df = local_df(
+                spark, prows, "step bigint, j int, C array<double>"
             )
             state_store.append(df, state_table, partition_by=["step"])
 
@@ -905,41 +917,62 @@ def bisecting_fit(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     base = yh.select("i", "Y").localCheckpoint(eager=True)
-    if base.first() is None:
+    head = base.select("Y").first()
+    if head is None:
         raise ValueError("bisecting k-means: input DataFrame is empty")
-    # leaves: splittable candidates (df, squared WCSS); final: leaves
-    # PERMANENTLY out of the split pool — too few rows, or a
-    # degenerate k=2 split (all-duplicate points). Keeping them in a
-    # separate list (not a WCSS sentinel) is what guarantees the loop
-    # terminates: a degenerate leaf can never be re-picked even when
-    # it is the only leaf left with >= min_rows rows.
-    leaves: list[tuple[DataFrame, float]] = [
-        (base, elbow(base, _mean_model(base), squared=True))
-    ]
-    final: list[tuple[DataFrame, float]] = []
+    dim = len(head[0])
+
+    def _leaf(df: DataFrame) -> tuple | None:
+        """One leaf record ``(df, wcss, n, mean)`` — n and the mean
+        come from ONE stats pass (count + per-dim sums; the mean is
+        sums/n, the identical IEEE division Average performs), then
+        the WCSS runs the UNCHANGED elbow formula around that mean so
+        split-pick ordering keeps the exact pre-r14 float path. This
+        replaces four driver actions per leaf (emptiness first(),
+        _mean_model's first()+agg, the later limit(min_rows) row
+        probe, and the final-model _mean_model re-run) with two."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("Y")[d]).alias(f"s{d}") for d in range(dim)],
+        ).first()
+        n = int(row["n"])
+        if n == 0:
+            return None
+        mean = [float(row[f"s{d}"]) / n for d in range(dim)]
+        return (df, elbow(df, [(1, mean)], squared=True), n, mean)
+
+    # leaves: splittable candidates; final: leaves PERMANENTLY out of
+    # the split pool — too few rows, or a degenerate k=2 split
+    # (all-duplicate points). Keeping them in a separate list (not a
+    # WCSS sentinel) is what guarantees the loop terminates: a
+    # degenerate leaf can never be re-picked even when it is the only
+    # leaf left with >= min_rows rows.
+    leaves: list[tuple] = [_leaf(base)]
+    final: list[tuple] = []
     split_no = 0
     while len(leaves) + len(final) < k and leaves:
-        # pick the largest-WCSS leaf that still has >= min_rows rows;
-        # smaller ones move to final (a leaf only ever shrinks, so one
-        # failed row-count check is conclusive forever)
-        still: list[tuple[DataFrame, float]] = []
-        picked: tuple[DataFrame, float] | None = None
+        # pick the largest-WCSS leaf that still has >= min_rows rows
+        # (the leaf record carries n — no row-probe job); smaller ones
+        # move to final (a leaf only ever shrinks, so one failed
+        # row-count check is conclusive forever)
+        still: list[tuple] = []
+        picked: tuple | None = None
         for lw in sorted(leaves, key=lambda t: t[1], reverse=True):
             if picked is not None:
                 still.append(lw)
-            elif lw[0].limit(min_rows).count() >= min_rows:
+            elif lw[2] >= min_rows:
                 picked = lw
             else:
                 final.append(lw)
         leaves = still
         if picked is None:
             break  # nothing splittable
-        df, _ = picked
+        df = picked[0]
         if df.select("Y").distinct().limit(2).count() < 2:
             # all-duplicate leaf: a k=2 fit cannot place two distinct
             # centers (k-means++ would fail with "no candidate points
             # left") — final, never re-picked (ADVICE r6)
-            final.append((df, -1.0))
+            final.append(picked)
             continue
         split_no += 1
         eng = KMeansEngine(k=2, seed=seed + split_no, max_iter=max_iter)
@@ -957,23 +990,22 @@ def bisecting_fit(
                 .select("i", "Y")
                 .localCheckpoint(eager=True)
             )
-            if part.first() is not None:
-                halves.append(
-                    (part, elbow(part, _mean_model(part), squared=True))
-                )
+            rec = _leaf(part)
+            if rec is not None:
+                halves.append(rec)
         if len(halves) <= 1:
             # degenerate split (duplicate points) — leaf is final and
             # permanently unsplittable (ADVICE r6: re-appending it to
             # the split pool looped forever when it was the only
             # >= min_rows leaf left)
-            final.append((df, -1.0))
+            final.append(picked)
             continue
         leaves.extend(halves)
-    # final model: per-leaf mean center; assignments by membership
+    # final model: per-leaf mean center (carried on the leaf record —
+    # no extra pass); assignments by membership
     model: Model = []
     out = None
-    for li, (df, _w) in enumerate(leaves + final, start=1):
-        center = _mean_model(df)[0][1]
+    for li, (df, _w, _n, center) in enumerate(leaves + final, start=1):
         model.append((li, center))
         part = df.select(
             "i",

@@ -34,6 +34,25 @@ TABLES = (
 )
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """A bounded driver-built DataFrame as ONE partition (r14, guide
+    §2.2/§6). ``spark.createDataFrame(rows)`` slices local rows across
+    ``defaultParallelism`` (32 locally, thousands on a cluster), so
+    every action over a k-row geometry/query/state frame runs a
+    32-task job through the Python runner (~0.5-1 s of pure overhead
+    per action on this host, measured r14), and a store commit of one
+    writes ~32 near-empty parquet files that every later read pays
+    for. Slicing at ``parallelize(rows, 1)`` is the right layout at
+    every scale — these frames are bounded by contract (centroids,
+    codebooks, query batches, per-step state), never data-sized.
+    NOTE: ``coalesce(1)`` is NOT equivalent — it keeps the 32 pickled
+    parent slices and evaluates them SEQUENTIALLY through the Python
+    runner inside one task (~7 s per action, measured r14)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), 1), schema
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (TESTDATA.md layout).
 

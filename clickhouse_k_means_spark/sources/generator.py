@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from clickhouse_k_means_spark.sources.dataset import local_df
 
 
 def _seeded_uniform_int(seed: int, key: Column, n: int) -> Column:
@@ -44,7 +45,7 @@ def golden_points(
     """
     if anchors is not None:
         n_clusters = len(anchors)
-        anchors_df = spark.createDataFrame(
+        anchors_df = local_df(spark,
             [(idx, float(ax), float(ay)) for idx, (ax, ay) in enumerate(anchors)],
             "true_cluster int, ax double, ay double",
         )

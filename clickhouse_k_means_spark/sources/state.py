@@ -37,6 +37,7 @@ import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from clickhouse_k_means_spark.sources.dataset import local_df
 
 
 class ParquetStateStore:
@@ -389,11 +390,11 @@ class SnapshotStateStore:
             # still see typed columns, not a placeholder
             from pyspark.sql.types import StructType
 
-            df = spark.createDataFrame(
+            df = local_df(spark,
                 [], StructType.fromJson(json.loads(m["schema"]))
             )
         else:
-            return spark.createDataFrame([], schema="__empty string").limit(0)
+            return local_df(spark, [], schema="__empty string").limit(0)
         for layer in deltas:
             if layer["tombstones"]:
                 tomb = spark.read.parquet(

@@ -77,10 +77,16 @@ class StreamingIvfIngest:
         batches commit empty appends (key-idempotent)."""
 
         def _on_batch(batch: DataFrame, _batch_id: int) -> None:
-            if not batch.head(1):
+            # materialize the micro-batch ONCE (r14, guide §1.2/§5):
+            # head(1), count() and the append's idempotence probe each
+            # re-ran the stream-source scan otherwise — three
+            # executions of the same batch plan per micro-batch
+            batch = batch.localCheckpoint(eager=True)
+            n = batch.count()
+            if n == 0:
                 return
             self.n_batches += 1
-            self.n_seen += batch.count()
+            self.n_seen += n
             self.versions.append(self.process_batch(batch))
 
         return (
@@ -217,10 +223,15 @@ class StreamingUpsertIngest(StreamingIvfIngest):
             if last is not None and batch_id <= last:
                 self.n_skipped += 1
                 return
-            if not batch.head(1):
+            # one materialization per micro-batch (r14): head(1),
+            # count() and the upsert's own checkpoint each re-ran the
+            # stream-source scan otherwise
+            batch = batch.localCheckpoint(eager=True)
+            n = batch.count()
+            if n == 0:
                 return
             self.n_batches += 1
-            self.n_seen += batch.count()
+            self.n_seen += n
             self.versions.append(self.process_batch(batch, batch_id))
 
         return (

@@ -71,10 +71,15 @@ class StreamingDedup:
         """
 
         def _on_batch(batch: DataFrame, _batch_id: int) -> None:
-            if not batch.head(1):
+            # one materialization per micro-batch (r14, guide §1.2):
+            # head(1) + count() re-ran the stream-source scan twice
+            # before the dedup pipeline's own pass
+            batch = batch.localCheckpoint(eager=True)
+            n_in = batch.count()
+            if n_in == 0:
                 return
             self.n_batches += 1
-            self.n_seen += batch.count()
+            self.n_seen += n_in
             survivors = self.process_batch(batch)
             n = survivors.count()
             self.n_survived += n

@@ -86,6 +86,9 @@ class StreamingKMeans:
         """
 
         def _on_batch(batch: DataFrame, _batch_id: int) -> None:
+            # one materialization per micro-batch (r14): the emptiness
+            # probe and the update pass otherwise scan the source twice
+            batch = batch.localCheckpoint(eager=True)
             if batch.head(1):
                 self.update(batch)
 

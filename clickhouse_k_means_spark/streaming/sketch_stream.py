@@ -66,7 +66,9 @@ class StreamingSketch:
         return bool(seen.filter(F.col("batch_id") == batch_id).head(1))
 
     def _mark_batch(self, spark, batch_id: int) -> None:
-        row = spark.createDataFrame([(int(batch_id),)], "batch_id bigint")
+        from clickhouse_k_means_spark.sources.dataset import local_df
+
+        row = local_df(spark, [(int(batch_id),)], "batch_id bigint")
         self.state.store.append(row, self._batches_table)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -84,6 +86,9 @@ class StreamingSketch:
         """Fold the stream into the sketch state (caller awaits)."""
 
         def _on_batch(batch: DataFrame, batch_id: int) -> None:
+            # one materialization per micro-batch (r14): head(1) plus
+            # the sketch update each re-ran the stream-source scan
+            batch = batch.localCheckpoint(eager=True)
             if not batch.head(1):
                 return
             self.process_batch(batch, batch_id)
