@@ -40,6 +40,7 @@ reference (model = rows of the latest step only, k-means.sql:36).
 from __future__ import annotations
 
 import random
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -48,6 +49,31 @@ from pyspark.sql import functions as F
 from clickhouse_k_means_spark.functions.centroids import nearest_centroid_struct
 
 Model = list[tuple[int, list[float]]]  # [(j, C), ...]
+
+
+@contextmanager
+def _aqe_off(spark):
+    """Scope AQE off around the init's bounded driver probes (r14,
+    guide §1.2/§2.4 measurement). With AQE on, every exchange-bearing
+    probe runs one JOB per query stage — a two-phase pick costs 4-6
+    jobs, a Φ aggregation 2 — and the sequential init pays that
+    per-job fixed latency serially. These probes are FIXED-SHAPE at
+    every scale (global partial→final aggs whose exchange carries
+    ≤ one row per partition; a one-bucket window + take), so AQE has
+    nothing to re-plan: no join to convert, no skew to split, and the
+    post-shuffle row counts are bounded by construction. Measured at
+    sf0.1: sequential k=4 init 15 → 7 jobs, k-means|| init 18 → 9
+    jobs, with bit-identical picks (every sum is exact-integer /
+    order-free by design, so physical partitioning never touches the
+    values). Results elsewhere are unaffected — the flag is restored
+    on exit (exceptions included)."""
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 @dataclass
@@ -176,9 +202,18 @@ class KMeansEngine:
                 F.col("Y").asc(),
             ]
         else:
+            # tie-break on Y too (r14): the YH contract allows duplicate
+            # keys with different payloads (lineitem fixture), and an
+            # (hash, i) tie resolved by scan order made the first pick —
+            # and therefore the whole fit — flip between runs in the
+            # same session (measured at sf0.1: the k=4 seed-42 pick
+            # alternated between two tied i=... rows). Same fix the
+            # parallel init applied in r4 for the same reason; on
+            # duplicate-free keys the ordering is unchanged.
             order_cols = [
                 F.xxhash64(F.lit(order_salt), F.col("i")).asc(),
                 F.col("i").asc(),
+                F.col("Y").asc(),
             ]
         first = yh.orderBy(*order_cols).select("Y").limit(1).collect()[0][0]
         model: Model = [(1, list(first))]
@@ -197,32 +232,49 @@ class KMeansEngine:
         def dist_to(c: list[float]):
             return nearest_centroid_struct("Y", [(1, c)])["dist"]
 
-        # localCheckpoint (NOT cache): each round derives the new state
-        # from the old one, and chained cached plans grow the analyzed
-        # lineage every round — plan canonicalization/cache-matching
-        # cost explodes superlinearly past ~12 rounds (SURVEY O12).
-        # Checkpointing truncates lineage to a flat scan per round. On a
-        # real cluster swap for reliable checkpointing if executor loss
-        # during init matters (init is cheap to restart regardless).
-        state = (
+        # ONE cached base + a lazy least() chain (r14, guide §1.2):
+        # the previous shape eagerly localCheckpoint-ed the state after
+        # EVERY pick — one extra materialization job per round whose
+        # only reader is the next round's two pick jobs. The chain is
+        # arithmetic-identical (least(least(d, d2), d3) == the folded
+        # d column), the distinct shuffle is paid once into the cache,
+        # and each pick job re-evaluates at most a bounded least-chain
+        # narrowly over the cached rows. Lineage stays bounded: every
+        # ``_CHAIN_MAX_ROUNDS`` rounds the chain is folded into a
+        # localCheckpoint exactly like the old per-round form (SURVEY
+        # O12: chained plan canonicalization cost grows superlinearly
+        # past ~12 rounds — the fold keeps plan depth under that).
+        base = (
             yh.select("Y")
             .distinct()
             .select("Y", dist_to(model[0][1]).alias("d"), bucket.alias("b"))
-            .localCheckpoint(eager=True)
+            .cache()
         )
-        for j in range(2, self.k + 1):
-            c = self._weighted_pick(state, rng, round_no=j)
-            model.append((j, c))
-            if j < self.k:
-                state = state.select(
-                    "Y", F.least(F.col("d"), dist_to(c)).alias("d"), "b"
-                ).localCheckpoint(eager=True)
+        state = base
+        chained = 0
+        try:
+            with _aqe_off(yh.sparkSession):
+                for j in range(2, self.k + 1):
+                    c = self._weighted_pick(state, rng, round_no=j)
+                    model.append((j, c))
+                    if j < self.k:
+                        state = state.select(
+                            "Y", F.least(F.col("d"), dist_to(c)).alias("d"), "b"
+                        )
+                        chained += 1
+                        if chained >= self._CHAIN_MAX_ROUNDS:
+                            state = state.localCheckpoint(eager=True)
+                            chained = 0
+        finally:
+            base.unpersist()
         return model
 
     # weight quantization for the ++ sampling: 2^20 steps per distance
     # unit — exact BIGINT cumulative sums (order-free, deterministic)
     _W_SCALE = 1 << 20
     _N_BUCKETS = 64
+    # sequential-++ least-chain fold cadence (see init_centroids)
+    _CHAIN_MAX_ROUNDS = 12
     # k·dim threshold above which Lloyd assignment switches from the
     # unrolled struct-min to the Arrow-batched matmul (k=4..8 small
     # fits and every oracle-replayed reproducible fit stay unrolled;
@@ -362,68 +414,99 @@ class KMeansEngine:
         base_pts = yh.select("Y").groupBy("Y").agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        state = refresh(base_pts, cands).localCheckpoint(eager=True)
-        for r in range(n_rounds):
-            # Φ as an exact integer (quantized) — order-free, so the
-            # per-row threshold below is deterministic on any layout.
-            # DECIMAL(38,0) accumulator, not BIGINT: squared distances
-            # of large-magnitude features (lineitem price ~5e4 → D² ~
-            # 2.5e9 → quantized ~2.6e15/row) overflow a long across
-            # ~600k rows; decimal sums stay exact to 38 digits.
-            # (A broadcast-subquery fusion of the Φ agg into the
-            # threshold scan was measured r5 and reverted: the
-            # BroadcastExchange spawns its own job, so the two-job form
-            # is the same wall time with simpler code.)
-            phi_dec = state.agg(
-                F.sum(F.round(F.col("d2") * self._W_SCALE).cast("decimal(38,0)"))
-            ).collect()[0][0]
-            phi = int(phi_dec) if phi_dec is not None else 0
-            if not phi:
-                break  # every point coincides with a candidate
-            u53 = (
-                F.shiftrightunsigned(
-                    F.xxhash64(F.lit(salt), F.lit(r), F.col("Y")), 11
-                ).cast("double")
-                / F.lit(float(1 << 53))
-            )
-            p = (
-                F.lit(float(ell))
-                * F.round(F.col("d2") * self._W_SCALE).cast("double")
-                / F.lit(float(phi))
-            )
-            # sort the sampled batch: collect() order is partition-
-            # dependent, and the driver recluster consumes candidates
-            # by index — without this the final model varies run-to-run
-            # on the same (data, seed)
-            new = sorted(
-                [list(row["Y"]) for row in state.filter(u53 < p).select("Y").collect()]
-            )
-            if not new:
-                continue
-            cands.extend(new)
-            state = refresh(state, new).localCheckpoint(eager=True)
-        if len(cands) < self.k:
-            raise ValueError(
-                f"k-means||: only {len(cands)} candidates after {n_rounds} "
-                f"rounds for k={self.k} — raise oversample/n_rounds "
-                "(or the input has fewer distinct points than k)"
-            )
+        # cache, not eager localCheckpoint (r14, guide §1.2): each
+        # round's Φ aggregation is the action that materializes the
+        # current state's cache — the standalone per-round
+        # materialization job (and its state-sized checkpoint write)
+        # disappears, cutting one job per round. The values are
+        # bit-identical (same arithmetic over the same rows; Φ is an
+        # order-free exact decimal sum); chain depth is bounded by
+        # n_rounds (3-5), far under the SURVEY O12 lineage threshold.
+        # Predecessor caches are dropped once the successor is
+        # materialized (and all of them on exit).
+        pinned: list[DataFrame] = []
 
-        # weight candidates by their attraction basin size (duplicates
-        # count — basin size is a point count, not a distinct-point
-        # count): one Arrow argmin pass over the DISTINCT state with
-        # the carried multiplicities, then a tiny groupBy on the
-        # candidate index (ties → lowest index, matching the
-        # struct-min convention). Identical weights to a full-corpus
-        # pass — every duplicate shares its Y's argmin — at the
-        # distinct-set's fraction of the cost.
-        nearest = nearest_cells_batch([list(map(float, v)) for v in cands])
-        weights_rows = (
-            state.select(nearest(F.col("Y"))[0].alias("cid"), "cnt")
-            .groupBy("cid")
-            .agg(F.sum("cnt").alias("w"))
-            .collect()
-        )
+        def _pin(df: DataFrame) -> DataFrame:
+            pinned.append(df.cache())
+            return pinned[-1]
+
+        with _aqe_off(yh.sparkSession):  # see _aqe_off: the Φ
+            # aggs and the basin-weight agg are fixed-shape
+            # bounded probes; one job each instead of one per
+            # query stage
+            state = _pin(refresh(base_pts, cands))
+            for r in range(n_rounds):
+                # Φ as an exact integer (quantized) — order-free, so the
+                # per-row threshold below is deterministic on any layout.
+                # DECIMAL(38,0) accumulator, not BIGINT: squared distances
+                # of large-magnitude features (lineitem price ~5e4 → D² ~
+                # 2.5e9 → quantized ~2.6e15/row) overflow a long across
+                # ~600k rows; decimal sums stay exact to 38 digits.
+                # (A broadcast-subquery fusion of the Φ agg into the
+                # threshold scan was measured r5 and reverted: the
+                # BroadcastExchange spawns its own job, so the two-job form
+                # is the same wall time with simpler code.)
+                phi_dec = state.agg(
+                    F.sum(F.round(F.col("d2") * self._W_SCALE).cast("decimal(38,0)"))
+                ).collect()[0][0]
+                # this agg just materialized `state`'s cache — predecessors
+                # are no longer read by anything; release their storage
+                for old in pinned[:-1]:
+                    old.unpersist()
+                del pinned[:-1]
+                phi = int(phi_dec) if phi_dec is not None else 0
+                if not phi:
+                    break  # every point coincides with a candidate
+                u53 = (
+                    F.shiftrightunsigned(
+                        F.xxhash64(F.lit(salt), F.lit(r), F.col("Y")), 11
+                    ).cast("double")
+                    / F.lit(float(1 << 53))
+                )
+                p = (
+                    F.lit(float(ell))
+                    * F.round(F.col("d2") * self._W_SCALE).cast("double")
+                    / F.lit(float(phi))
+                )
+                # sort the sampled batch: collect() order is partition-
+                # dependent, and the driver recluster consumes candidates
+                # by index — without this the final model varies run-to-run
+                # on the same (data, seed)
+                new = sorted(
+                    [list(row["Y"]) for row in state.filter(u53 < p).select("Y").collect()]
+                )
+                if not new:
+                    continue
+                cands.extend(new)
+                state = _pin(refresh(state, new))
+            if len(cands) < self.k:
+                for df in pinned:
+                    df.unpersist()
+                raise ValueError(
+                    f"k-means||: only {len(cands)} candidates after {n_rounds} "
+                    f"rounds for k={self.k} — raise oversample/n_rounds "
+                    "(or the input has fewer distinct points than k)"
+                )
+
+            # weight candidates by their attraction basin size (duplicates
+            # count — basin size is a point count, not a distinct-point
+            # count): one Arrow argmin pass over the DISTINCT state with
+            # the carried multiplicities, then a tiny groupBy on the
+            # candidate index (ties → lowest index, matching the
+            # struct-min convention). Identical weights to a full-corpus
+            # pass — every duplicate shares its Y's argmin — at the
+            # distinct-set's fraction of the cost.
+            nearest = nearest_cells_batch([list(map(float, v)) for v in cands])
+            try:
+                weights_rows = (
+                    state.select(nearest(F.col("Y"))[0].alias("cid"), "cnt")
+                    .groupBy("cid")
+                    .agg(F.sum("cnt").alias("w"))
+                    .collect()
+                )
+            finally:
+                for df in pinned:
+                    df.unpersist()
         weights = {r["cid"]: int(r["w"]) for r in weights_rows}
         model = _weighted_kmeans_driver(
             cands, [weights.get(i, 0) for i in range(len(cands))], self.k, rng
