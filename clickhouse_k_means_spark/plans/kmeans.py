@@ -53,20 +53,22 @@ Model = list[tuple[int, list[float]]]  # [(j, C), ...]
 
 @contextmanager
 def _aqe_off(spark):
-    """Scope AQE off around the init's bounded driver probes (r14,
-    guide §1.2/§2.4 measurement). With AQE on, every exchange-bearing
-    probe runs one JOB per query stage — a two-phase pick costs 4-6
-    jobs, a Φ aggregation 2 — and the sequential init pays that
-    per-job fixed latency serially. These probes are FIXED-SHAPE at
-    every scale (global partial→final aggs whose exchange carries
-    ≤ one row per partition; a one-bucket window + take), so AQE has
-    nothing to re-plan: no join to convert, no skew to split, and the
-    post-shuffle row counts are bounded by construction. Measured at
-    sf0.1: sequential k=4 init 15 → 7 jobs, k-means|| init 18 → 9
-    jobs, with bit-identical picks (every sum is exact-integer /
-    order-free by design, so physical partitioning never touches the
-    values). Results elsewhere are unaffected — the flag is restored
-    on exit (exceptions included)."""
+    """Scope AQE off around the k-means|| init's bounded driver probes
+    (r14, guide §1.2/§2.4 measurement). With AQE on, every
+    exchange-bearing probe runs one JOB per query stage — a Φ
+    aggregation costs 2 — and the init pays that per-job fixed latency
+    serially. These probes are FIXED-SHAPE at every scale (global
+    partial→final aggs whose exchange carries ≤ one row per
+    partition), so AQE has nothing to re-plan: no join to convert, no
+    skew to split, and the post-shuffle row counts are bounded by
+    construction. Measured at sf0.1 k=64: init 18 → 9 jobs with the
+    cache change, converged floor 3.3-3.5 s vs 4.5-5.4 s, with
+    bit-identical picks (every sum is exact-integer / order-free by
+    design, so physical partitioning never touches the values). The
+    SEQUENTIAL init deliberately does NOT use this scope — the same
+    treatment there measured slower (see init_centroids). Results
+    elsewhere are unaffected — the flag is restored on exit
+    (exceptions included)."""
     key = "spark.sql.adaptive.enabled"
     old = spark.conf.get(key, "true")
     spark.conf.set(key, "false")
@@ -232,49 +234,43 @@ class KMeansEngine:
         def dist_to(c: list[float]):
             return nearest_centroid_struct("Y", [(1, c)])["dist"]
 
-        # ONE cached base + a lazy least() chain (r14, guide §1.2):
-        # the previous shape eagerly localCheckpoint-ed the state after
-        # EVERY pick — one extra materialization job per round whose
-        # only reader is the next round's two pick jobs. The chain is
-        # arithmetic-identical (least(least(d, d2), d3) == the folded
-        # d column), the distinct shuffle is paid once into the cache,
-        # and each pick job re-evaluates at most a bounded least-chain
-        # narrowly over the cached rows. Lineage stays bounded: every
-        # ``_CHAIN_MAX_ROUNDS`` rounds the chain is folded into a
-        # localCheckpoint exactly like the old per-round form (SURVEY
-        # O12: chained plan canonicalization cost grows superlinearly
-        # past ~12 rounds — the fold keeps plan depth under that).
-        base = (
+        # localCheckpoint (NOT cache): each round derives the new state
+        # from the old one, and chained cached plans grow the analyzed
+        # lineage every round — plan canonicalization/cache-matching
+        # cost explodes superlinearly past ~12 rounds (SURVEY O12).
+        # Checkpointing truncates lineage to a flat scan per round. On a
+        # real cluster swap for reliable checkpointing if executor loss
+        # during init matters (init is cheap to restart regardless).
+        # (r14 NEGATIVE RESULT, kept as the record: a lazy least()
+        # chain over one cached base under an AQE-off scope cut the
+        # k=4 init from 15 to 8 jobs, but interleaved quiet-host solos
+        # measured it SLOWER — converged init floor ~1.8-2.2 s vs
+        # ~1.5-1.7 s for this shape, with much worse warm-up spikes
+        # (first timed init 19.9 s vs 2.7 s) — the saved bounded-probe
+        # jobs are cheaper than the chain re-evaluation + fixed
+        # 32-partition exchanges it bought. Reverted per guide §1.1:
+        # the empirical loop beats the first-principles job count. The
+        # parallel init KEEPS its cache+AQE-off form, which measured
+        # faster (floor 3.3-3.5 s vs 4.5-5.4 s at k=64).)
+        state = (
             yh.select("Y")
             .distinct()
             .select("Y", dist_to(model[0][1]).alias("d"), bucket.alias("b"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
-        state = base
-        chained = 0
-        try:
-            with _aqe_off(yh.sparkSession):
-                for j in range(2, self.k + 1):
-                    c = self._weighted_pick(state, rng, round_no=j)
-                    model.append((j, c))
-                    if j < self.k:
-                        state = state.select(
-                            "Y", F.least(F.col("d"), dist_to(c)).alias("d"), "b"
-                        )
-                        chained += 1
-                        if chained >= self._CHAIN_MAX_ROUNDS:
-                            state = state.localCheckpoint(eager=True)
-                            chained = 0
-        finally:
-            base.unpersist()
+        for j in range(2, self.k + 1):
+            c = self._weighted_pick(state, rng, round_no=j)
+            model.append((j, c))
+            if j < self.k:
+                state = state.select(
+                    "Y", F.least(F.col("d"), dist_to(c)).alias("d"), "b"
+                ).localCheckpoint(eager=True)
         return model
 
     # weight quantization for the ++ sampling: 2^20 steps per distance
     # unit — exact BIGINT cumulative sums (order-free, deterministic)
     _W_SCALE = 1 << 20
     _N_BUCKETS = 64
-    # sequential-++ least-chain fold cadence (see init_centroids)
-    _CHAIN_MAX_ROUNDS = 12
     # k·dim threshold above which Lloyd assignment switches from the
     # unrolled struct-min to the Arrow-batched matmul (k=4..8 small
     # fits and every oracle-replayed reproducible fit stay unrolled;
