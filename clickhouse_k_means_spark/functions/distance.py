@@ -154,8 +154,59 @@ def l2_fixed(a, b, dim: int) -> Column:
     return F.sqrt(sq_l2_fixed(a, b, dim))
 
 
+# Above this arity the unrolled form stops being a codegen win: the
+# ~dim-term expression tree blows Janino's 64 KB method limit, the
+# whole stage falls back to INTERPRETED execution, and every
+# GetArrayItem in the ~3·dim-node tree is then a per-row tree walk.
+# The HOF fold below is interpreted too, but it walks ONE zip_with
+# array per row instead of that tree — measured r14 on knn_join's
+# 2.5M-pair verify at dim=64: unrolled cosine 9.6 s, HOF cosine 7.3 s,
+# HOF dot with per-vector norms (operators/similarity._cosine_scored)
+# 2.7 s, all three bit-identical on float32 AND float64 fixtures.
+# Below the cutoff the unrolled form codegens and stays the fastest
+# shape (the dim<=3 k-means paths are plan-guarded to it,
+# tests/test_plan_quality.py). Literal vectors always stay unrolled:
+# their terms constant-fold, and the HOF form would rebuild the
+# literal array per row.
+_HOF_DIM_CUTOFF = 16
+
+
+def _is_literal_vec(v) -> bool:
+    return isinstance(v, Sequence) and not isinstance(v, (str, bytes))
+
+
+def _hof_dot(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Dot product as one JVM higher-order fold with the EXACT
+    unrolled semantics: init = a[0]*b[0] so the accumulator inherits
+    the multiply's own type (a float32 column keeps float32 partial
+    sums — seeding with a double 0.0 literal silently promotes every
+    partial and changes results, measured r14); fold order
+    t0 + t1 + ... + t_{dim-1}, the unrolled tree's left-association,
+    so IEEE results are bit-identical; inputs sliced to ``dim``
+    elements so extra elements are ignored exactly like the unrolled
+    form; a side shorter than ``dim`` RAISES, matching the unrolled
+    form's ANSI out-of-range a[d] error (zip_with would otherwise
+    null-pad and silently return NULL — a quiet no-op on malformed
+    input, against the repo's loud-failure rule)."""
+    a, b = _as_vec(a), _as_vec(b)
+    zw = F.zip_with(F.slice(a, 1, dim), F.slice(b, 1, dim), lambda x, y: x * y)
+    s = F.aggregate(F.slice(zw, 2, dim - 1), a[0] * b[0], lambda acc, v: acc + v)
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None))  # null propagates
+        .when((F.size(a) >= dim) & (F.size(b) >= dim), s)
+        .otherwise(
+            F.raise_error(
+                F.lit(f"fixed-arity dot: input array shorter than dim={dim}")
+            )
+        )
+    )
+
+
 def dot_fixed(a, b, dim: int) -> Column:
-    """Unrolled dot product for a known arity."""
+    """Dot product for a known arity: unrolled (codegen) below
+    ``_HOF_DIM_CUTOFF``, the bit-identical HOF fold above it."""
+    if dim >= _HOF_DIM_CUTOFF and not (_is_literal_vec(a) or _is_literal_vec(b)):
+        return _hof_dot(a, b, dim)
     s = _dot_sql(a, b, dim)
     if s is not None:
         return F.expr(s)
@@ -168,7 +219,12 @@ def dot_fixed(a, b, dim: int) -> Column:
 
 
 def cosine_fixed(a, b, dim: int) -> Column:
-    """Unrolled cosine similarity for a known arity."""
+    """Cosine similarity for a known arity: unrolled (codegen) below
+    ``_HOF_DIM_CUTOFF``, the bit-identical HOF folds above it."""
+    if dim >= _HOF_DIM_CUTOFF and not (_is_literal_vec(a) or _is_literal_vec(b)):
+        return _hof_dot(a, b, dim) / (
+            F.sqrt(_hof_dot(a, a, dim)) * F.sqrt(_hof_dot(b, b, dim))
+        )
     ab, aa, bb = _dot_sql(a, b, dim), _dot_sql(a, a, dim), _dot_sql(b, b, dim)
     if ab is not None and aa is not None and bb is not None:
         return F.expr(f"({ab}) / (sqrt({aa}) * sqrt({bb}))")

@@ -120,6 +120,83 @@ def test_aqe_guard_restores_flag_on_exit_and_error(spark):
         spark.conf.set(key, old)
 
 
+def test_hof_dot_cosine_bitwise_match_unrolled(spark):
+    """The dim>=_HOF_DIM_CUTOFF HOF fold in dot_fixed/cosine_fixed must
+    stay bit-identical to the unrolled expression it replaced (r14):
+    same left-fold order, accumulator typed by the first product (a
+    float32 column keeps float32 partial sums), inputs capped at dim,
+    short inputs RAISE (the unrolled form's ANSI out-of-range error),
+    NULL arrays propagate NULL. Checked on float32 AND float64 arrays,
+    plus the _cosine_scored per-vector-norm form."""
+    import random as _r
+
+    from clickhouse_k_means_spark.functions.distance import (
+        _HOF_DIM_CUTOFF,
+        _dot_sql,
+        _hof_dot,
+        cosine_fixed,
+        dot_fixed,
+    )
+
+    dim = 24
+    assert dim >= _HOF_DIM_CUTOFF
+    rng = _r.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)],
+         [rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(64)
+    ]
+    rows.append((64, None, [1.0] * dim))  # NULL array -> NULL, no error
+    for elem in ("float", "double"):
+        df = spark.createDataFrame(
+            rows, f"i bigint, a array<{elem}>, b array<{elem}>"
+        )
+        unrolled_dot = F.expr(_dot_sql("a", "b", dim))
+        unrolled_cos = F.expr(
+            f"({_dot_sql('a', 'b', dim)}) / (sqrt({_dot_sql('a', 'a', dim)})"
+            f" * sqrt({_dot_sql('b', 'b', dim)}))"
+        )
+        got = df.select(
+            (dot_fixed("a", "b", dim) == unrolled_dot).alias("dot_eq"),
+            (cosine_fixed("a", "b", dim) == unrolled_cos).alias("cos_eq"),
+            # the _cosine_scored shape: dot / (per-vector sqrt norms)
+            (
+                (
+                    _hof_dot("a", "b", dim)
+                    / (
+                        F.sqrt(_hof_dot("a", "a", dim))
+                        * F.sqrt(_hof_dot("b", "b", dim))
+                    )
+                )
+                == unrolled_cos
+            ).alias("norm_eq"),
+            dot_fixed("a", "b", dim).isNull().alias("dot_null"),
+            unrolled_dot.isNull().alias("unrolled_null"),
+        ).collect()
+        for r in got:
+            # equality holds row-by-row, and NULLs line up exactly
+            assert r["dot_null"] == r["unrolled_null"]
+            if not r["dot_null"]:
+                assert r["dot_eq"] and r["cos_eq"] and r["norm_eq"], r
+    # a vector SHORTER than dim fails loudly (as the unrolled ANSI
+    # a[d] does), instead of zip_with's silent null-pad
+    short = spark.createDataFrame(
+        [(1, [1.0] * (dim - 3), [1.0] * dim)],
+        "i bigint, a array<double>, b array<double>",
+    )
+    with pytest.raises(Exception, match="shorter than dim"):
+        short.select(dot_fixed("a", "b", dim).alias("d")).collect()
+    # below the cutoff the plan keeps the codegen'd unrolled form
+    df3 = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0])],
+        "i bigint, a array<double>, b array<double>",
+    )
+    small_plan = df3.select(
+        dot_fixed("a", "b", 3).alias("d")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "aggregate(" not in small_plan and "zip_with(" not in small_plan
+
+
 def test_streaming_batch_single_materialization_contract(spark, tmp_path):
     """The micro-batch body receives an eagerly-materialized frame:
     re-reading it must not re-execute the (side-effecting) source.
