@@ -393,7 +393,7 @@ def ivf_query(
         F.col(vec).cast("array<double>").alias("qv"),
     ).collect()
     if not qrows:
-        return local_df(spark,
+        return _local_df(spark,
             [], f"q {qtype}, n bigint, score double, rank int"
         )
     centers_np = np.asarray(centers_l, dtype=np.float64)
@@ -475,7 +475,7 @@ def _ivf_query_filtered(
     ).collect()
     counts = _filtered_cell_counts(allowed) if qrows else {}
     if not qrows or not counts:
-        return local_df(spark,
+        return _local_df(spark,
             [], f"q {qtype}, n bigint, score double, rank int"
         )
     q_mat = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
@@ -867,7 +867,7 @@ def pq_query(
         F.col(query_key).alias("q"), F.col(vec).alias("qv")
     ).collect()
     if not qrows:
-        return local_df(spark,
+        return _local_df(spark,
             [], "q bigint, n bigint, score double, rank int"
         )
     q_mat = normalize_rows(
@@ -994,7 +994,7 @@ def pq_stats(
     import math
 
     errs, x, _ = _pq_sample_err(spark, store, table, version, sample_n, seed)
-    return local_df(spark,
+    return _local_df(spark,
         [
             (s, int(len(x)), int(math.floor(float(e) * 1e9 + 0.5)))
             for s, e in enumerate(errs)
@@ -1445,7 +1445,7 @@ def ivfpq_query(
         F.col(query_key).alias("q"), F.col(vec).alias("qv")
     ).collect()
     if not qrows:
-        return local_df(spark,
+        return _local_df(spark,
             [], "q bigint, n bigint, score double, rank int"
         )
     q_mat = normalize_rows(
@@ -1460,7 +1460,7 @@ def ivfpq_query(
         )
         counts = _filtered_cell_counts(allowed)
         if not counts:
-            return local_df(spark,
+            return _local_df(spark,
                 [], "q bigint, n bigint, score double, rank int"
             )
         # the IVF-PQ cell metric is squared L2 of the NORMALIZED query
