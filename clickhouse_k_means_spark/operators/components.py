@@ -37,12 +37,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# The pair graph fits the driver below this many edge rows (≈3 MB of
+# ids at 200k) — the same size-gated reasoning as a broadcast join
+# (guide §3.1): when the whole graph is broadcast-sized, iterating a
+# distributed fixpoint over it is pure overhead.
+_DRIVER_MAX_EDGES = 200_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_iter: int = 25,
     algorithm: str = "auto",
+    driver_max_edges: int = _DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the MINIMUM
     node id reachable from it. Returns ``(n, component)``.
@@ -56,11 +64,40 @@ def connected_components(
     graphs), or ``"auto"`` (propagation; on round-budget exhaustion
     falls over to star instead of returning split components — a
     max_iter=25 exhaustion used to return silently-wrong labels).
+
+    Bounded-graph fast path (r14, guide §1.2/§3.1): the pair set of a
+    banded dedup batch is usually tiny (hundreds of edges at bench
+    scale), yet the fixpoint loop pays 2 jobs per round plus two
+    checkpoints regardless. When the edge list is proven ≤
+    ``driver_max_edges`` rows by a bounded ``limit(n+1)`` probe, a
+    driver union-find computes the IDENTICAL min-id labels in that one
+    bounded job and returns them as a LocalRelation — the same
+    size-gate-then-collect decision a broadcast join makes, so it
+    holds at any scale (a 100 TB corpus whose candidate-pair graph
+    exceeds the gate takes the distributed loop unchanged). Null
+    endpoints (impossible from the dedup emitters) fall back to the
+    distributed loop rather than guessing a null semantics.
+    Set ``driver_max_edges=0`` to force the distributed loop.
     """
     if algorithm == "star":
         return star_components(edges, src=src, dst=dst)
     if algorithm not in ("auto", "propagation"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    # the size gate applies only to "auto" — an explicit algorithm
+    # choice is a request for that distributed loop (tests pin its
+    # budget-exhaustion behavior through exactly that door)
+    if algorithm == "auto" and driver_max_edges and driver_max_edges > 0:
+        head = (
+            edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+            .limit(driver_max_edges + 1)
+            .collect()
+        )
+        if len(head) <= driver_max_edges and all(
+            r["n"] is not None and r["m"] is not None for r in head
+        ):
+            return _driver_components(
+                edges.sparkSession, head, edges.schema[src].dataType
+            )
     sym = (
         edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         .union(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
@@ -114,6 +151,46 @@ def connected_components(
             "use algorithm='star' or raise max_iter"
         )
     return labels
+
+
+def _driver_components(spark, edge_rows, key_type) -> DataFrame:
+    """Union-find over a collected bounded edge list → ``(n,
+    component)`` LocalRelation with component = min reachable id —
+    bit-equal to the propagation fixpoint (both are exactly "min id
+    in the connected component"; no floats involved)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r["n"], r["m"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = comp_min.get(root)
+        if cur is None or node < cur:
+            comp_min[root] = node
+    from clickhouse_k_means_spark.sources.dataset import local_df
+
+    t = key_type.simpleString()
+    return local_df(
+        spark,
+        sorted((node, comp_min[find(node)]) for node in parent),
+        f"n {t}, component {t}",
+    )
 
 
 def star_components(

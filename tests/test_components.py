@@ -42,8 +42,39 @@ def test_propagation_raises_on_budget_exhaustion(spark):
 
 
 def test_auto_falls_over_to_star(spark):
-    got = _labels(connected_components(_path_edges(spark, 40), max_iter=3))
+    # driver_max_edges=0 forces the distributed loop so the
+    # budget-exhaustion fallover stays exercised (r14: small graphs
+    # otherwise take the bounded driver union-find)
+    got = _labels(
+        connected_components(
+            _path_edges(spark, 40), max_iter=3, driver_max_edges=0
+        )
+    )
     assert got == {i: 0 for i in range(40)}
+
+
+def test_driver_fast_path_matches_distributed_loop(spark):
+    # r14: the bounded-graph union-find must label exactly like the
+    # propagation fixpoint — random clustered edges incl. a self-loop
+    # and an isolated pair, both int and string keys
+    rng = random.Random(13)
+    edges = [(0, 0)]
+    for c in range(4):
+        ids = [c * 100 + i for i in range(50)]
+        for i in range(1, 50):
+            edges.append((ids[rng.randrange(0, i)], ids[i]))
+    df = spark.createDataFrame(edges, "a long, b long")
+    fast = _labels(connected_components(df))
+    slow = _labels(connected_components(df, driver_max_edges=0))
+    assert fast == slow
+    sdf = spark.createDataFrame(
+        [(f"k{a}", f"k{b}") for a, b in edges], "a string, b string"
+    )
+    assert _labels(connected_components(sdf)) == _labels(
+        connected_components(sdf, driver_max_edges=0)
+    )
+    # over-gate graphs take the distributed loop (labels still exact)
+    assert _labels(connected_components(df, driver_max_edges=3)) == slow
 
 
 def test_star_matches_propagation_on_random_clusters(spark):
