@@ -2926,7 +2926,9 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = stream_events(spark, sf_dir)
     agg = windowed_event_counts(stream, window="5 minutes")
-    return run_available_now(spark, agg, name="q_streaming_windows")
+    return run_available_now(
+        spark, agg, name="q_streaming_windows", input_path=sf_dir
+    )
 
 
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2971,7 +2973,9 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
     )
-    return run_available_now(spark, agg, name="q_stream_enrich")
+    return run_available_now(
+        spark, agg, name="q_stream_enrich", input_path=sf_dir
+    )
 
 
 def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4800,6 +4804,7 @@ def q_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_user_counts(stream_events(spark, sf_dir)),
         name="q_stateful_stats",
         output_mode="update",
+        input_path=sf_dir,
     )
     # update mode re-emits a key per batch; the final state is the max
     return out.groupBy("user_id").agg(
@@ -5605,7 +5610,8 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = stream_stream_pairs(spark, sf_dir)
     return run_available_now(
-        spark, pairs, name="q_stream_join", output_mode="append"
+        spark, pairs, name="q_stream_join", output_mode="append",
+        input_path=sf_dir,
     )
 
 

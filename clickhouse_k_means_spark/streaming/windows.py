@@ -15,6 +15,7 @@ the stream.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,24 +78,80 @@ def windowed_event_counts(
     )
 
 
+def stream_state_partitions(spark: SparkSession, input_bytes: int) -> int:
+    """Scale-adaptive state-partition count for a stream replay (r14,
+    guide §2.2/§2.4): every stateful operator commits one state-store
+    delta PER PARTITION per micro-batch, so a stream's shuffle
+    partition count should track its input volume the way AQE sizes
+    batch partitions — ``ceil(bytes / target)`` clamped to
+    [4, session shuffle partitions]. A 100 TB feed keeps full width
+    (the clamp ceiling is the configured parallelism); a bounded
+    fixture replay stops paying 32 state commits per batch on 2 MB of
+    input (measured r14: stream_join 6.1 s → 2.1 s at 8 partitions,
+    identical rows). Target bytes/partition is env-tunable
+    (``SPARK_GRAFT_STREAM_STATE_TARGET_BYTES``, default 64 MB — the
+    AQE advisory default)."""
+    target = int(
+        os.environ.get("SPARK_GRAFT_STREAM_STATE_TARGET_BYTES", str(64 << 20))
+    )
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = max(1, -(-int(input_bytes) // max(1, target)))
+    return max(min(4, cur), min(want, cur))
+
+
+def _dir_input_bytes(path: str) -> int:
+    """Total size of the data files a file-stream source will replay
+    (non-recursive: the fixture layout)."""
+    import glob as _glob
+
+    return sum(
+        os.path.getsize(p)
+        for p in _glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isfile(p)
+    )
+
+
 def run_available_now(
-    spark: SparkSession, agg: DataFrame, name: str, output_mode: str = "complete"
+    spark: SparkSession,
+    agg: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    input_path: str | None = None,
 ) -> DataFrame:
     """Replay the whole source as a finite stream (availableNow trigger),
     collect into a memory sink, return the result table. ``complete``
     fits aggregations; pass ``append`` for row-level operators
-    (dedup, stateless maps)."""
-    with tempfile.TemporaryDirectory(prefix="ckms_stream_ckpt_") as ckpt:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    (dedup, stateless maps).
+
+    ``input_path``: the directory the file-stream source replays.
+    When given, the stream runs with a state-partition count derived
+    from the input size (``stream_state_partitions``) instead of the
+    session's batch default — the conf is scoped to the stream start
+    (state partitioning is captured by the new checkpoint) and
+    restored afterwards. Output rows are identical either way; only
+    the physical state layout changes."""
+    old_parts: str | None = None
+    if input_path is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(stream_state_partitions(spark, _dir_input_bytes(input_path))),
         )
-        q.awaitTermination()
-        q.stop()
+    try:
+        with tempfile.TemporaryDirectory(prefix="ckms_stream_ckpt_") as ckpt:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
