@@ -719,21 +719,44 @@ class KMeansEngine:
 
         cached, yh, dim, n_parts = self.prepare_working_set(yh)
         try:
-            rng = random.Random(self.seed)
-            # dispatch on the configured init (r4: this was silently
-            # always-sequential before — init='parallel' was validated
-            # in __init__ but never consulted here)
-            if self.init == "parallel":
-                model = self.init_centroids_parallel(yh, rng)
-            else:
-                model = self.init_centroids(yh, rng)
-            history = [(0, j, c) for j, c in model]
-            _persist_step(0, model)
-            return self._run_lloyd(
-                yh, dim, model, history, 1, _persist_step, n_parts=n_parts
+            return self._fit_on_prepared(
+                yh, dim, n_parts, persist_step=_persist_step
             )
         finally:
             cached.unpersist()
+
+    def _fit_on_prepared(
+        self,
+        working: DataFrame,
+        dim: int,
+        n_parts: int,
+        persist_step=None,
+    ) -> KMeansResult:
+        """Init + Lloyd loop over an ALREADY-MATERIALIZED working set —
+        the fit body without ``prepare_working_set`` (r14, guide §1.2:
+        ``bisecting_fit`` re-paid a repartition + cache + emptiness
+        probe + count per split on subsets it had just
+        localCheckpoint-ed; ~4 jobs × k−1 splits of pure overhead).
+        The caller owns the layout contract: ``working`` must be
+        materialized (cached or checkpointed) with a deterministic
+        partitioning, because every Lloyd pass re-reads it and the
+        double-summation order follows the partition layout."""
+        rng = random.Random(self.seed)
+        # dispatch on the configured init (r4: this was silently
+        # always-sequential before — init='parallel' was validated
+        # in __init__ but never consulted here)
+        if self.init == "parallel":
+            model = self.init_centroids_parallel(working, rng)
+        else:
+            model = self.init_centroids(working, rng)
+        history = [(0, j, c) for j, c in model]
+        if persist_step is not None:
+            persist_step(0, model)
+        return self._run_lloyd(
+            working, dim, model, history, 1,
+            persist_step if persist_step is not None else (lambda s, m: None),
+            n_parts=n_parts,
+        )
 
     def _run_lloyd(
         self, yh, dim, model, history, start_step, persist_step,
@@ -995,30 +1018,57 @@ def bisecting_fit(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    base = yh.select("i", "Y").localCheckpoint(eager=True)
+    # spread the base ONCE to full parallelism before checkpointing
+    # (r14, guide §1.2/§2.2): every split subset — filters over this
+    # checkpoint — inherits the layout, so the per-split k=2 fits run
+    # on the internal ``_fit_on_prepared`` path instead of re-paying
+    # prepare_working_set's repartition + cache + emptiness probe +
+    # count on data that is already materialized (~4 jobs × k−1
+    # splits). Deterministic layout ⇒ deterministic split sums, the
+    # same contract prepare_working_set documents.
+    sc = yh.sparkSession.sparkContext
+    base = yh.select("i", "Y")
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
+    base = base.localCheckpoint(eager=True)
+    n_parts = base.rdd.getNumPartitions()
     head = base.select("Y").first()
     if head is None:
         raise ValueError("bisecting k-means: input DataFrame is empty")
     dim = len(head[0])
 
     def _leaf(df: DataFrame) -> tuple | None:
-        """One leaf record ``(df, wcss, n, mean)`` — n and the mean
-        come from ONE stats pass (count + per-dim sums; the mean is
-        sums/n, the identical IEEE division Average performs), then
-        the WCSS runs the UNCHANGED elbow formula around that mean so
-        split-pick ordering keeps the exact pre-r14 float path. This
-        replaces four driver actions per leaf (emptiness first(),
-        _mean_model's first()+agg, the later limit(min_rows) row
-        probe, and the final-model _mean_model re-run) with two."""
+        """One leaf record ``(df, wcss, n, mean)`` from a SINGLE
+        stats pass (r14, guide §1.2): count + per-dim sums + per-dim
+        sums of squares. The mean is sums/n (the identical IEEE
+        division Average performs); the WCSS uses the sum-of-squares
+        identity Σ‖x−μ‖² = Σ_d (Σx_d² − (Σx_d)²/n), clamped at 0 per
+        dimension (fp cancellation can dip epsilon-negative on a
+        constant column). Mathematically equal to the elbow() re-scan
+        around the mean — WCSS only ORDERS the split picks, and the
+        literal-free aggregate is also a codegen-cache hit, unlike the
+        per-leaf elbow whose mean literals recompiled every call.
+        Replaces the earlier two actions per leaf (stats agg + elbow
+        re-scan) with one; the four r14-batch-1 savings (emptiness
+        first(), _mean_model's first()+agg, the limit(min_rows) probe,
+        the final-model re-run) still hold."""
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             *[F.sum(F.col("Y")[d]).alias(f"s{d}") for d in range(dim)],
+            *[
+                F.sum(F.col("Y")[d] * F.col("Y")[d]).alias(f"q{d}")
+                for d in range(dim)
+            ],
         ).first()
         n = int(row["n"])
         if n == 0:
             return None
         mean = [float(row[f"s{d}"]) / n for d in range(dim)]
-        return (df, elbow(df, [(1, mean)], squared=True), n, mean)
+        wcss = sum(
+            max(0.0, float(row[f"q{d}"]) - float(row[f"s{d}"]) ** 2 / n)
+            for d in range(dim)
+        )
+        return (df, wcss, n, mean)
 
     # leaves: splittable candidates; final: leaves PERMANENTLY out of
     # the split pool — too few rows, or a degenerate k=2 split
@@ -1055,7 +1105,7 @@ def bisecting_fit(
             continue
         split_no += 1
         eng = KMeansEngine(k=2, seed=seed + split_no, max_iter=max_iter)
-        res = eng.fit(df)
+        res = eng._fit_on_prepared(df, dim, n_parts)
         # split by DIRECT assignment projection — never a join back on
         # the key: the YH contract allows duplicate (i, Y) rows
         # (lineitem keys repeat per line), and a semi-join would
