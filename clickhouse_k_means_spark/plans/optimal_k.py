@@ -32,10 +32,51 @@ Model = list[tuple[int, list[float]]]
 
 
 def elbow(yh: DataFrame, model: Model, squared: bool = False) -> float:
-    """Σ min-distance to the model (OptimalK.sql:3-8; Q6 exact parity)."""
+    """Σ min-distance to the model (OptimalK.sql:3-8; Q6 exact parity).
+
+    Large models take an Arrow partials path (r14, guide §4): past the
+    same ``k·dim`` threshold the Lloyd assignment uses, the unrolled
+    64-struct ``array_min`` expression blows codegen and the whole scan
+    runs INTERPRETED — measured 58 s for k=64/dim=3 over 600k rows vs
+    ~1 s for the batched NumPy fold. The batch computes the SAME
+    per-element fold ((x₀−c₀)² + (x₁−c₁)² + …, then min over centers,
+    then sqrt when unsquared), so any difference vs the JVM expression
+    is confined to summation grouping of the final Σ — the same
+    last-bits freedom the JVM's own partial-combine order already has.
+    Every oracle-gated elbow entry (k=4, dim=3) sits far below the
+    threshold and keeps the bit-exact JVM expression."""
+    from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
+
+    k, dim = len(model), len(model[0][1])
+    if k * dim > KMeansEngine._ARROW_ASSIGN_CELLS:
+        return _elbow_batch(yh, model, squared)
     s = nearest_centroid_struct("Y", model)
     d = s["dist"] * s["dist"] if squared else s["dist"]
     return yh.agg(F.sum(d).alias("elbow")).collect()[0][0]
+
+
+def _elbow_batch(yh: DataFrame, model: Model, squared: bool) -> float:
+    """Arrow partials for the large-k elbow: per-partition Σ of the
+    min distance (same (x−c)² left fold per element as the unrolled
+    expression), combined on the driver in partition order."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray([cs for _, cs in sorted(model)], dtype=np.float64)
+
+    def _partials(batches):
+        total = 0.0
+        for pdf in batches:
+            m = np.array(pdf["Y"].tolist(), dtype=np.float64)  # (n, dim)
+            # (n, k, dim) diff → square → sequential per-element sum →
+            # min over centers: the unrolled expression's fold per pair
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            best = d2.min(axis=1)
+            total += float(best.sum() if squared else np.sqrt(best).sum())
+        yield pd.DataFrame({"s": [total]})
+
+    rows = yh.select("Y").mapInPandas(_partials, schema="s double").collect()
+    return float(sum(r["s"] for r in rows))
 
 
 def _pairs(yh: DataFrame, model: Model) -> DataFrame:
