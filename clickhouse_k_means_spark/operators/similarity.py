@@ -223,6 +223,13 @@ def _verified_ordered_pairs(
     interpreted (measured 4-9× slower at sf0.1, r5). The scored
     relation is candidate-pair-sized (≪ corpus — that is the LSH
     invariant), so materializing it is cheap at any scale."""
+    # NOT spread like the kNN-graph operators (r14 negative result,
+    # recorded): the near-dup pair set here is threshold-bounded tiny
+    # (72k pairs on the fixture), and an up-front repartition of the
+    # band table measured a flat +0.17 s per run against a 0.35 s
+    # baseline while the knn_join shape (2.5M pairs) won 2-3× from
+    # it — the spread pays off only when the pair explosion, not the
+    # exchange, dominates.
     left = banded.select(F.col("k").alias("a"), "t", "bucket")
     right = banded.select(F.col("k").alias("b"), "t", "bucket")
     cand = (
@@ -541,8 +548,23 @@ def knn_join(
     banded = df.select(
         F.col(key).alias("kk"), buckets(F.col(vec)).alias("bks")
     ).select("kk", F.posexplode("bks").alias("t", "bucket"))
+    # spread the pair explosion (r14, guide §2.5 input-skew): the band
+    # table inherits the corpus scan's partitioning — ONE partition for
+    # a small single-file input — so the bucket self-join's quadratic
+    # pair generation and its map-side distinct otherwise run inside a
+    # single task (measured: the 2.5M-pair candidate pass dropped
+    # 2.0-2.2 s → 0.7-1.0 s once keyed-spread to cluster width).
+    # Conditional on the scan actually being narrower than the
+    # cluster, so a real many-partition corpus pays no extra exchange.
+    # width probed on the RAW input (same partitioning — the banding
+    # chain is narrow; probing the UDF-bearing plan would pay a
+    # pricier plan translation)
+    sc = df.sparkSession.sparkContext
+    spread = banded
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        spread = banded.repartition(sc.defaultParallelism, "t", "bucket")
     cand = (
-        banded.select(F.col("kk").alias("a"), "t", "bucket")
+        spread.select(F.col("kk").alias("a"), "t", "bucket")
         .join(
             banded.select(F.col("kk").alias("b"), "t", "bucket"),
             ["t", "bucket"],
@@ -745,8 +767,16 @@ def knn_join_partitioned(
         banded = coded.select(
             "kk", "cell", F.posexplode("bks").alias("t", "bucket")
         )
+    # spread the pair explosion (r14 — the single-task pair-generation
+    # fix shared with knn_join; conditional for the same reason)
+    sc = df.sparkSession.sparkContext
+    spread = banded
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        spread = banded.repartition(
+            sc.defaultParallelism, "cell", "t", "bucket"
+        )
     cand = (
-        banded.select(F.col("kk").alias("a"), "cell", "t", "bucket")
+        spread.select(F.col("kk").alias("a"), "cell", "t", "bucket")
         .join(
             banded.select(F.col("kk").alias("b"), "cell", "t", "bucket"),
             ["cell", "t", "bucket"],
