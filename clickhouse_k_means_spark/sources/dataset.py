@@ -90,7 +90,13 @@ def _arrow_local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
         pa.array(list(col), type=field.type)
         for col, field in zip(cols, arrow_schema)
     ]
-    return spark.createDataFrame(pa.Table.from_arrays(arrays, schema=arrow_schema))
+    df = spark.createDataFrame(pa.Table.from_arrays(arrays, schema=arrow_schema))
+    # LocalTableScan otherwise spreads k rows over min(k, parallelism)
+    # partitions — a k-row store commit would write k near-empty files
+    # again. coalesce(1) over a LocalRelation is a narrow one-task
+    # concat (no Python parents — unlike the pathological pickled-RDD
+    # case documented above) and keeps row order.
+    return df.coalesce(1)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
