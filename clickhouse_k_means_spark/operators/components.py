@@ -86,7 +86,14 @@ def connected_components(
     # the size gate applies only to "auto" — an explicit algorithm
     # choice is a request for that distributed loop (tests pin its
     # budget-exhaustion behavior through exactly that door)
-    if algorithm == "auto" and driver_max_edges and driver_max_edges > 0:
+    # the driver path types its (n, component) output from ONE column;
+    # mixed src/dst types would need the union's coercion rules
+    # replayed driver-side to match the distributed loop's schema
+    # (ADVICE r14) — every in-repo emitter is same-typed, so mixed
+    # types simply keep the distributed loop, whose union coerces
+    if algorithm == "auto" and driver_max_edges and driver_max_edges > 0 and (
+        edges.schema[src].dataType == edges.schema[dst].dataType
+    ):
         head = (
             edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
             .limit(driver_max_edges + 1)

@@ -48,7 +48,12 @@ def elbow(yh: DataFrame, model: Model, squared: bool = False) -> float:
     from clickhouse_k_means_spark.plans.kmeans import KMeansEngine
 
     k, dim = len(model), len(model[0][1])
-    if k * dim > KMeansEngine._ARROW_ASSIGN_CELLS:
+    # >= : the SAME comparison the Lloyd/assign paths use for
+    # _ARROW_ASSIGN_CELLS (ADVICE r14 — the gates diverged at exactly
+    # k·dim == threshold; no registered elbow consumer sits on the
+    # boundary: fit_best/doc_clusters shapes are k=4·dim≤8 = ≤32,
+    # tests/test_r15_optimizations.py pins the unreachability)
+    if k * dim >= KMeansEngine._ARROW_ASSIGN_CELLS:
         return _elbow_batch(yh, model, squared)
     s = nearest_centroid_struct("Y", model)
     d = s["dist"] * s["dist"] if squared else s["dist"]
@@ -66,6 +71,7 @@ def _elbow_batch(yh: DataFrame, model: Model, squared: bool) -> float:
 
     def _partials(batches):
         total = 0.0
+        n = 0
         for pdf in batches:
             m = np.array(pdf["Y"].tolist(), dtype=np.float64)  # (n, dim)
             # (n, k, dim) diff → square → sequential per-element sum →
@@ -73,9 +79,15 @@ def _elbow_batch(yh: DataFrame, model: Model, squared: bool) -> float:
             d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             best = d2.min(axis=1)
             total += float(best.sum() if squared else np.sqrt(best).sum())
-        yield pd.DataFrame({"s": [total]})
+            n += len(pdf)
+        yield pd.DataFrame({"s": [total], "n": [n]})
 
-    rows = yh.select("Y").mapInPandas(_partials, schema="s double").collect()
+    rows = yh.select("Y").mapInPandas(_partials, schema="s double, n long").collect()
+    if sum(int(r["n"]) for r in rows) == 0:
+        # SQL sum over zero rows is NULL — the JVM expression path
+        # returns None on an empty input; match it (ADVICE r14: this
+        # path returned 0.0, a silent divergence across the gate)
+        return None
     return float(sum(r["s"] for r in rows))
 
 

@@ -49,27 +49,35 @@ def get_spark(app_name: str = "clickhouse-k-means-spark") -> SparkSession:
         # late queries run interpreted 3-5× slower. Reserve more.
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
     )
-    # Python-worker zipimport fix (r14, guide §4): route the worker
-    # daemon through workerdaemon.py, which guards
-    # zipimporter.invalidate_caches with an (mtime, size) stamp —
-    # stock workers re-read the pyspark.zip/py4j.zip central directory
-    # on EVERY task (~130 ms/task measured here, dominating the fixed
-    # cost of every Python-boundary stage at any scale). Only wired
-    # when the module resolves as a plain directory package, and the
-    # worker side resolves it via executorEnv.PYTHONPATH.
-    import importlib.util
-
-    spec = importlib.util.find_spec("clickhouse_k_means_spark.workerdaemon")
-    if spec is not None and spec.origin and os.path.isfile(spec.origin):
-        pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(spec.origin)))
-        extra = os.environ.get("PYTHONPATH", "")
-        worker_pp = pkg_parent + (os.pathsep + extra if extra else "")
-        builder = builder.config(
-            "spark.python.daemon.module",
-            "clickhouse_k_means_spark.workerdaemon",
-        ).config("spark.executorEnv.PYTHONPATH", worker_pp)
     if not os.environ.get("SPARK_GRAFT_MASTER_SET"):
         builder = builder.master(f"local[{cpus}]")
+        # Python-worker zipimport fix (r14, guide §4): route the worker
+        # daemon through workerdaemon.py, which guards
+        # zipimporter.invalidate_caches with an (mtime, size) stamp —
+        # stock workers re-read the pyspark.zip/py4j.zip central
+        # directory on EVERY task (~130 ms/task measured here,
+        # dominating the fixed cost of every Python-boundary stage).
+        # LOCAL MODE ONLY (ADVICE r14): the daemon module and the
+        # executorEnv.PYTHONPATH below point at a DRIVER-LOCAL
+        # directory; on a remote master whose executors lack the
+        # package at that path, every Python worker would fail to
+        # start. A cluster deployment that ships the package (
+        # --py-files / a baked image) can opt in by setting the two
+        # confs itself — the daemon module is self-contained and
+        # import-guarded for exactly that use.
+        import importlib.util
+
+        spec = importlib.util.find_spec("clickhouse_k_means_spark.workerdaemon")
+        if spec is not None and spec.origin and os.path.isfile(spec.origin):
+            pkg_parent = os.path.dirname(
+                os.path.dirname(os.path.abspath(spec.origin))
+            )
+            extra = os.environ.get("PYTHONPATH", "")
+            worker_pp = pkg_parent + (os.pathsep + extra if extra else "")
+            builder = builder.config(
+                "spark.python.daemon.module",
+                "clickhouse_k_means_spark.workerdaemon",
+            ).config("spark.executorEnv.PYTHONPATH", worker_pp)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

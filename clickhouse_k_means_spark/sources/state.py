@@ -37,6 +37,8 @@ import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 from clickhouse_k_means_spark.sources.dataset import local_df
 
 
@@ -367,14 +369,34 @@ class SnapshotStateStore:
     ) -> DataFrame:
         """Snapshot read: resolve the manifest once (latest or pinned
         ``version`` — time travel), read exactly those files, then
-        apply any merge-on-read delta layers in commit order: each
-        layer anti-joins its tombstoned keys out of the rows so far
-        and unions its fresh rows in. Tombstone sets are batch-sized
-        parquet scans with known file statistics, so Catalyst's
-        size-based broadcast (and AQE) picks the map-side anti-join
-        without any driver-side sizing action; NULL keys (the index
-        tables' geometry rows) never equal a tombstone key and pass
-        through every layer untouched."""
+        apply any merge-on-read delta layers.
+
+        Layer-fold shape (r15, VERDICT r14 item 2 / guide §1.2, §2.4):
+        the layers used to fold as a CHAIN — one anti-join per layer
+        stacked on the full lineage, so the base (the corpus-sized
+        side) passed through L joins and every action re-paid L
+        broadcast builds. The fold is now ONE anti-join, derived from
+        the algebraic identity of the chain: tag every row with its
+        origin ordinal (base = 0, layer i's fresh rows = i), union the
+        layers' tombstone keys tagged with THEIR ordinal, and
+        anti-join on ``key equal AND tombstone_ordinal > origin`` —
+        exactly "a row is dead iff a LATER layer tombstoned its key",
+        which is what the chain computed (layer i's own fresh rows are
+        not subject to its own tombstones; base rows are subject to
+        all). Row content and union branch order are identical to the
+        chain; the base passes through ONE join at any layer count,
+        and column/filter pushdown still reaches every parquet scan
+        (the alternative — checkpointing the folded head — would
+        materialize the whole table and lose scan pruning, the wrong
+        trade at 100 TB). Tombstone sets are batch-sized parquet scans
+        with known file statistics, so Catalyst's size-based broadcast
+        (and AQE) picks the map-side anti-join without any driver-side
+        sizing action; NULL keys (the index tables' geometry rows)
+        never equal a tombstone key and pass through untouched.
+        Heterogeneous per-layer keys (never produced by the in-repo
+        writers — merge_delta pins one key per table in practice) keep
+        the sequential chain, whose semantics are per-layer by
+        construction."""
         v = self.latest_version(table) if version is None else version
         if v is None:
             raise FileNotFoundError(f"SnapshotStateStore: no snapshots for {table!r}")
@@ -395,19 +417,49 @@ class SnapshotStateStore:
             )
         else:
             return local_df(spark, [], schema="__empty string").limit(0)
-        for layer in deltas:
-            if layer["tombstones"]:
-                tomb = spark.read.parquet(
-                    *[str(data / f) for f in layer["tombstones"]]
-                )
-                df = df.join(tomb, layer["key"], "left_anti")
-            if layer["fresh"]:
-                df = df.unionByName(
-                    spark.read.parquet(
-                        *[str(data / f) for f in layer["fresh"]]
+        if not deltas:
+            return df
+        keys = {layer["key"] for layer in deltas if layer["tombstones"]}
+        if len(keys) > 1:
+            # mixed per-layer keys: keep the per-layer chain (see
+            # docstring) — unreachable from the in-repo writers
+            for layer in deltas:
+                if layer["tombstones"]:
+                    tomb = spark.read.parquet(
+                        *[str(data / f) for f in layer["tombstones"]]
                     )
-                )
-        return df
+                    df = df.join(tomb, layer["key"], "left_anti")
+                if layer["fresh"]:
+                    df = df.unionByName(
+                        spark.read.parquet(
+                            *[str(data / f) for f in layer["fresh"]]
+                        )
+                    )
+            return df
+        # single-join fold: origin-tagged union vs ordinal-tagged
+        # tombstone keys (docstring above proves equality to the chain)
+        origin, tl = "__ckms_origin", "__ckms_tl"
+        out = df.withColumn(origin, F.lit(0))
+        tombs = None
+        key = keys.pop() if keys else None
+        for i, layer in enumerate(deltas, start=1):
+            if layer["tombstones"]:
+                t = spark.read.parquet(
+                    *[str(data / f) for f in layer["tombstones"]]
+                ).select(F.col(key).alias(key), F.lit(i).alias(tl))
+                tombs = t if tombs is None else tombs.union(t)
+            if layer["fresh"]:
+                fresh = spark.read.parquet(
+                    *[str(data / f) for f in layer["fresh"]]
+                ).withColumn(origin, F.lit(i))
+                out = out.unionByName(fresh)
+        if tombs is not None:
+            out = out.join(
+                tombs,
+                on=(out[key] == tombs[key]) & (tombs[tl] > out[origin]),
+                how="left_anti",
+            )
+        return out.drop(origin)
 
     def exists(self, table: str) -> bool:
         return self.latest_version(table) is not None
