@@ -31,7 +31,7 @@ def main() -> int:
         return 2
     tag, names = sys.argv[1], sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parents[1] / "plans" / "r14"
+    out_dir = Path(__file__).resolve().parents[1] / "plans" / "r15"
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from clickhouse_k_means_spark.session import get_spark
