@@ -1037,29 +1037,31 @@ def bisecting_fit(
         raise ValueError("bisecting k-means: input DataFrame is empty")
     dim = len(head[0])
 
-    def _leaf(df: DataFrame) -> tuple | None:
-        """One leaf record ``(df, wcss, n, mean)`` from a SINGLE
-        stats pass (r14, guide §1.2): count + per-dim sums + per-dim
-        sums of squares. The mean is sums/n (the identical IEEE
-        division Average performs); the WCSS uses the sum-of-squares
-        identity Σ‖x−μ‖² = Σ_d (Σx_d² − (Σx_d)²/n), clamped at 0 per
-        dimension (fp cancellation can dip epsilon-negative on a
+    _STATS_AGGS = (
+        lambda dim: [F.count(F.lit(1)).alias("n")]
+        + [F.sum(F.col("Y")[d]).alias(f"s{d}") for d in range(dim)]
+        + [F.sum(F.col("Y")[d] * F.col("Y")[d]).alias(f"q{d}") for d in range(dim)]
+        # splittability folded into the stats pass (r15, guide §1.2):
+        # min(Y) != max(Y) over the array column (Spark's total array
+        # ordering) iff the leaf holds >= 2 DISTINCT points — replaces
+        # the per-pick distinct().limit(2).count() probe job. (Y is
+        # non-null by the YH contract; a null-bearing leaf would fail
+        # the k=2 fit long before this probe mattered.)
+        + [F.min("Y").alias("ymin"), F.max("Y").alias("ymax")]
+    )
+
+    def _leaf_from(row) -> tuple | None:
+        """One leaf record ``(df_placeholder, wcss, n, mean,
+        can_split)`` from a stats row: count + per-dim sums + per-dim
+        sums of squares + min/max Y. The mean is sums/n (the identical
+        IEEE division Average performs); the WCSS uses the sum-of-
+        squares identity Σ‖x−μ‖² = Σ_d (Σx_d² − (Σx_d)²/n), clamped at
+        0 per dimension (fp cancellation can dip epsilon-negative on a
         constant column). Mathematically equal to the elbow() re-scan
         around the mean — WCSS only ORDERS the split picks, and the
         literal-free aggregate is also a codegen-cache hit, unlike the
-        per-leaf elbow whose mean literals recompiled every call.
-        Replaces the earlier two actions per leaf (stats agg + elbow
-        re-scan) with one; the four r14-batch-1 savings (emptiness
-        first(), _mean_model's first()+agg, the limit(min_rows) probe,
-        the final-model re-run) still hold."""
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.col("Y")[d]).alias(f"s{d}") for d in range(dim)],
-            *[
-                F.sum(F.col("Y")[d] * F.col("Y")[d]).alias(f"q{d}")
-                for d in range(dim)
-            ],
-        ).first()
+        per-leaf elbow whose mean literals recompiled every call. The
+        caller attaches the leaf DataFrame (index 0)."""
         n = int(row["n"])
         if n == 0:
             return None
@@ -1068,7 +1070,12 @@ def bisecting_fit(
             max(0.0, float(row[f"q{d}"]) - float(row[f"s{d}"]) ** 2 / n)
             for d in range(dim)
         )
-        return (df, wcss, n, mean)
+        can_split = list(row["ymin"]) != list(row["ymax"])
+        return (None, wcss, n, mean, can_split)
+
+    def _leaf(df: DataFrame) -> tuple | None:
+        rec = _leaf_from(df.agg(*_STATS_AGGS(dim)).first())
+        return None if rec is None else (df, *rec[1:])
 
     # leaves: splittable candidates; final: leaves PERMANENTLY out of
     # the split pool — too few rows, or a degenerate k=2 split
@@ -1097,10 +1104,12 @@ def bisecting_fit(
         if picked is None:
             break  # nothing splittable
         df = picked[0]
-        if df.select("Y").distinct().limit(2).count() < 2:
-            # all-duplicate leaf: a k=2 fit cannot place two distinct
-            # centers (k-means++ would fail with "no candidate points
-            # left") — final, never re-picked (ADVICE r6)
+        if not picked[4]:
+            # all-duplicate leaf (min(Y) == max(Y) in its stats row): a
+            # k=2 fit cannot place two distinct centers (k-means++
+            # would fail with "no candidate points left") — final,
+            # never re-picked (ADVICE r6). No probe job (r15): the
+            # splittability bit rides the leaf's one stats pass.
             final.append(picked)
             continue
         split_no += 1
@@ -1109,19 +1118,38 @@ def bisecting_fit(
         # split by DIRECT assignment projection — never a join back on
         # the key: the YH contract allows duplicate (i, Y) rows
         # (lineitem keys repeat per line), and a semi-join would
-        # multiply or misroute them
+        # multiply or misroute them.
+        # One-pass split (r15, VERDICT r14 item 1 / guide §1.2): the
+        # parent+assignment is checkpointed ONCE, BOTH halves' stats
+        # come from ONE groupBy-on-assignment pass over it, and the
+        # half frames re-checkpoint as filters over the in-memory
+        # tagged blocks. The old shape ran the parent scan +
+        # assignment TWICE (one deep checkpoint per half) and a stats
+        # job per half — 5 jobs, 2 deep scans; this is 4 jobs, 1 deep
+        # scan, and the later Lloyd passes still run over compact
+        # per-half checkpoints (a filter-over-parent half would
+        # re-scan 2× rows per pass — the wrong trade at scale).
         jcol = nearest_centroid_struct("Y", res.model)["j"]
-        tagged = df.select("i", "Y", jcol.alias("__j"))
+        tagged = (
+            df.select("i", "Y", jcol.alias("__j")).localCheckpoint(eager=True)
+        )
+        stats = {
+            int(r["__j"]): r
+            for r in tagged.groupBy("__j").agg(*_STATS_AGGS(dim)).collect()
+        }
         halves = []
         for j, _c in res.model:
+            if j not in stats:
+                continue  # empty half (all rows on one center)
+            rec = _leaf_from(stats[j])
+            if rec is None:
+                continue
             part = (
                 tagged.filter(F.col("__j") == j)
                 .select("i", "Y")
                 .localCheckpoint(eager=True)
             )
-            rec = _leaf(part)
-            if rec is not None:
-                halves.append(rec)
+            halves.append((part, *rec[1:]))
         if len(halves) <= 1:
             # degenerate split (duplicate points) — leaf is final and
             # permanently unsplittable (ADVICE r6: re-appending it to
@@ -1134,7 +1162,7 @@ def bisecting_fit(
     # no extra pass); assignments by membership
     model: Model = []
     out = None
-    for li, (df, _w, _n, center) in enumerate(leaves + final, start=1):
+    for li, (df, _w, _n, center, _s) in enumerate(leaves + final, start=1):
         model.append((li, center))
         part = df.select(
             "i",
